@@ -1,0 +1,287 @@
+"""Candidate generation: the distributed "UDF map".
+
+The reference materializes a Python dict ``"x+lx" -> {constraint ->
+value}`` by a double loop over both decision domains
+(reference:src/server.py:291-351). Here that matrix is a DataFrame
+``(x, lx, m_<constraint>, ...)`` built by one of two declarative
+strategies (chosen by a cost rule, SURVEY §4 O11):
+
+**W — per-lx window frames.** For each offset value ``lx`` compute
+``agg(y) OVER (ORDER BY time_id RANGE BETWEEN ...)`` columns, then
+unpivot (explode) to candidate rows. Work is O(N · Σ frame width);
+optimal when the offset domain is small.
+
+**S — prefix sums + sparse table (doubling RMQ).** One pass builds
+inclusive prefix sums; ⌈log2 L⌉ passes build doubling-max levels
+``M_j[t] = max(y[t .. t+2^j−1])``; each candidate measure is then two
+O(1) lookups realized as equi-joins. Work is O(N log L + C); the scale
+path for large offset domains.
+
+Both strategies avoid a single-partition global sort: the segment is
+range-partitioned into blocks of ``partition_rows`` and rows within
+each block's *halo reach* are duplicated into the neighbouring block,
+so window frames / lead() never cross a partition boundary while edge
+clamping still happens only at the true segment edges (SURVEY §4 O14).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from query_refinement_dsit_databases_2021_spark.errors import QueryError
+from query_refinement_dsit_databases_2021_spark.operators.measures import (
+    REGISTRY,
+    SparseCtx,
+)
+from query_refinement_dsit_databases_2021_spark.plans.spec import QuerySpec
+
+# Auto strategy: W while the offset domain stays small (every committed
+# reference query has <= 46 offsets), else S.
+WINDOW_STRATEGY_MAX_OFFSETS = 64
+DEFAULT_PARTITION_ROWS = 1 << 20
+
+
+def _dedup_constraints(spec: QuerySpec):
+    """Unique (measure, args) pairs keyed by output column name."""
+    seen: dict[str, tuple] = {}
+    for con in spec.constraints:
+        if con.name not in REGISTRY:
+            raise QueryError(f"ERROR at constraint variable name: {con.name}")
+        if con.column not in seen:
+            seen[con.column] = (REGISTRY[con.name], con.args)
+    return seen
+
+
+def pick_strategy(spec: QuerySpec) -> str:
+    l0, l1 = spec.lx_domain
+    return "window" if (l1 - l0 + 1) <= WINDOW_STRATEGY_MAX_OFFSETS else "sparse"
+
+
+def build_candidates(
+    segment: DataFrame,
+    spec: QuerySpec,
+    t_start: int,
+    t_end: int,
+    strategy: str = "auto",
+    partition_rows: int | None = None,
+) -> DataFrame:
+    """segment: DataFrame[time_id long, y double], dense over
+    [t_start, t_end] (already range-filtered to [x0, x1+l1] ∩ data).
+
+    Returns DataFrame[x long, lx int, m_* double] with one row per
+    in-data candidate: x ∈ [x0, x1] ∩ [t_start, ..], x+lx <= t_end.
+    (Candidates whose window would leave the data are dropped; the
+    reference crashes on them — documented divergence.)
+    """
+    l0, l1 = spec.lx_domain
+    if l0 is None or l1 is None or not spec.resolved:
+        raise QueryError("ERROR: domains must be resolved before planning")
+    if l0 < 0:
+        raise QueryError("ERROR: offset domain must be non-negative")
+    if l1 < l0 or spec.x_domain[1] < spec.x_domain[0]:
+        raise QueryError("ERROR: empty decision domain")
+
+    if strategy == "auto":
+        strategy = pick_strategy(spec)
+    if strategy == "window":
+        return _build_window(segment, spec, t_start, t_end, partition_rows)
+    if strategy == "sparse":
+        return _build_sparse(segment, spec, t_start, t_end, partition_rows)
+    raise QueryError(f"unknown strategy: {strategy}")
+
+
+# ---------------------------------------------------------------------------
+# halo partitioning
+# ---------------------------------------------------------------------------
+
+def _halo_partition(
+    segment: DataFrame,
+    t_start: int,
+    t_end: int,
+    block: int,
+    reach_fwd: int,
+    reach_bwd: int,
+) -> tuple[DataFrame, "F.Column"]:
+    """Assign each row a block id ``wpid`` and duplicate rows within
+    the halo reach into the neighbouring block. Returns (exploded df,
+    true-pid expression) — filter ``wpid == true_pid`` after windowing
+    to drop halo evaluation rows."""
+    n_blocks = (t_end - t_start) // block + 1
+    pid = ((F.col("time_id") - F.lit(t_start)) / F.lit(block)).cast("long")
+    off = (F.col("time_id") - F.lit(t_start)) % F.lit(block)
+
+    targets = [pid]
+    if reach_fwd > 0:
+        # rows at the head of block p also serve block p-1's frames
+        targets.append(F.when((off < F.lit(reach_fwd)) & (pid > 0), pid - 1))
+    if reach_bwd > 0:
+        targets.append(
+            F.when(
+                (off >= F.lit(block - reach_bwd)) & (pid < F.lit(n_blocks - 1)),
+                pid + 1,
+            )
+        )
+    pids = F.array_compact(F.array(*targets)) if len(targets) > 1 else F.array(*targets)
+    out = segment.select(
+        F.explode(pids).alias("wpid"), "time_id", "y"
+    )
+    return out, pid
+
+
+def _block_size(partition_rows: int | None, reach_fwd: int, reach_bwd: int) -> int:
+    block = partition_rows or DEFAULT_PARTITION_ROWS
+    # halo must fit inside one neighbouring block
+    return max(block, 2 * (reach_fwd + reach_bwd + 1))
+
+
+# ---------------------------------------------------------------------------
+# strategy W: per-lx window frames
+# ---------------------------------------------------------------------------
+
+def _build_window(
+    segment: DataFrame,
+    spec: QuerySpec,
+    t_start: int,
+    t_end: int,
+    partition_rows: int | None,
+) -> DataFrame:
+    x0, x1 = spec.x_domain
+    l0, l1 = spec.lx_domain
+    measures = _dedup_constraints(spec)
+
+    reach_fwd, reach_bwd = 0, 0
+    for mdef, args in measures.values():
+        f, b = mdef.w_reach(l1, args)
+        reach_fwd, reach_bwd = max(reach_fwd, f), max(reach_bwd, b)
+
+    block = _block_size(partition_rows, reach_fwd, reach_bwd)
+    seg2, true_pid = _halo_partition(
+        segment, t_start, t_end, block, reach_fwd, reach_bwd
+    )
+    w = Window.partitionBy("wpid").orderBy("time_id")
+
+    # deduplicated base frame columns across measures and lx values
+    frames: dict[str, "F.Column"] = {}
+    for lx in range(l0, l1 + 1):
+        for mdef, args in measures.values():
+            for fr in mdef.w_frames(lx, args):
+                if fr.name not in frames:
+                    frames[fr.name] = fr.column(w)
+
+    computed = seg2.select(
+        "wpid",
+        "time_id",
+        *[c.alias(n) for n, c in frames.items()],
+    )
+    # drop halo evaluation rows; keep candidate starts only
+    computed = computed.where(
+        (F.col("wpid") == true_pid) & F.col("time_id").between(x0, x1)
+    )
+
+    structs = []
+    for lx in range(l0, l1 + 1):
+        fields = [F.lit(lx).cast("int").alias("lx")]
+        for col_name, (mdef, args) in measures.items():
+            fields.append(mdef.w_expr(lx, args).cast("double").alias(col_name))
+        structs.append(F.struct(*fields))
+
+    out = computed.select(
+        F.col("time_id").alias("x"),
+        F.explode(F.array(*structs)).alias("c"),
+    ).select("x", "c.*")
+    # complete-window guard: window must not leave the data
+    return out.where(F.col("x") + F.col("lx") <= F.lit(t_end))
+
+
+# ---------------------------------------------------------------------------
+# strategy S: prefix sums + doubling max ("sparse table")
+# ---------------------------------------------------------------------------
+
+def _build_sparse(
+    segment: DataFrame,
+    spec: QuerySpec,
+    t_start: int,
+    t_end: int,
+    partition_rows: int | None,
+) -> DataFrame:
+    spark = segment.sparkSession
+    x0, x1 = spec.x_domain
+    l0, l1 = spec.lx_domain
+    measures = _dedup_constraints(spec)
+
+    # sparse-table depth: longest max-interval any measure queries
+    longest = 1
+    for mdef, args in measures.values():
+        longest = max(longest, mdef.s_max_interval(l1, args))
+    jmax = int(math.floor(math.log2(longest))) if longest > 1 else 0
+    reach_fwd = (1 << jmax) - 1 if jmax > 0 else 0
+
+    block = _block_size(partition_rows, reach_fwd, 0)
+    seg2, true_pid = _halo_partition(segment, t_start, t_end, block, reach_fwd, 0)
+    w = Window.partitionBy("wpid").orderBy("time_id")
+
+    # doubling-max levels: M_j[t] = max(y[t .. t+2^j-1])
+    helper = seg2.withColumn("M_0", F.col("y"))
+    for j in range(1, jmax + 1):
+        step = 1 << (j - 1)
+        prev = F.col(f"M_{j-1}")
+        helper = helper.withColumn(
+            f"M_{j}", F.greatest(prev, F.coalesce(F.lead(prev, step).over(w), prev))
+        )
+    helper = helper.where(F.col("wpid") == true_pid)
+
+    # distributed inclusive prefix sum: per-block cumsum + block offsets
+    wc = Window.partitionBy("wpid").orderBy("time_id")
+    helper = helper.withColumn(
+        "S_local", F.sum("y").over(wc.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    totals = helper.groupBy("wpid").agg(F.sum("y").alias("tot"))
+    w_off = Window.orderBy("wpid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "wpid", F.coalesce(F.sum("tot").over(w_off), F.lit(0.0)).alias("S_off")
+    )
+    helper = (
+        helper.join(F.broadcast(offsets), "wpid")
+        .select(
+            "time_id",
+            "y",
+            (F.col("S_local") + F.col("S_off")).alias("S"),
+            F.array(*[F.col(f"M_{j}") for j in range(jmax + 1)]).alias("M"),
+        )
+    )
+    helper = helper.persist()
+
+    # candidate enumeration: x range × offset sequence (no crossJoin shuffle)
+    cand = (
+        spark.range(max(x0, t_start), x1 + 1)
+        .select(
+            F.col("id").alias("x"),
+            F.explode(F.sequence(F.lit(l0), F.lit(l1))).alias("lx"),
+        )
+        .where(F.col("x") + F.col("lx") <= F.lit(t_end))
+        .select("x", F.col("lx").cast("int").alias("lx"))
+    )
+
+    ctx = SparseCtx(
+        x=F.col("x"), lx=F.col("lx").cast("long"), t_start=t_start, t_end=t_end
+    )
+    measure_exprs = {
+        col_name: mdef.s_expr(ctx, args).cast("double")
+        for col_name, (mdef, args) in measures.items()
+    }
+
+    # one equi-join per distinct lookup position
+    out = cand
+    for key, (pos, fields) in ctx.lookups.items():
+        name = ctx._names[key]
+        side = helper.select(
+            F.col("time_id").alias(f"{name}_t"),
+            *[F.col(f).alias(f"{name}_{f}") for f in sorted(fields)],
+        )
+        out = out.join(side, pos == F.col(f"{name}_t"), "inner").drop(f"{name}_t")
+
+    out = out.select("x", "lx", *[e.alias(n) for n, e in measure_exprs.items()])
+    return out

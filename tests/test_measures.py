@@ -1,0 +1,110 @@
+"""Per-operator unit tests on the hand-checkable series (FIXTURES.md §3):
+measure kernels A1-A3 under both physical strategies, boundary
+clamping, inclusive-both-ends windows."""
+
+import pytest
+
+from query_refinement_dsit_databases_2021_spark.operators.candidates import (
+    build_candidates,
+)
+from query_refinement_dsit_databases_2021_spark.plans.spec import (
+    ConstraintSpec,
+    QuerySpec,
+)
+
+from tests.conftest import SERIES_TINY_Y
+from tests.oracle_np import brute_candidates
+
+Y = SERIES_TINY_Y
+
+
+def _spec(x_dom, lx_dom, cons):
+    return QuerySpec(
+        table="t",
+        column="y",
+        x_domain=x_dom,
+        lx_domain=lx_dom,
+        constraints=tuple(cons),
+    )
+
+
+def _collect(df):
+    rows = df.collect()
+    return {
+        (r["x"], r["lx"]): {c: r[c] for c in df.columns if c.startswith("m_")}
+        for r in rows
+    }
+
+
+CONS_ALL = [
+    ConstraintSpec("avg_amp", (), 1, 2),
+    ConstraintSpec("max_amp_excess_right", (3,), -2, 0),
+    ConstraintSpec("max_amp_excess_left", (4,), -2, 0),
+]
+
+
+@pytest.mark.parametrize("strategy", ["window", "sparse"])
+def test_measures_match_bruteforce(spark, series_tiny, strategy):
+    spec = _spec((1, 15), (0, 5), CONS_ALL)
+    seg = series_tiny  # whole table: [1, 20] covers x1 + l1 = 20
+    got = _collect(build_candidates(seg, spec, 1, 20, strategy, partition_rows=4))
+    want = brute_candidates([(i + 1, float(y)) for i, y in enumerate(Y)], spec)
+    assert set(got) == set(want)
+    for key in want:
+        for col, val in want[key].items():
+            assert got[key][col] == pytest.approx(val, abs=1e-9), (key, col)
+
+
+@pytest.mark.parametrize("strategy", ["window", "sparse"])
+def test_hand_computed_values(spark, series_tiny, strategy):
+    # avg_amp over [2,5] = mean(1,2,3,4) = 2.5  (inclusive both ends)
+    # excess_right(3) at x=2,lx=3: win [2,5]=max 4; nbr [5, 5+3]=[4,5,5,5]->5; 4-5=-1
+    # excess_left(4) at x=6,lx=2: win [6,8]=max 5; w'=min(4,6-1)=4 nbr [2,6]=max 5; 0
+    spec = _spec((2, 6), (2, 3), CONS_ALL)
+    got = _collect(build_candidates(series_tiny, spec, 1, 20, strategy))
+    assert got[(2, 3)]["m_avg_amp"] == pytest.approx(2.5)
+    assert got[(2, 3)]["m_max_amp_excess_right_3"] == pytest.approx(-1.0)
+    assert got[(6, 2)]["m_max_amp_excess_left_4"] == pytest.approx(0.0)
+
+
+@pytest.mark.parametrize("strategy", ["window", "sparse"])
+def test_edge_clamping(spark, series_tiny, strategy):
+    # left neighborhood at x=1 clamps to w'=0 -> nbr=[x..x]=y[1]; excess = win_max - y[1]
+    # right neighborhood at the last candidate clamps at t_end
+    spec = _spec((1, 18), (2, 2), CONS_ALL)
+    got = _collect(build_candidates(series_tiny, spec, 1, 20, strategy))
+    # x=1: win [1,3] max=2; left w'=0 nbr [1,1]=0 -> 2-0=2
+    assert got[(1, 2)]["m_max_amp_excess_left_4"] == pytest.approx(2.0)
+    # x=18: win [18,20] max=1; right x'=20 lx'=min(3, 20-20)=0 nbr [20,20]=0 -> 1
+    assert got[(18, 2)]["m_max_amp_excess_right_3"] == pytest.approx(1.0)
+
+
+@pytest.mark.parametrize("strategy", ["window", "sparse"])
+def test_incomplete_windows_dropped(spark, series_tiny, strategy):
+    # x+lx beyond data end must be dropped, not truncated
+    spec = _spec((15, 20), (3, 8), [ConstraintSpec("avg_amp", (), None, None)])
+    got = _collect(build_candidates(series_tiny, spec, 1, 20, strategy))
+    assert all(x + lx <= 20 for x, lx in got)
+    assert (17, 3) in got and (18, 3) not in got
+
+
+@pytest.mark.parametrize("strategy", ["window", "sparse"])
+def test_halo_partitioning_invariant(spark, strategy):
+    """Small partition blocks (forcing real halo duplication) must not
+    change any measure value vs the single-block plan."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    ys = rng.integers(-50, 50, size=300).astype(float)
+    series = [(i + 1, float(y)) for i, y in enumerate(ys)]
+    df = spark.createDataFrame(series, "time_id long, y double")
+    spec = _spec((1, 280), (0, 6), CONS_ALL)
+
+    a = _collect(build_candidates(df, spec, 1, 300, strategy, partition_rows=10**6))
+    b = _collect(build_candidates(df, spec, 1, 300, strategy, partition_rows=30))
+    want = brute_candidates(series, spec)
+    assert set(a) == set(b) == set(want)
+    for key in want:
+        for col, val in want[key].items():
+            assert a[key][col] == pytest.approx(val, abs=1e-9), (key, col)
+            assert b[key][col] == pytest.approx(val, abs=1e-9), (key, col)
