@@ -41,7 +41,12 @@ from query_refinement_dsit_databases_2021_spark.plans.spec import QuerySpec
 # Auto strategy: W while the offset domain stays small (every committed
 # reference query has <= 46 offsets), else S.
 WINDOW_STRATEGY_MAX_OFFSETS = 64
-DEFAULT_PARTITION_ROWS = 1 << 20
+# Rows per range-partition block of the series segment. Halo overhead
+# is O(reach/block); 64k keeps it <1% for reference-sized reaches while
+# giving a 32-way local executor real parallelism. On a 1000-executor
+# cluster raise via Engine(partition_rows=...) to ~2-16M so block count
+# tracks executor count at 100 TB.
+DEFAULT_PARTITION_ROWS = 1 << 16
 
 
 def _dedup_constraints(spec: QuerySpec):

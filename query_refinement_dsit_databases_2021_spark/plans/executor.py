@@ -194,9 +194,13 @@ class Engine:
             elif n > k:
                 # C3 tightening: top-k by RK desc (reference:src/server.py:413-429)
                 info.action = "tighten"
+                # Order on the score rounded to 9 decimals so the (x, lx)
+                # tie-break — not last-bit float summation noise — decides
+                # near-equal candidates; keeps results stable across
+                # physical strategies, partitionings, and external oracles.
                 out = (
                     passing.withColumn("rk", scoring.rank(cons))
-                    .orderBy(F.desc("rk"), "x", "lx")
+                    .orderBy(F.round(F.col("rk"), 9).desc(), "x", "lx")
                     .limit(k)
                 )
                 score_cols = ["rk"]
@@ -211,7 +215,7 @@ class Engine:
                         "rp", scoring.relaxation_penalty(cons, bounds)
                     )
                     .where(F.col("rp") <= F.lit(scoring.MRP_INIT))
-                    .orderBy(F.asc("rp"), "x", "lx")
+                    .orderBy(F.round(F.col("rp"), 9).asc(), "x", "lx")
                     .limit(k - n)
                 )
                 passing = passing.withColumn("rp", F.lit(0.0))

@@ -33,6 +33,11 @@ from query_refinement_dsit_databases_2021_spark.plans.spec import (
 AVAILABLE_FUNCTIONS = ("avg_amp", "max_amp_excess_right", "max_amp_excess_left")
 
 _DOMAIN = r"\[\s*(-?\d+|None)\s*,\s*(-?\d+|None)\s*\]"
+# Constraint limits additionally accept decimals — an extension over the
+# reference's integer-only template (reference:src/client.py:159); the
+# measure values are continuous, so real-valued bounds are the natural
+# domain. Decision-variable domains stay integer.
+_CON_DOMAIN = r"\[\s*(-?\d+(?:\.\d+)?|None)\s*,\s*(-?\d+(?:\.\d+)?|None)\s*\]"
 _SELECT_RE = re.compile(
     r"^\s*SELECT\s+time_id\s*,\s*offset\s+IN_DOMAIN\s*"
     rf"({_DOMAIN})\s*,\s*({_DOMAIN})\s*$",
@@ -40,7 +45,7 @@ _SELECT_RE = re.compile(
 _FROM_RE = re.compile(r"^\s*FROM\s+(\w+)\.(\w+)\s*$")
 # one constraint term: name(arg?) in [a, b] MAX|MIN
 _CON_RE = re.compile(
-    rf"^(\w+)\((-?\d*)\)\s+in\s+({_DOMAIN})\s+(MAX|MIN)$",
+    rf"^(\w+)\((-?\d*)\)\s+in\s+({_CON_DOMAIN})\s+(MAX|MIN)$",
 )
 _LIMIT_RE = re.compile(r"^\s*LIMIT\s+(REFINED\s+)?(\d+)\s*$")
 
@@ -49,11 +54,24 @@ def _bound(tok: str) -> int | None:
     return None if tok == "None" else int(tok)
 
 
+def _num_bound(tok: str) -> float | int | None:
+    if tok == "None":
+        return None
+    return float(tok) if "." in tok else int(tok)
+
+
 def _parse_domain(text: str) -> tuple[int | None, int | None]:
     m = re.fullmatch(_DOMAIN, text.strip())
     if not m:
         raise QueryError(f"ERROR at domain literal: {text!r}")
     return _bound(m.group(1)), _bound(m.group(2))
+
+
+def _parse_con_domain(text: str):
+    m = re.fullmatch(_CON_DOMAIN, text.strip())
+    if not m:
+        raise QueryError(f"ERROR at constraint limits: {text!r}")
+    return _num_bound(m.group(1)), _num_bound(m.group(2))
 
 
 def parse_query(query: str) -> QuerySpec:
@@ -112,7 +130,7 @@ def parse_query(query: str) -> QuerySpec:
             raise QueryError(f"ERROR: {name} requires one integer argument")
         if name == "avg_amp" and args:
             raise QueryError("ERROR: avg_amp takes no arguments")
-        lo, hi = _parse_domain(dom)
+        lo, hi = _parse_con_domain(dom)
         target = MAXIMIZATION if goal == "MAX" else MINIMIZATION
         constraints.append(
             ConstraintSpec(name=name, args=args, lo=lo, hi=hi, target=target)

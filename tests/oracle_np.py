@@ -88,7 +88,7 @@ def brute_execute(series, spec):
                 s += w_c * rk_c
             return 1.0 - s
 
-        ranked = sorted(passing, key=lambda key: (-rk(key), key))
+        ranked = sorted(passing, key=lambda key: (-round(rk(key), 9), key))
         return sorted(ranked[:k]), "tighten"
 
     # relax: global per-measure min/max over ALL candidates
@@ -116,5 +116,5 @@ def brute_execute(series, spec):
         return 0.5 * rd + 0.5 * vc
 
     admissible = [key for key in failing if rp(key) <= 1.0]
-    chosen = sorted(admissible, key=lambda key: (rp(key), key))[: k - n]
+    chosen = sorted(admissible, key=lambda key: (round(rp(key), 9), key))[: k - n]
     return sorted(list(passing) + chosen), "relax"
