@@ -1,0 +1,246 @@
+"""Deduplication operators for the large-scale training-data pipeline.
+
+Four families, all expressed as shuffle-parallel DataFrame algebra
+(no Python UDFs, no driver-side loops over data):
+
+- **Exact**: hash-groupBy on the full text (one shuffle, map-side
+  combinable count).
+- **MinHash + LSH**: shingle -> minhash signature -> band -> bucket
+  self-join. The self-join is keyed on (band, band_signature), so at
+  100 TB the candidate-pair blowup is bounded by bucket sizes, not by
+  |corpus|^2.
+- **SimHash**: 16-bit fingerprints from token hashes; near-dup pairs
+  found via the pigeonhole band trick (hamming <= 3 over 16 bits =>
+  at least one of four 4-bit bands matches exactly), again a bucketed
+  equi-join, never an all-pairs scan.
+- **N-gram Jaccard**: exact set overlap through the shingle inverted
+  index (join on shingle, count, divide) — O(sum of posting-list^2)
+  not O(n^2); the MinHash path is its approximation at scale.
+
+Determinism contract: every score is integer arithmetic or a single
+int/int division in double — bit-identical across Spark and the
+DuckDB oracles in ``operators/pipelines.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from query_refinement_dsit_databases_2021_spark.operators.textops import (
+    HASH_P,
+    lcg_a,
+    lcg_b,
+    rolling_hash,
+    shingle_ranks,
+    shingles,
+    tokens,
+)
+
+N_HASHES = 16
+LSH_BANDS = 4
+LSH_ROWS = 4  # N_HASHES = LSH_BANDS * LSH_ROWS
+
+SIMHASH_BITS = 16
+SIMHASH_BANDS = 4  # 4 bits per band; hamming<=3 => >=1 band equal
+SIMHASH_MOD = 1 << SIMHASH_BITS
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups: one row per distinct text with the
+    survivor (min doc_id) and the multiplicity."""
+    return (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+def _hash_params(spark, n_hashes: int):
+    """Tiny (j, a, b) table for the deterministic LCG hash family —
+    broadcast into the signature aggregation."""
+    rows = [(j, lcg_a(j), lcg_b(j)) for j in range(n_hashes)]
+    return spark.createDataFrame(rows, "j int, a long, b long")
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """(doc_id, j, mh): minhash component j of each document —
+    min over the doc's shingle ranks r of ``(a_j * r + b_j) % P``.
+
+    One crossJoin with the broadcast n_hashes-row parameter table,
+    then a map-side-combinable min aggregation keyed (doc_id, j).
+    """
+    shr = shingle_ranks(shingles(docs))
+    hp = _hash_params(docs.sparkSession, n_hashes)
+    return (
+        shr.crossJoin(F.broadcast(hp))
+        .groupBy("doc_id", "j")
+        .agg(
+            F.min((F.col("a") * F.col("r") + F.col("b")) % HASH_P).alias("mh")
+        )
+    )
+
+
+def lsh_band_signatures(
+    sig: DataFrame, rows_per_band: int = LSH_ROWS
+) -> DataFrame:
+    """(doc_id, band, sig): fold each band's minhash components (in j
+    order) into one 63-bit-safe integer bucket key."""
+    banded = sig.withColumn("band", F.expr(f"j div {rows_per_band}"))
+    arr = banded.groupBy("doc_id", "band").agg(
+        F.array_sort(F.collect_list(F.struct("j", "mh"))).alias("a")
+    )
+    return arr.select(
+        "doc_id",
+        "band",
+        F.aggregate(
+            F.transform("a", lambda x: x["mh"]),
+            F.lit(0).cast("long"),
+            lambda acc, v: (acc * 31 + v) % HASH_P,
+        ).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n_hashes: int = N_HASHES,
+    rows_per_band: int = LSH_ROWS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash+LSH: candidates share >=1 LSH
+    band bucket; estimated Jaccard = fraction of equal signature
+    components; keep pairs with estimate >= threshold.
+
+    Returns (doc_a, doc_b, est_sim) with doc_a < doc_b; est_sim is
+    k/n_hashes, exactly representable in double.
+    """
+    sig = minhash_signatures(docs, n_hashes).persist()
+    bsig = lsh_band_signatures(sig, rows_per_band)
+    b2 = bsig.select(
+        F.col("doc_id").alias("doc_b"), "band", F.col("sig").alias("sig_b")
+    )
+    cand = (
+        bsig.join(
+            b2,
+            (bsig["band"] == b2["band"])
+            & (bsig["sig"] == b2["sig_b"])
+            & (bsig["doc_id"] < b2["doc_b"]),
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), "j", F.col("mh").alias("mh_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), "j", F.col("mh").alias("mh_b"))
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "j"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (
+                F.sum((F.col("mh_a") == F.col("mh_b")).cast("int"))
+                / float(n_hashes)
+            ).alias("est_sim")
+        )
+        .where(F.col("est_sim") >= threshold)
+    )
+    return est.select("doc_a", "doc_b", F.round("est_sim", 6).alias("est_sim"))
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint): 16-bit SimHash. Token hash = polynomial
+    rolling hash mod 2^16 (with multiplicity); bit b of the
+    fingerprint is set iff more token hashes have bit b set than not
+    (tie -> 0). One explode + one groupBy with 16 integer sums."""
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    th = tok.withColumn("h16", rolling_hash(F.col("term")) % SIMHASH_MOD)
+    sums = th.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h16").bitwiseAND(1 << b) != 0, 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    fp = functools.reduce(
+        operator.add,
+        [
+            F.when(F.col(f"s{b}") > 0, 1 << b).otherwise(0)
+            for b in range(SIMHASH_BITS)
+        ],
+    )
+    return sums.select("doc_id", fp.cast("long").alias("fingerprint"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate pairs with SimHash hamming distance <=
+    max_hamming, via the pigeonhole band join: with 4 bands of 4 bits,
+    any pair within hamming 3 agrees exactly on >=1 band, so
+    candidates come from 4 bucketed equi-joins, not an all-pairs scan.
+
+    Returns (doc_a, doc_b, hamming), doc_a < doc_b.
+    """
+    fp = simhash_fingerprints(docs).persist()
+    bands = None
+    for k in range(SIMHASH_BANDS):
+        width = SIMHASH_BITS // SIMHASH_BANDS
+        part = fp.select(
+            "doc_id",
+            F.lit(k).alias("band"),
+            F.shiftright("fingerprint", k * width)
+            .bitwiseAND((1 << width) - 1)
+            .alias("v"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    b2 = bands.select(
+        F.col("doc_id").alias("doc_b"), "band", F.col("v").alias("v_b")
+    )
+    cand = (
+        bands.join(
+            b2,
+            (bands["band"] == b2["band"])
+            & (bands["v"] == b2["v_b"])
+            & (bands["doc_id"] < b2["doc_b"]),
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("fingerprint").alias("fa"))
+    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("fingerprint").alias("fb"))
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram (shingle-set) Jaccard similarity for all pairs
+    sharing >=1 shingle, through the inverted index: join the shingle
+    table to itself on the shingle, count intersections, divide by
+    union size. Returns (doc_a, doc_b, jaccard) with jaccard >=
+    threshold, doc_a < doc_b."""
+    sh = shingles(docs).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        sh.join(sb, (sh["s"] == sb["s"]) & (sh["doc_id"] < sb["doc_b"]))
+        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

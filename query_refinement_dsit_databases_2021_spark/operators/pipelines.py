@@ -1,0 +1,297 @@
+"""Workload registry entries for the training-data pipeline layer.
+
+Pairs every dedup / text-analysis operator (``operators/dedup.py``,
+``operators/textops.py``) with a DuckDB oracle that transliterates the
+SAME dataflow in portable SQL. The operators were designed for this:
+every score is integer arithmetic or an ordered left fold, so Spark and
+DuckDB produce bit-identical values (see the determinism contracts in
+the operator modules).
+
+Shared SQL fragments mirror the Spark building blocks one-to-one:
+
+- ``tokens``      <-> ``string_split(text, ' ')``
+- ``shingles``    <-> lateral ``range(1, len(ws) - (k-2))`` + 1-based
+                      list indexing (both engines index ``element_at``
+                      style from 1)
+- ``rolling_hash``<-> ``list_reduce(list_prepend(0, ascii-codes), ...)``
+- LCG hash family <-> inlined ``(a_j, b_j)`` constants from
+                      :func:`textops.lcg_a` / :func:`textops.lcg_b`
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from query_refinement_dsit_databases_2021_spark.operators import dedup, textops
+from query_refinement_dsit_databases_2021_spark.operators.dedup import (
+    LSH_ROWS,
+    N_HASHES,
+    SIMHASH_BANDS,
+    SIMHASH_BITS,
+    SIMHASH_MOD,
+)
+from query_refinement_dsit_databases_2021_spark.operators.textops import (
+    HASH_P,
+    SHINGLE_K,
+    STOPWORDS,
+    lcg_a,
+    lcg_b,
+)
+
+# ---------------------------------------------------------------------------
+# Shared oracle SQL fragments
+# ---------------------------------------------------------------------------
+
+# distinct k-shingles per document, k = SHINGLE_K (mirror of textops.shingles)
+_SHINGLE_EXPR = " || '|' || ".join(f"ws[i + {j}]" for j in range(SHINGLE_K))
+SQL_SHINGLES = f"""
+tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, {_SHINGLE_EXPR} AS s
+  FROM tok, unnest(range(1, greatest(len(ws) - {SHINGLE_K - 2}, 1))) u(i))"""
+
+# dense shingle ranks over the sorted vocabulary (mirror of shingle_ranks)
+SQL_SHINGLE_RANKS = """
+vocab AS (
+  SELECT s, row_number() OVER (ORDER BY s)::BIGINT AS r
+  FROM (SELECT DISTINCT s FROM sh)),
+shr AS (SELECT doc_id, r FROM sh JOIN vocab USING (s))"""
+
+
+def _sql_rolling_hash(expr: str, mult: int = 31, mod: int = HASH_P) -> str:
+    """Polynomial rolling hash over the characters of ``expr`` — the
+    same left fold as :func:`textops.rolling_hash`."""
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform(string_split({expr}, ''), c -> ascii(c)::BIGINT)), "
+        f"(acc, c) -> (acc * {mult} + c) % {mod})"
+    )
+
+
+def _sql_hash_params(n_hashes: int) -> str:
+    rows = ", ".join(f"({j}, {lcg_a(j)}, {lcg_b(j)})" for j in range(n_hashes))
+    return f"hp AS (SELECT * FROM (VALUES {rows}) AS t(j, a, b))"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    return spark.table("documents")
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL per workload
+# ---------------------------------------------------------------------------
+
+ORACLE_DEDUP_EXACT = """
+SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY text"""
+
+ORACLE_MINHASH = f"""
+WITH {SQL_SHINGLES},
+{SQL_SHINGLE_RANKS},
+{_sql_hash_params(N_HASHES)},
+sig AS (
+  SELECT doc_id, j, min((a * r + b) % {HASH_P}) AS mh
+  FROM shr CROSS JOIN hp GROUP BY doc_id, j),
+bsig AS (
+  SELECT doc_id, j // {LSH_ROWS} AS band,
+         list_reduce(list_prepend(0::BIGINT, list(mh ORDER BY j)),
+                     (acc, v) -> (acc * 31 + v) % {HASH_P}) AS sig
+  FROM sig GROUP BY doc_id, j // {LSH_ROWS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bsig a JOIN bsig b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+est AS (
+  SELECT doc_a, doc_b,
+         sum((sa.mh = sb.mh)::INT)::BIGINT / CAST({N_HASHES} AS DOUBLE) AS est_sim
+  FROM cand
+  JOIN sig sa ON sa.doc_id = doc_a
+  JOIN sig sb ON sb.doc_id = doc_b AND sb.j = sa.j
+  GROUP BY doc_a, doc_b)
+SELECT doc_a, doc_b, round(est_sim, 6) AS est_sim
+FROM est WHERE est_sim >= 0.5"""
+
+_SIMHASH_WIDTH = SIMHASH_BITS // SIMHASH_BANDS
+_SIMHASH_SUMS = ", ".join(
+    f"sum(CASE WHEN (h16 & {1 << b}) <> 0 THEN 1 ELSE -1 END) AS s{b}"
+    for b in range(SIMHASH_BITS)
+)
+_SIMHASH_FP = " + ".join(
+    f"CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS)
+)
+_SIMHASH_BAND_ROWS = " UNION ALL ".join(
+    f"SELECT doc_id, {k} AS band, "
+    f"(fingerprint >> {k * _SIMHASH_WIDTH}) & {(1 << _SIMHASH_WIDTH) - 1} AS v "
+    f"FROM fp"
+    for k in range(SIMHASH_BANDS)
+)
+
+ORACLE_SIMHASH = f"""
+WITH th AS (
+  SELECT doc_id, {_sql_rolling_hash("term")} % {SIMHASH_MOD} AS h16
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)),
+sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM th GROUP BY doc_id),
+fp AS (SELECT doc_id, ({_SIMHASH_FP})::BIGINT AS fingerprint FROM sums),
+bands AS ({_SIMHASH_BAND_ROWS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b,
+       bit_count(xor(fa.fingerprint, fb.fingerprint))::BIGINT AS hamming
+FROM cand
+JOIN fp fa ON fa.doc_id = doc_a
+JOIN fp fb ON fb.doc_id = doc_b
+WHERE bit_count(xor(fa.fingerprint, fb.fingerprint)) <= 3"""
+
+ORACLE_JACCARD = f"""
+WITH {SQL_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       round(c / (na.n + nb.n - c), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE c / (na.n + nb.n - c) >= 0.5"""
+
+_STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
+ORACLE_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+m AS (
+  SELECT doc_id,
+         len(ws)::INT AS n_tokens,
+         len(list_distinct(ws))::INT AS n_types,
+         len(list_filter(ws, w -> w IN ({_STOP_IN})))::INT AS n_stop,
+         list_reduce(list_prepend(0::BIGINT,
+             list_transform(ws, w -> length(w)::BIGINT)),
+             (acc, v) -> acc + v) AS sum_len
+  FROM t)
+SELECT doc_id, n_tokens, n_types,
+       round(n_types / n_tokens, 6) AS ttr,
+       round(n_stop / n_tokens, 6) AS stop_ratio,
+       round(sum_len / n_tokens, 6) AS avg_word_len,
+       round(CAST(0.4 AS DOUBLE) * (n_types / n_tokens)
+           + CAST(0.4 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - n_stop / n_tokens)
+           + CAST(0.2 AS DOUBLE)
+             * least(n_tokens / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)),
+           6) AS quality
+FROM m"""
+
+ORACLE_TOKEN_STATS = """
+SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+GROUP BY term"""
+
+ORACLE_LANGID = """
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+counts AS (
+  SELECT lang AS plang, w, count(*) AS c FROM tok GROUP BY lang, w),
+prof AS (
+  SELECT plang, w, 21 - rk AS wt FROM (
+    SELECT plang, w,
+           row_number() OVER (PARTITION BY plang ORDER BY c DESC, w) AS rk
+    FROM counts)
+  WHERE rk <= 20),
+scores AS (
+  SELECT t.doc_id, t.lang, p.plang, sum(p.wt) AS score
+  FROM tok t JOIN prof p USING (w)
+  GROUP BY t.doc_id, t.lang, p.plang)
+SELECT doc_id, plang AS predicted, lang AS actual,
+       (plang = lang)::INT AS correct
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, plang) AS rn
+  FROM scores)
+WHERE rn = 1"""
+
+ORACLE_FINGERPRINTS = f"""
+WITH {SQL_SHINGLES},
+{SQL_SHINGLE_RANKS},
+min_sh AS (
+  SELECT doc_id, min(({lcg_a(0)} * r + {lcg_b(0)}) % {HASH_P}) AS min_shingle_hash
+  FROM shr GROUP BY doc_id)
+SELECT d.doc_id,
+       {_sql_rolling_hash("d.text")} AS text_hash,
+       coalesce(m.min_shingle_hash, -1) AS min_shingle_hash
+FROM documents d LEFT JOIN min_sh m ON m.doc_id = d.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Workload runners
+# ---------------------------------------------------------------------------
+
+
+def _wl_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def _wl_minhash(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def _wl_simhash(spark, sf_dir):
+    df = dedup.simhash_pairs(_docs(spark, sf_dir))
+    return df.withColumn("hamming", F.col("hamming").cast("long"))
+
+
+def _wl_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def _wl_quality(spark, sf_dir):
+    return textops.quality_columns(_docs(spark, sf_dir))
+
+
+def _wl_token_stats(spark, sf_dir):
+    return textops.token_stats(_docs(spark, sf_dir))
+
+
+def _wl_langid(spark, sf_dir):
+    return textops.langid_predictions(_docs(spark, sf_dir))
+
+
+def _wl_fingerprints(spark, sf_dir):
+    return textops.fingerprints(_docs(spark, sf_dir))
+
+
+def pipeline_workloads():
+    from query_refinement_dsit_databases_2021_spark.workloads import Workload
+
+    entries = [
+        ("pipe_dedup_exact", _wl_dedup_exact, ORACLE_DEDUP_EXACT, False),
+        ("pipe_dedup_minhash_lsh", _wl_minhash, ORACLE_MINHASH, True),
+        ("pipe_dedup_simhash", _wl_simhash, ORACLE_SIMHASH, False),
+        ("pipe_dedup_ngram_jaccard", _wl_jaccard, ORACLE_JACCARD, True),
+        ("pipe_text_quality", _wl_quality, ORACLE_QUALITY, False),
+        ("pipe_text_token_stats", _wl_token_stats, ORACLE_TOKEN_STATS, False),
+        ("pipe_text_langid", _wl_langid, ORACLE_LANGID, False),
+        ("pipe_text_fingerprints", _wl_fingerprints, ORACLE_FINGERPRINTS, False),
+    ]
+    out = [Workload(n, f, o, h) for n, f, o, h in entries]
+    try:
+        from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
+            simsearch_workloads,
+        )
+
+        out.extend(simsearch_workloads())
+    except ImportError:
+        pass
+    try:
+        from query_refinement_dsit_databases_2021_spark.operators.multimodal import (
+            multimodal_workloads,
+        )
+
+        out.extend(multimodal_workloads())
+    except ImportError:
+        pass
+    return out

@@ -1,0 +1,199 @@
+"""Text-analysis building blocks for the large-scale pipeline layer.
+
+Everything here is JVM-side Column/DataFrame algebra (split / explode /
+higher-order array functions) — no Python UDFs in the hot path — so the
+operators ride whole-stage codegen and scale with partition count.
+
+Determinism contract: every scoring path is either pure integer
+arithmetic or a *left fold* over an array in a fixed order, so results
+are bit-identical across engines (the DuckDB oracles in
+``operators/pipelines.py`` use the same fold shapes).
+
+Scale notes (100 TB):
+- ``shingles`` / token explodes grow rows by ~L (tokens per doc) — they
+  feed straight into groupBy shuffles keyed by doc or term; no driver
+  collect anywhere.
+- ``shingle_ranks`` assigns each distinct shingle a dense integer id via
+  a global sort of the *vocabulary* (distinct shingles), which is tiny
+  relative to the corpus and broadcast back. This exists so the
+  deterministic-hash family below is expressible in portable SQL for the
+  differential oracle; a production pipeline would use ``xxhash64`` on
+  the shingle bytes and skip the vocabulary pass entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31 - 1: (a*r + b) stays < 2^62, safe in int64 in
+# both Spark and the DuckDB oracle.
+HASH_P = 2_147_483_647
+
+SHINGLE_K = 3
+STOPWORDS = ("the", "a")
+
+
+def lcg_a(i: int) -> int:
+    """Deterministic per-hash multiplier (glibc LCG constants)."""
+    return (1103515245 * (i + 1) + 12345) % HASH_P
+
+
+def lcg_b(i: int) -> int:
+    """Deterministic per-hash addend."""
+    return (69069 * (i + 1) + 1) % HASH_P
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """Distinct k-word shingles per document: (doc_id, s).
+
+    1-indexed ``element_at`` windows mirror the oracle SQL exactly.
+    Documents with fewer than k tokens produce no shingles (guarded:
+    Spark's ``sequence(1, n)`` would count *down* for n < 1).
+    """
+    ws = tokens(F.col("text"))
+    n = F.size(ws)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            "|", *[F.element_at(ws, i + int(j)) for j in range(k)]
+        ),
+    )
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("s")
+    )
+
+
+def shingle_ranks(sh: DataFrame) -> DataFrame:
+    """(doc_id, r): each shingle replaced by its dense rank in the
+    sorted shingle vocabulary. Vocabulary is small -> broadcast join."""
+    vocab = (
+        sh.select("s")
+        .distinct()
+        .withColumn("r", F.row_number().over(Window.orderBy("s")).cast("long"))
+    )
+    return sh.join(F.broadcast(vocab), "s").select("doc_id", "r")
+
+
+def rolling_hash(text: Column, mult: int = 31, mod: int = HASH_P) -> Column:
+    """Polynomial rolling hash over the characters of ``text``:
+    ``h = fold(h * mult + ascii(c)) % mod`` — a left fold, so the oracle's
+    ``list_reduce`` over the same characters is bit-identical."""
+    return F.aggregate(
+        F.split(text, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * mult + F.ascii(c)) % mod,
+    )
+
+
+def quality_columns(docs: DataFrame) -> DataFrame:
+    """Per-document quality heuristics, all via higher-order array
+    functions (no shuffle, no Python):
+
+    - ``n_tokens``: whitespace token count
+    - ``n_types`` / ``ttr``: distinct tokens and type-token ratio
+    - ``stop_ratio``: fraction of tokens in STOPWORDS
+    - ``avg_word_len``: mean token length
+    - ``quality``: fixed linear blend, higher = better
+    """
+    ws = tokens(F.col("text"))
+    n_tok = F.size(ws)
+    n_typ = F.size(F.array_distinct(ws))
+    n_stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+    sum_len = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    ttr = n_typ / n_tok
+    stop_ratio = n_stop / n_tok
+    avg_word_len = sum_len / n_tok
+    quality = (
+        F.lit(0.4) * ttr
+        + F.lit(0.4) * (F.lit(1.0) - stop_ratio)
+        + F.lit(0.2) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_typ.alias("n_types"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(avg_word_len, 6).alias("avg_word_len"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Corpus term statistics: term frequency and document frequency
+    per term — the classic explode -> groupBy(term) map-side-combinable
+    aggregation."""
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    return tok.groupBy("term").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+
+
+def langid_predictions(docs: DataFrame, top_n: int = 20) -> DataFrame:
+    """Frequency-profile language identification.
+
+    Train and predict in one dataflow: build a per-language profile
+    (top ``top_n`` terms by corpus frequency, weighted ``top_n+1-rank``),
+    then score every document against every profile and take the
+    argmax. Integer scores + (score desc, lang asc) tie-break keep the
+    argmax fully deterministic. Profiles are tiny -> broadcast.
+    """
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    counts = tok.groupBy(F.col("lang").alias("plang"), "w").agg(
+        F.count("*").alias("c")
+    )
+    rw = Window.partitionBy("plang").orderBy(F.desc("c"), "w")
+    prof = (
+        counts.withColumn("rk", F.row_number().over(rw))
+        .where(F.col("rk") <= top_n)
+        .select("plang", "w", (F.lit(top_n + 1) - F.col("rk")).alias("wt"))
+    )
+    scores = (
+        tok.join(F.broadcast(prof), "w")
+        .groupBy("doc_id", "lang", "plang")
+        .agg(F.sum("wt").alias("score"))
+    )
+    pw = Window.partitionBy("doc_id").orderBy(F.desc("score"), "plang")
+    return (
+        scores.withColumn("rn", F.row_number().over(pw))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("plang").alias("predicted"),
+            F.col("lang").alias("actual"),
+            (F.col("plang") == F.col("lang")).cast("int").alias("correct"),
+        )
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Per-document fingerprints: whole-text polynomial rolling hash
+    plus the minimum shingle-hash (a 1-hash MinHash), both pure
+    integer arithmetic."""
+    sh = shingles(docs)
+    shr = shingle_ranks(sh)
+    a0, b0 = lcg_a(0), lcg_b(0)
+    min_sh = shr.groupBy("doc_id").agg(
+        F.min((F.lit(a0) * F.col("r") + F.lit(b0)) % HASH_P).alias(
+            "min_shingle_hash"
+        )
+    )
+    fp = docs.select("doc_id", rolling_hash(F.col("text")).alias("text_hash"))
+    return fp.join(min_sh, "doc_id", "left").select(
+        "doc_id",
+        "text_hash",
+        F.coalesce("min_shingle_hash", F.lit(-1)).alias("min_shingle_hash"),
+    )

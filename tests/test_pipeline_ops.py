@@ -1,0 +1,124 @@
+"""Unit tests for the training-data pipeline operators
+(operators/dedup.py, operators/textops.py) on tiny hand-checked data.
+
+The differential oracle in test_workloads_oracle.py covers the full
+corpus; these pin the edge semantics: short docs, exact-dup groups,
+hamming bounds, jaccard on known overlaps.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from query_refinement_dsit_databases_2021_spark.operators import dedup, textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c d e"),  # exact dup of 1
+        (3, "a b c d f"),  # near dup of 1: shingles overlap 2/4
+        (4, "x y"),  # shorter than shingle width -> no shingles
+        (5, "q r s t u v w"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    got = {r["keep_id"]: r["n_copies"] for r in dedup.exact_dedup(docs).collect()}
+    assert got == {1: 2, 3: 1, 4: 1, 5: 1}
+
+
+def test_shingles_short_doc_empty(docs):
+    sh = textops.shingles(docs)
+    by_doc = (
+        sh.groupBy("doc_id").count().rdd.map(lambda r: (r[0], r[1])).collectAsMap()
+    )
+    assert 4 not in by_doc  # 2 tokens < k=3 -> no shingles
+    assert by_doc[1] == 3  # 5 tokens -> 3 shingles
+    assert by_doc[5] == 5
+
+
+def test_shingles_distinct_within_doc(spark):
+    d = spark.createDataFrame([(1, "a b a b a b a b")], "doc_id long, text string")
+    sh = textops.shingles(d).collect()
+    # rolling shingles are (a|b|a, b|a|b) repeated; distinct -> 2
+    assert sorted(r["s"] for r in sh) == ["a|b|a", "b|a|b"]
+
+
+def test_exact_dups_are_minhash_identical(docs):
+    sig = dedup.minhash_signatures(docs)
+    s1 = {r["j"]: r["mh"] for r in sig.where("doc_id = 1").collect()}
+    s2 = {r["j"]: r["mh"] for r in sig.where("doc_id = 2").collect()}
+    assert s1 == s2 and len(s1) == dedup.N_HASHES
+
+
+def test_minhash_lsh_finds_exact_pair(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_sim"]
+        for r in dedup.minhash_lsh_pairs(docs).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+
+
+def test_simhash_exact_dup_hamming_zero(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(docs, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert all(h <= 3 for h in pairs.values())
+
+
+def test_ngram_jaccard_known_overlap(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.1).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    # docs 1 and 3: shingles {abc,bcd,cde} vs {abc,bcd,cdf}: 2/4
+    assert pairs[(1, 3)] == 0.5
+
+
+def test_quality_columns_hand_values(spark):
+    d = spark.createDataFrame([(1, "the cat sat on the mat")], "doc_id long, text string")
+    row = textops.quality_columns(d).collect()[0]
+    assert row["n_tokens"] == 6
+    assert row["n_types"] == 5  # 'the' twice
+    assert row["stop_ratio"] == pytest.approx(2 / 6, abs=1e-6)
+    assert row["avg_word_len"] == pytest.approx(17 / 6, abs=1e-6)
+
+
+def test_token_stats(spark):
+    d = spark.createDataFrame(
+        [(1, "a b a"), (2, "a c")], "doc_id long, text string"
+    )
+    got = {r["term"]: (r["tf"], r["df"]) for r in textops.token_stats(d).collect()}
+    assert got == {"a": (3, 2), "b": (1, 1), "c": (1, 1)}
+
+
+def test_langid_separable(spark):
+    rows = [(i, "le chat est noir", "fr") for i in range(5)] + [
+        (i + 10, "the cat is black", "en") for i in range(5)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = textops.langid_predictions(d).collect()
+    assert all(r["correct"] == 1 for r in out)
+    assert len(out) == 10
+
+
+def test_fingerprints_no_shingle_doc(docs):
+    fp = {r["doc_id"]: r for r in textops.fingerprints(docs).collect()}
+    assert fp[4]["min_shingle_hash"] == -1  # no shingles -> sentinel
+    assert fp[1]["text_hash"] == fp[2]["text_hash"]
+    assert fp[1]["text_hash"] != fp[3]["text_hash"]
+
+
+def test_rolling_hash_known_value(spark):
+    # 'ab': ((0*31+97)*31+98) % p = 3105
+    got = (
+        spark.range(1)
+        .select(textops.rolling_hash(F.lit("ab")).alias("h"))
+        .collect()[0]["h"]
+    )
+    assert got == 3105
