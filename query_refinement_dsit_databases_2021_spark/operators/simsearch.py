@@ -1,0 +1,291 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Two strategies over ``embeddings.parquet`` (vec_id, embedding, label):
+
+- **Brute-force cosine top-k** (the correctness baseline): broadcast
+  the (small) query set against the corpus — ONE scan of the corpus,
+  no corpus-side shuffle; per-query top-k via a ranking window whose
+  partition count equals |queries|. At 100 TB the corpus side stays
+  partition-parallel; only the k·|queries| result rows move.
+- **LSH-bucketed ANN** (the scale path): multi-table random-hyperplane
+  LSH — L independent tables of nbits hyperplane sign bits each; a
+  corpus vector is a candidate iff it shares a bucket with the query
+  in >=1 table. Exact cosine is computed only for deduped candidates.
+  With per-bit collision prob p = 1 - theta/pi, recall is
+  1-(1-p^nbits)^L (tested against the brute-force baseline); at
+  corpus scale nbits grows ~log2(n / target_bucket_size) to keep
+  buckets bounded, and the candidate join stays an equi-join
+  shuffle-partitioned on (table, bucket) — never all-pairs.
+
+Determinism contract (same as the dedup/text operators): every dot
+product is a left fold in index order over doubles, hyperplane
+components are Python-float literals inlined into BOTH engines, and
+scores are rounded to 6 dp before ranking with a vec_id tie-break —
+so Spark and the DuckDB oracles rank identically bit-for-bit.
+
+An IVF-style variant would swap the hash bucket for a k-means cell
+id; the dataflow (bucket equi-join, within-bucket rerank) is the same.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from query_refinement_dsit_databases_2021_spark.operators.textops import (
+    HASH_P,
+    lcg_a,
+    lcg_b,
+)
+
+DIM = 64
+N_QUERIES = 16
+TOP_K = 5
+LSH_NBITS = 4
+LSH_TABLES = 16
+
+
+def hyperplane(j: int, dim: int = DIM) -> list[float]:
+    """Deterministic pseudo-random hyperplane j: an iterated-LCG
+    stream (decorrelated across components, unlike a linear ramp) in
+    [-0.5, 0.5) — identical Python floats are inlined into the Spark
+    plan and the DuckDB oracle."""
+    a, b = lcg_a(j), lcg_b(j)
+    x = (a + b) % HASH_P
+    out = []
+    for _ in range(dim):
+        x = (1103515245 * x + 12345) % HASH_P
+        out.append(x / HASH_P - 0.5)
+    return out
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _fold_sum(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
+
+
+def _with_norm(emb: DataFrame) -> DataFrame:
+    v = _as_double(F.col("embedding"))
+    return emb.select(
+        "vec_id", v.alias("v"), F.sqrt(_fold_sum(F.transform(v, lambda x: x * x))).alias("nrm")
+    )
+
+
+def cosine_topk(
+    emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector
+    (vec_id < n_queries), excluding self.
+
+    Returns (q_id, vec_id, rank, cos_sim); cos_sim rounded to 6 dp,
+    rank deterministic via (cos desc, vec_id asc).
+    """
+    base = _with_norm(emb)
+    queries = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cos = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6)
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(base)
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", F.col("rank").cast("long").alias("rank"), "cos_sim")
+    )
+
+
+def _bucket_expr(v: Column, table: int, nbits: int) -> Column:
+    bucket = None
+    for b in range(nbits):
+        hj = F.array(*[F.lit(x) for x in hyperplane(table * nbits + b)])
+        bit = F.when(_dot(v, hj) > 0, 1 << b).otherwise(0)
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("long")
+
+
+def lsh_buckets(
+    emb: DataFrame, nbits: int = LSH_NBITS, n_tables: int = LSH_TABLES
+) -> DataFrame:
+    """(vec_id, tbl, bucket): one row per (vector, hash table) — the
+    table's bucket is nbits hyperplane sign bits. Pure column
+    arithmetic + one explode; no shuffle."""
+    base = _with_norm(emb)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _bucket_expr(F.col("v"), t, nbits).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return base.select("vec_id", F.explode(entries).alias("e")).select(
+        "vec_id", F.col("e.tbl").alias("tbl"), F.col("e.bucket").alias("bucket")
+    )
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    nbits: int = LSH_NBITS,
+    n_tables: int = LSH_TABLES,
+) -> DataFrame:
+    """Approximate top-k cosine neighbors: candidates share >=1 LSH
+    bucket with the query across n_tables independent tables (deduped
+    before the exact rescore, so each pair is scored once). Same
+    output shape as :func:`cosine_topk`; queries whose buckets
+    under-fill return fewer than k rows."""
+    base = _with_norm(emb)
+    bk = lsh_buckets(emb, nbits, n_tables)
+    qb = bk.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), "tbl", "bucket"
+    )
+    cand = (
+        qb.join(bk, ["tbl", "bucket"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    q = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cos = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6)
+    scored = (
+        cand.join(F.broadcast(q), "q_id")
+        .join(base, "vec_id")
+        .select("q_id", "vec_id", cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", F.col("rank").cast("long").alias("rank"), "cos_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_SQL_BASE = """
+base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                             x -> x * x)),
+              (acc, x) -> acc + x)) AS nrm
+  FROM embeddings)"""
+
+
+def _sql_dot(a: str, b: str, dim: int = DIM) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(range(1, {dim + 1}), i -> {a}[i] * {b}[i])), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def oracle_cosine_topk(
+    n_queries: int = N_QUERIES, k: int = TOP_K, dim: int = DIM
+) -> str:
+    return f"""
+WITH {_SQL_BASE},
+q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM base WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q_id, vec_id,
+         round({_sql_dot("qv", "v", dim)} / (qn * nrm), 6) AS cos_sim
+  FROM q CROSS JOIN base WHERE vec_id <> q_id)
+SELECT q_id, vec_id, rank, cos_sim FROM (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+             ORDER BY cos_sim DESC, vec_id ASC)::BIGINT AS rank
+  FROM scored)
+WHERE rank <= {k}"""
+
+
+def _sql_bucket(vexpr: str, table: int, nbits: int, dim: int = DIM) -> str:
+    bits = []
+    for b in range(nbits):
+        h = (
+            "(["
+            + ", ".join(repr(x) for x in hyperplane(table * nbits + b, dim))
+            + "]::DOUBLE[])"
+        )
+        bits.append(
+            f"CASE WHEN {_sql_dot(vexpr, h, dim)} > 0 THEN {1 << b} ELSE 0 END"
+        )
+    return "(" + " + ".join(bits) + ")::BIGINT"
+
+
+def oracle_lsh_ann_topk(
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    nbits: int = LSH_NBITS,
+    n_tables: int = LSH_TABLES,
+    dim: int = DIM,
+) -> str:
+    tables = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {_sql_bucket('v', t, nbits, dim)} AS bucket FROM base"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH {_SQL_BASE},
+bk AS ({tables}),
+qb AS (SELECT vec_id AS q_id, tbl, bucket FROM bk WHERE vec_id < {n_queries}),
+cand AS (
+  SELECT DISTINCT q_id, bk.vec_id
+  FROM qb JOIN bk USING (tbl, bucket) WHERE bk.vec_id <> q_id),
+q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM base WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT cand.q_id, cand.vec_id,
+         round({_sql_dot("qv", "v", dim)} / (qn * nrm), 6) AS cos_sim
+  FROM cand JOIN q USING (q_id) JOIN base USING (vec_id))
+SELECT q_id, vec_id, rank, cos_sim FROM (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+             ORDER BY cos_sim DESC, vec_id ASC)::BIGINT AS rank
+  FROM scored)
+WHERE rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Workload registration
+# ---------------------------------------------------------------------------
+
+
+def _emb(spark, sf_dir):
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    return spark.table("embeddings")
+
+
+def _wl_brute(spark, sf_dir):
+    return cosine_topk(_emb(spark, sf_dir))
+
+
+def _wl_lsh(spark, sf_dir):
+    return lsh_ann_topk(_emb(spark, sf_dir))
+
+
+def simsearch_workloads():
+    from query_refinement_dsit_databases_2021_spark.workloads import Workload
+
+    return [
+        Workload("pipe_ann_cosine_topk", _wl_brute, oracle_cosine_topk(), True),
+        Workload("pipe_ann_lsh_topk", _wl_lsh, oracle_lsh_ann_topk(), False),
+    ]

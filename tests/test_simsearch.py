@@ -1,0 +1,73 @@
+"""Unit tests for operators/simsearch.py: exactness of the brute-force
+baseline on hand vectors, and LSH recall against that baseline on the
+real sf0.001 embeddings."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from query_refinement_dsit_databases_2021_spark.operators import simsearch
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    # 4 obvious vectors in 64-d: e0, e0 (dup direction), e1, -e0
+    def vec(i, sign=1.0):
+        return [sign * 1.0 if d == i else 0.0 for d in range(64)]
+
+    rows = [
+        (0, vec(0), 0),
+        (1, [x * 2.0 for x in vec(0)], 0),  # same direction, scaled
+        (2, vec(1), 1),
+        (3, vec(0, -1.0), 0),
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_brute_force_hand_vectors(tiny):
+    out = {
+        (r["q_id"], r["rank"]): (r["vec_id"], r["cos_sim"])
+        for r in simsearch.cosine_topk(tiny, n_queries=1, k=3).collect()
+    }
+    assert out[(0, 1)] == (1, 1.0)  # colinear
+    assert out[(0, 2)] == (2, 0.0)  # orthogonal
+    assert out[(0, 3)] == (3, -1.0)  # opposite
+
+
+def test_lsh_recall_on_real_embeddings(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in simsearch.cosine_topk(emb, n_queries=16, k=5).collect()
+    }
+    approx = {
+        (r["q_id"], r["vec_id"])
+        for r in simsearch.lsh_ann_topk(emb, n_queries=16, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # true top-5 neighbors here have cos ~0.26-0.43 => per-bit
+    # collision p ~0.6; expected recall 1-(1-p^4)^16 ~ 0.9
+    assert recall >= 0.6, recall
+
+
+def test_lsh_bucket_count_bounded(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    row = (
+        simsearch.lsh_buckets(emb)
+        .agg(
+            F.countDistinct("bucket").alias("n"),
+            F.countDistinct("tbl").alias("t"),
+        )
+        .collect()[0]
+    )
+    assert 2 <= row["n"] <= 2**simsearch.LSH_NBITS
+    assert row["t"] == simsearch.LSH_TABLES
+
+
+def test_brute_force_is_broadcast(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = simsearch.cosine_topk(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
