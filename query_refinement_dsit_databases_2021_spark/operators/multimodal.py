@@ -1,0 +1,193 @@
+"""Multimodal (image / audio / video) column plumbing.
+
+Media are opaque ``binary`` columns with typed metadata, processed by
+Arrow-batched ``mapInPandas`` — the pattern a real pipeline uses for
+decode / feature-extract / resize / frame-sample at 100 TB:
+
+- the binary payload NEVER hits the driver (no collect); each executor
+  decodes its own Arrow batches;
+- the UDF is a generator over ``pandas.DataFrame`` batches, so peak
+  memory is one batch (``spark.sql.execution.arrow.maxRecordsPerBatch``),
+  not one partition;
+- output is a fresh explicit schema — decoded features, not blobs —
+  so downstream stages shuffle small typed rows, not media bytes.
+
+The image/audio libraries are NOT in this container, so the real codec
+path is a clearly-marked stub (:func:`decode_media_real` raises
+``NotImplementedError``); tests and workloads use the deterministic
+FAKE container format below, which makes the whole pipeline
+end-to-end checkable: features extracted from the *bytes* in pandas
+are cross-validated by a DuckDB oracle recomputing them from the
+*source text* the bytes were synthesized from.
+
+FAKE container format (all ASCII, variable length)::
+
+    b"FAKE|<width>|<height>|<payload-utf8>"
+
+with width = doc_id % 240 + 16, height = (doc_id * 7) % 240 + 16 —
+synthesized JVM-side in :func:`synthesize_media`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from query_refinement_dsit_databases_2021_spark.operators.textops import HASH_P
+
+MEDIA_TYPES = ("image", "audio", "video")
+
+FEATURE_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, width int, height int, "
+    "thumb_w int, thumb_h int, checksum long"
+)
+
+
+def decode_media_real(content: bytes, media_type: str):
+    """Real codec path — intentionally unimplemented in this
+    container (no PIL/ffmpeg/soundfile). A deployment with codec
+    libraries replaces this one function; all Spark-side plumbing
+    (schema, batching, partitioning) is identical."""
+    raise NotImplementedError(
+        "media codec libraries are not available in this environment; "
+        "use the deterministic FAKE decoder (decode_media_fake)"
+    )
+
+
+def decode_media_fake(content: bytes) -> tuple[int, int, bytes]:
+    """Parse the FAKE container: returns (width, height, payload)."""
+    if not content.startswith(b"FAKE|"):
+        raise ValueError("not a FAKE container")
+    _, w, h, payload = content.split(b"|", 3)
+    return int(w), int(h), payload
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """(doc_id, media_type, content): deterministic binary media
+    derived from the documents table — entirely JVM-side column
+    algebra (no Python), so synthesis scales with the scan."""
+    w = (F.col("doc_id") % 240 + 16).cast("int")
+    h = ((F.col("doc_id") * 7) % 240 + 16).cast("int")
+    media_type = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    content = F.encode(
+        F.concat_ws("|", F.lit("FAKE"), w.cast("string"), h.cast("string"), F.col("text")),
+        "utf-8",
+    )
+    return docs.select(
+        "doc_id", media_type.alias("media_type"), content.alias("content")
+    )
+
+
+def extract_features(media: DataFrame, use_real_codecs: bool = False) -> DataFrame:
+    """Decode + feature-extract over the binary column via
+    ``mapInPandas``: per media row emits byte count, decoded
+    dimensions, a 4x-downsampled thumbnail size (the "resize" step),
+    and a payload checksum (stand-in for content features).
+
+    ``use_real_codecs=True`` routes to :func:`decode_media_real`
+    (raises in this container)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, mt, content in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["content"]
+            ):
+                b = bytes(content)
+                if use_real_codecs:
+                    decode_media_real(b, mt)  # pragma: no cover - stub
+                w, h, payload = decode_media_fake(b)
+                checksum = sum(payload) % HASH_P
+                rows.append(
+                    (int(doc_id), mt, len(b), w, h, w // 4, h // 4, checksum)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "media_type",
+                    "n_bytes",
+                    "width",
+                    "height",
+                    "thumb_w",
+                    "thumb_h",
+                    "checksum",
+                ],
+            )
+
+    return media.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every: int = 10) -> DataFrame:
+    """Frame-sampling plumbing for video rows: emits one row per
+    sampled "frame" index (height stands in for frame count in the
+    FAKE format). Output is (doc_id, frame_idx, frame_checksum) —
+    the shape a real ffmpeg-backed sampler would produce."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, mt, content in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["content"]
+            ):
+                if mt != "video":
+                    continue
+                w, h, payload = decode_media_fake(bytes(content))
+                for idx in range(0, h, every):
+                    rows.append(
+                        (int(doc_id), idx, (sum(payload) + idx) % HASH_P)
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_checksum"]
+            )
+
+    return media.mapInPandas(
+        batches, schema="doc_id long, frame_idx int, frame_checksum long"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Workload: features extracted from BYTES in pandas, oracle recomputes
+# them from the source TEXT in SQL
+# ---------------------------------------------------------------------------
+
+ORACLE_MEDIA_FEATURES = f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         (doc_id % 240 + 16)::INT AS width,
+         ((doc_id * 7) % 240 + 16)::INT AS height,
+         text
+  FROM documents)
+SELECT doc_id, media_type,
+       (length('FAKE|' || width || '|' || height || '|') + length(text))::BIGINT
+           AS n_bytes,
+       width, height,
+       (width // 4)::INT AS thumb_w, (height // 4)::INT AS thumb_h,
+       list_reduce(list_prepend(0::BIGINT,
+           list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+           (acc, c) -> acc + c) % {HASH_P} AS checksum
+FROM m"""
+
+
+def _wl_media_features(spark, sf_dir):
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    return extract_features(synthesize_media(spark.table("documents")))
+
+
+def multimodal_workloads():
+    from query_refinement_dsit_databases_2021_spark.workloads import Workload
+
+    return [
+        Workload("pipe_media_features", _wl_media_features, ORACLE_MEDIA_FEATURES, False),
+    ]

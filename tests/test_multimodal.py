@@ -1,0 +1,60 @@
+"""Unit tests for the multimodal binary-column plumbing
+(operators/multimodal.py): container round-trip, mapInPandas feature
+extraction, frame sampling, and the real-codec stub contract."""
+
+import pytest
+
+from query_refinement_dsit_databases_2021_spark.operators import multimodal
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.createDataFrame(
+        [(0, "hello world"), (1, "abc"), (2, "frame payload"), (5, "x")],
+        "doc_id long, text string",
+    )
+    return multimodal.synthesize_media(docs)
+
+
+def test_container_roundtrip(media):
+    rows = {r["doc_id"]: r for r in media.collect()}
+    w, h, payload = multimodal.decode_media_fake(bytes(rows[1]["content"]))
+    assert (w, h) == (1 % 240 + 16, (1 * 7) % 240 + 16)
+    assert payload == b"abc"
+    assert rows[0]["media_type"] == "image"
+    assert rows[1]["media_type"] == "audio"
+    assert rows[2]["media_type"] == "video"
+
+
+def test_extract_features_values(media):
+    feats = {r["doc_id"]: r for r in multimodal.extract_features(media).collect()}
+    r = feats[1]
+    assert r["width"] == 17 and r["height"] == 23
+    assert r["thumb_w"] == 17 // 4 and r["thumb_h"] == 23 // 4
+    assert r["checksum"] == sum(b"abc")
+    assert r["n_bytes"] == len(b"FAKE|17|23|abc")
+    assert set(feats) == {0, 1, 2, 5}
+
+
+def test_frame_sample_only_video(media):
+    frames = multimodal.frame_sample(media, every=10).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    # only videos (doc_id % 3 == 2) produce frames
+    assert set(by_doc) == {2, 5}
+    assert sorted(by_doc[2]) == [0, 10, 20]  # height 2*7+16 = 30
+    assert sorted(by_doc[5]) == [0, 10, 20, 30, 40, 50]  # height 5*7+16 = 51
+
+
+def test_real_codec_path_is_stubbed(media):
+    with pytest.raises(Exception) as exc_info:
+        multimodal.extract_features(media, use_real_codecs=True).collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_bad_container_rejected():
+    with pytest.raises(ValueError):
+        multimodal.decode_media_fake(b"NOTFAKE|1|2|x")
