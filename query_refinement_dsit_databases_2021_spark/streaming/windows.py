@@ -1,0 +1,236 @@
+"""Structured Streaming extension (SURVEY.md §2.10 / §7.4).
+
+The reference is purely batch; these operators extend the engine to
+unbounded event streams with the standard Spark semantics:
+
+- event-time tumbling / sliding window aggregation with a watermark
+  bounding state and admitting late data up to the bound;
+- session windows (gap-based grouping per key);
+- a custom stateful operator via ``applyInPandasWithState`` (per-key
+  running aggregates with timeout-based state expiry) — the escape
+  hatch for semantics the built-in windows can't express.
+
+All transformations are source-agnostic: they take any streaming (or
+batch — the plans are identical) DataFrame with ``(ts, event_type,
+user_id, value)``. Tests drive them through a file source and a
+memory sink and cross-check against the equivalent batch aggregation
+on the same files, which IS the correctness contract for Structured
+Streaming's incremental execution.
+
+Scale notes: windowed aggregation state is partitioned by (window,
+key) across executors; the watermark bounds state size; per-key
+skew in ``applyInPandasWithState`` follows the key partitioning, so
+hot keys should be pre-salted upstream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(spark, path: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream over a directory of events parquet — the
+    test/dev source; swap for kafka/rate in production, the
+    downstream plans are identical."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_rollup(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time windowed aggregation per event_type: count and
+    value sum per (window, type). ``slide`` < ``window`` makes it a
+    sliding window; the watermark admits data up to that much late
+    and lets Spark drop completed window state."""
+    win = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionized(
+    events: DataFrame, gap: str = "15 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity. State per open session, bounded by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+RUNNING_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("mx", DoubleType())]
+)
+RUNNING_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_so_far", LongType()),
+        StructField("max_value", DoubleType()),
+    ]
+)
+
+
+def running_max_by_type(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
+    """Custom stateful operator: per event_type, emit the running
+    event count and max value after each micro-batch — the
+    ``applyInPandasWithState`` pattern for aggregates the built-in
+    windows can't express (here: cross-batch running extremes with
+    optional processing-time state expiry)."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        if timeout_ms:
+            state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "n_so_far": [n], "max_value": [mx]}
+        )
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms
+        else GroupStateTimeout.NoTimeout
+    )
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_OUTPUT_SCHEMA,
+        stateStructType=RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch-analogue workloads: Spark's unified model runs the SAME plans
+# on batch input, so the driver's DuckDB oracle can check the window
+# semantics (the incremental/streaming execution is covered by
+# tests/test_streaming.py against these same batch results).
+# ---------------------------------------------------------------------------
+
+ORACLE_WINDOWED_ROLLUP = """
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+       time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes'
+           AS window_end,
+       event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2, 3"""
+
+# gaps-and-islands transliteration of session_window: a new session
+# starts when the event is >= gap after the previous one (Spark merges
+# strictly-before-end events); session end = last event + gap
+ORACLE_SESSIONIZED = """
+WITH o AS (
+  SELECT user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+  FROM events),
+g AS (
+  SELECT user_id, ts, value,
+         sum(CASE WHEN prev IS NULL OR ts >= prev + INTERVAL '15 minutes'
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL '15 minutes' AS session_end,
+       user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM g GROUP BY user_id, sid"""
+
+
+def _events(spark, sf_dir):
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    return spark.table("events")
+
+
+def _wl_windowed_rollup(spark, sf_dir):
+    return windowed_rollup(_events(spark, sf_dir))
+
+
+def _wl_sessionized(spark, sf_dir):
+    return sessionized(_events(spark, sf_dir))
+
+
+def streaming_workloads():
+    from query_refinement_dsit_databases_2021_spark.workloads import Workload
+
+    return [
+        Workload(
+            "stream_windowed_rollup", _wl_windowed_rollup, ORACLE_WINDOWED_ROLLUP, True
+        ),
+        Workload("stream_sessionized", _wl_sessionized, ORACLE_SESSIONIZED, False),
+    ]
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, query_name: str, output_mode: str = "append"
+):
+    """Drive a streaming DataFrame into an in-memory table until all
+    available input is processed; returns the stopped query. Test/dev
+    sink — production uses kafka/parquet/delta sinks unchanged."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q

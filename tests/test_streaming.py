@@ -1,0 +1,133 @@
+"""Structured Streaming tests: file source -> windowed/sessionized/
+stateful transforms -> memory sink, cross-checked against the
+equivalent batch aggregation over the same files (the correctness
+contract for incremental execution)."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from query_refinement_dsit_databases_2021_spark.streaming import windows as W
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    # split the sf0.001 events into several files so the stream runs
+    # multiple micro-batches (maxFilesPerTrigger=1)
+    import glob
+    import os
+
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    # register_views handles the TIMESTAMP(NANOS) -> micros conversion;
+    # the rewritten files then carry a Spark-native timestamp. Files are
+    # written as consecutive time slices (named in order) so micro-batches
+    # arrive roughly in event-time order — the realistic stream shape; a
+    # batch arriving entirely behind the watermark would rightly be dropped.
+    register_views(spark, SF_DIR)
+    ev = spark.table("events")
+    qs = ev.approxQuantile("event_id", [0.25, 0.5, 0.75], 0.0)
+    bounds = [float("-inf"), *qs, float("inf")]
+    for i, (lo, hi) in enumerate(zip(bounds, bounds[1:])):
+        tmp = f"{out}_slice{i}"
+        (
+            ev.where((F.col("event_id") > lo) & (F.col("event_id") <= hi))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        src = glob.glob(f"{tmp}/part-*.parquet")[0]
+        os.rename(src, f"{out}/{i:04d}.parquet")
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _batch_events(spark, events_dir):
+    return spark.read.schema(W.EVENTS_SCHEMA).parquet(events_dir)
+
+
+def test_windowed_rollup_matches_batch(spark, events_dir):
+    stream = W.read_event_stream(spark, events_dir)
+    # complete mode: the sink holds the FULL aggregate each trigger, so the
+    # final table equals the batch result including not-yet-closed windows
+    W.run_to_memory_sink(W.windowed_rollup(stream), "wr", output_mode="complete")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.table("wr").collect()
+    }
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in W.windowed_rollup(_batch_events(spark, events_dir)).collect()
+    }
+    assert got == expected and len(got) > 0
+
+
+def test_sliding_window_has_overlap(spark, events_dir):
+    df = W.windowed_rollup(
+        _batch_events(spark, events_dir), window="20 minutes", slide="10 minutes"
+    )
+    rows = df.collect()
+    starts = sorted({r["window_start"] for r in rows})
+    # sliding windows start every 10 min but span 20 -> adjacent starts differ by 10
+    deltas = {
+        int((b - a).total_seconds()) for a, b in zip(starts, starts[1:])
+    }
+    assert 600 in deltas
+
+
+def test_sessionized_matches_batch(spark, events_dir):
+    stream = W.read_event_stream(spark, events_dir)
+    W.run_to_memory_sink(W.sessionized(stream), "sess", output_mode="complete")
+    got = sorted(
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.table("sess").collect()
+    )
+    expected = sorted(
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in W.sessionized(_batch_events(spark, events_dir)).collect()
+    )
+    assert got == expected and len(got) > 0
+
+
+def test_session_totals_cover_all_events(spark, events_dir):
+    batch = _batch_events(spark, events_dir)
+    sess = W.sessionized(batch)
+    assert (
+        sess.agg(F.sum("n_events")).collect()[0][0] == batch.count()
+    )
+
+
+def test_running_max_stateful(spark, events_dir):
+    stream = W.read_event_stream(spark, events_dir)
+    W.run_to_memory_sink(
+        W.running_max_by_type(stream), "runmax", output_mode="update"
+    )
+    out = spark.table("runmax")
+    # final state per type (last emitted row = largest n_so_far)
+    final = {
+        r["event_type"]: (r["n_so_far"], r["max_value"])
+        for r in out.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("event_type")
+                .orderBy(F.desc("n_so_far"))
+            ),
+        )
+        .where("rn = 1")
+        .collect()
+    }
+    batch = _batch_events(spark, events_dir)
+    expected = {
+        r["event_type"]: (r["n"], r["mx"])
+        for r in batch.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert final == expected
