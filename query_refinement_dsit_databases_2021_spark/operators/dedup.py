@@ -35,7 +35,7 @@ from query_refinement_dsit_databases_2021_spark.operators.textops import (
     lcg_a,
     lcg_b,
     rolling_hash,
-    shingle_ranks,
+    shingle_hashes,
     shingles,
     tokens,
 )
@@ -44,8 +44,8 @@ N_HASHES = 16
 LSH_BANDS = 4
 LSH_ROWS = 4  # N_HASHES = LSH_BANDS * LSH_ROWS
 
-SIMHASH_BITS = 16
-SIMHASH_BANDS = 4  # 4 bits per band; hamming<=3 => >=1 band equal
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 8 bits per band; hamming<=3 => >=1 band equal
 SIMHASH_MOD = 1 << SIMHASH_BITS
 
 
@@ -59,48 +59,61 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def _hash_params(spark, n_hashes: int):
-    """Tiny (j, a, b) table for the deterministic LCG hash family —
-    broadcast into the signature aggregation."""
-    rows = [(j, lcg_a(j), lcg_b(j)) for j in range(n_hashes)]
-    return spark.createDataFrame(rows, "j int, a long, b long")
+def minhash_signatures_wide(
+    docs: DataFrame, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """(doc_id, mh0..mh{n-1}): the full minhash signature in ONE
+    map-side-combinable aggregation — n_hashes min() expressions over
+    the shingle ranks, with the LCG constants folded into the plan.
+    No parameter-table crossJoin, no per-(doc, j) row explosion: the
+    only shuffle is the groupBy(doc_id)."""
+    shr = shingle_hashes(shingles(docs))
+    aggs = [
+        F.min((F.lit(lcg_a(j)) * F.col("h") + F.lit(lcg_b(j))) % HASH_P).alias(
+            f"mh{j}"
+        )
+        for j in range(n_hashes)
+    ]
+    return shr.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """(doc_id, j, mh): minhash component j of each document —
-    min over the doc's shingle ranks r of ``(a_j * r + b_j) % P``.
-
-    One crossJoin with the broadcast n_hashes-row parameter table,
-    then a map-side-combinable min aggregation keyed (doc_id, j).
-    """
-    shr = shingle_ranks(shingles(docs))
-    hp = _hash_params(docs.sparkSession, n_hashes)
-    return (
-        shr.crossJoin(F.broadcast(hp))
-        .groupBy("doc_id", "j")
-        .agg(
-            F.min((F.col("a") * F.col("r") + F.col("b")) % HASH_P).alias("mh")
-        )
+    """Narrow view (doc_id, j, mh) of the wide signature — unpivoted
+    for callers that want one row per component."""
+    wide = minhash_signatures_wide(docs, n_hashes)
+    stack = ", ".join(f"{j}, mh{j}" for j in range(n_hashes))
+    return wide.selectExpr(
+        "doc_id", f"stack({n_hashes}, {stack}) AS (j, mh)"
     )
+
+
+def _band_sig(band: int, rows_per_band: int) -> "F.Column":
+    """Fold one band's components (j order) into a 63-bit-safe bucket
+    key: acc = (acc * 31 + mh_j) % P — pure column arithmetic."""
+    acc = F.lit(0).cast("long")
+    for j in range(band * rows_per_band, (band + 1) * rows_per_band):
+        acc = (acc * 31 + F.col(f"mh{j}")) % HASH_P
+    return acc
 
 
 def lsh_band_signatures(
-    sig: DataFrame, rows_per_band: int = LSH_ROWS
+    sig_wide: DataFrame,
+    rows_per_band: int = LSH_ROWS,
+    n_hashes: int = N_HASHES,
 ) -> DataFrame:
-    """(doc_id, band, sig): fold each band's minhash components (in j
-    order) into one 63-bit-safe integer bucket key."""
-    banded = sig.withColumn("band", F.expr(f"j div {rows_per_band}"))
-    arr = banded.groupBy("doc_id", "band").agg(
-        F.array_sort(F.collect_list(F.struct("j", "mh"))).alias("a")
+    """(doc_id, band, sig) from the wide signature: band keys are
+    column folds + one explode; no shuffle."""
+    n_bands = n_hashes // rows_per_band
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"), _band_sig(b, rows_per_band).alias("sig")
+            )
+            for b in range(n_bands)
+        ]
     )
-    return arr.select(
-        "doc_id",
-        "band",
-        F.aggregate(
-            F.transform("a", lambda x: x["mh"]),
-            F.lit(0).cast("long"),
-            lambda acc, v: (acc * 31 + v) % HASH_P,
-        ).alias("sig"),
+    return sig_wide.select("doc_id", F.explode(entries).alias("e")).select(
+        "doc_id", F.col("e.band").alias("band"), F.col("e.sig").alias("sig")
     )
 
 
@@ -112,13 +125,13 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash+LSH: candidates share >=1 LSH
     band bucket; estimated Jaccard = fraction of equal signature
-    components; keep pairs with estimate >= threshold.
-
-    Returns (doc_a, doc_b, est_sim) with doc_a < doc_b; est_sim is
-    k/n_hashes, exactly representable in double.
+    components, computed by comparing the two WIDE signatures inline
+    (no per-component join). Returns (doc_a, doc_b, est_sim) with
+    doc_a < doc_b; est_sim is k/n_hashes, exactly representable in
+    double.
     """
-    sig = minhash_signatures(docs, n_hashes).persist()
-    bsig = lsh_band_signatures(sig, rows_per_band)
+    wide = minhash_signatures_wide(docs, n_hashes).persist()
+    bsig = lsh_band_signatures(wide, rows_per_band, n_hashes)
     b2 = bsig.select(
         F.col("doc_id").alias("doc_b"), "band", F.col("sig").alias("sig_b")
     )
@@ -132,28 +145,32 @@ def minhash_lsh_pairs(
         .select(F.col("doc_id").alias("doc_a"), "doc_b")
         .distinct()
     )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), "j", F.col("mh").alias("mh_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), "j", F.col("mh").alias("mh_b"))
+    wa = wide.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(n_hashes)],
+    )
+    wb = wide.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(n_hashes)],
+    )
+    k = functools.reduce(
+        operator.add,
+        [(F.col(f"a{j}") == F.col(f"b{j}")).cast("int") for j in range(n_hashes)],
+    )
     est = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "j"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            (
-                F.sum((F.col("mh_a") == F.col("mh_b")).cast("int"))
-                / float(n_hashes)
-            ).alias("est_sim")
-        )
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select("doc_a", "doc_b", (k / float(n_hashes)).alias("est_sim"))
         .where(F.col("est_sim") >= threshold)
     )
     return est.select("doc_a", "doc_b", F.round("est_sim", 6).alias("est_sim"))
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
-    """(doc_id, fingerprint): 16-bit SimHash. Token hash = polynomial
-    rolling hash mod 2^16 (with multiplicity); bit b of the
+    """(doc_id, fingerprint): 32-bit SimHash. Token hash = polynomial
+    rolling hash mod 2^32 (with multiplicity); bit b of the
     fingerprint is set iff more token hashes have bit b set than not
-    (tie -> 0). One explode + one groupBy with 16 integer sums."""
+    (tie -> 0). One explode + one groupBy with 32 integer sums."""
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     th = tok.withColumn("h16", rolling_hash(F.col("term")) % SIMHASH_MOD)
     sums = th.groupBy("doc_id").agg(
@@ -176,7 +193,7 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-duplicate pairs with SimHash hamming distance <=
-    max_hamming, via the pigeonhole band join: with 4 bands of 4 bits,
+    max_hamming, via the pigeonhole band join: with 4 bands of 8 bits,
     any pair within hamming 3 agrees exactly on >=1 band, so
     candidates come from 4 bucketed equi-joins, not an all-pairs scan.
 

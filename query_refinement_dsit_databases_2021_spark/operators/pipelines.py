@@ -51,14 +51,6 @@ sh AS (
   SELECT DISTINCT doc_id, {_SHINGLE_EXPR} AS s
   FROM tok, unnest(range(1, greatest(len(ws) - {SHINGLE_K - 2}, 1))) u(i))"""
 
-# dense shingle ranks over the sorted vocabulary (mirror of shingle_ranks)
-SQL_SHINGLE_RANKS = """
-vocab AS (
-  SELECT s, row_number() OVER (ORDER BY s)::BIGINT AS r
-  FROM (SELECT DISTINCT s FROM sh)),
-shr AS (SELECT doc_id, r FROM sh JOIN vocab USING (s))"""
-
-
 def _sql_rolling_hash(expr: str, mult: int = 31, mod: int = HASH_P) -> str:
     """Polynomial rolling hash over the characters of ``expr`` — the
     same left fold as :func:`textops.rolling_hash`."""
@@ -69,16 +61,31 @@ def _sql_rolling_hash(expr: str, mult: int = 31, mod: int = HASH_P) -> str:
     )
 
 
-def _sql_hash_params(n_hashes: int) -> str:
-    rows = ", ".join(f"({j}, {lcg_a(j)}, {lcg_b(j)})" for j in range(n_hashes))
-    return f"hp AS (SELECT * FROM (VALUES {rows}) AS t(j, a, b))"
+# 31-bit polynomial shingle hashes (mirror of textops.shingle_hashes)
+SQL_SHINGLE_HASHES = (
+    f"shr AS (SELECT doc_id, {_sql_rolling_hash('s')} AS h FROM sh)"
+)
+
+
+def _sql_band_sig(band: int, rows_per_band: int) -> str:
+    """Fold one band's wide-signature columns — mirror of dedup._band_sig."""
+    acc = "0"
+    for j in range(band * rows_per_band, (band + 1) * rows_per_band):
+        acc = f"(({acc}) * 31 + mh{j}) % {HASH_P}"
+    return acc
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from query_refinement_dsit_databases_2021_spark.workloads import register_views
 
     register_views(spark, sf_dir)
-    return spark.table("documents")
+    # the test corpus is ONE parquet file -> one input partition; fan
+    # the (cheap) doc rows out so the tokenize/shingle explode and
+    # downstream aggregations use every core. At real scale the scan
+    # has many splits and this is a no-op cost-wise.
+    return spark.table("documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -89,29 +96,33 @@ ORACLE_DEDUP_EXACT = """
 SELECT min(doc_id) AS keep_id, count(*) AS n_copies
 FROM documents GROUP BY text"""
 
+_MH_MINS = ", ".join(
+    f"min(({lcg_a(j)} * h + {lcg_b(j)}) % {HASH_P}) AS mh{j}"
+    for j in range(N_HASHES)
+)
+_MH_BANDS = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, {_sql_band_sig(b, LSH_ROWS)} AS sig FROM wide"
+    for b in range(N_HASHES // LSH_ROWS)
+)
+_MH_EQ = " + ".join(
+    f"(wa.mh{j} = wb.mh{j})::INT" for j in range(N_HASHES)
+)
+
 ORACLE_MINHASH = f"""
 WITH {SQL_SHINGLES},
-{SQL_SHINGLE_RANKS},
-{_sql_hash_params(N_HASHES)},
-sig AS (
-  SELECT doc_id, j, min((a * r + b) % {HASH_P}) AS mh
-  FROM shr CROSS JOIN hp GROUP BY doc_id, j),
-bsig AS (
-  SELECT doc_id, j // {LSH_ROWS} AS band,
-         list_reduce(list_prepend(0::BIGINT, list(mh ORDER BY j)),
-                     (acc, v) -> (acc * 31 + v) % {HASH_P}) AS sig
-  FROM sig GROUP BY doc_id, j // {LSH_ROWS}),
+{SQL_SHINGLE_HASHES},
+wide AS (SELECT doc_id, {_MH_MINS} FROM shr GROUP BY doc_id),
+bsig AS ({_MH_BANDS}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bsig a JOIN bsig b
     ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
 est AS (
   SELECT doc_a, doc_b,
-         sum((sa.mh = sb.mh)::INT)::BIGINT / CAST({N_HASHES} AS DOUBLE) AS est_sim
+         ({_MH_EQ})::BIGINT / CAST({N_HASHES} AS DOUBLE) AS est_sim
   FROM cand
-  JOIN sig sa ON sa.doc_id = doc_a
-  JOIN sig sb ON sb.doc_id = doc_b AND sb.j = sa.j
-  GROUP BY doc_a, doc_b)
+  JOIN wide wa ON wa.doc_id = doc_a
+  JOIN wide wb ON wb.doc_id = doc_b)
 SELECT doc_a, doc_b, round(est_sim, 6) AS est_sim
 FROM est WHERE est_sim >= 0.5"""
 
@@ -216,9 +227,9 @@ WHERE rn = 1"""
 
 ORACLE_FINGERPRINTS = f"""
 WITH {SQL_SHINGLES},
-{SQL_SHINGLE_RANKS},
+{SQL_SHINGLE_HASHES},
 min_sh AS (
-  SELECT doc_id, min(({lcg_a(0)} * r + {lcg_b(0)}) % {HASH_P}) AS min_shingle_hash
+  SELECT doc_id, min(({lcg_a(0)} * h + {lcg_b(0)}) % {HASH_P}) AS min_shingle_hash
   FROM shr GROUP BY doc_id)
 SELECT d.doc_id,
        {_sql_rolling_hash("d.text")} AS text_hash,

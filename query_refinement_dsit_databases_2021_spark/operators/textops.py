@@ -13,12 +13,12 @@ Scale notes (100 TB):
 - ``shingles`` / token explodes grow rows by ~L (tokens per doc) — they
   feed straight into groupBy shuffles keyed by doc or term; no driver
   collect anywhere.
-- ``shingle_ranks`` assigns each distinct shingle a dense integer id via
-  a global sort of the *vocabulary* (distinct shingles), which is tiny
-  relative to the corpus and broadcast back. This exists so the
-  deterministic-hash family below is expressible in portable SQL for the
-  differential oracle; a production pipeline would use ``xxhash64`` on
-  the shingle bytes and skip the vocabulary pass entirely.
+- ``shingle_hashes`` maps each shingle to a 31-bit integer with the
+  polynomial ``rolling_hash`` — pure codegen arithmetic, no vocabulary
+  pass, and portable to the DuckDB oracle (same fold over the same
+  characters). A production pipeline on Spark alone would use
+  ``xxhash64`` on the shingle bytes; the polynomial hash is chosen only
+  because both engines can evaluate it bit-identically.
 """
 
 from __future__ import annotations
@@ -71,15 +71,10 @@ def shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     )
 
 
-def shingle_ranks(sh: DataFrame) -> DataFrame:
-    """(doc_id, r): each shingle replaced by its dense rank in the
-    sorted shingle vocabulary. Vocabulary is small -> broadcast join."""
-    vocab = (
-        sh.select("s")
-        .distinct()
-        .withColumn("r", F.row_number().over(Window.orderBy("s")).cast("long"))
-    )
-    return sh.join(F.broadcast(vocab), "s").select("doc_id", "r")
+def shingle_hashes(sh: DataFrame) -> DataFrame:
+    """(doc_id, h): each shingle mapped to its 31-bit polynomial hash —
+    no vocabulary pass, no shuffle, pure codegen arithmetic."""
+    return sh.select("doc_id", rolling_hash(F.col("s")).alias("h"))
 
 
 def rolling_hash(text: Column, mult: int = 31, mod: int = HASH_P) -> Column:
@@ -183,11 +178,10 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     """Per-document fingerprints: whole-text polynomial rolling hash
     plus the minimum shingle-hash (a 1-hash MinHash), both pure
     integer arithmetic."""
-    sh = shingles(docs)
-    shr = shingle_ranks(sh)
+    shr = shingle_hashes(shingles(docs))
     a0, b0 = lcg_a(0), lcg_b(0)
     min_sh = shr.groupBy("doc_id").agg(
-        F.min((F.lit(a0) * F.col("r") + F.lit(b0)) % HASH_P).alias(
+        F.min((F.lit(a0) * F.col("h") + F.lit(b0)) % HASH_P).alias(
             "min_shingle_hash"
         )
     )

@@ -1,0 +1,109 @@
+"""Tests for the ingest helpers (sources/series.py), the CLI flow
+(cli.py), the stage timers (timers.py), and the plot sink (plotting.py)."""
+
+import csv
+import json
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from query_refinement_dsit_databases_2021_spark import plotting
+from query_refinement_dsit_databases_2021_spark.sources import series as S
+from query_refinement_dsit_databases_2021_spark.timers import StageTimers
+
+
+@pytest.fixture(scope="module")
+def csv_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("csvs")
+    (d / "2024_01.csv").write_text("Time,Flow (ml/min),CO (ppm)\n1,2.5,7\n2,3.5,8\n")
+    (d / "2024_02.csv").write_text("Time,Flow (ml/min),CO (ppm)\n1,4.5,9\n2,5.5,10\n")
+    return str(d)
+
+
+def test_read_csv_skip_rows(spark, tmp_path):
+    p = tmp_path / "junk.csv"
+    p.write_text("junk1\njunk2\njunk3\na,b\n1,2\n3,4\n")
+    df = S.read_csv(spark, str(p), header=False, skip_rows=4)
+    assert df.count() == 2
+
+
+def test_concat_csvs_derives_date(spark, csv_dir):
+    df = S.concat_csvs_with_date(spark, csv_dir + "/*.csv")
+    dates = {r["Date"] for r in df.select("Date").distinct().collect()}
+    assert dates == {202401, 202402}
+    assert df.count() == 4
+
+
+def test_clean_column_names(spark, csv_dir):
+    df = S.concat_csvs_with_date(spark, csv_dir + "/*.csv")
+    cleaned = S.clean_column_names(df)
+    assert "Flow" in cleaned.columns and "CO" in cleaned.columns
+
+
+def test_dense_time_id_both_strategies(spark, csv_dir):
+    df = S.clean_column_names(S.concat_csvs_with_date(spark, csv_dir + "/*.csv"))
+    a = S.with_dense_time_id(df, ["Date", "Time"])
+    b = S.with_dense_time_id_distributed(df, ["Date", "Time"], num_partitions=3)
+    rows_a = sorted((r["time_id"], r["Date"], r["Time"]) for r in a.collect())
+    rows_b = sorted((r["time_id"], r["Date"], r["Time"]) for r in b.collect())
+    assert rows_a == rows_b
+    assert [r[0] for r in rows_a] == [1, 2, 3, 4]  # dense 1..N
+
+
+def test_stage_timers_csv(tmp_path):
+    t = StageTimers()
+    with t.stage("parse"):
+        pass
+    t.record("get-data", 1.25)
+    out = str(tmp_path / "timers.csv")
+    t.save_csv(out)
+    rows = list(csv.reader(open(out)))
+    assert [r[0] for r in rows] == ["parse", "get-data"]
+    assert float(rows[1][1]) == 1.25
+
+
+def test_plot_spec_and_fallback_sink(spark, tmp_path):
+    series = spark.createDataFrame(
+        [(i, math.sin(i / 3.0)) for i in range(1, 101)], "time_id long, y double"
+    )
+    results = spark.createDataFrame(
+        [(10, 5), (40, 8)], "time_id long, offset long"
+    )
+    out = str(tmp_path / "plot.png")
+    path = plotting.save_plot(series, results, "tiny.y", out)
+    if plotting.HAVE_MPL:
+        assert path == out and os.path.exists(out)
+    else:
+        spec = json.load(open(path))
+        assert spec["ylabel"] == "tiny.y"
+        assert {(w["x0"], w["x1"]) for w in spec["windows"]} == {(10, 15), (40, 48)}
+        assert len(spec["series"]) > 0
+
+
+def test_cli_end_to_end(spark, tmp_path, capsys):
+    from query_refinement_dsit_databases_2021_spark.cli import main
+
+    table = str(tmp_path / "emg_data.parquet")
+    spark.createDataFrame(
+        [(i, 1.5 + math.sin(i / 7.0)) for i in range(1, 301)],
+        "time_id long, emg1 double",
+    ).write.mode("overwrite").parquet(table)
+    qf = tmp_path / "query.txt"
+    qf.write_text(
+        "SELECT time_id, offset IN_DOMAIN [50, 150], [5, 20]\n"
+        "FROM emg_data.emg1\nWHERE avg_amp() in [1, 2] MAX\nLIMIT REFINED 5\n"
+    )
+    out_dir = str(tmp_path / "obj")
+    rc = main(
+        [
+            "--table", table, "--query", str(qf),
+            "--out-dir", out_dir, "--plot", "--scores",
+        ]
+    )
+    assert rc == 0
+    captured = capsys.readouterr().out
+    assert "5 result(s)" in captured
+    assert "table emg_data" in captured
+    assert os.path.exists(os.path.join(out_dir, "timers.csv"))
