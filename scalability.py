@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Scalability harness — the Spark analogue of the reference's
+scalability experiment (reference:src/scalability_experiment_scipt.py:11-53).
+
+Methodology reproduced: parse the 3-constraint query once, then loop —
+execute, record per-stage wall times and ``udf_size`` (the candidate
+count, reference:src/server.py:37), grow one domain's upper bound by
++20 alternating between the time_id and offset domains, stop at the
+series edge or --max-iters. Emits one CSV row per iteration (the
+reference writes one timer CSV per run; one file with an iter column
+is the same data).
+
+Usage::
+
+    python scalability.py [--rows 20000] [--max-iters 12] \
+        [--out scalability.csv] [--cpus 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import math
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from query_refinement_dsit_databases_2021_spark import Engine, get_spark
+from query_refinement_dsit_databases_2021_spark.plans.spec import (
+    ConstraintSpec,
+    QuerySpec,
+)
+
+
+def base_spec(x_hi: int, lx_hi: int) -> QuerySpec:
+    # reference:src/scalability_experiment_scipt.py:12-19 shape, on the
+    # synthetic series (values ~N(50,...)-ish sine blend)
+    return QuerySpec(
+        table="series",
+        column="y",
+        x_domain=(1, x_hi),
+        lx_domain=(5, lx_hi),
+        constraints=(
+            ConstraintSpec("avg_amp", (), 40.0, 60.0, "maximization"),
+            ConstraintSpec("max_amp_excess_left", (4,), -2.0, 0.0, "maximization"),
+            ConstraintSpec("max_amp_excess_right", (4,), -2.0, 0.0, "maximization"),
+        ),
+        cardinality=50,
+        refined=True,
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=20_000)
+    ap.add_argument("--max-iters", type=int, default=12)
+    ap.add_argument("--out", default="scalability.csv")
+    ap.add_argument("--cpus", type=int, default=8)
+    args = ap.parse_args()
+
+    spark = get_spark(
+        app_name="qr-scalability",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=args.cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = [
+        (i, 50.0 + 30.0 * math.sin(i / 11.0) + 10.0 * math.sin(i / 3.0))
+        for i in range(1, args.rows + 1)
+    ]
+    series = spark.createDataFrame(rows, "time_id long, y double")
+    engine = Engine(spark)
+    engine.register_series("series", series)
+
+    # warm-up (not recorded)
+    engine.execute(base_spec(10, 10))
+
+    x_hi, lx_hi = 10, 10
+    out_rows = []
+    for it in range(args.max_iters):
+        spec = base_spec(x_hi, lx_hi)
+        t0 = time.time()
+        n = engine.execute(spec).count()
+        wall = time.time() - t0
+        info = engine.last_info
+        out_rows.append(
+            {
+                "iter": it,
+                "x_hi": x_hi,
+                "lx_hi": lx_hi,
+                "udf_size": info.udf_size,
+                "strategy": info.strategy,
+                "action": info.action,
+                "n_results": n,
+                "seconds": round(wall, 3),
+            }
+        )
+        print(
+            f"iter={it} udf_size={info.udf_size} strategy={info.strategy} "
+            f"action={info.action} n={n} t={wall:.2f}s",
+            file=sys.stderr,
+        )
+        # grow domains: +20 alternating (reference:...scipt.py:44-51)
+        if it % 2 == 0:
+            x_hi = min(x_hi + 20, args.rows)
+        else:
+            lx_hi += 20
+        if x_hi >= args.rows:
+            break
+
+    with open(args.out, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(out_rows[0].keys()))
+        w.writeheader()
+        w.writerows(out_rows)
+    print(f"wrote {args.out} ({len(out_rows)} iterations)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
