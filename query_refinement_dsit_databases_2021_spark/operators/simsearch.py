@@ -176,6 +176,45 @@ def lsh_ann_topk(
     )
 
 
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    nbits: int = LSH_NBITS,
+    n_tables: int = LSH_TABLES,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection (the fifth dedup
+    family): vector pairs with cosine >= threshold, candidate-limited
+    to multi-table LSH bucket collisions exactly like
+    :func:`lsh_ann_topk` — near-identical vectors collide in every
+    table, so recall at high thresholds is ~1 while the join stays
+    bucket-partitioned. The default threshold is tuned to this
+    synthetic corpus (true dups would sit at ~0.95+; nothing here
+    exceeds ~0.45, so 0.4 keeps the workload non-degenerate).
+    Returns (vec_a, vec_b, cos_sim), vec_a < vec_b."""
+    base = _with_norm(emb)
+    bk = lsh_buckets(emb, nbits, n_tables)
+    b2 = bk.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
+    cand = (
+        bk.join(b2, ["tbl", "bucket"])
+        .where(F.col("vec_id") < F.col("vec_b"))
+        .select(F.col("vec_id").alias("vec_a"), "vec_b")
+        .distinct()
+    )
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -262,6 +301,32 @@ SELECT q_id, vec_id, rank, cos_sim FROM (
 WHERE rank <= {k}"""
 
 
+def oracle_embedding_neardup(
+    threshold: float = 0.4,
+    nbits: int = LSH_NBITS,
+    n_tables: int = LSH_TABLES,
+    dim: int = DIM,
+) -> str:
+    tables = " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {_sql_bucket('v', t, nbits, dim)} AS bucket FROM base"
+        for t in range(n_tables)
+    )
+    return f"""
+WITH {_SQL_BASE},
+bk AS ({tables}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bk a JOIN bk b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+scored AS (
+  SELECT vec_a, vec_b,
+         round({_sql_dot("pa.v", "pb.v", dim)} / (pa.nrm * pb.nrm), 6) AS cos_sim
+  FROM cand
+  JOIN base pa ON pa.vec_id = vec_a
+  JOIN base pb ON pb.vec_id = vec_b)
+SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= {threshold!r}"""
+
+
 # ---------------------------------------------------------------------------
 # Workload registration
 # ---------------------------------------------------------------------------
@@ -282,10 +347,20 @@ def _wl_lsh(spark, sf_dir):
     return lsh_ann_topk(_emb(spark, sf_dir))
 
 
+def _wl_emb_neardup(spark, sf_dir):
+    return embedding_neardup_pairs(_emb(spark, sf_dir))
+
+
 def simsearch_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
     return [
         Workload("pipe_ann_cosine_topk", _wl_brute, oracle_cosine_topk(), True),
         Workload("pipe_ann_lsh_topk", _wl_lsh, oracle_lsh_ann_topk(), False),
+        Workload(
+            "pipe_dedup_embedding_cosine",
+            _wl_emb_neardup,
+            oracle_embedding_neardup(),
+            False,
+        ),
     ]

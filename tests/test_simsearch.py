@@ -67,6 +67,16 @@ def test_lsh_bucket_count_bounded(spark):
     assert row["t"] == simsearch.LSH_TABLES
 
 
+def test_embedding_neardup_finds_colinear(tiny):
+    pairs = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in simsearch.embedding_neardup_pairs(tiny, threshold=0.99).collect()
+    }
+    # vectors 0 and 1 are colinear (cos 1.0) and land in every shared
+    # LSH bucket; nothing else reaches the threshold
+    assert pairs == {(0, 1): 1.0}
+
+
 def test_brute_force_is_broadcast(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     plan = simsearch.cosine_topk(emb)._jdf.queryExecution().executedPlan().toString()
