@@ -132,17 +132,18 @@ def minhash_lsh_pairs(
     """
     wide = minhash_signatures_wide(docs, n_hashes).persist()
     bsig = lsh_band_signatures(wide, rows_per_band, n_hashes)
+    b1 = bsig.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     b2 = bsig.select(
         F.col("doc_id").alias("doc_b"), "band", F.col("sig").alias("sig_b")
     )
     cand = (
-        bsig.join(
+        b1.join(
             b2,
-            (bsig["band"] == b2["band"])
-            & (bsig["sig"] == b2["sig_b"])
-            & (bsig["doc_id"] < b2["doc_b"]),
+            (b1["band"] == b2["band"])
+            & (b1["sig"] == b2["sig_b"])
+            & (b1["doc_a"] < b2["doc_b"]),
         )
-        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .select("doc_a", "doc_b")
         .distinct()
     )
     wa = wide.select(
@@ -211,17 +212,18 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             .alias("v"),
         )
         bands = part if bands is None else bands.unionByName(part)
+    b1 = bands.select(F.col("doc_id").alias("doc_a"), "band", "v")
     b2 = bands.select(
         F.col("doc_id").alias("doc_b"), "band", F.col("v").alias("v_b")
     )
     cand = (
-        bands.join(
+        b1.join(
             b2,
-            (bands["band"] == b2["band"])
-            & (bands["v"] == b2["v_b"])
-            & (bands["doc_id"] < b2["doc_b"]),
+            (b1["band"] == b2["band"])
+            & (b1["v"] == b2["v_b"])
+            & (b1["doc_a"] < b2["doc_b"]),
         )
-        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .select("doc_a", "doc_b")
         .distinct()
     )
     fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("fingerprint").alias("fa"))
@@ -246,10 +248,11 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     threshold, doc_a < doc_b."""
     sh = shingles(docs).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
     inter = (
-        sh.join(sb, (sh["s"] == sb["s"]) & (sh["doc_id"] < sb["doc_b"]))
-        .groupBy(F.col("doc_id").alias("doc_a"), "doc_b")
+        sa.join(sb, (sa["s"] == sb["s_b"]) & (sa["doc_a"] < sb["doc_b"]))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("c"))
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
