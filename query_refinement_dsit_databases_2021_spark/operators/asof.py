@@ -1,0 +1,168 @@
+"""As-of (most-recent-match) join — a temporal join the reference
+lacks entirely (SURVEY §2.3 notes as-of joins absent) but any
+time-series / training-data pipeline needs: for every left row, the
+single right row with the greatest timestamp <= the left timestamp
+(direction="backward") or the smallest timestamp >= it ("forward"),
+within the same `by` group.
+
+Spark-first formulation: **union + ordered window**, not a join.
+A naive range join is O(|L| x |R|) per group before the per-row
+argmax; the sort-merge formulation below is the classic scalable
+as-of pattern:
+
+1. tag right rows (side=0) and left rows (side=1) and union them;
+2. one shuffle: ``Window.partitionBy(by).orderBy(ts, side, seq)``;
+3. ``last(right_payload, ignoreNulls=True)`` over
+   ``rowsBetween(unboundedPreceding, currentRow)`` carries the most
+   recent right row forward onto each left row.
+
+Cost: ONE shuffle of |L|+|R| rows on the group key (exactly what a
+sort-merge equi-join would pay), no candidate blow-up, no skew from
+wide time ranges. At 100 TB the window runs per user/group partition;
+right-side rows at equal ts sort before left rows (side 0 < 1), so
+the boundary timestamp is matched inclusively — same contract as
+DuckDB's ``ASOF JOIN ... ON l.ts >= r.ts``, which the workload oracle
+uses. Forward direction mirrors the frame
+(``first(...) over following``) with left rows sorting before right
+rows at equal ts.
+
+Determinism: among right rows tied on (group, ts) the one with the
+largest tie-break key wins (``seq`` orders the frame); left rows with
+no admissible right row keep NULL payloads (left-outer contract).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SENTINEL = "__asof"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts: str,
+    by: Sequence[str],
+    value_cols: Sequence[str],
+    direction: str = "backward",
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Left-outer as-of join: every `left` row, plus `value_cols`
+    from the nearest `right` row at-or-before (backward) /
+    at-or-after (forward) its `ts` within the same `by` group.
+
+    Matched columns are suffixed ``_matched``. ``tie_break`` (a right
+    column, default the first value col) resolves right rows tied on
+    (by, ts): largest wins.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    by = list(by)
+    value_cols = list(value_cols)
+    tie = tie_break or value_cols[0]
+
+    payload = F.struct(
+        F.col(tie).alias("__tie"), *[F.col(c).alias(c) for c in value_cols]
+    )
+    # side orders boundary ties: the right row must fall inside the
+    # frame when timestamps are equal (inclusive match on both
+    # directions), so right<left for backward, left<right for forward.
+    r_side, l_side = (0, 1) if direction == "backward" else (1, 0)
+    r = right.select(
+        *by,
+        F.col(ts).alias("__ts"),
+        F.lit(r_side).alias("__side"),
+        payload.alias(_SENTINEL),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}") for c in left.columns],
+    )
+    l = left.select(
+        *by,
+        F.col(ts).alias("__ts"),
+        F.lit(l_side).alias("__side"),
+        F.lit(None).cast(r.schema[_SENTINEL].dataType).alias(_SENTINEL),
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    tie_col = F.col(f"{_SENTINEL}.__tie")
+    w = Window.partitionBy(*by).orderBy(
+        F.col("__ts").asc(),
+        F.col("__side").asc(),
+        # largest tie-break wins in both directions: last() scans the
+        # frame forward (asc puts the largest last), first() backward
+        tie_col.asc() if direction == "backward" else tie_col.desc(),
+    )
+    if direction == "backward":
+        carried = F.last(_SENTINEL, ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        carried = F.first(_SENTINEL, ignorenulls=True).over(
+            w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+    out = (
+        r.unionByName(l)
+        .withColumn("__m", carried)
+        .where(F.col("__side") == l_side)
+    )
+    return out.select(
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        *[F.col(f"__m.{c}").alias(f"{c}_matched") for c in value_cols],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Workload: each 'error' event joined to the user's most recent
+# 'click' at-or-before it (events table; left-outer, gap in seconds)
+# ---------------------------------------------------------------------------
+
+
+def _wl_asof(spark, sf_dir):
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    ev = spark.table("events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"), "value"
+    )
+    joined = asof_join(
+        errors,
+        clicks,
+        ts="ts",
+        by=["user_id"],
+        value_cols=["click_id", "value", "ts"],
+        direction="backward",
+        tie_break="click_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("click_id_matched").alias("click_id"),
+        F.round("value_matched", 2).alias("click_value"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_matched")))
+        .alias("gap_us"),
+    )
+
+
+ASOF_ORACLE = """
+WITH errors AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+clicks AS (
+  SELECT user_id, ts, event_id AS click_id, value FROM events
+  WHERE event_type = 'click')
+SELECT e.event_id, e.user_id, c.click_id,
+       round(c.value, 2) AS click_value,
+       epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+FROM errors e ASOF LEFT JOIN clicks c
+  ON e.user_id = c.user_id AND e.ts >= c.ts
+"""
+
+
+def asof_workloads():
+    from query_refinement_dsit_databases_2021_spark.workloads import Workload
+
+    return [Workload("ops_asof_join", _wl_asof, ASOF_ORACLE, headline=False)]
