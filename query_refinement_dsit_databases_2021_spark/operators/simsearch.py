@@ -23,8 +23,14 @@ components are Python-float literals inlined into BOTH engines, and
 scores are rounded to 6 dp before ranking with a vec_id tie-break —
 so Spark and the DuckDB oracles rank identically bit-for-bit.
 
-An IVF-style variant would swap the hash bucket for a k-means cell
-id; the dataflow (bucket equi-join, within-bucket rerank) is the same.
+- **IVF-bucketed ANN** (the second scale path): a coarse quantizer of
+  stride-sampled corpus vectors as centroids; every vector sits in
+  exactly one cell (nearest centroid), queries rescore only their
+  nprobe nearest cells. The dataflow is the same bucket equi-join as
+  LSH but needs no candidate dedup, and at corpus scale the cell id
+  doubles as a bucketing/partition key so probes read only their
+  cells. nprobe == |centroids| degenerates to exact brute force
+  (pinned by a unit test).
 """
 
 from __future__ import annotations
@@ -43,6 +49,11 @@ N_QUERIES = 16
 TOP_K = 5
 LSH_NBITS = 4
 LSH_TABLES = 16
+# IVF coarse quantizer: stride-sampled corpus vectors as centroids
+# (deterministic; all ids exist at every SF >= 500-row embeddings and
+# none collide with the query set vec_id < N_QUERIES)
+IVF_CENTROID_IDS = tuple(100 + 16 * i for i in range(24))
+IVF_NPROBE = 6
 
 
 def hyperplane(j: int, dim: int = DIM) -> list[float]:
@@ -158,6 +169,108 @@ def lsh_ann_topk(
         .where(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id")
         .distinct()
+    )
+    q = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cos = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6)
+    scored = (
+        cand.join(F.broadcast(q), "q_id")
+        .join(base, "vec_id")
+        .select("q_id", "vec_id", cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", F.col("rank").cast("long").alias("rank"), "cos_sim")
+    )
+
+
+def _centroid_literals(emb: DataFrame, centroid_ids) -> list[tuple[int, list[float], float]]:
+    """Collect the centroid vectors (a handful of rows — a dim table,
+    not the data path) as (cell_id, components, norm) literals to
+    inline into the assignment projection."""
+    rows = (
+        _with_norm(emb.where(F.col("vec_id").isin(*centroid_ids)))
+        .orderBy("vec_id")
+        .collect()
+    )
+    return [(int(r["vec_id"]), [float(x) for x in r["v"]], float(r["nrm"])) for r in rows]
+
+
+def _nearest_cells(base: DataFrame, cents, n_cells: int) -> DataFrame:
+    """(vec_id, cell, rnk) for the n_cells nearest centroids of every
+    vector in `base` — pure column arithmetic per row (the centroid
+    loop is unrolled into the projection; no shuffle, no join) plus
+    one explode and a per-vector ranking window."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.round(
+                    _dot(F.col("v"), F.array(*[F.lit(x) for x in cv]))
+                    / (F.col("nrm") * F.lit(cn)),
+                    6,
+                ).alias("cos"),
+                F.lit(-cell).alias("negcell"),
+            )
+            for cell, cv, cn in cents
+        ]
+    )
+    # struct comparison is lexicographic: sort desc on (cos, -cell)
+    # == cos desc, cell asc — the deterministic argmax contract
+    ranked = F.slice(F.reverse(F.array_sort(entries)), 1, n_cells)
+    return (
+        base.select("vec_id", F.posexplode(ranked).alias("rnk", "e"))
+        .select(
+            "vec_id",
+            (-F.col("e.negcell")).cast("long").alias("cell"),
+            (F.col("rnk") + 1).alias("rnk"),
+        )
+    )
+
+
+def ivf_assign(emb: DataFrame, centroid_ids=IVF_CENTROID_IDS) -> DataFrame:
+    """IVF coarse assignment: (vec_id, cell) — each vector belongs to
+    exactly ONE cell, its nearest centroid by rounded cosine (ties ->
+    smallest centroid id). The cell id is the centroid's vec_id."""
+    base = _with_norm(emb)
+    cents = _centroid_literals(emb, centroid_ids)
+    return _nearest_cells(base, cents, 1).select("vec_id", "cell")
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    centroid_ids=IVF_CENTROID_IDS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """IVF-style ANN (the second scale path next to LSH): corpus
+    partitioned into |centroids| cells by nearest-centroid assignment;
+    a query rescoring only the vectors in its `nprobe` nearest cells.
+
+    Versus LSH: one cell per vector (the candidate equi-join needs no
+    dedup), and recall/cost tune via nprobe x cell size instead of
+    nbits x tables. With nprobe == |centroids| the probed cells cover
+    the corpus and the result equals :func:`cosine_topk` exactly
+    (pinned by a unit test). At 100 TB the assignment is a pure
+    projection on the corpus scan (centroids broadcast as literals),
+    the corpus can be written bucketed by cell, and only probed cells
+    are read. Same output shape as :func:`cosine_topk`.
+    """
+    base = _with_norm(emb)
+    cents = _centroid_literals(emb, centroid_ids)
+    assign = _nearest_cells(base, cents, 1).select("vec_id", "cell")
+    probes = (
+        _nearest_cells(base.where(F.col("vec_id") < n_queries), cents, nprobe)
+        .select(F.col("vec_id").alias("q_id"), "cell")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
     )
     q = base.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
@@ -301,6 +414,43 @@ SELECT q_id, vec_id, rank, cos_sim FROM (
 WHERE rank <= {k}"""
 
 
+def oracle_ivf_ann_topk(
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    centroid_ids=IVF_CENTROID_IDS,
+    nprobe: int = IVF_NPROBE,
+    dim: int = DIM,
+) -> str:
+    ids = ", ".join(str(i) for i in centroid_ids)
+    return f"""
+WITH {_SQL_BASE},
+cent AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM base
+         WHERE vec_id IN ({ids})),
+dists AS (
+  SELECT b.vec_id, cent.cell,
+         row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY round({_sql_dot("b.v", "cv", dim)} / (b.nrm * cn), 6) DESC,
+                      cent.cell ASC) AS rnk
+  FROM base b CROSS JOIN cent),
+assign AS (SELECT vec_id, cell FROM dists WHERE rnk = 1),
+probes AS (SELECT vec_id AS q_id, cell FROM dists
+           WHERE vec_id < {n_queries} AND rnk <= {nprobe}),
+cand AS (
+  SELECT q_id, assign.vec_id
+  FROM probes JOIN assign USING (cell) WHERE assign.vec_id <> q_id),
+q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM base WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT cand.q_id, cand.vec_id,
+         round({_sql_dot("qv", "v", dim)} / (qn * nrm), 6) AS cos_sim
+  FROM cand JOIN q USING (q_id) JOIN base USING (vec_id))
+SELECT q_id, vec_id, rank, cos_sim FROM (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+             ORDER BY cos_sim DESC, vec_id ASC)::BIGINT AS rank
+  FROM scored)
+WHERE rank <= {k}"""
+
+
 def oracle_embedding_neardup(
     threshold: float = 0.4,
     nbits: int = LSH_NBITS,
@@ -347,6 +497,10 @@ def _wl_lsh(spark, sf_dir):
     return lsh_ann_topk(_emb(spark, sf_dir))
 
 
+def _wl_ivf(spark, sf_dir):
+    return ivf_ann_topk(_emb(spark, sf_dir))
+
+
 def _wl_emb_neardup(spark, sf_dir):
     return embedding_neardup_pairs(_emb(spark, sf_dir))
 
@@ -357,6 +511,7 @@ def simsearch_workloads():
     return [
         Workload("pipe_ann_cosine_topk", _wl_brute, oracle_cosine_topk(), True),
         Workload("pipe_ann_lsh_topk", _wl_lsh, oracle_lsh_ann_topk(), False),
+        Workload("pipe_ann_ivf_topk", _wl_ivf, oracle_ivf_ann_topk(), False),
         Workload(
             "pipe_dedup_embedding_cosine",
             _wl_emb_neardup,

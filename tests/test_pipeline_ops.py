@@ -122,3 +122,46 @@ def test_rolling_hash_known_value(spark):
         .collect()[0]["h"]
     )
     assert got == 3105
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (operators/simsearch.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb_tiny(spark):
+    import math
+
+    rows = [
+        (i, [math.sin(0.7 * i + 0.3 * j) for j in range(8)], i % 3)
+        for i in range(40)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_ivf_assign_one_cell_per_vector(emb_tiny):
+    from query_refinement_dsit_databases_2021_spark.operators.simsearch import ivf_assign
+
+    got = ivf_assign(emb_tiny, centroid_ids=(5, 10, 15)).collect()
+    assert len(got) == 40
+    assert {r["vec_id"] for r in got} == set(range(40))
+    assert {r["cell"] for r in got} <= {5, 10, 15}
+
+
+def test_ivf_exhaustive_probe_equals_brute_force(emb_tiny):
+    from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
+        cosine_topk,
+        ivf_ann_topk,
+    )
+
+    brute = sorted(map(tuple, cosine_topk(emb_tiny, n_queries=3, k=2).collect()))
+    ivf = sorted(
+        map(
+            tuple,
+            ivf_ann_topk(
+                emb_tiny, n_queries=3, k=2, centroid_ids=(5, 10, 15), nprobe=3
+            ).collect(),
+        )
+    )
+    assert ivf == brute
