@@ -1,0 +1,232 @@
+"""Property-based tests (hypothesis) — SURVEY §5.2 item 3.
+
+Properties pinned here:
+
+(a) tightened result set ⊆ unrefined full passing set;
+(b) |final| = min(k, |satisfiable ∪ admissible|) for refined queries;
+(c) relaxed additions all fail ≥1 original constraint and have RP ≤ 1;
+(d) RD monotone (non-decreasing) in the violation distance outside the
+    bounds and 0 inside; RK monotone in t (increasing for MAX targets,
+    decreasing for MIN) — reference formulas at src/server.py:614-633
+    and :779-792;
+(e) ``None`` domain sides resolve exactly to the data MIN/MAX defaults
+    (reference:src/server.py:124-183).
+
+The heavyweight engine property runs a full differential against the
+NumPy brute-force oracle (tests/oracle_np.py) on randomized series,
+domains, and constraints — this subsumes (a)-(c) pointwise, and the
+explicit sub-asserts below make each named property's failure legible.
+Spark runs cost seconds, so example counts are deliberately small;
+the pure-expression properties (d) run many more examples cheaply.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, assume, given, settings
+from hypothesis import strategies as st
+
+from query_refinement_dsit_databases_2021_spark.operators import scoring
+from query_refinement_dsit_databases_2021_spark.plans.executor import Engine
+from query_refinement_dsit_databases_2021_spark.plans.spec import (
+    ConstraintSpec,
+    QuerySpec,
+)
+
+from tests.oracle_np import brute_candidates, brute_execute
+
+SERIES_N = 36
+
+# Integer-valued series keep oracle/engine float math exactly aligned;
+# bounds use .25 offsets so they never coincide with global measure
+# min/max (which would make RD's normalizer zero on both sides).
+series_values = st.lists(
+    st.integers(min_value=-8, max_value=8), min_size=SERIES_N, max_size=SERIES_N
+)
+
+
+@st.composite
+def cp_specs(draw):
+    x0 = draw(st.integers(min_value=1, max_value=10))
+    x1 = x0 + draw(st.integers(min_value=2, max_value=8))
+    l0 = draw(st.integers(min_value=1, max_value=3))
+    l1 = l0 + draw(st.integers(min_value=0, max_value=3))
+    kinds = draw(
+        st.lists(
+            st.sampled_from(["avg_amp", "max_amp_excess_left", "max_amp_excess_right"]),
+            min_size=1,
+            max_size=2,
+            unique=True,
+        )
+    )
+    cons = []
+    for kind in kinds:
+        lo = draw(st.integers(min_value=-6, max_value=4)) + 0.25
+        hi = lo + draw(st.integers(min_value=0, max_value=6)) + 0.5
+        target = draw(st.sampled_from(["maximization", "minimization"]))
+        args = (draw(st.integers(min_value=1, max_value=4)),) if kind != "avg_amp" else ()
+        cons.append(ConstraintSpec(kind, args, lo, hi, target))
+    k = draw(st.integers(min_value=1, max_value=12))
+    return QuerySpec(
+        table="prop_series",
+        column="y",
+        x_domain=(x0, x1),
+        lx_domain=(l0, l1),
+        constraints=tuple(cons),
+        cardinality=k,
+        refined=True,
+    )
+
+
+def _mk_series(spark, ys):
+    rows = [(i + 1, float(v)) for i, v in enumerate(ys)]
+    return spark.createDataFrame(rows, "time_id long, y double"), rows
+
+
+def _rp(series_rows, spec, key):
+    """Oracle RP for one failing candidate (reference:src/server.py:636-664)."""
+    cands = brute_candidates(series_rows, spec)
+    vals = cands[key]
+    mins = {c.column: min(v[c.column] for v in cands.values()) for c in spec.constraints}
+    maxs = {c.column: max(v[c.column] for v in cands.values()) for c in spec.constraints}
+    rd, viol = 0.0, 0
+    for c in spec.constraints:
+        t = vals[c.column]
+        if t > c.hi:
+            rd = max(rd, (t - c.hi) / (maxs[c.column] - c.hi))
+            viol += 1
+        elif t < c.lo:
+            rd = max(rd, (c.lo - t) / (c.lo - mins[c.column]))
+            viol += 1
+    return 0.5 * rd + 0.5 * viol / len(spec.constraints)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(ys=series_values, spec=cp_specs())
+def test_refined_engine_matches_brute_oracle(spark, ys, spec):
+    series, rows = _mk_series(spark, ys)
+    x1, l1 = spec.x_domain[1], spec.lx_domain[1]
+    # The reference fetches ONLY [x_lo, x_hi + lx_hi] (src/server.py:200-203)
+    # and its excess UDFs clamp neighborhoods at the FETCHED data's edges —
+    # so the oracle must see the segment, not the whole series.
+    rows = [(t, y) for t, y in rows if spec.x_domain[0] <= t <= x1 + l1]
+    seg = [y for _, y in rows]
+    assume(len(set(seg)) > 1)  # variability guard would reject (by design)
+
+    cands = brute_candidates(rows, spec)
+    # degenerate normalizers (bound == global measure extremum) divide
+    # by zero in BOTH systems; excluded from the property domain
+    for c in spec.constraints:
+        vals = [v[c.column] for v in cands.values()]
+        assume(abs(c.hi - max(vals)) > 1e-9 and abs(c.lo - min(vals)) > 1e-9)
+
+    expected, action = brute_execute(rows, spec)
+    engine = Engine(spark)
+    engine.register_series("prop_series", series)
+    got = sorted((r.time_id, r.offset) for r in engine.execute(spec).collect())
+
+    assert got == expected, (action, spec)
+    assert engine.last_info.action == action
+
+    passing = {
+        key
+        for key, vals in cands.items()
+        if all(c.lo <= vals[c.column] <= c.hi for c in spec.constraints)
+    }
+    k = spec.cardinality
+    if action == "tighten":
+        # (a) tightened ⊆ unrefined passing set, exactly k of them
+        assert set(got) <= passing and len(got) == k
+    elif action == "relax":
+        # (c) additions fail ≥1 original constraint with RP ≤ 1
+        additions = set(got) - passing
+        for key in additions:
+            assert _rp(rows, spec, key) <= 1.0 + 1e-12
+            assert any(
+                not (c.lo <= cands[key][c.column] <= c.hi) for c in spec.constraints
+            )
+        # (b) |final| = min(k, |satisfiable ∪ admissible|)
+        admissible = {
+            key for key in cands if key not in passing and _rp(rows, spec, key) <= 1.0
+        }
+        assert len(got) == min(k, len(passing | admissible))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    ts=st.lists(
+        st.floats(min_value=-50, max_value=50, allow_nan=False), min_size=2, max_size=24
+    ),
+    bounds=st.tuples(
+        st.floats(min_value=-20, max_value=10, allow_nan=False),
+        st.floats(min_value=0.5, max_value=20, allow_nan=False),
+    ),
+)
+def test_rd_rk_monotonicity(spark, ts, bounds):
+    a, width = bounds
+    b = a + width
+    con = ConstraintSpec("avg_amp", (), a, b, "maximization")
+    min_fc, max_fc = min(ts) - 1.0, max(ts) + 1.0  # strict: nonzero normalizers
+    df = spark.createDataFrame([(float(t),) for t in ts], f"{con.column} double")
+    rd_rows = df.select(
+        df[con.column].alias("t"),
+        scoring.relaxation_distance(con, min_fc, max_fc).alias("rd"),
+        scoring.rank((con,)).alias("rk"),
+    ).collect()
+    by_t = sorted((r.t, r.rd, r.rk) for r in rd_rows)
+    for (t1, rd1, rk1), (t2, rd2, rk2) in zip(by_t, by_t[1:]):
+        # (d) RD: non-increasing below the interval, 0 inside, non-decreasing above
+        if t2 <= a:
+            assert rd1 >= rd2 - 1e-12
+        if t1 >= b:
+            assert rd1 <= rd2 + 1e-12
+        if a <= t1 <= b:
+            assert rd1 == 0.0
+        # (d) RK for MAX target: increasing in t (closer to b ranks higher)
+        assert rk1 <= rk2 + 1e-12
+    # MIN target: the reference's rk_c = (a−t)/(b−a) goes NEGATIVE for
+    # t > a (reference:src/server.py:790-792), so RK = 1 − Σ w·rk_c is
+    # increasing in t for BOTH targets — a faithful quirk; inside [a, b]
+    # a MIN-target RK is maximal at t = a (RK(a) = 1 ≤ RK(t) ≤ RK(b) = 2
+    # means top-k by RK desc prefers LARGER t even under MIN). We pin the
+    # formula, not the intuition.
+    con_min = ConstraintSpec("avg_amp", (), a, b, "minimization")
+    rk_min = sorted(
+        (r.t, r.rk)
+        for r in df.select(
+            df[con.column].alias("t"), scoring.rank((con_min,)).alias("rk")
+        ).collect()
+    )
+    for (t1, rk1), (t2, rk2) in zip(rk_min, rk_min[1:]):
+        assert rk1 <= rk2 + 1e-12
+        expected = 1.0 - (a - t1) / (b - a)
+        assert abs(rk1 - expected) < 1e-9
+
+
+@settings(max_examples=6, deadline=None)
+@given(ys=series_values, lo_hi=st.tuples(st.integers(1, 6), st.integers(12, 28)))
+def test_none_domains_resolve_to_data_min_max(spark, ys, lo_hi):
+    assume(len(set(ys)) > 1)
+    series, rows = _mk_series(spark, ys)
+    con = ConstraintSpec("avg_amp", (), -0.75, 3.25, "maximization")
+    implicit = QuerySpec(
+        "prop_series", "y", (None, lo_hi[1]), (None, 4), (con,), None, False
+    )
+    explicit = QuerySpec(
+        "prop_series", "y", (1, lo_hi[1]), (1, 4), (con,), None, False
+    )
+    engine = Engine(spark)
+    engine.register_series("prop_series", series)
+    got_implicit = sorted(
+        (r.time_id, r.offset) for r in engine.execute(implicit).collect()
+    )
+    got_explicit = sorted(
+        (r.time_id, r.offset) for r in engine.execute(explicit).collect()
+    )
+    # (e) None sides ≡ data-driven defaults (t_min=1; offset lo=1)
+    assert got_implicit == got_explicit
+    assert engine.last_info.spec.x_domain[0] == 1
