@@ -217,18 +217,26 @@ def _build_sparse(
     l0, l1 = spec.lx_domain
     measures = _dedup_constraints(spec)
 
-    # sparse-table depth: longest max-interval any measure queries
-    longest = 1
+    # sparse-table depth: longest max/min interval any measure queries
+    longest_max, longest_min = 1, 1
     for mdef, args in measures.values():
-        longest = max(longest, mdef.s_max_interval(l1, args))
-    jmax = int(math.floor(math.log2(longest))) if longest > 1 else 0
-    reach_fwd = (1 << jmax) - 1 if jmax > 0 else 0
+        longest_max = max(longest_max, mdef.s_max_interval(l1, args))
+        longest_min = max(longest_min, mdef.s_min_interval(l1, args))
+    jmax = int(math.floor(math.log2(longest_max))) if longest_max > 1 else 0
+    jmin = int(math.floor(math.log2(longest_min))) if longest_min > 1 else 0
+    need_min = any(
+        mdef.s_min_interval(l1, args) > 0 for mdef, args in measures.values()
+    )
+    reach_fwd = max(
+        (1 << jmax) - 1 if jmax > 0 else 0, (1 << jmin) - 1 if jmin > 0 else 0
+    )
 
     block = _block_size(partition_rows, reach_fwd, 0)
     seg2, true_pid = _halo_partition(segment, t_start, t_end, block, reach_fwd, 0)
     w = Window.partitionBy("wpid").orderBy("time_id")
 
-    # doubling-max levels: M_j[t] = max(y[t .. t+2^j-1])
+    # doubling-max levels: M_j[t] = max(y[t .. t+2^j-1]); doubling-min
+    # Mn_j likewise, built only when a measure queries min intervals
     helper = seg2.withColumn("M_0", F.col("y"))
     for j in range(1, jmax + 1):
         step = 1 << (j - 1)
@@ -236,6 +244,14 @@ def _build_sparse(
         helper = helper.withColumn(
             f"M_{j}", F.greatest(prev, F.coalesce(F.lead(prev, step).over(w), prev))
         )
+    if need_min:
+        helper = helper.withColumn("Mn_0", F.col("y"))
+        for j in range(1, jmin + 1):
+            step = 1 << (j - 1)
+            prev = F.col(f"Mn_{j-1}")
+            helper = helper.withColumn(
+                f"Mn_{j}", F.least(prev, F.coalesce(F.lead(prev, step).over(w), prev))
+            )
     helper = helper.where(F.col("wpid") == true_pid)
 
     # distributed inclusive prefix sum: per-block cumsum + block offsets
@@ -248,13 +264,18 @@ def _build_sparse(
     offsets = totals.select(
         "wpid", F.coalesce(F.sum("tot").over(w_off), F.lit(0.0)).alias("S_off")
     )
+    arrays = [F.array(*[F.col(f"M_{j}") for j in range(jmax + 1)]).alias("M")]
+    if need_min:
+        arrays.append(
+            F.array(*[F.col(f"Mn_{j}") for j in range(jmin + 1)]).alias("Mn")
+        )
     helper = (
         helper.join(F.broadcast(offsets), "wpid")
         .select(
             "time_id",
             "y",
             (F.col("S_local") + F.col("S_off")).alias("S"),
-            F.array(*[F.col(f"M_{j}") for j in range(jmax + 1)]).alias("M"),
+            *arrays,
         )
     )
     helper = helper.persist()

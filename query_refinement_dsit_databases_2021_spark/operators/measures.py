@@ -98,6 +98,16 @@ class SparseCtx:
             F.element_at(self.col_at(p2, "M"), j + 1),
         )
 
+    def interval_min(self, start: Column, length: Column) -> Column:
+        """min(y) over [start, start+length-1] — same doubling trick
+        over the ``Mn`` (doubling-min) levels."""
+        j = int_log2(length)
+        p2 = start + length - pow2(j)
+        return F.least(
+            F.element_at(self.col_at(start, "Mn"), j + 1),
+            F.element_at(self.col_at(p2, "Mn"), j + 1),
+        )
+
 
 # ---------------------------------------------------------------------------
 # measure definitions
@@ -114,7 +124,7 @@ class WindowFrame:
     hi: int
 
     def column(self, window_spec) -> Column:
-        fn = {"avg": F.avg, "max": F.max}[self.agg]
+        fn = {"avg": F.avg, "max": F.max, "min": F.min, "sum": F.sum}[self.agg]
         return fn("y").over(window_spec.rangeBetween(self.lo, self.hi))
 
 
@@ -143,6 +153,11 @@ class MeasureDef:
     def s_max_interval(self, l1: int, args: tuple) -> int:
         """Longest max-interval this measure queries (sizes the sparse
         table depth); 0 if it needs no max intervals."""
+        return 0
+
+    def s_min_interval(self, l1: int, args: tuple) -> int:
+        """Longest MIN-interval this measure queries; 0 if it needs no
+        doubling-min levels (the builder then skips the ``Mn`` table)."""
         return 0
 
 
@@ -224,8 +239,92 @@ class MaxAmpExcessLeft(MeasureDef):
         return max(l1 + 1, args[0] + 1)
 
 
+# ---------------------------------------------------------------------------
+# extension measures (beyond the reference's three kernels) — they share
+# the same f(series, x, lx) -> float contract and both physical paths
+# ---------------------------------------------------------------------------
+
+class SumAmp(MeasureDef):
+    """Total amplitude over the window: sum(y[x..x+lx])."""
+
+    name = "sum_amp"
+    n_args = 0
+
+    def w_frames(self, lx, args):
+        return [WindowFrame(f"wsum_{lx}", "sum", 0, lx)]
+
+    def w_expr(self, lx, args):
+        return F.col(f"wsum_{lx}")
+
+    def w_reach(self, l1, args):
+        return (l1, 0)
+
+    def s_expr(self, ctx, args):
+        s_end = ctx.col_at(ctx.x + ctx.lx, "S")
+        s_x = ctx.col_at(ctx.x, "S")
+        y_x = ctx.col_at(ctx.x, "y")
+        return s_end - s_x + y_x
+
+
+class MinAmp(MeasureDef):
+    """Minimum amplitude over the window: min(y[x..x+lx])."""
+
+    name = "min_amp"
+    n_args = 0
+
+    def w_frames(self, lx, args):
+        return [WindowFrame(f"wmin_{lx}", "min", 0, lx)]
+
+    def w_expr(self, lx, args):
+        return F.col(f"wmin_{lx}")
+
+    def w_reach(self, l1, args):
+        return (l1, 0)
+
+    def s_expr(self, ctx, args):
+        return ctx.interval_min(ctx.x, ctx.lx + F.lit(1))
+
+    def s_min_interval(self, l1, args):
+        return l1 + 1
+
+
+class RangeAmp(MeasureDef):
+    """Amplitude spread over the window: max(y) − min(y) on
+    [x, x+lx] — composes the doubling-max and doubling-min tables."""
+
+    name = "range_amp"
+    n_args = 0
+
+    def w_frames(self, lx, args):
+        return [_wmax_frame(lx), WindowFrame(f"wmin_{lx}", "min", 0, lx)]
+
+    def w_expr(self, lx, args):
+        return F.col(f"wmax_{lx}") - F.col(f"wmin_{lx}")
+
+    def w_reach(self, l1, args):
+        return (l1, 0)
+
+    def s_expr(self, ctx, args):
+        win = ctx.lx + F.lit(1)
+        return ctx.interval_max(ctx.x, win) - ctx.interval_min(ctx.x, win)
+
+    def s_max_interval(self, l1, args):
+        return l1 + 1
+
+    def s_min_interval(self, l1, args):
+        return l1 + 1
+
+
 REGISTRY: dict[str, MeasureDef] = {
-    m.name: m for m in (AvgAmp(), MaxAmpExcessRight(), MaxAmpExcessLeft())
+    m.name: m
+    for m in (
+        AvgAmp(),
+        MaxAmpExcessRight(),
+        MaxAmpExcessLeft(),
+        SumAmp(),
+        MinAmp(),
+        RangeAmp(),
+    )
 }
 
 

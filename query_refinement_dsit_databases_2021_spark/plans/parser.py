@@ -121,15 +121,22 @@ def parse_query(query: str) -> QuerySpec:
         if not m:
             raise QueryError(f"ERROR at constraint term: {term!r}")
         name, arg, dom, _, _, goal = m.groups()
-        if name not in AVAILABLE_FUNCTIONS:
+        # validate against the live measure registry so register_measure
+        # extends the grammar too (reference hardcodes the name list at
+        # src/client.py:160; the three reference names are always present)
+        from query_refinement_dsit_databases_2021_spark.operators.measures import (
+            REGISTRY,
+        )
+
+        if name not in REGISTRY:
             raise QueryError("ERROR at constraint variable name and arguments")
         args = (int(arg),) if arg else ()
-        # arg-arity contract: excess UDFs need exactly one int
-        # (reference:README.md:77-78).
-        if name in ("max_amp_excess_right", "max_amp_excess_left") and not args:
-            raise QueryError(f"ERROR: {name} requires one integer argument")
-        if name == "avg_amp" and args:
-            raise QueryError("ERROR: avg_amp takes no arguments")
+        # arg-arity contract (reference:README.md:77-78)
+        if len(args) != REGISTRY[name].n_args:
+            raise QueryError(
+                f"ERROR: {name} takes exactly {REGISTRY[name].n_args} "
+                "integer argument(s)"
+            )
         lo, hi = _parse_con_domain(dom)
         target = MAXIMIZATION if goal == "MAX" else MINIMIZATION
         constraints.append(

@@ -28,6 +28,13 @@ def measures_for(y_by_t: dict[int, float], t_start: int, t_end: int, x: int, lx:
         wp = min(w, x - t_start)
         nbr = [y_by_t[t] for t in range(x - wp, x + 1)]
         return float(max(win) - max(nbr))
+    # extension measures (operators/measures.py SumAmp/MinAmp/RangeAmp)
+    if name == "sum_amp":
+        return float(np.sum(win))
+    if name == "min_amp":
+        return float(min(win))
+    if name == "range_amp":
+        return float(max(win) - min(win))
     raise KeyError(name)
 
 

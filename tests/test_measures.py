@@ -108,3 +108,59 @@ def test_halo_partitioning_invariant(spark, strategy):
         for col, val in want[key].items():
             assert a[key][col] == pytest.approx(val, abs=1e-9), (key, col)
             assert b[key][col] == pytest.approx(val, abs=1e-9), (key, col)
+
+
+EXT_CONS = [
+    ConstraintSpec("sum_amp", (), None, None),
+    ConstraintSpec("min_amp", (), None, None),
+    ConstraintSpec("range_amp", (), None, None),
+]
+
+
+@pytest.mark.parametrize("strategy", ["window", "sparse"])
+def test_extension_measures_match_bruteforce(spark, series_tiny, strategy):
+    spec = _spec((1, 15), (0, 5), EXT_CONS)
+    got = _collect(build_candidates(series_tiny, spec, 1, 20, strategy, partition_rows=4))
+    want = brute_candidates([(i + 1, float(y)) for i, y in enumerate(Y)], spec)
+    assert set(got) == set(want)
+    for key in want:
+        for col, val in want[key].items():
+            assert got[key][col] == pytest.approx(val, abs=1e-9), (key, col)
+
+
+@pytest.mark.parametrize("strategy", ["window", "sparse"])
+def test_extension_measures_hand_values(spark, series_tiny, strategy):
+    # series y = [0,1,2,3,4,5,5,5,5,10,0,-3,2,2,2,2,8,1,0,0] at t=1..20
+    # sum_amp over [2,5]   = 1+2+3+4 = 10
+    # min_amp over [10,13] = min(10,0,-3,2) = -3
+    # range_amp over [9,12] = max(5,10,0,-3) - min(...) = 10 - (-3) = 13
+    spec = _spec((2, 12), (3, 3), EXT_CONS)
+    got = _collect(build_candidates(series_tiny, spec, 1, 20, strategy))
+    assert got[(2, 3)]["m_sum_amp"] == pytest.approx(10.0)
+    assert got[(10, 3)]["m_min_amp"] == pytest.approx(-3.0)
+    assert got[(9, 3)]["m_range_amp"] == pytest.approx(13.0)
+
+
+def test_register_measure_extends_parser(spark, series_tiny):
+    """register_measure makes a new name parseable and executable
+    end-to-end (grammar extension, SURVEY §2.11)."""
+    from query_refinement_dsit_databases_2021_spark.plans.executor import Engine
+    from query_refinement_dsit_databases_2021_spark.plans.parser import parse_query
+
+    spec = parse_query(
+        "SELECT time_id, offset IN_DOMAIN [2, 6], [2, 3]\n"
+        "FROM t.y\nWHERE sum_amp() in [9.5, 10.5] MAX\n"
+    )
+    assert spec.constraints[0].name == "sum_amp"
+    engine = Engine(spark)
+    engine.register_series("t", series_tiny)
+    got = sorted((r.time_id, r.offset) for r in engine.execute(spec).collect())
+    # sum over [x, x+lx] in [9.5, 10.5]: (2,3)=10 qualifies
+    assert (2, 3) in got
+    from query_refinement_dsit_databases_2021_spark.errors import QueryError
+
+    with pytest.raises(QueryError):
+        parse_query(
+            "SELECT time_id, offset IN_DOMAIN [2, 6], [2, 3]\n"
+            "FROM t.y\nWHERE sum_amp(3) in [9.5, 10.5] MAX\n"
+        )
