@@ -1,0 +1,167 @@
+"""Scale-out join/aggregation patterns: salting and bucketing.
+
+The reference is single-process (SURVEY §3.1: everything after
+``getData`` is one Python thread), so none of this exists there —
+these are the patterns a 1000-executor deployment of this engine needs
+when AQE's runtime skew handling isn't enough or when a join key's
+layout can be fixed at write time:
+
+- **Salted join**: a heavy-hitter key on the probe side hashes every
+  matching row to ONE reducer; salting re-keys the shuffle on
+  ``(key, salt)`` so a hot key spreads over ``n_salts`` reducers, at
+  the price of replicating the (small) build side ``n_salts``×.
+- **Salted exact count-distinct**: two-phase distinct where phase 1
+  partitions the VALUE space by hash — partial distinct-counts are
+  disjoint, so their sum is exact, and no single reducer ever sees a
+  hot group's full value set.
+- **Bucketed tables**: co-partitioned + co-sorted layouts written once
+  (``bucketBy``/``sortBy``), letting every later equi-join on the
+  bucket key run shuffle-free (SortMergeJoin with no Exchange).
+
+All salts are deterministic (xxhash64 of row content, no rand()) so
+results are replay-stable and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_SALTS = 16
+_SALT = "__salt"
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    n_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """Equi-join where ``skewed`` (the large, hot-keyed side) is salted
+    and ``other`` (the small side) is replicated across all salt values.
+
+    The physical shuffle keys become ``on + [salt]``: rows of one hot
+    key land on up to ``n_salts`` reducers instead of one. Semantics
+    are exactly ``skewed.join(other, on, how)`` for how in
+    {inner, left}; the replicated side must be the build side, so
+    right/full joins are rejected rather than silently wrong.
+    """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    overlap = set(skewed.columns) & set(other.columns) - set(on)
+    if overlap:
+        raise ValueError(f"ambiguous non-key columns: {sorted(overlap)}")
+    # deterministic per-row salt from the probe side's full row content
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts)
+    ).cast("int")
+    probe = skewed.withColumn(_SALT, salt)
+    build = other.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn(_SALT, F.col(_SALT).cast("int"))
+    return probe.join(build, [*on, _SALT], how).drop(_SALT)
+
+
+def salted_count_distinct(
+    df: DataFrame,
+    group_key: str,
+    value: str,
+    n_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """Exact ``count(DISTINCT value) GROUP BY group_key`` that never
+    funnels one group's whole value set through a single reducer.
+
+    Phase 1 groups by ``(group_key, hash(value) % n_salts)`` — the
+    value space is partitioned by the salt, so the per-salt distinct
+    counts are disjoint and their sum (phase 2) is exact. Returns
+    ``(group_key, n_distinct)``.
+    """
+    salt = F.pmod(F.xxhash64(F.col(value)), F.lit(n_salts)).cast("int")
+    partial = (
+        df.select(group_key, value)
+        .withColumn(_SALT, salt)
+        .groupBy(group_key, _SALT)
+        .agg(F.count_distinct(F.col(value)).alias("pc"))
+    )
+    return partial.groupBy(group_key).agg(F.sum("pc").alias("n_distinct"))
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str | list[str],
+    n_buckets: int,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) managed
+    table — the write-time layout that makes every later equi-join on
+    ``key`` shuffle-free. One shuffle now, zero per query after."""
+    keys = [key] if isinstance(key, str) else list(key)
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *keys)
+    if sort:
+        writer = writer.sortBy(*keys)
+    writer.format("parquet").saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession,
+    left_table: str,
+    right_table: str,
+    on: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two tables previously written by :func:`write_bucketed`
+    with the same key and bucket count. Catalyst sees the matching
+    ``HashPartitioning(bucket key)`` output partitionings and elides
+    both Exchanges; with sorted buckets the SortMergeJoin needs no
+    sort either."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+# ---------------------------------------------------------------------------
+# driver workloads: salted formulations must be row-identical to the
+# plain SQL the oracle runs (event_type is the skewed key: few distinct
+# values over the whole events table)
+# ---------------------------------------------------------------------------
+
+def _wl_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    ev = spark.table("events").select("event_id", "event_type")
+    dim = ev.groupBy("event_type").agg(F.count("*").alias("type_n"))
+    return salted_join(ev, dim, ["event_type"], n_salts=8).select(
+        "event_id", "event_type", "type_n"
+    )
+
+
+ORACLE_SALTED_JOIN = """
+WITH dim AS (SELECT event_type, count(*) AS type_n FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, d.type_n
+FROM events e JOIN dim d USING (event_type)
+"""
+
+
+def _wl_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    return salted_count_distinct(
+        spark.table("events"), "event_type", "user_id", n_salts=8
+    ).orderBy("event_type")
+
+
+ORACLE_SALTED_DISTINCT = """
+SELECT event_type, count(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def scale_workloads():
+    from query_refinement_dsit_databases_2021_spark.workloads import Workload
+
+    return [
+        Workload("ops_salted_join", _wl_salted_join, ORACLE_SALTED_JOIN),
+        Workload("ops_salted_distinct", _wl_salted_distinct, ORACLE_SALTED_DISTINCT),
+    ]

@@ -1,0 +1,101 @@
+"""Salting and bucketing scale patterns: result parity with the plain
+formulation AND physical-plan assertions (the point of these operators
+is the plan shape, not just the rows)."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from query_refinement_dsit_databases_2021_spark.operators.scale import (
+    bucketed_join,
+    salted_count_distinct,
+    salted_join,
+    write_bucketed,
+)
+
+
+@pytest.fixture()
+def skewed_df(spark):
+    # 90% of rows share one hot key
+    return spark.range(2000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 7).cast("string")))
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+
+
+@pytest.fixture()
+def dim_df(spark):
+    rows = [("hot", 1.0)] + [(f"k{i}", float(i)) for i in range(7)]
+    return spark.createDataFrame(rows, "k string, w double")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_salted_join_matches_plain_join(spark, skewed_df, dim_df):
+    plain = sorted(
+        tuple(r) for r in skewed_df.join(dim_df, ["k"], "inner").collect()
+    )
+    salted = salted_join(skewed_df, dim_df, ["k"], n_salts=8)
+    got = sorted(tuple(r) for r in salted.collect())
+    assert got == plain and len(got) == 2000
+    # the shuffle must be keyed on (k, salt), not k alone
+    assert "__salt" in _plan(salted)
+    assert "__salt" not in salted.columns
+
+
+def test_salted_left_join_keeps_unmatched(spark, skewed_df):
+    dim = spark.createDataFrame([("hot", 1.0)], "k string, w double")
+    out = salted_join(skewed_df, dim, ["k"], how="left", n_salts=4)
+    plain = skewed_df.join(dim, ["k"], "left")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_rejects_right_join(spark, skewed_df, dim_df):
+    with pytest.raises(ValueError):
+        salted_join(skewed_df, dim_df, ["k"], how="right")
+
+
+def test_salted_count_distinct_exact(spark, skewed_df):
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in salted_count_distinct(skewed_df, "k", "v", n_salts=8).collect()
+    }
+    want = {
+        r["k"]: r["nd"]
+        for r in skewed_df.groupBy("k")
+        .agg(F.count_distinct("v").alias("nd"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_bucketed_join_elides_exchanges(spark):
+    left = spark.range(5000).select(
+        F.col("id").alias("key"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(0, 5000, 2).select(
+        F.col("id").alias("key"), (F.col("id") % 13).alias("b")
+    )
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(left, "t_bl", "key", 8)
+        write_bucketed(right, "t_br", "key", 8)
+        joined = bucketed_join(spark, "t_bl", "t_br", ["key"])
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 2500
+        # identical unbucketed join DOES shuffle — the layout is the win
+        shuffled = left.join(right, ["key"])
+        assert "Exchange" in _plan(shuffled)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.sql("DROP TABLE IF EXISTS t_bl")
+        spark.sql("DROP TABLE IF EXISTS t_br")
+        shutil.rmtree("spark-warehouse", ignore_errors=True)
