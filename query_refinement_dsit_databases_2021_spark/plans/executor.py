@@ -76,12 +76,29 @@ class Engine:
         spark: SparkSession,
         strategy: str = "auto",
         partition_rows: int | None = None,
+        cache_dir: str | None = None,
     ):
         self.spark = spark
         self.strategy = strategy
         self.partition_rows = partition_rows
+        # K2 cache: the reference pickles its UDF map when the build
+        # exceeds 300 s and reloads it on demand
+        # (reference:src/server.py:249-286). Here the distributed UDF
+        # map (the candidates DataFrame) is written to parquet keyed by
+        # a fingerprint of (table, column, domains, measure set) — the
+        # exact inputs that determine its content. Opt-in via cache_dir.
+        self.cache_dir = cache_dir
         self._tables: dict[str, DataFrame] = {}
         self.last_info = ExecutionInfo()
+
+    def _cache_key(self, spec: QuerySpec) -> str:
+        import hashlib
+
+        measures = sorted(
+            {(c.name, c.args) for c in spec.constraints}
+        )  # bounds/targets don't change candidate values — only measures do
+        raw = repr((spec.table, spec.column, spec.x_domain, spec.lx_domain, measures))
+        return hashlib.sha256(raw.encode()).hexdigest()[:24]
 
     # -- catalog (SURVEY §2.1 S6) --------------------------------------
     def register_series(self, name: str, df: DataFrame) -> None:
@@ -149,9 +166,21 @@ class Engine:
         )
 
         strategy = self.strategy if self.strategy != "auto" else pick_strategy(spec)
-        candidates = build_candidates(
-            segment, spec, t_start, t_end, strategy, self.partition_rows
-        ).persist()  # O4: reused by split, count, scoring, min/max
+        if self.cache_dir is not None:
+            import os
+
+            path = os.path.join(
+                self.cache_dir, f"udfmap_{self._cache_key(spec)}.parquet"
+            )
+            if not os.path.exists(path):
+                build_candidates(
+                    segment, spec, t_start, t_end, strategy, self.partition_rows
+                ).write.mode("overwrite").parquet(path)
+            candidates = self.spark.read.parquet(path).persist()
+        else:
+            candidates = build_candidates(
+                segment, spec, t_start, t_end, strategy, self.partition_rows
+            ).persist()  # O4: reused by split, count, scoring, min/max
 
         info = ExecutionInfo(
             spec=spec,

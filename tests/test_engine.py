@@ -160,3 +160,46 @@ def test_query_text_end_to_end(engine):
     )
     assert _pairs(df) == want
     assert df.columns == ["time_id", "offset"]
+
+
+def test_udf_map_parquet_cache(spark, tmp_path, series_tiny):
+    """K2: candidates cache round-trips through parquet and is reused
+    across executions AND constraint-bound changes (the cache key is
+    (table, column, domains, measures) — bounds don't affect it)."""
+    import os
+
+    from query_refinement_dsit_databases_2021_spark.plans.executor import Engine
+    from query_refinement_dsit_databases_2021_spark.plans.spec import (
+        ConstraintSpec,
+        QuerySpec,
+    )
+
+    cache = str(tmp_path / "udfcache")
+    os.makedirs(cache)
+    eng = Engine(spark, cache_dir=cache)
+    eng.register_series("t", series_tiny)
+
+    def spec(lo, hi):
+        return QuerySpec(
+            "t", "y", (2, 10), (2, 4),
+            (ConstraintSpec("avg_amp", (), lo, hi),),
+        )
+
+    first = sorted(map(tuple, eng.execute(spec(1, 3)).collect()))
+    files = os.listdir(cache)
+    assert len(files) == 1
+    mtime = os.path.getmtime(os.path.join(cache, files[0]))
+    # same measures, different bounds -> same cache entry, not rebuilt
+    second = sorted(map(tuple, eng.execute(spec(2, 5)).collect()))
+    assert os.listdir(cache) == files
+    assert os.path.getmtime(os.path.join(cache, files[0])) == mtime
+    # results match an uncached engine exactly
+    plain = Engine(spark)
+    plain.register_series("t", series_tiny)
+    assert first == sorted(map(tuple, plain.execute(spec(1, 3)).collect()))
+    assert second == sorted(map(tuple, plain.execute(spec(2, 5)).collect()))
+    # different domains -> a second cache entry
+    eng.execute(
+        QuerySpec("t", "y", (2, 8), (2, 4), (ConstraintSpec("avg_amp", (), 1, 3),))
+    ).collect()
+    assert len(os.listdir(cache)) == 2
