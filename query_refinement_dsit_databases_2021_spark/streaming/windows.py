@@ -157,6 +157,60 @@ def running_max_by_type(events: DataFrame, timeout_ms: int = 0) -> DataFrame:
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    max_lag: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream event-time interval join: pair each left event
+    with right events of the same user arriving within ``max_lag``
+    after it. Both sides carry a watermark so Spark can bound the
+    join state (left rows are evicted once the right watermark
+    passes ``ts + max_lag``; the retention window is derived from
+    the time-range condition). Inner joins emit eagerly on match,
+    so append mode needs no window close. Works identically on
+    batch inputs (watermark is a no-op there).
+
+    State scales with events per user inside the lag window per
+    partition — the join shuffles both sides by ``user_id``, so hot
+    users should be pre-salted upstream if skewed."""
+    c = left.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("left_id"),
+        F.col("user_id").alias("left_user"),
+        F.col("ts").alias("left_ts"),
+    )
+    p = right.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("right_id"),
+        "user_id",
+        F.col("ts").alias("right_ts"),
+    )
+    cond = (
+        (F.col("left_user") == F.col("user_id"))
+        & (F.col("right_ts") >= F.col("left_ts"))
+        & (F.col("right_ts") < F.col("left_ts") + F.expr(f"INTERVAL {max_lag}"))
+    )
+    return c.join(p, cond, "inner").select("left_id", "right_id", "user_id")
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "35 days",
+) -> DataFrame:
+    """Streaming deduplication with bounded state: first event per
+    key is emitted, later duplicates are dropped while the key's
+    state lives; state is reclaimed once the watermark passes its
+    first-seen timestamp plus the delay. With a delay covering the
+    whole input span this equals batch ``dropDuplicates`` on the
+    keys — the equivalence the tests assert. Streaming-only API
+    (batch raises); the batch analogue for oracles is a plain
+    key-projection + dropDuplicates."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Batch-analogue workloads: Spark's unified model runs the SAME plans
 # on batch input, so the driver's DuckDB oracle can check the window
@@ -193,6 +247,22 @@ SELECT min(ts) AS session_start,
 FROM g GROUP BY user_id, sid"""
 
 
+# batch analogue of interval_join (click -> purchase within 2 h); the
+# DuckDB self-join states the identical time-range condition
+ORACLE_INTERVAL_JOIN = """
+SELECT c.event_id AS left_id, p.event_id AS right_id, c.user_id
+FROM events c
+JOIN events p ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL '2 hours'
+WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+ORDER BY left_id, right_id"""
+
+# batch analogue of dedup_within_watermark with a span-covering delay:
+# the surviving key set is exactly DISTINCT over the keys
+ORACLE_DEDUP_KEYS = """
+SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type"""
+
+
 def _events(spark, sf_dir):
     from query_refinement_dsit_databases_2021_spark.workloads import register_views
 
@@ -208,6 +278,27 @@ def _wl_sessionized(spark, sf_dir):
     return sessionized(_events(spark, sf_dir))
 
 
+def _wl_interval_join(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return interval_join(
+        ev.where("event_type = 'click'"),
+        ev.where("event_type = 'purchase'"),
+        max_lag="2 hours",
+    ).orderBy("left_id", "right_id")
+
+
+def _wl_dedup_keys(spark, sf_dir):
+    # batch path: dropDuplicatesWithinWatermark is streaming-only, and
+    # with the span-covering delay used here its key set equals plain
+    # dropDuplicates (test_streaming.py asserts that equivalence)
+    return (
+        _events(spark, sf_dir)
+        .select("user_id", "event_type")
+        .dropDuplicates()
+        .orderBy("user_id", "event_type")
+    )
+
+
 def streaming_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
@@ -216,6 +307,8 @@ def streaming_workloads():
             "stream_windowed_rollup", _wl_windowed_rollup, ORACLE_WINDOWED_ROLLUP, True
         ),
         Workload("stream_sessionized", _wl_sessionized, ORACLE_SESSIONIZED, False),
+        Workload("stream_interval_join", _wl_interval_join, ORACLE_INTERVAL_JOIN, False),
+        Workload("stream_dedup_keys", _wl_dedup_keys, ORACLE_DEDUP_KEYS, False),
     ]
 
 

@@ -103,6 +103,48 @@ def test_session_totals_cover_all_events(spark, events_dir):
     )
 
 
+def test_interval_join_matches_batch(spark, events_dir):
+    # stream-stream inner interval join (click -> purchase within 2 h):
+    # append mode emits eagerly on match; the final table must equal the
+    # same join run as one batch over the same files
+    stream = W.read_event_stream(spark, events_dir)
+    joined = W.interval_join(
+        stream.where("event_type = 'click'"),
+        stream.where("event_type = 'purchase'"),
+        max_lag="2 hours",
+        watermark="2 hours",
+    )
+    W.run_to_memory_sink(joined, "ij", output_mode="append")
+    got = sorted(tuple(r) for r in spark.table("ij").collect())
+    batch = _batch_events(spark, events_dir)
+    expected = sorted(
+        tuple(r)
+        for r in W.interval_join(
+            batch.where("event_type = 'click'"),
+            batch.where("event_type = 'purchase'"),
+            max_lag="2 hours",
+        ).collect()
+    )
+    assert got == expected and len(got) > 0
+
+
+def test_dedup_within_watermark_matches_batch_distinct(spark, events_dir):
+    # with a delay covering the whole input span no state expires, so
+    # the streaming dedup's key set equals batch DISTINCT on the keys
+    stream = W.read_event_stream(spark, events_dir)
+    dd = W.dedup_within_watermark(stream, watermark="35 days")
+    W.run_to_memory_sink(dd.select("user_id", "event_type"), "dd", "append")
+    got = sorted(tuple(r) for r in spark.table("dd").collect())
+    expected = sorted(
+        tuple(r)
+        for r in _batch_events(spark, events_dir)
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    )
+    assert got == expected and len(got) > 0
+
+
 def test_running_max_stateful(spark, events_dir):
     stream = W.read_event_stream(spark, events_dir)
     W.run_to_memory_sink(
