@@ -55,7 +55,12 @@ def shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     Documents with fewer than k tokens produce no shingles (guarded:
     Spark's ``sequence(1, n)`` would count *down* for n < 1).
     """
-    ws = tokens(F.col("text"))
+    # materialize the token array in its own projection: referencing the
+    # split expression directly inside the transform lambda makes codegen
+    # re-split the text for every element_at — O(tokens^2 * k) per doc
+    # (measured 8-10x slower at sf0.1)
+    base = docs.select("doc_id", tokens(F.col("text")).alias("ws"))
+    ws = F.col("ws")
     n = F.size(ws)
     idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
         F.array().cast("array<int>")
@@ -66,7 +71,7 @@ def shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
             "|", *[F.element_at(ws, i + int(j)) for j in range(k)]
         ),
     )
-    return docs.select(
+    return base.select(
         "doc_id", F.explode(F.array_distinct(sh)).alias("s")
     )
 
@@ -98,7 +103,10 @@ def quality_columns(docs: DataFrame) -> DataFrame:
     - ``avg_word_len``: mean token length
     - ``quality``: fixed linear blend, higher = better
     """
-    ws = tokens(F.col("text"))
+    # same single-projection materialization as shingles(): the token
+    # array is referenced by four expressions below
+    docs = docs.select("doc_id", tokens(F.col("text")).alias("ws"))
+    ws = F.col("ws")
     n_tok = F.size(ws)
     n_typ = F.size(F.array_distinct(ws))
     n_stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
