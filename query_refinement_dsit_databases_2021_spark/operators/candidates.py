@@ -61,8 +61,25 @@ def _dedup_constraints(spec: QuerySpec):
 
 
 def pick_strategy(spec: QuerySpec) -> str:
+    # a non-native measure (e.g. median_amp, PythonKernelMeasure)
+    # forces the Arrow/pandas escape hatch; otherwise pick the native
+    # strategy by offset-domain size
+    for con in spec.constraints:
+        mdef = REGISTRY.get(con.name)
+        if mdef is not None and not mdef.native:
+            return "pandas"
     l0, l1 = spec.lx_domain
     return "window" if (l1 - l0 + 1) <= WINDOW_STRATEGY_MAX_OFFSETS else "sparse"
+
+
+def _require_native(measures: dict, strategy: str) -> None:
+    for col_name, (mdef, _args) in measures.items():
+        if not mdef.native:
+            raise QueryError(
+                f"ERROR: measure {mdef.name!r} has no native "
+                f"{strategy}-strategy form; use strategy='pandas' (auto "
+                "picks it when the measure appears in a query)"
+            )
 
 
 def build_candidates(
@@ -95,6 +112,8 @@ def build_candidates(
         return _build_window(segment, spec, t_start, t_end, partition_rows)
     if strategy == "sparse":
         return _build_sparse(segment, spec, t_start, t_end, partition_rows)
+    if strategy == "pandas":
+        return _build_pandas(segment, spec, t_start, t_end, partition_rows)
     raise QueryError(f"unknown strategy: {strategy}")
 
 
@@ -156,6 +175,7 @@ def _build_window(
     x0, x1 = spec.x_domain
     l0, l1 = spec.lx_domain
     measures = _dedup_constraints(spec)
+    _require_native(measures, "window")
 
     reach_fwd, reach_bwd = 0, 0
     for mdef, args in measures.values():
@@ -216,6 +236,7 @@ def _build_sparse(
     x0, x1 = spec.x_domain
     l0, l1 = spec.lx_domain
     measures = _dedup_constraints(spec)
+    _require_native(measures, "sparse")
 
     # sparse-table depth: longest max/min interval any measure queries
     longest_max, longest_min = 1, 1
@@ -311,3 +332,76 @@ def _build_sparse(
 
     out = out.select("x", "lx", *[e.alias(n) for n, e in measure_exprs.items()])
     return out
+
+
+# ---------------------------------------------------------------------------
+# strategy P: Arrow-batched Python kernels (the UDF escape hatch)
+# ---------------------------------------------------------------------------
+
+def _build_pandas(
+    segment: DataFrame,
+    spec: QuerySpec,
+    t_start: int,
+    t_end: int,
+    partition_rows: int | None,
+) -> DataFrame:
+    """Evaluate measures through their ``py_kernel`` — the reference's
+    own UDF contract ``f(series, x, lx, args) -> float``
+    (reference:src/server.py:960-1016) — with ``applyInPandas`` over
+    halo-complete blocks. This is the compatibility path for measures
+    the native strategies can't express (median, user Python kernels);
+    it distributes the reference's single-process UDF-map build
+    (reference:src/server.py:291-351) across block partitions, at
+    Python-kernel cost per candidate. Prefer W/S when expressible.
+
+    Scale shape: one Arrow exchange of the (haloed) segment, then
+    embarrassingly parallel per-block NumPy; no driver collect, state
+    per task = one block + halo."""
+    import pandas as pd
+
+    x0, x1 = spec.x_domain
+    l0, l1 = spec.lx_domain
+    measures = _dedup_constraints(spec)
+    meas_items = list(measures.items())  # [(col_name, (mdef, args))]
+
+    reach_fwd, reach_bwd = 0, 0
+    for mdef, args in measures.values():
+        f, b = mdef.w_reach(l1, args)
+        reach_fwd, reach_bwd = max(reach_fwd, f), max(reach_bwd, b)
+
+    block = _block_size(partition_rows, reach_fwd, reach_bwd)
+    seg2, _true_pid = _halo_partition(
+        segment, t_start, t_end, block, reach_fwd, reach_bwd
+    )
+
+    schema = "x long, lx int, " + ", ".join(
+        f"{name} double" for name in measures
+    )
+    out_cols = ["x", "lx", *measures.keys()]
+
+    def compute(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("time_id")
+        y = pdf["y"].to_numpy()
+        t0b = int(pdf["time_id"].iloc[0])
+        wpid = int(pdf["wpid"].iloc[0])
+        # true block bounds (halo rows only feed neighbouring windows)
+        blk_lo = t_start + wpid * block
+        blk_hi = min(blk_lo + block - 1, t_end)
+        rows = []
+        for x in range(max(blk_lo, x0), min(blk_hi, x1) + 1):
+            i = x - t0b
+            left_gap = x - t_start
+            for lx in range(l0, l1 + 1):
+                if x + lx > t_end:  # complete-window guard (as W/S)
+                    break
+                right_gap = t_end - (x + lx)
+                rows.append(
+                    (x, lx)
+                    + tuple(
+                        mdef.py_kernel(y, i, lx, args, left_gap, right_gap)
+                        for _n, (mdef, args) in meas_items
+                    )
+                )
+        return pd.DataFrame(rows, columns=out_cols)
+
+    return seg2.groupBy("wpid").applyInPandas(compute, schema)

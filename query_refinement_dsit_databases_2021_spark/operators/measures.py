@@ -129,10 +129,20 @@ class WindowFrame:
 
 
 class MeasureDef:
-    """Base class; subclasses implement both physical strategies."""
+    """Base class; subclasses implement the physical strategies.
+
+    ``native`` measures implement W (window frames) and S (sparse
+    table) as Column builders — the JVM-side fast paths. Every measure
+    additionally implements ``py_kernel``, the Arrow-batched escape
+    hatch (strategy P, ``candidates._build_pandas``): the reference's
+    own kernel contract ``f(series, x, lx, args) -> float``
+    (reference:src/server.py:960-1016) evaluated per candidate over a
+    halo-complete NumPy block. Non-native measures (``native=False``)
+    run only under strategy P; the planner auto-selects it."""
 
     name: str = ""
     n_args: int = 0
+    native: bool = True
 
     # --- strategy W -------------------------------------------------
     def w_frames(self, lx: int, args: tuple) -> list[WindowFrame]:
@@ -143,7 +153,8 @@ class MeasureDef:
 
     def w_reach(self, l1: int, args: tuple) -> tuple[int, int]:
         """(forward, backward) halo row reach required at partition
-        boundaries for this measure's frames."""
+        boundaries for this measure's window/kernel accesses. Used by
+        BOTH strategy W and strategy P to size halo duplication."""
         raise NotImplementedError
 
     # --- strategy S -------------------------------------------------
@@ -159,6 +170,18 @@ class MeasureDef:
         """Longest MIN-interval this measure queries; 0 if it needs no
         doubling-min levels (the builder then skips the ``Mn`` table)."""
         return 0
+
+    # --- strategy P (Arrow/pandas escape hatch) ---------------------
+    def py_kernel(
+        self,
+        y,  # np.ndarray: the block's series values (halo-complete)
+        i: int,  # window start index into y
+        lx: int,
+        args: tuple,
+        left_gap: int,  # x - t_start (rows available before x globally)
+        right_gap: int,  # t_end - (x + lx) (rows after the window end)
+    ) -> float:
+        raise NotImplementedError
 
 
 def _wmax_frame(lx: int) -> WindowFrame:
@@ -184,6 +207,9 @@ class AvgAmp(MeasureDef):
         s_x = ctx.col_at(ctx.x, "S")
         y_x = ctx.col_at(ctx.x, "y")
         return (s_end - s_x + y_x) / (ctx.lx + F.lit(1)).cast("double")
+
+    def py_kernel(self, y, i, lx, args, left_gap, right_gap):
+        return float(y[i : i + lx + 1].mean())
 
 
 class MaxAmpExcessRight(MeasureDef):
@@ -212,6 +238,14 @@ class MaxAmpExcessRight(MeasureDef):
     def s_max_interval(self, l1, args):
         return max(l1 + 1, args[0] + 1)
 
+    def py_kernel(self, y, i, lx, args, left_gap, right_gap):
+        # boundary point x+lx in BOTH windows; neighborhood clamped at
+        # the segment end (reference:src/server.py:978-992)
+        w = args[0]
+        j = i + lx
+        lxp = min(w, right_gap)
+        return float(y[i : j + 1].max() - y[j : j + lxp + 1].max())
+
 
 class MaxAmpExcessLeft(MeasureDef):
     name = "max_amp_excess_left"
@@ -237,6 +271,13 @@ class MaxAmpExcessLeft(MeasureDef):
 
     def s_max_interval(self, l1, args):
         return max(l1 + 1, args[0] + 1)
+
+    def py_kernel(self, y, i, lx, args, left_gap, right_gap):
+        # boundary point x shared; clamped at the segment start
+        # (reference:src/server.py:1006-1015)
+        w = args[0]
+        wp = min(w, left_gap)
+        return float(y[i : i + lx + 1].max() - y[i - wp : i + 1].max())
 
 
 # ---------------------------------------------------------------------------
@@ -265,6 +306,9 @@ class SumAmp(MeasureDef):
         y_x = ctx.col_at(ctx.x, "y")
         return s_end - s_x + y_x
 
+    def py_kernel(self, y, i, lx, args, left_gap, right_gap):
+        return float(y[i : i + lx + 1].sum())
+
 
 class MinAmp(MeasureDef):
     """Minimum amplitude over the window: min(y[x..x+lx])."""
@@ -286,6 +330,9 @@ class MinAmp(MeasureDef):
 
     def s_min_interval(self, l1, args):
         return l1 + 1
+
+    def py_kernel(self, y, i, lx, args, left_gap, right_gap):
+        return float(y[i : i + lx + 1].min())
 
 
 class RangeAmp(MeasureDef):
@@ -314,6 +361,65 @@ class RangeAmp(MeasureDef):
     def s_min_interval(self, l1, args):
         return l1 + 1
 
+    def py_kernel(self, y, i, lx, args, left_gap, right_gap):
+        win = y[i : i + lx + 1]
+        return float(win.max() - win.min())
+
+
+# ---------------------------------------------------------------------------
+# non-native measures: semantics the built-in window/sparse operators
+# cannot express — they run on strategy P (applyInPandas), which the
+# planner auto-selects when such a measure appears in a query
+# ---------------------------------------------------------------------------
+
+class MedianAmp(MeasureDef):
+    """Exact median of ``y`` over [x, x+lx]. Spark's ``median``/
+    ``percentile`` aggregates reject window frames
+    (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC) and an exact median is
+    not decomposable into prefix/doubling tables, so this is the
+    canonical escape-hatch measure: NumPy ``median`` per candidate
+    window under strategy P."""
+
+    name = "median_amp"
+    n_args = 0
+    native = False
+
+    def w_reach(self, l1, args):
+        return (l1, 0)
+
+    def py_kernel(self, y, i, lx, args, left_gap, right_gap):
+        import numpy as np
+
+        return float(np.median(y[i : i + lx + 1]))
+
+
+class PythonKernelMeasure(MeasureDef):
+    """Wrap an arbitrary user kernel ``f(y, i, lx, args) -> float``
+    (the reference's UDF contract, reference:src/server.py:960-1016)
+    as a registrable measure. ``reach`` sizes the halo: rows the
+    kernel may touch beyond the window end / before the window start,
+    as a function of ``(l1, args)``."""
+
+    native = False
+
+    def __init__(
+        self,
+        name: str,
+        kernel: Callable,
+        n_args: int = 0,
+        reach: Callable[[int, tuple], tuple] = lambda l1, args: (l1, 0),
+    ) -> None:
+        self.name = name
+        self._kernel = kernel
+        self.n_args = n_args
+        self._reach = reach
+
+    def w_reach(self, l1, args):
+        return self._reach(l1, args)
+
+    def py_kernel(self, y, i, lx, args, left_gap, right_gap):
+        return float(self._kernel(y, i, lx, args))
+
 
 REGISTRY: dict[str, MeasureDef] = {
     m.name: m
@@ -324,6 +430,7 @@ REGISTRY: dict[str, MeasureDef] = {
         SumAmp(),
         MinAmp(),
         RangeAmp(),
+        MedianAmp(),
     )
 }
 
@@ -331,5 +438,7 @@ REGISTRY: dict[str, MeasureDef] = {
 def register_measure(measure: MeasureDef) -> None:
     """Extension hook for user-defined interval measures (the Spark
     analogue of adding a kernel to reference:src/server.py:960-1016 and
-    its name to reference:src/client.py:160)."""
+    its name to reference:src/client.py:160). Native measures plug
+    into the W/S Column builders; ``PythonKernelMeasure`` instances
+    run via the Arrow-batched strategy P."""
     REGISTRY[measure.name] = measure

@@ -35,6 +35,8 @@ def measures_for(y_by_t: dict[int, float], t_start: int, t_end: int, x: int, lx:
         return float(min(win))
     if name == "range_amp":
         return float(max(win) - min(win))
+    if name == "median_amp":
+        return float(np.median(win))
     raise KeyError(name)
 
 

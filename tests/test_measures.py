@@ -43,7 +43,7 @@ CONS_ALL = [
 ]
 
 
-@pytest.mark.parametrize("strategy", ["window", "sparse"])
+@pytest.mark.parametrize("strategy", ["window", "sparse", "pandas"])
 def test_measures_match_bruteforce(spark, series_tiny, strategy):
     spec = _spec((1, 15), (0, 5), CONS_ALL)
     seg = series_tiny  # whole table: [1, 20] covers x1 + l1 = 20
@@ -55,7 +55,7 @@ def test_measures_match_bruteforce(spark, series_tiny, strategy):
             assert got[key][col] == pytest.approx(val, abs=1e-9), (key, col)
 
 
-@pytest.mark.parametrize("strategy", ["window", "sparse"])
+@pytest.mark.parametrize("strategy", ["window", "sparse", "pandas"])
 def test_hand_computed_values(spark, series_tiny, strategy):
     # avg_amp over [2,5] = mean(1,2,3,4) = 2.5  (inclusive both ends)
     # excess_right(3) at x=2,lx=3: win [2,5]=max 4; nbr [5, 5+3]=[4,5,5,5]->5; 4-5=-1
@@ -67,7 +67,7 @@ def test_hand_computed_values(spark, series_tiny, strategy):
     assert got[(6, 2)]["m_max_amp_excess_left_4"] == pytest.approx(0.0)
 
 
-@pytest.mark.parametrize("strategy", ["window", "sparse"])
+@pytest.mark.parametrize("strategy", ["window", "sparse", "pandas"])
 def test_edge_clamping(spark, series_tiny, strategy):
     # left neighborhood at x=1 clamps to w'=0 -> nbr=[x..x]=y[1]; excess = win_max - y[1]
     # right neighborhood at the last candidate clamps at t_end
@@ -79,7 +79,7 @@ def test_edge_clamping(spark, series_tiny, strategy):
     assert got[(18, 2)]["m_max_amp_excess_right_3"] == pytest.approx(1.0)
 
 
-@pytest.mark.parametrize("strategy", ["window", "sparse"])
+@pytest.mark.parametrize("strategy", ["window", "sparse", "pandas"])
 def test_incomplete_windows_dropped(spark, series_tiny, strategy):
     # x+lx beyond data end must be dropped, not truncated
     spec = _spec((15, 20), (3, 8), [ConstraintSpec("avg_amp", (), None, None)])
@@ -88,7 +88,7 @@ def test_incomplete_windows_dropped(spark, series_tiny, strategy):
     assert (17, 3) in got and (18, 3) not in got
 
 
-@pytest.mark.parametrize("strategy", ["window", "sparse"])
+@pytest.mark.parametrize("strategy", ["window", "sparse", "pandas"])
 def test_halo_partitioning_invariant(spark, strategy):
     """Small partition blocks (forcing real halo duplication) must not
     change any measure value vs the single-block plan."""
@@ -117,7 +117,7 @@ EXT_CONS = [
 ]
 
 
-@pytest.mark.parametrize("strategy", ["window", "sparse"])
+@pytest.mark.parametrize("strategy", ["window", "sparse", "pandas"])
 def test_extension_measures_match_bruteforce(spark, series_tiny, strategy):
     spec = _spec((1, 15), (0, 5), EXT_CONS)
     got = _collect(build_candidates(series_tiny, spec, 1, 20, strategy, partition_rows=4))
@@ -128,7 +128,7 @@ def test_extension_measures_match_bruteforce(spark, series_tiny, strategy):
             assert got[key][col] == pytest.approx(val, abs=1e-9), (key, col)
 
 
-@pytest.mark.parametrize("strategy", ["window", "sparse"])
+@pytest.mark.parametrize("strategy", ["window", "sparse", "pandas"])
 def test_extension_measures_hand_values(spark, series_tiny, strategy):
     # series y = [0,1,2,3,4,5,5,5,5,10,0,-3,2,2,2,2,8,1,0,0] at t=1..20
     # sum_amp over [2,5]   = 1+2+3+4 = 10
@@ -139,6 +139,69 @@ def test_extension_measures_hand_values(spark, series_tiny, strategy):
     assert got[(2, 3)]["m_sum_amp"] == pytest.approx(10.0)
     assert got[(10, 3)]["m_min_amp"] == pytest.approx(-3.0)
     assert got[(9, 3)]["m_range_amp"] == pytest.approx(13.0)
+
+
+def test_median_measure_pandas_strategy(spark, series_tiny):
+    """median_amp (non-native) matches the brute oracle and forces
+    strategy P through the auto planner."""
+    from query_refinement_dsit_databases_2021_spark.operators.candidates import (
+        pick_strategy,
+    )
+
+    cons = [
+        ConstraintSpec("median_amp", (), 1, 5),
+        ConstraintSpec("avg_amp", (), 0, 10),
+    ]
+    spec = _spec((1, 15), (0, 5), cons)
+    assert pick_strategy(spec) == "pandas"
+    got = _collect(build_candidates(series_tiny, spec, 1, 20, "pandas", partition_rows=4))
+    want = brute_candidates([(i + 1, float(y)) for i, y in enumerate(Y)], spec)
+    assert set(got) == set(want)
+    for key in want:
+        for col, val in want[key].items():
+            assert got[key][col] == pytest.approx(val, abs=1e-9), (key, col)
+    # even count interpolates: median over [2,5] = median(1,2,3,4) = 2.5
+    assert got[(2, 3)]["m_median_amp"] == pytest.approx(2.5)
+
+
+def test_median_rejected_by_native_strategies(spark, series_tiny):
+    from query_refinement_dsit_databases_2021_spark.errors import QueryError
+
+    spec = _spec((1, 15), (0, 5), [ConstraintSpec("median_amp", (), 1, 5)])
+    for strategy in ("window", "sparse"):
+        with pytest.raises(QueryError, match="median_amp"):
+            build_candidates(series_tiny, spec, 1, 20, strategy)
+
+
+def test_python_kernel_measure_end_to_end(spark, series_tiny):
+    """PythonKernelMeasure: a user kernel with the reference's UDF
+    contract f(y, i, lx, args) runs through parser + engine, with the
+    planner auto-selecting strategy P (SURVEY §2.11 escape hatch)."""
+    from query_refinement_dsit_databases_2021_spark.operators.measures import (
+        REGISTRY,
+        PythonKernelMeasure,
+        register_measure,
+    )
+    from query_refinement_dsit_databases_2021_spark.plans.executor import Engine
+
+    def zero_crossings(y, i, lx, args):
+        win = y[i : i + lx + 1]
+        return float(((win[:-1] * win[1:]) < 0).sum())
+
+    register_measure(PythonKernelMeasure("zero_crossings", zero_crossings))
+    try:
+        engine = Engine(spark)
+        engine.register_series("t", series_tiny)
+        out = engine.execute(
+            "SELECT time_id, offset IN_DOMAIN [9, 13], [3, 3]\n"
+            "FROM t.y\nWHERE zero_crossings() in [1, None] MAX\n"
+        )
+        got = sorted((r.time_id, r.offset) for r in out.collect())
+        assert engine.last_info.strategy == "pandas"
+        # strict sign products: y[12..15] = -3,2,2,2 -> one crossing
+        assert got == [(10, 3), (11, 3), (12, 3)]
+    finally:
+        REGISTRY.pop("zero_crossings", None)
 
 
 def test_register_measure_extends_parser(spark, series_tiny):
