@@ -1,0 +1,84 @@
+"""Continuous query refinement: the CP engine over an unbounded series.
+
+The reference is batch-only (SURVEY §2.10); this extension re-runs a
+refinement query as the series grows, the Structured Streaming way:
+the stream is the *driver* of recomputation, the scoring itself stays
+the batch dataflow (``plans/executor.Engine``), invoked per
+micro-batch through ``foreachBatch`` — the standard pattern for
+semantics that need a full re-rank over all data seen so far (top-k
+with relaxation/tightening is not incrementally decomposable: one new
+point can flip pass/fail for every overlapping window AND shift the
+global RD normalizers).
+
+Scale shape: each trigger appends the new rows to a parquet series
+sink (cheap, append-only), then runs the ordinary distributed engine
+over the accumulated series — so per-trigger cost is one batch query
+at current data size, with all of the engine's pushdown/halo
+machinery intact. State held by the stream itself: none beyond the
+file-source offsets; there is no driver-side accumulation of data.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def refine_on_stream(
+    events: DataFrame,
+    series_path: str,
+    query_text: str,
+    results_path: str,
+    engine_factory: Callable | None = None,
+    series_name: str = "stream_series",
+) -> "Callable[[DataFrame, int], None]":
+    """Build the ``foreachBatch`` function for continuous refinement.
+
+    ``events``: streaming DataFrame with ``(time_id, y)`` rows (dense,
+    in arrival order). Each micro-batch is appended to the parquet
+    series at ``series_path``; the CP ``query_text`` (reference
+    grammar) is then re-run over the whole accumulated series, and the
+    refined result set — stamped with ``batch_id`` — is appended to
+    ``results_path``. Query domains with ``None`` bounds re-resolve
+    against the grown series every trigger, so an open upper domain
+    follows the stream head.
+
+    Returns the batch function; attach with::
+
+        events.writeStream.foreachBatch(fn).trigger(...).start()
+    """
+    from query_refinement_dsit_databases_2021_spark.plans.executor import Engine
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df.select("time_id", "y").write.mode("append").parquet(series_path)
+        engine = engine_factory(spark) if engine_factory else Engine(spark)
+        engine.register_parquet(series_name, series_path)
+        result = engine.execute(query_text)
+        (
+            result.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(results_path)
+        )
+
+    return process_batch
+
+
+def run_refine_stream(
+    events: DataFrame,
+    series_path: str,
+    query_text: str,
+    results_path: str,
+    engine_factory: Callable | None = None,
+):
+    """Drive the stream until all available input is processed (test/
+    dev harness; production attaches a real trigger/checkpoint)."""
+    fn = refine_on_stream(
+        events, series_path, query_text, results_path, engine_factory
+    )
+    q = events.writeStream.foreachBatch(fn).outputMode("update").start()
+    q.processAllAvailable()
+    q.stop()
+    return q

@@ -145,6 +145,76 @@ def test_dedup_within_watermark_matches_batch_distinct(spark, events_dir):
     assert got == expected and len(got) > 0
 
 
+def test_foreachbatch_continuous_refinement(spark, tmp_path):
+    # SURVEY §2.10: refinement rescoring as a foreachBatch batch job.
+    # A dense series arrives in 3 time-ordered slices; every trigger
+    # appends to the series sink and re-runs the refined CP query over
+    # all data so far. The final batch must equal a direct batch run
+    # on the full series; the first batch must equal a run on slice 0.
+    import math
+
+    from query_refinement_dsit_databases_2021_spark.plans.executor import Engine
+    from query_refinement_dsit_databases_2021_spark.streaming.refine import (
+        run_refine_stream,
+    )
+
+    n, slices = 600, 3
+    rows = [(i, 40.0 + 30.0 * math.sin(i / 9.0)) for i in range(1, n + 1)]
+    src = tmp_path / "src"
+    src.mkdir()
+    per = n // slices
+    for s in range(slices):
+        spark.createDataFrame(
+            rows[s * per : (s + 1) * per], "time_id long, y double"
+        ).coalesce(1).write.parquet(str(src / f"slice{s}"))
+    # one directory of files, named in time order
+    import glob
+    import os
+
+    stream_dir = tmp_path / "stream"
+    stream_dir.mkdir()
+    for s in range(slices):
+        part = glob.glob(str(src / f"slice{s}" / "part-*.parquet"))[0]
+        os.rename(part, str(stream_dir / f"{s:04d}.parquet"))
+
+    q = (
+        "SELECT time_id, offset IN_DOMAIN [1, None], [3, 8]\n"
+        "FROM stream_series.y\nWHERE avg_amp() in [60, 70] MAX\nLIMIT REFINED 10\n"
+    )
+    series_path = str(tmp_path / "series.parquet")
+    results_path = str(tmp_path / "results.parquet")
+    events = (
+        spark.readStream.schema("time_id long, y double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    run_refine_stream(events, series_path, q, results_path)
+
+    results = spark.read.parquet(results_path)
+    batches = sorted(r["batch_id"] for r in results.select("batch_id").distinct().collect())
+    assert batches == [0, 1, 2]
+
+    def batch_run(upto):
+        eng = Engine(spark)
+        eng.register_series(
+            "stream_series",
+            spark.createDataFrame(rows[:upto], "time_id long, y double"),
+        )
+        return sorted((r.time_id, r.offset) for r in eng.execute(q).collect())
+
+    got_last = sorted(
+        (r.time_id, r.offset)
+        for r in results.where(F.col("batch_id") == 2).collect()
+    )
+    assert got_last == batch_run(n)
+    got_first = sorted(
+        (r.time_id, r.offset)
+        for r in results.where(F.col("batch_id") == 0).collect()
+    )
+    assert got_first == batch_run(per)
+    assert len(got_last) == 10
+
+
 def test_running_max_stateful(spark, events_dir):
     stream = W.read_event_stream(spark, events_dir)
     W.run_to_memory_sink(
