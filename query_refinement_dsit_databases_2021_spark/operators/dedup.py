@@ -49,11 +49,17 @@ SIMHASH_BANDS = 4  # 8 bits per band; hamming<=3 => >=1 band equal
 SIMHASH_MOD = 1 << SIMHASH_BITS
 
 
-def exact_dedup(docs: DataFrame) -> DataFrame:
+def exact_dedup(docs: DataFrame, by_hash: bool = False) -> DataFrame:
     """Exact duplicate groups: one row per distinct text with the
-    survivor (min doc_id) and the multiplicity."""
+    survivor (min doc_id) and the multiplicity.
+
+    ``by_hash=True`` groups on sha2-256(text) instead of the raw
+    text — identical groups (collisions are cryptographically
+    negligible) but the shuffle carries 32-byte keys instead of full
+    documents: the 100 TB form (SCALE.md)."""
+    key = F.sha2(F.col("text"), 256) if by_hash else F.col("text")
     return (
-        docs.groupBy("text")
+        docs.groupBy(key.alias("k"))
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
         .select("keep_id", "n_copies")
     )
@@ -240,16 +246,36 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, max_posting: int | None = None
+) -> DataFrame:
     """Exact n-gram (shingle-set) Jaccard similarity for all pairs
     sharing >=1 shingle, through the inverted index: join the shingle
     table to itself on the shingle, count intersections, divide by
     union size. Returns (doc_a, doc_b, jaccard) with jaccard >=
-    threshold, doc_a < doc_b."""
+    threshold, doc_a < doc_b.
+
+    ``max_posting`` caps the inverted index: shingles appearing in
+    more than that many documents ("stop shingles") are dropped
+    before the self-join, bounding the O(posting²) pair blowup at
+    corpus scale (SCALE.md). Scores then UNDER-estimate (intersections
+    lose capped shingles while union sizes keep them), so capped runs
+    trade exactness for a bounded shuffle — the MinHash path is the
+    calibrated approximation."""
     sh = shingles(docs).persist()
+    if max_posting is not None:
+        rare = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_posting)
+            .select("s")
+        )
+        joined_sh = sh.join(rare, "s").persist()
+    else:
+        joined_sh = sh
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    sa = joined_sh.select(F.col("doc_id").alias("doc_a"), "s")
+    sb = joined_sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
     inter = (
         sa.join(sb, (sa["s"] == sb["s_b"]) & (sa["doc_a"] < sb["doc_b"]))
         .groupBy("doc_a", "doc_b")

@@ -29,6 +29,38 @@ def test_exact_dedup_groups(docs):
     assert got == {1: 2, 3: 1, 4: 1, 5: 1}
 
 
+def test_exact_dedup_by_hash_identical_groups(docs):
+    # the 32-byte-key shuffle form must produce the same groups
+    a = sorted(tuple(r) for r in dedup.exact_dedup(docs).collect())
+    b = sorted(tuple(r) for r in dedup.exact_dedup(docs, by_hash=True).collect())
+    assert a == b
+
+
+def test_jaccard_posting_cap_bounds_join(docs, spark):
+    # every doc shares the stop-shingle; capping drops it from the
+    # inverted index, so pair scores can only shrink (or vanish)
+    rows = [(i, f"stop shingle here t{i} u{i} v{i}") for i in range(1, 6)]
+    rows += [(10, "stop shingle here t1 u1 v1")]  # true near-dup of 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.0).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            df, threshold=0.0, max_posting=2
+        ).collect()
+    }
+    assert set(capped) <= set(full)
+    for pair, j in capped.items():
+        assert j <= full[pair] + 1e-9
+    # the genuine near-dup pair survives the cap (its distinctive
+    # shingles are rare), while stop-shingle-only pairs drop out
+    assert (1, 10) in capped
+    assert len(capped) < len(full)
+
+
 def test_shingles_short_doc_empty(docs):
     sh = textops.shingles(docs)
     by_doc = (
