@@ -178,6 +178,19 @@ SELECT doc_id, media_type,
 FROM m"""
 
 
+ORACLE_MEDIA_FRAMES = f"""
+WITH m AS (
+  SELECT doc_id,
+         ((doc_id * 7) % 240 + 16)::INT AS height,
+         list_reduce(list_prepend(0::BIGINT,
+             list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+             (acc, c) -> acc + c) % {HASH_P} AS cs
+  FROM documents WHERE doc_id % 3 = 2)
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       (cs + i) % {HASH_P} AS frame_checksum
+FROM (SELECT doc_id, cs, unnest(range(0, height, 10)) AS i FROM m)"""
+
+
 def _wl_media_features(spark, sf_dir):
     from query_refinement_dsit_databases_2021_spark.workloads import register_views
 
@@ -185,9 +198,17 @@ def _wl_media_features(spark, sf_dir):
     return extract_features(synthesize_media(spark.table("documents")))
 
 
+def _wl_media_frames(spark, sf_dir):
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    return frame_sample(synthesize_media(spark.table("documents")))
+
+
 def multimodal_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
     return [
         Workload("pipe_media_features", _wl_media_features, ORACLE_MEDIA_FEATURES, False),
+        Workload("pipe_media_frames", _wl_media_frames, ORACLE_MEDIA_FRAMES, False),
     ]
