@@ -40,6 +40,17 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--out-dir", default="obj", help="sink dir for plot + timers")
     p.add_argument("--plot", action="store_true", help="save the result plot (K1)")
     p.add_argument("--scores", action="store_true", help="include RK/RP score column")
+    p.add_argument(
+        "--strategy",
+        default="auto",
+        choices=["auto", "window", "sparse", "pandas"],
+        help="candidate-build strategy (auto: cost rule + non-native measures)",
+    )
+    p.add_argument(
+        "--cache-dir",
+        default=None,
+        help="parquet cache dir for the candidate matrix (K2)",
+    )
     p.add_argument("--master", default=None, help="spark master override")
     return p
 
@@ -65,7 +76,7 @@ def main(argv: list[str] | None = None) -> int:
         spec = parse_query(text)
 
     name = args.name or os.path.splitext(os.path.basename(args.table))[0]
-    engine = Engine(spark)
+    engine = Engine(spark, strategy=args.strategy, cache_dir=args.cache_dir)
     with t.stage("get-data"):
         engine.register_parquet(name, args.table)
 
@@ -83,8 +94,13 @@ def main(argv: list[str] | None = None) -> int:
         f"candidates={info.udf_size} passing={info.n_passing}"
     )
     # K4: result-pair print (reference:src/server.py:888-898)
+    score_col = next((c for c in result.columns if c in ("rk", "rp")), None)
     for r in rows:
-        extra = f"  score={r['score']:.6f}" if args.scores and "score" in r else ""
+        extra = (
+            f"  {score_col}={r[score_col]:.6f}"
+            if args.scores and score_col
+            else ""
+        )
         print(f"time_id = {r['time_id']}, offset = {r['offset']}{extra}")
     print(f"{len(rows)} result(s)")
 

@@ -106,4 +106,31 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     captured = capsys.readouterr().out
     assert "5 result(s)" in captured
     assert "table emg_data" in captured
+    # --scores must actually print the score column (rk on this
+    # tighten path) — regression: the CLI once looked for a column
+    # named "score" that the engine never emits
+    assert "rk=" in captured
     assert os.path.exists(os.path.join(out_dir, "timers.csv"))
+
+
+def test_cli_strategy_flag(spark, tmp_path, capsys):
+    from query_refinement_dsit_databases_2021_spark.cli import main
+
+    table = str(tmp_path / "emg_data.parquet")
+    spark.createDataFrame(
+        [(i, 1.5 + math.sin(i / 7.0)) for i in range(1, 301)],
+        "time_id long, emg1 double",
+    ).write.mode("overwrite").parquet(table)
+    qf = tmp_path / "query.txt"
+    qf.write_text(
+        "SELECT time_id, offset IN_DOMAIN [50, 150], [5, 20]\n"
+        "FROM emg_data.emg1\nWHERE avg_amp() in [1, 2] MAX\nLIMIT REFINED 5\n"
+    )
+    rc = main(
+        [
+            "--table", table, "--query", str(qf),
+            "--out-dir", str(tmp_path / "obj2"), "--strategy", "sparse",
+        ]
+    )
+    assert rc == 0
+    assert "strategy=sparse" in capsys.readouterr().out
