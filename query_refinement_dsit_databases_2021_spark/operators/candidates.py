@@ -109,12 +109,25 @@ def build_candidates(
     if strategy == "auto":
         strategy = pick_strategy(spec)
     if strategy == "window":
-        return _build_window(segment, spec, t_start, t_end, partition_rows)
-    if strategy == "sparse":
-        return _build_sparse(segment, spec, t_start, t_end, partition_rows)
-    if strategy == "pandas":
-        return _build_pandas(segment, spec, t_start, t_end, partition_rows)
-    raise QueryError(f"unknown strategy: {strategy}")
+        out = _build_window(segment, spec, t_start, t_end, partition_rows)
+    elif strategy == "sparse":
+        out = _build_sparse(segment, spec, t_start, t_end, partition_rows)
+    elif strategy == "pandas":
+        out = _build_pandas(segment, spec, t_start, t_end, partition_rows)
+    else:
+        raise QueryError(f"unknown strategy: {strategy}")
+    # Stabilize measures to 9 dp: the physical strategies (and, on a
+    # cluster, different partitionings of the SAME strategy) sum floats
+    # in different orders, so a candidate whose true measure sits
+    # exactly on a constraint bound would otherwise pass under one plan
+    # and fail under another (last-bit noise around `between`). The
+    # declarative contract is real arithmetic; 9 dp >> the ~1e-14
+    # noise and makes pass/fail and ranking plan-invariant. The
+    # generated DuckDB oracle applies the same rounding.
+    meas = [c for c in out.columns if c not in ("x", "lx")]
+    return out.select(
+        "x", "lx", *[F.round(F.col(c), 9).alias(c) for c in meas]
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,347 @@
+"""Time-series analytics operators (TSDB breadth).
+
+The reference is a time-series CP engine (SURVEY §0) but ships no
+resampling / gap-filling / downsampling surface — its time axis is a
+dense integer key, so those ops are trivially absent. A TSDB user
+expects them, and the driver's category for this build is ``tsdb``, so
+we provide the standard family over event-time data, Spark-first:
+
+- :func:`resample_ohlc` — bucketed first/last/min/max (OHLC) rollup;
+  ``first``/``last`` are made deterministic by ordering on a unique
+  tiebreak column (``min_by``/``max_by``), not arrival order.
+- :func:`gapfill_locf` — dense bucket spine + last-observation-carried-
+  forward fill.
+- :func:`gapfill_interp` — dense spine + linear interpolation between
+  the surrounding observations.
+- :func:`moving_stats` — trailing moving average / stddev over a
+  resampled series.
+- :func:`rate_of_change` — per-entity discrete derivative on an
+  irregular time axis (lag-based).
+
+Scale notes (100 TB): every operator here is a single hash shuffle on
+its grouping key (bucket × series key) or one window sort partitioned
+by the series key — no global ordering anywhere. The gap-fill spine is
+built per partition key via ``sequence``/``explode``, so its size is
+(span / step) rows per key, independent of the input row count; the
+fill itself is one window pass. ``rate_of_change`` partitions by the
+entity key, so skew follows entity hotness — salt via
+``operators.scale.salted_join`` patterns if one entity dominates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def bucket_start(ts, width: str):
+    """Tumbling-bucket start for an event-time column: the same
+    bucketing ``F.window(ts, width)`` applies, exposed as a plain
+    column (epoch-aligned, like DuckDB/TimescaleDB ``time_bucket``)."""
+    return F.window(ts, width).start
+
+
+def resample_ohlc(
+    events: DataFrame,
+    ts: str = "ts",
+    key: str = "event_type",
+    value: str = "value",
+    tiebreak: str = "event_id",
+    width: str = "1 hour",
+) -> DataFrame:
+    """Per-key bucketed OHLC rollup: open/close = value at the
+    lowest/highest ``tiebreak`` in the bucket (deterministic first/last
+    — arrival order is meaningless on a distributed scan), high/low =
+    max/min, n = count. One hash aggregate; ``min_by``/``max_by`` keep
+    the whole thing JVM-side (no window sort needed)."""
+    return (
+        events.groupBy(
+            bucket_start(F.col(ts), width).alias("bucket"), F.col(key)
+        )
+        .agg(
+            F.round(F.min_by(value, tiebreak), 2).alias("open"),
+            F.round(F.max(value), 2).alias("high"),
+            F.round(F.min(value), 2).alias("low"),
+            F.round(F.max_by(value, tiebreak), 2).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def _observed(
+    events: DataFrame, ts: str, key: str, value: str, width: str
+) -> DataFrame:
+    # Aggregate in integer cents: the fixture values carry 2 decimals,
+    # so a bucket average lands exactly on the .005 rounding boundary
+    # whenever the cent-sum is odd — and float summation order (which
+    # differs across engines/partitionings) would then decide the digit.
+    # Cents are exactly representable doubles, so sum/avg are
+    # order-independent and the rounded result is deterministic.
+    cents = F.round(F.col(value) * 100, 0)
+    return events.groupBy(
+        bucket_start(F.col(ts), width).alias("bucket"), F.col(key)
+    ).agg((F.round(F.avg(cents), 0) / 100).alias("v"))
+
+
+def _spine(observed: DataFrame, key: str, step: str) -> DataFrame:
+    """Dense (bucket × key) spine spanning the observed range. The
+    sequence is generated once on a 1-row aggregate and exploded, then
+    cross-joined with the distinct key set — both sides are tiny
+    (span/step rows and |keys| rows), so Catalyst broadcasts them; the
+    only real shuffle in a gap-fill is the final left join back to the
+    observations."""
+    bounds = observed.agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    buckets = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr(f"INTERVAL {step}"))
+        ).alias("bucket")
+    )
+    keys = observed.select(key).distinct()
+    return buckets.crossJoin(keys)
+
+
+def gapfill_locf(
+    events: DataFrame,
+    ts: str = "ts",
+    key: str = "event_type",
+    value: str = "value",
+    width: str = "6 hours",
+    step: str = "6 hours",
+) -> DataFrame:
+    """Resample to ``width`` buckets per key, densify to a gap-free
+    spine, and fill missing buckets with the last observation carried
+    forward. Buckets before a key's first observation stay null.
+    ``observed`` flags real vs filled rows."""
+    obs = _observed(events, ts, key, value, width)
+    dense = _spine(obs, key, step).join(obs, ["bucket", key], "left")
+    w = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return dense.select(
+        "bucket",
+        key,
+        F.last("v", ignorenulls=True).over(w).alias("value_filled"),
+        F.col("v").isNotNull().cast("int").alias("observed"),
+    )
+
+
+def gapfill_interp(
+    events: DataFrame,
+    ts: str = "ts",
+    key: str = "event_type",
+    value: str = "value",
+    width: str = "6 hours",
+    step: str = "6 hours",
+) -> DataFrame:
+    """Like :func:`gapfill_locf` but missing buckets are linearly
+    interpolated between the nearest observation on each side
+    (time-weighted on the bucket epoch). Buckets outside a key's
+    observed range (no neighbor on one side) stay null. Two window
+    passes over the same partitioning — one sort, reused."""
+    obs = _observed(events, ts, key, value, width)
+    dense = _spine(obs, key, step).join(obs, ["bucket", key], "left")
+    t = F.unix_timestamp("bucket")
+    t_obs = F.when(F.col("v").isNotNull(), t)
+    back = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_v = F.last("v", ignorenulls=True).over(back)
+    prev_t = F.last(t_obs, ignorenulls=True).over(back)
+    next_v = F.first("v", ignorenulls=True).over(fwd)
+    next_t = F.first(t_obs, ignorenulls=True).over(fwd)
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.round(
+            prev_v
+            + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t),
+            4,
+        )
+    )
+    return dense.select(
+        "bucket",
+        key,
+        interp.alias("value_interp"),
+        F.col("v").isNotNull().cast("int").alias("observed"),
+    )
+
+
+def moving_stats(
+    events: DataFrame,
+    ts: str = "ts",
+    key: str = "event_type",
+    value: str = "value",
+    trailing: int = 7,
+) -> DataFrame:
+    """Daily totals per key with a trailing ``trailing``-day moving
+    average and sample stddev (ROWS frame over the resampled series —
+    the daily rollup is gap-free enough for the events fixture; for
+    sparse keys compose with :func:`gapfill_locf` first). One hash agg
+    + one per-key window sort."""
+    daily = events.groupBy(
+        F.to_date(ts).alias("day"), F.col(key)
+    ).agg(F.round(F.sum(value), 2).alias("total"))
+    w = (
+        Window.partitionBy(key)
+        .orderBy("day")
+        .rowsBetween(-(trailing - 1), 0)
+    )
+    return daily.select(
+        "day",
+        key,
+        "total",
+        F.round(F.avg("total").over(w), 4).alias("moving_avg"),
+        F.round(F.stddev_samp("total").over(w), 4).alias("moving_std"),
+    )
+
+
+def rate_of_change(
+    events: DataFrame,
+    ts: str = "ts",
+    key: str = "user_id",
+    value: str = "value",
+    order_tiebreak: str = "event_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Discrete derivative on an irregular axis: per entity, ordered by
+    (ts, tiebreak), (value - prev value) / seconds since prev event.
+    Rows with no predecessor or a zero time delta are dropped (the
+    derivative is undefined). One per-entity window sort; no shuffle
+    beyond the partitioning hash."""
+    w = Window.partitionBy(key).orderBy(ts, order_tiebreak)
+    dt = F.unix_timestamp(ts) - F.unix_timestamp(F.lag(ts).over(w))
+    dv = F.col(value) - F.lag(value).over(w)
+    return (
+        events.select(
+            F.col(id_col), F.col(key), (dv / dt).alias("_rate"), dt.alias("_dt")
+        )
+        .where(F.col("_dt") > 0)
+        .select(id_col, key, F.round("_rate", 6).alias("rate"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Driver workloads + DuckDB oracles
+# ---------------------------------------------------------------------------
+
+ORACLE_OHLC = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket, event_type,
+       round(arg_min(value, event_id), 2) AS open,
+       round(max(value), 2) AS high,
+       round(min(value), 2) AS low,
+       round(arg_max(value, event_id), 2) AS close,
+       count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+_ORACLE_DENSE = """
+WITH obs AS (
+  SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket, event_type,
+         round(avg(round(value * 100, 0)), 0) / 100 AS v
+  FROM events GROUP BY 1, 2),
+spine AS (
+  SELECT unnest(generate_series((SELECT min(bucket) FROM obs),
+                                (SELECT max(bucket) FROM obs),
+                                INTERVAL '6 hours')) AS bucket),
+keys AS (SELECT DISTINCT event_type FROM events),
+dense AS (
+  SELECT s.bucket, k.event_type, o.v
+  FROM spine s CROSS JOIN keys k
+  LEFT JOIN obs o ON o.bucket = s.bucket AND o.event_type = k.event_type)
+"""
+
+ORACLE_GAPFILL_LOCF = (
+    _ORACLE_DENSE
+    + """
+SELECT bucket, event_type,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+       CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS observed
+FROM dense
+"""
+)
+
+ORACLE_GAPFILL_INTERP = (
+    _ORACLE_DENSE
+    + """
+SELECT bucket, event_type,
+       CASE WHEN v IS NOT NULL THEN v ELSE round(
+         prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t), 4)
+       END AS value_interp,
+       CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS observed
+FROM (
+  SELECT bucket, event_type, v,
+         datediff('second', TIMESTAMP '1970-01-01', bucket) AS t,
+         last_value(v IGNORE NULLS) OVER back AS prev_v,
+         last_value(CASE WHEN v IS NOT NULL THEN
+             datediff('second', TIMESTAMP '1970-01-01', bucket) END
+             IGNORE NULLS) OVER back AS prev_t,
+         first_value(v IGNORE NULLS) OVER fwd AS next_v,
+         first_value(CASE WHEN v IS NOT NULL THEN
+             datediff('second', TIMESTAMP '1970-01-01', bucket) END
+             IGNORE NULLS) OVER fwd AS next_t
+  FROM dense
+  WINDOW back AS (PARTITION BY event_type ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         fwd AS (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+"""
+)
+
+ORACLE_MOVING_STATS = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         round(sum(value), 2) AS total
+  FROM events GROUP BY 1, 2)
+SELECT day, event_type, total,
+       round(avg(total) OVER w, 4) AS moving_avg,
+       round(stddev_samp(total) OVER w, 4) AS moving_std
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+ORACLE_RATE = """
+WITH o AS (
+  SELECT event_id, user_id, value, ts,
+         lag(value) OVER w AS pv,
+         datediff('second', lag(ts) OVER w, ts) AS dt
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, user_id, round((value - pv) / dt, 6) AS rate
+FROM o WHERE dt > 0
+"""
+
+
+def timeseries_workloads():
+    from query_refinement_dsit_databases_2021_spark.workloads import (
+        Workload,
+        register_views,
+    )
+
+    def _w(name: str, oracle: str, build: Callable[[DataFrame], DataFrame]):
+        def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+            register_views(spark, sf_dir)
+            return build(spark.table("events"))
+
+        return Workload(name, fn, oracle)
+
+    return [
+        _w("ts_resample_ohlc", ORACLE_OHLC, resample_ohlc),
+        _w("ts_gapfill_locf", ORACLE_GAPFILL_LOCF, gapfill_locf),
+        _w("ts_gapfill_interp", ORACLE_GAPFILL_INTERP, gapfill_interp),
+        _w("ts_moving_stats", ORACLE_MOVING_STATS, moving_stats),
+        _w("ts_rate_of_change", ORACLE_RATE, rate_of_change),
+    ]

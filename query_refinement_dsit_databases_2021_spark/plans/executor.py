@@ -97,7 +97,12 @@ class Engine:
         measures = sorted(
             {(c.name, c.args) for c in spec.constraints}
         )  # bounds/targets don't change candidate values — only measures do
-        raw = repr((spec.table, spec.column, spec.x_domain, spec.lx_domain, measures))
+        # "v2": measure values are 9-dp-stabilized since
+        # candidates.py:build_candidates grew that projection — caches
+        # written before it hold raw floats and must not be reused
+        raw = repr(
+            ("v2", spec.table, spec.column, spec.x_domain, spec.lx_domain, measures)
+        )
         return hashlib.sha256(raw.encode()).hexdigest()[:24]
 
     # -- catalog (SURVEY §2.1 S6) --------------------------------------

@@ -51,8 +51,14 @@ def brute_candidates(series, spec):
         for lx in range(l0, l1 + 1):
             if x + lx > t_end:
                 continue
+            # round 9 mirrors the engine's measure stabilization
+            # (operators/candidates.py:build_candidates): a measure
+            # landing exactly on a constraint bound must not be
+            # classified by summation-order float noise
             out[(x, lx)] = {
-                con.column: measures_for(y_by_t, t_start, t_end, x, lx, con)
+                con.column: round(
+                    measures_for(y_by_t, t_start, t_end, x, lx, con), 9
+                )
                 for con in spec.constraints
             }
     return out

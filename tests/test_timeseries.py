@@ -1,0 +1,118 @@
+"""Unit tests for the TSDB operator family (operators/timeseries.py)
+on a hand-checkable event fixture: semantics of deterministic OHLC,
+LOCF vs linear-interp gap-fill (including range edges), moving-window
+stats, and irregular-axis rate of change."""
+
+from datetime import datetime
+
+import pytest
+
+from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+    gapfill_interp,
+    gapfill_locf,
+    moving_stats,
+    rate_of_change,
+    resample_ohlc,
+)
+
+
+def _ts(day, hour, minute=0):
+    return datetime(2024, 3, day, hour, minute)
+
+
+@pytest.fixture(scope="module")
+def tiny_events(spark):
+    # two keys; key "a" has observations in 6h-buckets 00:00 and 18:00
+    # of day 1 (gap at 06:00/12:00); key "b" only in bucket 06:00
+    rows = [
+        # event_id, ts, user_id, event_type, value
+        (1, _ts(1, 0, 5), 1, "a", 10.0),
+        (2, _ts(1, 1, 0), 1, "a", 20.0),
+        (3, _ts(1, 19, 0), 2, "a", 50.0),
+        (4, _ts(1, 7, 0), 1, "b", 8.0),
+        (5, _ts(1, 7, 30), 1, "b", 4.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def test_resample_ohlc_deterministic_first_last(spark, tiny_events):
+    rows = {
+        (r["bucket"], r["event_type"]): r
+        for r in resample_ohlc(tiny_events, width="6 hours").collect()
+    }
+    a0 = rows[(_ts(1, 0), "a")]
+    # open = value at lowest event_id, close = at highest; high/low/n
+    assert (a0["open"], a0["high"], a0["low"], a0["close"], a0["n"]) == (
+        10.0, 20.0, 10.0, 20.0, 2,
+    )
+    b = rows[(_ts(1, 6), "b")]
+    assert (b["open"], b["close"], b["n"]) == (8.0, 4.0, 2)
+
+
+def test_gapfill_locf_fills_gaps_not_leading_nulls(spark, tiny_events):
+    out = {
+        (r["bucket"], r["event_type"]): (r["value_filled"], r["observed"])
+        for r in gapfill_locf(tiny_events).collect()
+    }
+    # spine spans 00:00..18:00 for BOTH keys (4 buckets x 2 keys)
+    assert len(out) == 8
+    # key a: observed 00:00 (avg 15) and 18:00 (50); 06:00/12:00 carry 15
+    assert out[(_ts(1, 0), "a")] == (15.0, 1)
+    assert out[(_ts(1, 6), "a")] == (15.0, 0)
+    assert out[(_ts(1, 12), "a")] == (15.0, 0)
+    assert out[(_ts(1, 18), "a")] == (50.0, 1)
+    # key b: nothing before 06:00 -> leading bucket stays null
+    assert out[(_ts(1, 0), "b")] == (None, 0)
+    assert out[(_ts(1, 6), "b")] == (6.0, 1)
+    assert out[(_ts(1, 12), "b")] == (6.0, 0)
+
+
+def test_gapfill_interp_time_weighted(spark, tiny_events):
+    out = {
+        (r["bucket"], r["event_type"]): (r["value_interp"], r["observed"])
+        for r in gapfill_interp(tiny_events).collect()
+    }
+    # key a: 15 @00:00 -> 50 @18:00; 06:00 = 15 + 35*(1/3), 12:00 = +2/3
+    assert out[(_ts(1, 0), "a")] == (15.0, 1)
+    assert out[(_ts(1, 6), "a")] == (pytest.approx(26.6667, abs=1e-4), 0)
+    assert out[(_ts(1, 12), "a")] == (pytest.approx(38.3333, abs=1e-4), 0)
+    assert out[(_ts(1, 18), "a")] == (50.0, 1)
+    # key b: single observation -> no neighbor pair outside it
+    assert out[(_ts(1, 0), "b")] == (None, 0)
+    assert out[(_ts(1, 6), "b")] == (6.0, 1)
+    assert out[(_ts(1, 12), "b")] == (None, 0)
+
+
+def test_moving_stats_trailing_frame(spark):
+    rows = [
+        (i, datetime(2024, 3, 1 + i), 1, "a", float(v))
+        for i, v in enumerate([10, 20, 40, 10])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = sorted(
+        moving_stats(df, trailing=2).collect(), key=lambda r: r["day"]
+    )
+    assert [r["total"] for r in out] == [10.0, 20.0, 40.0, 10.0]
+    assert [r["moving_avg"] for r in out] == [10.0, 15.0, 30.0, 25.0]
+    # sample stddev over the 2-row frame; first frame has n=1 -> null
+    assert out[0]["moving_std"] is None
+    assert out[1]["moving_std"] == pytest.approx(7.0711, abs=1e-4)
+
+
+def test_rate_of_change_irregular_axis(spark):
+    rows = [
+        (1, datetime(2024, 3, 1, 0, 0, 0), 7, "a", 10.0),
+        (2, datetime(2024, 3, 1, 0, 0, 10), 7, "a", 15.0),  # +5 over 10s
+        (3, datetime(2024, 3, 1, 0, 0, 10), 7, "a", 99.0),  # dt=0 -> dropped
+        (4, datetime(2024, 3, 1, 0, 1, 10), 7, "a", 39.0),  # -60 over 60s
+        (5, datetime(2024, 3, 1, 0, 0, 30), 8, "a", 1.0),  # other entity, first
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r["event_id"]: r["rate"] for r in rate_of_change(df).collect()}
+    assert out == {2: 0.5, 4: -1.0}
