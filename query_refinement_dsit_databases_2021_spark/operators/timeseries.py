@@ -231,6 +231,41 @@ def rate_of_change(
     )
 
 
+def ewma(
+    events: DataFrame,
+    ts: str = "ts",
+    key: str = "event_type",
+    value: str = "value",
+    alpha: float = 0.3,
+    lookback: int = 8,
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average over the daily
+    series per key: weights (1-alpha)^j for the trailing ``lookback``
+    days, normalized by the weights actually present (so early rows
+    use the lags they have — no warm-up NULLs). The truncation makes
+    the operator a fixed-width lag combination: one per-key window
+    sort, all arithmetic JVM-side, and — unlike the recursive
+    formulation — directly expressible in ANSI SQL for the oracle.
+    Residual weight beyond the lookback is (1-alpha)^lookback ≈ 4%%
+    at the defaults — documented truncation, not an approximation bug."""
+    daily = events.groupBy(F.to_date(ts).alias("day"), F.col(key)).agg(
+        F.round(F.sum(value), 2).alias("total")
+    )
+    w = Window.partitionBy(key).orderBy("day")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(lookback):
+        weight = (1.0 - alpha) ** j
+        lagged = F.lag("total", j).over(w) if j else F.col("total")
+        num = num + F.when(lagged.isNotNull(), F.lit(weight) * lagged).otherwise(
+            F.lit(0.0)
+        )
+        den = den + F.when(lagged.isNotNull(), F.lit(weight)).otherwise(F.lit(0.0))
+    return daily.select(
+        "day", key, "total", F.round(num / den, 6).alias("ewma")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver workloads + DuckDB oracles
 # ---------------------------------------------------------------------------
@@ -313,6 +348,27 @@ WINDOW w AS (PARTITION BY event_type ORDER BY day
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 """
 
+def _ewma_oracle(alpha: float = 0.3, lookback: int = 8) -> str:
+    num, den = [], []
+    for j in range(lookback):
+        w = repr((1.0 - alpha) ** j)
+        lag = "total" if j == 0 else f"lag(total, {j}) OVER w"
+        num.append(f"CASE WHEN {lag} IS NOT NULL THEN {w} * {lag} ELSE 0.0 END")
+        den.append(f"CASE WHEN {lag} IS NOT NULL THEN {w} ELSE 0.0 END")
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         round(sum(value), 2) AS total
+  FROM events GROUP BY 1, 2)
+SELECT day, event_type, total,
+       round(({' + '.join(num)}) / ({' + '.join(den)}), 6) AS ewma
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+"""
+
+
+ORACLE_EWMA = _ewma_oracle()
+
 ORACLE_RATE = """
 WITH o AS (
   SELECT event_id, user_id, value, ts,
@@ -343,5 +399,6 @@ def timeseries_workloads():
         _w("ts_gapfill_locf", ORACLE_GAPFILL_LOCF, gapfill_locf),
         _w("ts_gapfill_interp", ORACLE_GAPFILL_INTERP, gapfill_interp),
         _w("ts_moving_stats", ORACLE_MOVING_STATS, moving_stats),
+        _w("ts_ewma", ORACLE_EWMA, ewma),
         _w("ts_rate_of_change", ORACLE_RATE, rate_of_change),
     ]

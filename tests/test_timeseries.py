@@ -103,6 +103,25 @@ def test_moving_stats_trailing_frame(spark):
     assert out[1]["moving_std"] == pytest.approx(7.0711, abs=1e-4)
 
 
+def test_ewma_truncated_weights(spark):
+    rows = [
+        (i, datetime(2024, 3, 1 + i), 1, "a", float(v))
+        for i, v in enumerate([10, 20, 30])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import ewma
+
+    out = sorted(ewma(df, alpha=0.5, lookback=2).collect(), key=lambda r: r["day"])
+    # day0: only itself -> 10; day1: (20 + 0.5*10)/1.5; day2: (30 + 0.5*20)/1.5
+    assert [r["ewma"] for r in out] == [
+        10.0,
+        pytest.approx(16.666667, abs=1e-6),
+        pytest.approx(26.666667, abs=1e-6),
+    ]
+
+
 def test_rate_of_change_irregular_axis(spark):
     rows = [
         (1, datetime(2024, 3, 1, 0, 0, 0), 7, "a", 10.0),
