@@ -246,6 +246,101 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def neardup_components(
+    pairs: DataFrame, docs: DataFrame | None = None, max_iters: int = 50
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected
+    components over the pair graph, each labeled by its minimum doc_id
+    (the canonical survivor a dedup pipeline keeps).
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes ``min(own label, neighbors' labels)``; converges in
+    graph-diameter rounds. Near-dup clusters are shallow (duplicates of
+    a common ancestor), so the loop runs 2-4 rounds in practice;
+    ``max_iters`` is a safety bound. Each round is one shuffle
+    (join + groupBy on node id); the only driver-side value is the
+    scalar changed-count used for the convergence check — the data
+    never leaves the cluster. At larger diameters the two-phase
+    large-star/small-star variant (Kiveris et al., "Connected
+    Components in MapReduce", SoCC'14) halves round count; with
+    min-doc-id labels and shallow graphs the plain propagation is the
+    simpler, equally-shuffled choice.
+
+    Returns ``(doc_id, cluster_id, is_canonical)`` — for every doc in
+    ``docs`` when given (singletons form their own cluster), else only
+    for docs that appear in some pair.
+    """
+    # localCheckpoint (not just persist) after each round: iterative
+    # self-reference otherwise grows the logical plan exponentially —
+    # round i's plan embeds round i-1's twice (propagation + the
+    # changed-count check) plus the full pair-generation plan, which
+    # OOMs the driver on plan stringification long before data size
+    # matters. Checkpointing truncates lineage to the materialized
+    # result, the same discipline GraphX applies. At cluster scale,
+    # prefer reliable `checkpoint()` with a checkpoint dir (survives
+    # executor loss); local mode has no executor-loss failure domain.
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    # Convergence check: labels only ever decrease (min-propagation),
+    # so the label sum strictly decreases until the fixpoint — one
+    # scalar agg per round instead of a full self-join diff.
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iters):
+        nb_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("b"), F.col("label").alias("b_label")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("b_label").alias("nb_min"))
+        )
+        labels = (
+            labels.join(nb_min, labels["node"] == nb_min["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nb_min"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("label")).first()[0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    out = labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    if docs is not None:
+        out = (
+            docs.select("doc_id")
+            .join(out, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            )
+        )
+    return out.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, threshold: float = 0.5, max_posting: int | None = None
 ) -> DataFrame:

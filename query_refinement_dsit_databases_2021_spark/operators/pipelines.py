@@ -267,6 +267,33 @@ def _wl_token_stats(spark, sf_dir):
     return textops.token_stats(_docs(spark, sf_dir))
 
 
+# Clusters from the SimHash pair graph: the oracle recomputes the same
+# pairs (ORACLE_SIMHASH as a subquery), then takes the exact transitive
+# closure with a recursive CTE and labels each component by its min
+# doc_id — algorithm-independent ground truth for the Spark side's
+# min-label propagation (dedup.neardup_components).
+ORACLE_CLUSTERS = f"""
+WITH RECURSIVE sp AS (SELECT doc_a, doc_b FROM ({ORACLE_SIMHASH}) t),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM sp
+  UNION SELECT doc_b, doc_a FROM sp),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+lbl AS (SELECT a AS doc_id, least(min(b), a) AS cluster_id
+        FROM reach GROUP BY a)
+SELECT d.doc_id,
+       coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+       d.doc_id = coalesce(l.cluster_id, d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN lbl l USING (doc_id)
+ORDER BY d.doc_id"""
+
+
+def _wl_clusters(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return dedup.neardup_components(dedup.simhash_pairs(docs), docs)
+
+
 def _wl_langid(spark, sf_dir):
     return textops.langid_predictions(_docs(spark, sf_dir))
 
@@ -283,6 +310,7 @@ def pipeline_workloads():
         ("pipe_dedup_minhash_lsh", _wl_minhash, ORACLE_MINHASH, True),
         ("pipe_dedup_simhash", _wl_simhash, ORACLE_SIMHASH, False),
         ("pipe_dedup_ngram_jaccard", _wl_jaccard, ORACLE_JACCARD, True),
+        ("pipe_dedup_clusters", _wl_clusters, ORACLE_CLUSTERS, False),
         ("pipe_text_quality", _wl_quality, ORACLE_QUALITY, False),
         ("pipe_text_token_stats", _wl_token_stats, ORACLE_TOKEN_STATS, False),
         ("pipe_text_langid", _wl_langid, ORACLE_LANGID, False),

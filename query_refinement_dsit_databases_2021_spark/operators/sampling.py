@@ -1,0 +1,274 @@
+"""Deterministic sampling, splitting, packing and chunking operators
+for the training-data pipeline layer.
+
+These are the dataset-assembly steps that sit between dedup/quality
+filtering and the trainer: reproducible train/val/test splits,
+stratified subsampling, context-window packing, and document chunking.
+The reference has no counterpart (it is a CP query engine); these are
+the §7.4 "pipeline extension" surface.
+
+Scale notes (100 TB):
+
+- :func:`hash_split` and the Bernoulli path of
+  :func:`stratified_sample` are pure map-side column arithmetic —
+  no shuffle, no state, embarrassingly parallel, and stable under
+  re-partitioning because the assignment is a pure function of the
+  row key (never ``rand()``/``monotonically_increasing_id``).
+- The exact path of :func:`stratified_sample` and
+  :func:`pack_sequences` each cost ONE shuffle, partitioned by the
+  stratum / pack-group key. Group by a bounded-cardinality, bounded-
+  size key (``source`` shard, ``lang``) so no single partition holds
+  more than one group's rows; a giant stratum should be pre-salted
+  upstream.
+- :func:`chunk_documents` is a per-row explode (flatMap); output
+  size is input size × duplication factor ``chunk/(chunk-overlap)``,
+  no shuffle.
+
+Determinism contract: every assignment derives from the 31-bit
+polynomial :func:`textops.rolling_hash` of a salted key string, and
+every threshold comparison is integer arithmetic — bit-identical in
+Spark and the DuckDB oracles (same contract as ``operators/dedup.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from query_refinement_dsit_databases_2021_spark.operators.textops import (
+    rolling_hash,
+    tokens,
+)
+
+BUCKETS = 10_000
+
+DEFAULT_WEIGHTS: tuple[tuple[str, float], ...] = (
+    ("train", 0.8),
+    ("val", 0.1),
+    ("test", 0.1),
+)
+
+
+def bucket_of(key: Column, salt: str, buckets: int = BUCKETS) -> Column:
+    """Deterministic bucket in ``[0, buckets)`` from the salted string
+    form of ``key``. A pure function of the row — safe to recompute on
+    retry/re-partition, unlike ``rand(seed)`` which is per-partition."""
+    return rolling_hash(F.concat(F.lit(salt + "|"), key.cast("string"))) % buckets
+
+
+def hash_split(
+    df: DataFrame,
+    key: str = "doc_id",
+    weights: tuple[tuple[str, float], ...] = DEFAULT_WEIGHTS,
+    salt: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split with the given weights, as a
+    pure function of ``hash(salt | key)``. Adding rows later never
+    reassigns existing rows (the property random-number splits lack).
+
+    Returns the input with one extra ``split`` string column.
+    """
+    b = bucket_of(F.col(key), salt)
+    cum = 0.0
+    expr: Column | None = None
+    for name, w in weights[:-1]:
+        cum += w
+        cond = b < int(round(cum * BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = weights[-1][0]
+    split = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", split)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: str = "lang",
+    key: str = "doc_id",
+    fraction: float = 0.2,
+    salt: str = "strat",
+    exact: bool = False,
+) -> DataFrame:
+    """Deterministic stratified subsample: ~``fraction`` of each
+    stratum.
+
+    ``exact=False`` (scale default): Bernoulli per row on the salted
+    hash of ``(strata, key)`` — zero shuffle, per-stratum counts
+    binomially distributed around ``fraction * n``.
+
+    ``exact=True``: exactly ``floor(fraction * n)`` rows per stratum —
+    rank rows within the stratum by hash (a deterministic permutation)
+    and keep the prefix. One shuffle on ``strata``. The keep test is
+    pure integer arithmetic (``rn * BUCKETS <= frac_buckets * n``), so
+    no float-boundary ambiguity.
+    """
+    frac_buckets = int(round(fraction * BUCKETS))
+    h = bucket_of(
+        F.concat(F.col(strata).cast("string"), F.lit("|"), F.col(key).cast("string")),
+        salt,
+    )
+    if not exact:
+        return df.where(h < frac_buckets)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata)
+    ranked = df.withColumn("_h", h).select(
+        "*",
+        F.row_number().over(w.orderBy("_h", key)).alias("_rn"),
+        F.count("*").over(w).alias("_n"),
+    )
+    return ranked.where(
+        F.col("_rn") * BUCKETS <= F.lit(frac_buckets) * F.col("_n")
+    ).drop("_h", "_rn", "_n")
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    group: str = "source",
+    key: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Streaming-concatenation packing: within each ``group`` (a
+    bounded shard key), documents are laid out in ``key`` order and cut
+    into bins of ``budget`` whitespace tokens — bin = exclusive-prefix
+    token count div budget, i.e. the bin the document's first token
+    lands in when the stream is concatenated and cut every ``budget``
+    tokens (documents may straddle a cut; the trainer's loader handles
+    intra-document splits).
+
+    One window shuffle partitioned by ``group``; all arithmetic is
+    integer (token counts), so bin assignment is exact.
+
+    Returns ``(group, key, n_tokens, bin)``.
+    """
+    from pyspark.sql import Window
+
+    n_tok = F.size(tokens(F.col(text))).cast("long")
+    w = (
+        Window.partitionBy(group)
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        docs.select(group, key, n_tok.alias("n_tokens"))
+        .select(
+            group,
+            key,
+            "n_tokens",
+            (cum_prev / budget).cast("long").alias("bin"),
+        )
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk: int = 200,
+    overlap: int = 40,
+    key: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping character windows of
+    ``chunk`` chars every ``chunk - overlap`` chars (the RAG /
+    fixed-context preprocessing step). Pure flatMap — a per-row
+    ``sequence`` + ``explode``, no shuffle, no Python.
+
+    Returns ``(key, chunk_id, start, chunk_text)`` with 1-based
+    ``start``; every document yields at least one chunk (possibly
+    empty text).
+    """
+    if overlap >= chunk:
+        raise ValueError("overlap must be smaller than chunk")
+    stride = chunk - overlap
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(F.col(text)), F.lit(1)), F.lit(stride)
+    )
+    return (
+        docs.select(key, text, F.explode(starts).alias("start"))
+        .select(
+            key,
+            F.expr(f"(start - 1) div {stride}").cast("long").alias("chunk_id"),
+            F.col("start").cast("long").alias("start"),
+            F.substring(F.col(text), F.col("start"), F.lit(chunk)).alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Workload registry entries (DuckDB oracles)
+# ---------------------------------------------------------------------------
+
+
+def sampling_workloads():
+    from query_refinement_dsit_databases_2021_spark.operators.pipelines import (
+        _docs,
+        _sql_rolling_hash,
+    )
+    from query_refinement_dsit_databases_2021_spark.workloads import Workload
+
+    def bucket_sql(key_expr: str, salt: str) -> str:
+        salted = "'" + salt + "|' || " + key_expr
+        return f"({_sql_rolling_hash(salted)}) % {BUCKETS}"
+
+    oracle_split = f"""
+WITH b AS (SELECT doc_id, {bucket_sql("CAST(doc_id AS VARCHAR)", "split")} AS h
+           FROM documents)
+SELECT doc_id,
+       CASE WHEN h < 8000 THEN 'train'
+            WHEN h < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b ORDER BY doc_id"""
+
+    oracle_strat = f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         {bucket_sql("lang || '|' || CAST(doc_id AS VARCHAR)", "strat")} AS h
+  FROM documents),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM b)
+SELECT doc_id, lang FROM r WHERE rn * {BUCKETS} <= 2000 * n ORDER BY doc_id"""
+
+    oracle_pack = """
+WITH t AS (
+  SELECT source, doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+  FROM t)
+SELECT source, doc_id, n_tokens, prev // 2048 AS bin
+FROM c ORDER BY source, doc_id"""
+
+    oracle_chunk = """
+SELECT doc_id, (i - 1) // 160 AS chunk_id, i AS start,
+       substr(text, i::INTEGER, 200) AS chunk_text
+FROM documents, unnest(range(1, greatest(length(text), 1) + 1, 160)) t(i)
+ORDER BY doc_id, start"""
+
+    def _split(spark, sf_dir):
+        return hash_split(_docs(spark, sf_dir)).select("doc_id", "split")
+
+    def _strat(spark, sf_dir):
+        return stratified_sample(
+            _docs(spark, sf_dir), exact=True
+        ).select("doc_id", "lang")
+
+    def _pack(spark, sf_dir):
+        return pack_sequences(_docs(spark, sf_dir))
+
+    def _chunk(spark, sf_dir):
+        return chunk_documents(_docs(spark, sf_dir))
+
+    return [
+        Workload("pipe_split_hash", _split, oracle_split),
+        Workload("pipe_sample_stratified", _strat, oracle_strat),
+        Workload("pipe_pack_sequences", _pack, oracle_pack),
+        Workload("pipe_chunk_documents", _chunk, oracle_chunk),
+    ]

@@ -1,0 +1,142 @@
+"""Unit tests for the dataset-assembly operators
+(``operators/sampling.py``) and near-dup cluster resolution
+(``dedup.neardup_components``) on hand-checkable fixtures. The
+sf-scale DuckDB differential check lives in test_workloads_oracle.py
+(pipe_split_hash / pipe_sample_stratified / pipe_pack_sequences /
+pipe_chunk_documents / pipe_dedup_clusters)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from query_refinement_dsit_databases_2021_spark.operators.dedup import (
+    neardup_components,
+)
+from query_refinement_dsit_databases_2021_spark.operators.sampling import (
+    chunk_documents,
+    hash_split,
+    pack_sequences,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(3 + (i * 7) % 9)), ["en", "de"][i % 2], f"src{i % 3}")
+        for i in range(60)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+def test_hash_split_deterministic_and_total(docs):
+    a = {r.doc_id: r.split for r in hash_split(docs).collect()}
+    b = {r.doc_id: r.split for r in hash_split(docs).collect()}
+    assert a == b
+    assert set(a.values()) <= {"train", "val", "test"}
+    assert len(a) == 60
+    # stability under growth: assignments of existing keys never move
+    sub = {r.doc_id: r.split for r in hash_split(docs.limit(20)).collect()}
+    assert all(a[k] == v for k, v in sub.items())
+
+
+def test_hash_split_respects_weights(docs):
+    big = docs.selectExpr("doc_id * 97 + 13 AS doc_id", "text", "lang", "source")
+    counts = (
+        hash_split(big).groupBy("split").count().rdd.collectAsMap()
+    )
+    assert counts.get("train", 0) > counts.get("val", 0)
+    assert counts.get("train", 0) > counts.get("test", 0)
+
+
+def test_stratified_exact_counts(docs):
+    out = stratified_sample(docs, fraction=0.25, exact=True)
+    got = out.groupBy("lang").count().rdd.collectAsMap()
+    want = {
+        r["lang"]: r["count"] * 2500 // 10_000
+        for r in docs.groupBy("lang").count().collect()
+    }
+    assert got == {k: v for k, v in want.items() if v}
+    # keeps input columns untouched
+    assert out.columns == docs.columns
+
+
+def test_stratified_bernoulli_is_subset_and_deterministic(docs):
+    s1 = {r.doc_id for r in stratified_sample(docs, fraction=0.5).collect()}
+    s2 = {r.doc_id for r in stratified_sample(docs, fraction=0.5).collect()}
+    assert s1 == s2
+    all_ids = {r.doc_id for r in docs.collect()}
+    assert s1 <= all_ids and 0 < len(s1) < len(all_ids)
+
+
+def test_pack_sequences_bins(docs):
+    out = pack_sequences(docs, budget=10).collect()
+    by_group = {}
+    for r in sorted(out, key=lambda r: (r.source, r.doc_id)):
+        by_group.setdefault(r.source, []).append(r)
+    for rows in by_group.values():
+        cum = 0
+        for r in rows:
+            assert r.bin == cum // 10  # bin = exclusive prefix div budget
+            cum += r.n_tokens
+        bins = [r.bin for r in rows]
+        assert bins == sorted(bins) and bins[0] == 0
+
+
+def test_chunk_documents_covers_text(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefghij" * 50), (2, "short"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(df, chunk=200, overlap=40).collect()
+    texts = {r[0]: r[1] for r in df.collect()}
+    for doc_id, text in texts.items():
+        chunks = sorted(
+            (r for r in out if r.doc_id == doc_id), key=lambda r: r.start
+        )
+        assert chunks[0].start == 1
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        # non-overlap strides reconstruct the original text
+        rebuilt = "".join(c.chunk_text[:160] for c in chunks)
+        assert rebuilt == text
+        assert all(len(c.chunk_text) <= 200 for c in chunks)
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk=10, overlap=10)
+
+
+def test_neardup_components_small_graph(spark):
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (5, 6), (8, 9), (9, 10)],
+        "doc_a long, doc_b long",
+    )
+    docs = spark.createDataFrame([(i,) for i in range(1, 12)], "doc_id long")
+    got = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in neardup_components(pairs, docs).collect()
+    }
+    assert got == {
+        1: (1, True), 2: (1, False), 3: (1, False),
+        4: (4, True), 5: (5, True), 6: (5, False), 7: (7, True),
+        8: (8, True), 9: (8, False), 10: (8, False), 11: (11, True),
+    }
+
+
+def test_neardup_components_chain_diameter(spark):
+    # a 12-node path: worst-case diameter for min-label propagation
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "doc_a long, doc_b long"
+    )
+    out = neardup_components(pairs).collect()
+    assert {r.cluster_id for r in out} == {1}
+    assert sum(1 for r in out if r.is_canonical) == 1
+
+
+def test_neardup_components_without_docs_only_paired(spark):
+    pairs = spark.createDataFrame([(4, 2)], "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id for r in neardup_components(pairs).collect()}
+    assert got == {2: 2, 4: 2}
