@@ -122,7 +122,14 @@ def _wl_asof(spark, sf_dir):
     from query_refinement_dsit_databases_2021_spark.workloads import register_views
 
     register_views(spark, sf_dir)
-    ev = spark.table("events")
+    # events.ts arrives as TIMESTAMP or TIMESTAMP_NTZ depending on how
+    # the parquet was written (nanos-as-long conversion vs native
+    # micros). unix_micros below requires LTZ; the NTZ->LTZ cast shifts
+    # both sides by the same session-tz offset, which cancels in the
+    # gap subtraction, so the cast is safe for any session timezone.
+    ev = spark.table("events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
     errors = ev.where(F.col("event_type") == "error").select(
         "event_id", "user_id", "ts"
     )

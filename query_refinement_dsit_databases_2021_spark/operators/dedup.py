@@ -308,12 +308,25 @@ def neardup_components(
             .groupBy("a")
             .agg(F.min("b_label").alias("nb_min"))
         )
+        stepped = labels.join(nb_min, labels["node"] == nb_min["a"], "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nb_min"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping (path halving): follow label -> label(label)
+        # once per round, turning O(diameter) convergence into
+        # O(log diameter) — one extra equi-join on the (small,
+        # shrinking) label table.
+        hop = stepped.select(
+            F.col("node").alias("l_node"), F.col("label").alias("l_label")
+        )
         labels = (
-            labels.join(nb_min, labels["node"] == nb_min["a"], "left")
+            stepped.join(hop, stepped["label"] == hop["l_node"], "left")
             .select(
                 "node",
                 F.least(
-                    F.col("label"), F.coalesce(F.col("nb_min"), F.col("label"))
+                    F.col("label"), F.coalesce(F.col("l_label"), F.col("label"))
                 ).alias("label"),
             )
             .localCheckpoint()

@@ -267,6 +267,27 @@ def _wl_token_stats(spark, sf_dir):
     return textops.token_stats(_docs(spark, sf_dir))
 
 
+ORACLE_REPETITION = """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+b AS (
+  SELECT doc_id, ws,
+         list_transform(range(1, greatest(len(ws) - 1, 0) + 1),
+                        i -> ws[i] || ' ' || ws[i + 1]) AS bg
+  FROM tok)
+SELECT doc_id, len(ws)::BIGINT AS n_tokens,
+       round(list_max(list_transform(list_distinct(ws),
+                      t -> len(list_filter(ws, w -> w = t)))) / len(ws),
+             6) AS top_tok_share,
+       round(CASE WHEN len(bg) = 0 THEN 0.0
+                  ELSE 1.0 - len(list_distinct(bg)) / len(bg) END,
+             6) AS dup_bigram_frac
+FROM b ORDER BY doc_id"""
+
+
+def _wl_repetition(spark, sf_dir):
+    return textops.repetition_stats(_docs(spark, sf_dir))
+
+
 # Clusters from the SimHash pair graph: the oracle recomputes the same
 # pairs (ORACLE_SIMHASH as a subquery), then takes the exact transitive
 # closure with a recursive CTE and labels each component by its min
@@ -315,6 +336,7 @@ def pipeline_workloads():
         ("pipe_text_token_stats", _wl_token_stats, ORACLE_TOKEN_STATS, False),
         ("pipe_text_langid", _wl_langid, ORACLE_LANGID, False),
         ("pipe_text_fingerprints", _wl_fingerprints, ORACLE_FINGERPRINTS, False),
+        ("pipe_text_repetition", _wl_repetition, ORACLE_REPETITION, False),
     ]
     out = [Workload(n, f, o, h) for n, f, o, h in entries]
     try:

@@ -564,6 +564,46 @@ FROM (
     )
 
 
+def quantize_int8(
+    embs: DataFrame, col: str = "embedding", key: str = "vec_id"
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization — the storage/transfer
+    compression step of a vector index (4x smaller than float32, 8x
+    smaller than float64; dot products stay in integer SIMD).
+
+    ``q_i = floor(x_i * 127 / max|x| + 0.5)`` — floor(+0.5) instead of
+    round() so both engines execute the identical IEEE double op (no
+    rounding-mode ambiguity at .5 ties). Zero vectors get scale
+    1e-30 -> all-zero codes. Pure per-row array arithmetic: no shuffle,
+    no Python; at 100 TB this is a map-only rewrite pass.
+
+    Returns ``(key, scale_r, q)``: the (rounded) dequantization scale
+    and the int8 code array.
+    """
+    absmax = F.array_max(F.transform(F.col(col), lambda x: F.abs(x)))
+    scale = F.greatest(absmax.cast("double"), F.lit(1e-30))
+    q = F.transform(
+        F.col(col),
+        lambda x: F.floor(x.cast("double") * 127 / scale + F.lit(0.5)).cast(
+            "int"
+        ),
+    )
+    return embs.select(key, F.round(scale, 6).alias("scale_r"), q.alias("q"))
+
+
+def oracle_quantize_int8() -> str:
+    return """
+WITH s AS (
+  SELECT vec_id, embedding,
+         greatest(list_max(list_transform(embedding, x -> abs(x)))::DOUBLE,
+                  1e-30) AS scale
+  FROM embeddings)
+SELECT vec_id, round(scale, 6) AS scale_r,
+       list_transform(embedding,
+                      x -> floor(x::DOUBLE * 127 / scale + 0.5)::INTEGER) AS q
+FROM s ORDER BY vec_id"""
+
+
 def _emb(spark, sf_dir):
     from query_refinement_dsit_databases_2021_spark.workloads import register_views
 
@@ -603,6 +643,12 @@ def simsearch_workloads():
             "pipe_dedup_embedding_cosine",
             _wl_emb_neardup,
             oracle_embedding_neardup(),
+            False,
+        ),
+        Workload(
+            "pipe_embed_quantize_int8",
+            lambda spark, sf_dir: quantize_int8(_emb(spark, sf_dir)),
+            oracle_quantize_int8(),
             False,
         ),
     ]

@@ -132,6 +132,45 @@ def quality_columns(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Boilerplate / repetition quality signals, complementary to
+    :func:`quality_columns`'s type-token ratio:
+
+    - ``top_tok_share``: multiplicity of the most frequent token over
+      the token count (near 1 = degenerate repetition)
+    - ``dup_bigram_frac``: fraction of adjacent-token bigrams that are
+      repeats (catches copy-paste boilerplate that token-level TTR
+      misses)
+
+    All higher-order array functions over one projection — no shuffle,
+    no Python; per-doc cost is O(types·tokens) for the mode (documents
+    are bounded; corpora scale by rows, not doc length).
+    """
+    docs = docs.select("doc_id", tokens(F.col("text")).alias("ws"))
+    ws = F.col("ws")
+    n_tok = F.size(ws)
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(ws),
+            lambda t: F.size(F.filter(ws, lambda w: w == t)),
+        )
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(ws) - 1, 0)),"
+        " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+    )
+    n_bg = F.size(bigrams)
+    dup_bg = F.when(n_bg == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(bigrams)) / n_bg
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(top_cnt / n_tok, 6).alias("top_tok_share"),
+        F.round(dup_bg, 6).alias("dup_bigram_frac"),
+    )
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """Corpus term statistics: term frequency and document frequency
     per term — the classic explode -> groupBy(term) map-side-combinable
