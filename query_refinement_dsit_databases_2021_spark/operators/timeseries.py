@@ -381,6 +381,110 @@ FROM o WHERE dt > 0
 """
 
 
+def anomaly_zscore(
+    events: DataFrame,
+    ts: str = "ts",
+    key: str = "event_type",
+    value: str = "value",
+    trailing: int = 20,
+    threshold: float = 2.5,
+) -> DataFrame:
+    """Trailing-window z-score anomaly detection: each point scored
+    against the mean/stddev of its own preceding ``trailing``-row
+    window (inclusive), flagged when ``|z| >= threshold``. Only full
+    windows are scored (the first ``trailing - 1`` rows per key are
+    warm-up). One per-key window sort; no second pass, no driver state.
+
+    Values are lifted to integer cents before the moments (the
+    ``moving_stats`` determinism trick): sums and sums-of-squares stay
+    exactly representable, so the only cross-engine float work is the
+    final division — the filter compares the 4-dp-rounded score, never
+    a raw float.
+
+    Returns ``(event_id, key, value_r, z)`` for anomalous rows.
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, "event_id")
+        .rowsBetween(-(trailing - 1), 0)
+    )
+    seq = Window.partitionBy(key).orderBy(ts, "event_id")
+    cents = F.round(F.col(value) * 100, 0)
+    scored = events.select(
+        "event_id",
+        key,
+        F.col(value).alias("_v"),
+        cents.alias("_c"),
+        F.row_number().over(seq).alias("_rn"),
+        F.avg(cents).over(w).alias("_mean"),
+        F.stddev_samp(cents).over(w).alias("_std"),
+    )
+    z = F.round((F.col("_c") - F.col("_mean")) / F.col("_std"), 4)
+    return (
+        scored.where(
+            (F.col("_rn") >= trailing)
+            & (F.col("_std") > 0)
+            & (F.abs(z) >= threshold)
+        )
+        .select(
+            "event_id", key, F.round("_v", 2).alias("value_r"), z.alias("z")
+        )
+    )
+
+
+def _anomaly_oracle(trailing: int = 20, threshold: float = 2.5) -> str:
+    return f"""
+WITH s AS (
+  SELECT event_id, event_type, value, round(value * 100, 0) AS c,
+         row_number() OVER w AS rn,
+         avg(round(value * 100, 0)) OVER (w ROWS BETWEEN {trailing - 1} PRECEDING
+                                          AND CURRENT ROW) AS mean,
+         stddev_samp(round(value * 100, 0)) OVER (w ROWS BETWEEN {trailing - 1}
+                                                  PRECEDING AND CURRENT ROW) AS std
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+SELECT event_id, event_type, round(value, 2) AS value_r,
+       round((c - mean) / std, 4) AS z
+FROM s
+WHERE rn >= {trailing} AND std > 0
+  AND abs(round((c - mean) / std, 4)) >= {threshold}
+ORDER BY event_id"""
+
+
+def value_histogram(
+    events: DataFrame,
+    key: str = "event_type",
+    value: str = "value",
+    lo: float = 0.0,
+    width: float = 25.0,
+) -> DataFrame:
+    """Equi-width histogram per key (the width_bucket / profiling
+    primitive): bucket = floor((value - lo) / width), with per-bucket
+    count and value extrema. One map-side-combinable hash agg — the
+    100 TB shape is as good as a histogram gets.
+    """
+    bucket = F.floor((F.col(value) - lo) / width).cast("long")
+    return (
+        events.groupBy(F.col(key), bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min(value), 2).alias("lo_v"),
+            F.round(F.max(value), 2).alias("hi_v"),
+        )
+        .orderBy(key, "bucket")
+    )
+
+
+ORACLE_HISTOGRAM = """
+SELECT event_type, floor((value - 0.0) / 25.0)::BIGINT AS bucket,
+       count(*) AS n,
+       round(min(value), 2) AS lo_v,
+       round(max(value), 2) AS hi_v
+FROM events
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket"""
+
+
 def timeseries_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import (
         Workload,
@@ -401,4 +505,6 @@ def timeseries_workloads():
         _w("ts_moving_stats", ORACLE_MOVING_STATS, moving_stats),
         _w("ts_ewma", ORACLE_EWMA, ewma),
         _w("ts_rate_of_change", ORACLE_RATE, rate_of_change),
+        _w("ts_anomaly_zscore", _anomaly_oracle(), anomaly_zscore),
+        _w("ts_histogram", ORACLE_HISTOGRAM, value_histogram),
     ]

@@ -135,3 +135,40 @@ def test_rate_of_change_irregular_axis(spark):
     )
     out = {r["event_id"]: r["rate"] for r in rate_of_change(df).collect()}
     assert out == {2: 0.5, 4: -1.0}
+
+
+def test_anomaly_zscore_flags_spike(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        anomaly_zscore,
+    )
+
+    # 19 quiet points then a spike: with trailing=20 only row 20 has a
+    # full window, and the spike dominates its own window's stddev
+    rows = [(i, _ts(1, 0, i), 1, "a", 10.0 + (i % 2)) for i in range(1, 20)]
+    rows.append((20, _ts(1, 0, 20), 1, "a", 500.0))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    out = anomaly_zscore(df).collect()
+    assert [r.event_id for r in out] == [20]
+    assert out[0].z > 2.5 and out[0].value_r == 500.0
+    # warm-up rows are never flagged even if extreme
+    assert anomaly_zscore(df.where("event_id <= 19")).count() == 0
+
+
+def test_value_histogram_buckets(spark, tiny_events):
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        value_histogram,
+    )
+
+    got = {
+        (r.event_type, r.bucket): (r.n, r.lo_v, r.hi_v)
+        for r in value_histogram(tiny_events).collect()
+    }
+    # a: 10, 20 -> bucket 0; 50 -> bucket 2.  b: 8, 4 -> bucket 0.
+    assert got == {
+        ("a", 0): (2, 10.0, 20.0),
+        ("a", 2): (1, 50.0, 50.0),
+        ("b", 0): (2, 4.0, 8.0),
+    }
