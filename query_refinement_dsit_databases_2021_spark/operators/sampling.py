@@ -121,6 +121,25 @@ def stratified_sample(
     ).drop("_h", "_rn", "_n")
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight: str,
+    key: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic importance sampling: keep each row with
+    probability ``clamp(weight, 0, 1)`` — the quality-weighted
+    curation step (upweight clean documents, downweight boilerplate)
+    expressed as the same zero-shuffle salted-hash Bernoulli as
+    :func:`stratified_sample`, with a per-row threshold instead of a
+    constant. The threshold is rounded to integer bucket units so the
+    keep test never compares raw floats.
+    """
+    b = bucket_of(F.col(key), salt)
+    p = F.least(F.greatest(F.col(weight), F.lit(0.0)), F.lit(1.0))
+    return df.where(b < F.round(p * BUCKETS, 0))
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int = 2048,
@@ -252,6 +271,24 @@ SELECT doc_id, (i - 1) // 160 AS chunk_id, i AS start,
 FROM documents, unnest(range(1, greatest(length(text), 1) + 1, 160)) t(i)
 ORDER BY doc_id, start"""
 
+    from query_refinement_dsit_databases_2021_spark.operators.pipelines import (
+        ORACLE_QUALITY,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        quality_columns,
+    )
+
+    oracle_weighted = f"""
+WITH q AS ({ORACLE_QUALITY})
+SELECT doc_id, quality FROM q
+WHERE {bucket_sql("CAST(doc_id AS VARCHAR)", "wsample")}
+      < round(least(greatest(quality, 0.0), 1.0) * {BUCKETS}, 0)
+ORDER BY doc_id"""
+
+    def _weighted(spark, sf_dir):
+        qc = quality_columns(_docs(spark, sf_dir)).select("doc_id", "quality")
+        return weighted_sample(qc, "quality")
+
     def _split(spark, sf_dir):
         return hash_split(_docs(spark, sf_dir)).select("doc_id", "split")
 
@@ -269,6 +306,7 @@ ORDER BY doc_id, start"""
     return [
         Workload("pipe_split_hash", _split, oracle_split),
         Workload("pipe_sample_stratified", _strat, oracle_strat),
+        Workload("pipe_sample_weighted", _weighted, oracle_weighted),
         Workload("pipe_pack_sequences", _pack, oracle_pack),
         Workload("pipe_chunk_documents", _chunk, oracle_chunk),
     ]

@@ -140,3 +140,18 @@ def test_neardup_components_without_docs_only_paired(spark):
     pairs = spark.createDataFrame([(4, 2)], "doc_a long, doc_b long")
     got = {r.doc_id: r.cluster_id for r in neardup_components(pairs).collect()}
     assert got == {2: 2, 4: 2}
+
+
+def test_weighted_sample_probability_extremes(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    rows = [(i, 1.0 if i % 2 == 0 else 0.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    kept = {r.doc_id for r in weighted_sample(df, "w").collect()}
+    # weight 1 -> always kept, weight 0 -> never kept
+    assert kept == {i for i in range(100) if i % 2 == 0}
+    # out-of-range weights clamp rather than error
+    df2 = spark.createDataFrame([(1, 7.5), (2, -3.0)], "doc_id long, w double")
+    assert {r.doc_id for r in weighted_sample(df2, "w").collect()} == {1}
