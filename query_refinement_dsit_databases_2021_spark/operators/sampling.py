@@ -140,6 +140,52 @@ def weighted_sample(
     return df.where(b < F.round(p * BUCKETS, 0))
 
 
+def remix_sources(
+    df: DataFrame,
+    targets: dict[str, float],
+    group: str = "source",
+    key: str = "doc_id",
+    salt: str = "remix",
+) -> DataFrame:
+    """Domain reweighting toward a target mix, downsample-only: find
+    the largest corpus size ``N`` at which every group can supply its
+    share (``N = min_g n_g / target_g``), then keep the first
+    ``floor(target_g * N)`` rows of each group under the deterministic
+    salted-hash permutation. Groups absent from ``targets`` are
+    dropped.
+
+    The group stats are a tiny driver-side aggregate (plan-time
+    parameter, like CP domain resolution — SURVEY §4 O3); the data
+    path is one window shuffle on the group key. All engines compute
+    the same IEEE doubles for the thresholds, and the keep test
+    compares an integer rank to a floored integer.
+    """
+    from pyspark.sql import Window
+
+    counts = {
+        r[0]: r[1] for r in df.groupBy(group).count().collect()
+    }
+    n_new = min(
+        counts.get(g, 0) / t for g, t in targets.items() if t > 0
+    )
+    keep_expr: Column | None = None
+    import math as _math
+
+    for g, t in targets.items():
+        cap = int(_math.floor(t * n_new))
+        cond = (F.col(group) == g) & (F.col("_rn") <= cap)
+        keep_expr = cond if keep_expr is None else keep_expr | cond
+    h = bucket_of(
+        F.concat(F.col(group).cast("string"), F.lit("|"), F.col(key).cast("string")),
+        salt,
+    )
+    w = Window.partitionBy(group).orderBy("_h", key)
+    ranked = df.withColumn("_h", h).withColumn(
+        "_rn", F.row_number().over(w)
+    )
+    return ranked.where(keep_expr).drop("_h", "_rn")
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int = 2048,
@@ -289,6 +335,28 @@ ORDER BY doc_id"""
         qc = quality_columns(_docs(spark, sf_dir)).select("doc_id", "quality")
         return weighted_sample(qc, "quality")
 
+    remix_targets = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    values = ", ".join(f"('{g}', {t})" for g, t in remix_targets.items())
+    oracle_remix = f"""
+WITH t(source, target) AS (VALUES {values}),
+n AS (SELECT source, count(*) AS n_g FROM documents GROUP BY source),
+nn AS (SELECT min(n_g / target) AS n_new FROM n JOIN t USING (source)),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+  FROM (SELECT doc_id, source,
+               {bucket_sql("source || '|' || CAST(doc_id AS VARCHAR)", "remix")} AS h
+        FROM documents) b)
+SELECT doc_id, source
+FROM r JOIN t USING (source), nn
+WHERE rn <= floor(t.target * nn.n_new)
+ORDER BY doc_id"""
+
+    def _remix(spark, sf_dir):
+        return remix_sources(_docs(spark, sf_dir), remix_targets).select(
+            "doc_id", "source"
+        )
+
     def _split(spark, sf_dir):
         return hash_split(_docs(spark, sf_dir)).select("doc_id", "split")
 
@@ -307,6 +375,7 @@ ORDER BY doc_id"""
         Workload("pipe_split_hash", _split, oracle_split),
         Workload("pipe_sample_stratified", _strat, oracle_strat),
         Workload("pipe_sample_weighted", _weighted, oracle_weighted),
+        Workload("pipe_remix_sources", _remix, oracle_remix),
         Workload("pipe_pack_sequences", _pack, oracle_pack),
         Workload("pipe_chunk_documents", _chunk, oracle_chunk),
     ]

@@ -155,3 +155,27 @@ def test_weighted_sample_probability_extremes(spark):
     # out-of-range weights clamp rather than error
     df2 = spark.createDataFrame([(1, 7.5), (2, -3.0)], "doc_id long, w double")
     assert {r.doc_id for r in weighted_sample(df2, "w").collect()} == {1}
+
+
+def test_remix_sources_hits_target_mix(docs):
+    from query_refinement_dsit_databases_2021_spark.operators.sampling import (
+        remix_sources,
+    )
+
+    # docs fixture: 60 rows over src0/src1/src2, 20 each
+    out = remix_sources(docs, {"src0": 0.5, "src1": 0.25, "src2": 0.25})
+    got = out.groupBy("source").count().rdd.collectAsMap()
+    # N = min(20/0.5, 20/0.25, 20/0.25) = 40 -> caps 20 / 10 / 10
+    assert got == {"src0": 20, "src1": 10, "src2": 10}
+    # groups absent from targets are dropped entirely
+    out2 = remix_sources(docs, {"src0": 1.0})
+    assert out2.groupBy("source").count().rdd.collectAsMap() == {"src0": 20}
+    # deterministic across invocations
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id
+        for r in remix_sources(
+            docs, {"src0": 0.5, "src1": 0.25, "src2": 0.25}
+        ).collect()
+    )
+    assert a == b
