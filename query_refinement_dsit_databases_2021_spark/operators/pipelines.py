@@ -323,6 +323,67 @@ def _wl_fingerprints(spark, sf_dir):
     return textops.fingerprints(_docs(spark, sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# End-to-end curation chain: quality filter -> exact dedup (survivors)
+# -> deterministic split -> per-split corpus stats, as ONE dataflow.
+# Demonstrates that the pipeline operators compose without driver-side
+# data movement; every stage reuses an already-oracle-checked operator.
+# ---------------------------------------------------------------------------
+
+CURATION_MIN_QUALITY = 0.5
+
+def _oracle_curation() -> str:
+    bucket = (
+        f"({_sql_rolling_hash(chr(39) + 'split|' + chr(39) + ' || CAST(g.doc_id AS VARCHAR)')}) % 10000"
+    )
+    return f"""
+WITH q AS ({ORACLE_QUALITY}),
+good AS (
+  SELECT d.doc_id, d.text
+  FROM documents d JOIN q USING (doc_id)
+  WHERE q.quality >= {CURATION_MIN_QUALITY}),
+surv AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY text),
+s AS (
+  SELECT text,
+         CASE WHEN h < 8000 THEN 'train'
+              WHEN h < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT g.text, {bucket} AS h
+        FROM good g JOIN surv USING (doc_id)) t)
+SELECT split, count(*) AS n_docs,
+       sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+FROM s GROUP BY split ORDER BY split"""
+
+
+def _wl_curation(spark, sf_dir):
+    from query_refinement_dsit_databases_2021_spark.operators.sampling import (
+        hash_split,
+    )
+
+    docs = _docs(spark, sf_dir)
+    good = (
+        textops.quality_columns(docs)
+        .where(F.col("quality") >= CURATION_MIN_QUALITY)
+        .select("doc_id")
+    )
+    kept = docs.select("doc_id", "text").join(good, "doc_id")
+    survivors = dedup.exact_dedup(kept, by_hash=True).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    surv_docs = kept.join(survivors, "doc_id")
+    return (
+        hash_split(surv_docs)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(textops.tokens(F.col("text"))).cast("long")).alias(
+                "n_tokens"
+            ),
+        )
+        .orderBy("split")
+    )
+
+
 def pipeline_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
@@ -337,6 +398,7 @@ def pipeline_workloads():
         ("pipe_text_langid", _wl_langid, ORACLE_LANGID, False),
         ("pipe_text_fingerprints", _wl_fingerprints, ORACLE_FINGERPRINTS, False),
         ("pipe_text_repetition", _wl_repetition, ORACLE_REPETITION, False),
+        ("pipe_curation_chain", _wl_curation, _oracle_curation(), False),
     ]
     out = [Workload(n, f, o, h) for n, f, o, h in entries]
     try:
