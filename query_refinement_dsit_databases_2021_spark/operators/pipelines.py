@@ -333,9 +333,11 @@ def _wl_fingerprints(spark, sf_dir):
 CURATION_MIN_QUALITY = 0.5
 
 def _oracle_curation() -> str:
-    bucket = (
-        f"({_sql_rolling_hash(chr(39) + 'split|' + chr(39) + ' || CAST(g.doc_id AS VARCHAR)')}) % 10000"
+    from query_refinement_dsit_databases_2021_spark.operators.sampling import (
+        sql_bucket,
     )
+
+    bucket = sql_bucket("CAST(g.doc_id AS VARCHAR)", "split")
     return f"""
 WITH q AS ({ORACLE_QUALITY}),
 good AS (
