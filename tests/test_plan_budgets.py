@@ -1,0 +1,101 @@
+"""Shuffle-budget regression tests for the dataset-assembly and TSDB
+operators: each operator's physical plan must not exceed its designed
+Exchange count (SCALE.md), and scans must prune to the referenced
+columns. Guards against a refactor silently inserting a shuffle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from query_refinement_dsit_databases_2021_spark.operators.sampling import (
+    chunk_documents,
+    hash_split,
+    pack_sequences,
+    stratified_sample,
+    weighted_sample,
+)
+from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
+    quantize_int8,
+)
+from query_refinement_dsit_databases_2021_spark.operators.textops import (
+    repetition_stats,
+)
+from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+    anomaly_zscore,
+    value_histogram,
+)
+
+
+@pytest.fixture(scope="module")
+def pdocs(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plan") / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2}", "en", f"s{i % 2}") for i in range(40)],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+@pytest.fixture(scope="module")
+def pevents(spark, tmp_path_factory):
+    from datetime import datetime
+
+    path = str(tmp_path_factory.mktemp("plan") / "events.parquet")
+    spark.createDataFrame(
+        [
+            (i, datetime(2024, 1, 1, 0, i % 60), 1, "a", float(i))
+            for i in range(60)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    ).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _exchanges(df):
+    return _plan(df).count("Exchange")
+
+
+def test_map_side_operators_have_zero_exchanges(pdocs):
+    assert _exchanges(hash_split(pdocs)) == 0
+    assert _exchanges(stratified_sample(pdocs)) == 0  # Bernoulli path
+    assert _exchanges(chunk_documents(pdocs)) == 0
+    assert _exchanges(repetition_stats(pdocs)) == 0
+    assert (
+        _exchanges(weighted_sample(pdocs.withColumn("w", F.lit(0.5)), "w")) == 0
+    )
+
+
+def test_single_shuffle_operators(pdocs, pevents):
+    assert _exchanges(stratified_sample(pdocs, exact=True)) == 1
+    assert _exchanges(pack_sequences(pdocs)) == 1
+    assert _exchanges(anomaly_zscore(pevents)) == 1
+
+
+def test_quantize_is_map_only(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plan") / "emb.parquet")
+    spark.createDataFrame(
+        [(i, [float(i), 1.0 - i]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(path)
+    embs = spark.read.parquet(path)
+    assert _exchanges(quantize_int8(embs)) == 0
+
+
+def test_histogram_budget_and_pruning(pevents):
+    df = value_histogram(pevents)
+    # one agg exchange + one range exchange for the result-set sort
+    assert _exchanges(df) <= 2
+    plan = _plan(df)
+    scan = next(l for l in plan.split("\n") if "FileScan" in l)
+    assert "event_type" in scan and "value" in scan
+    assert "user_id" not in scan  # column pruning reached the scan
+
+
+def test_chunk_scan_prunes_columns(pdocs):
+    plan = _plan(chunk_documents(pdocs))
+    scan = next(l for l in plan.split("\n") if "FileScan" in l)
+    assert "doc_id" in scan and "text" in scan
+    assert "lang" not in scan and "source" not in scan
