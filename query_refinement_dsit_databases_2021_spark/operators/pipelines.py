@@ -288,6 +288,20 @@ def _wl_repetition(spark, sf_dir):
     return textops.repetition_stats(_docs(spark, sf_dir))
 
 
+ORACLE_BPE_TOKENS = f"""
+SELECT doc_id,
+       len(string_split(text, ' '))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text, '{textops.BPE_SPLIT_PATTERN}'))::BIGINT
+         AS n_bpe_tokens,
+       round(len(regexp_extract_all(text, '{textops.BPE_SPLIT_PATTERN}'))
+             / len(string_split(text, ' ')), 6) AS bpe_per_ws
+FROM documents ORDER BY doc_id"""
+
+
+def _wl_bpe_tokens(spark, sf_dir):
+    return textops.bpe_token_stats(_docs(spark, sf_dir))
+
+
 # Clusters from the SimHash pair graph: the oracle recomputes the same
 # pairs (ORACLE_SIMHASH as a subquery), then takes the exact transitive
 # closure with a recursive CTE and labels each component by its min
@@ -401,6 +415,7 @@ def pipeline_workloads():
         ("pipe_text_fingerprints", _wl_fingerprints, ORACLE_FINGERPRINTS, False),
         ("pipe_text_repetition", _wl_repetition, ORACLE_REPETITION, False),
         ("pipe_curation_chain", _wl_curation, _oracle_curation(), False),
+        ("pipe_text_bpe_tokens", _wl_bpe_tokens, ORACLE_BPE_TOKENS, False),
     ]
     out = [Workload(n, f, o, h) for n, f, o, h in entries]
     try:

@@ -182,6 +182,31 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+# BPE-style pre-tokenizer classes (GPT-2-ish, ASCII-safe so the Java
+# and RE2 regex engines agree): letter runs, digit runs, punctuation
+# runs. Counting these approximates subword token counts far better
+# than whitespace splitting on code/punctuation-heavy text.
+BPE_SPLIT_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+
+def bpe_token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting, both ways the pipeline needs it: whitespace
+    tokens (corpus stats) and BPE-ish regex pre-tokens (training cost
+    estimation). ``bpe_per_ws`` is the expansion factor a trainer's
+    budget model multiplies by. Pure projection — ``regexp_extract_all``
+    + ``size``, no shuffle, no Python."""
+    ws = F.size(tokens(F.col("text"))).cast("long")
+    bpe = F.size(
+        F.expr(f"regexp_extract_all(text, '{BPE_SPLIT_PATTERN}', 0)")
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+        F.round(bpe / ws, 6).alias("bpe_per_ws"),
+    )
+
+
 def langid_predictions(docs: DataFrame, top_n: int = 20) -> DataFrame:
     """Frequency-profile language identification.
 
