@@ -185,6 +185,10 @@ def remix_sources(
     """
     from pyspark.sql import Window
 
+    if not targets or any(t < 0 for t in targets.values()):
+        raise ValueError("targets must be a non-empty {group: share>=0} map")
+    if all(t == 0 for t in targets.values()):
+        raise ValueError("at least one target share must be positive")
     counts = {
         r[0]: r[1] for r in df.groupBy(group).count().collect()
     }

@@ -179,3 +179,18 @@ def test_remix_sources_hits_target_mix(docs):
         ).collect()
     )
     assert a == b
+
+
+def test_remix_sources_rejects_bad_targets(docs):
+    from query_refinement_dsit_databases_2021_spark.operators.sampling import (
+        remix_sources,
+    )
+
+    with pytest.raises(ValueError):
+        remix_sources(docs, {})
+    with pytest.raises(ValueError):
+        remix_sources(docs, {"src0": -0.1})
+    with pytest.raises(ValueError):
+        remix_sources(docs, {"src0": 0.0})
+    # a target group missing from the data -> nothing can be supplied
+    assert remix_sources(docs, {"nope": 1.0}).count() == 0
