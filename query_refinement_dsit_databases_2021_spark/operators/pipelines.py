@@ -173,6 +173,34 @@ JOIN sizes na ON na.doc_id = doc_a
 JOIN sizes nb ON nb.doc_id = doc_b
 WHERE c / (na.n + nb.n - c) >= 0.5"""
 
+# Stop-shingle cap for the REGISTERED jaccard workload: shingles in more
+# than this many docs are dropped before the inverted-index self-join,
+# bounding the O(sum(posting^2)) pair blowup at corpus scale (SCALE.md).
+# Sized so nothing drops at the test SFs (max observed DF is 25 at
+# sf0.1), i.e. capped == exact there, while a skewed shingle at 100 TB
+# contributes at most 64^2 candidate pairs instead of millions.
+JACCARD_MAX_POSTING = 64
+
+# Oracle mirror of the cap: intersections count only shingles with
+# DF <= cap; union sizes keep ALL shingles (the documented
+# under-estimate contract of ngram_jaccard_pairs(max_posting=...)).
+ORACLE_JACCARD_CAPPED = f"""
+WITH {SQL_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+keep AS (SELECT s FROM sh GROUP BY s
+         HAVING count(*) <= {JACCARD_MAX_POSTING}),
+shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       round(c / (na.n + nb.n - c), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE c / (na.n + nb.n - c) >= 0.5"""
+
 _STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
 ORACLE_QUALITY = f"""
 WITH t AS (
@@ -256,6 +284,15 @@ def _wl_simhash(spark, sf_dir):
 
 
 def _wl_jaccard(spark, sf_dir):
+    """Headline form: stop-shingle cap bounds the posting-list self-join
+    (SCALE.md); identical results to exact at the test SFs."""
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), max_posting=JACCARD_MAX_POSTING
+    )
+
+
+def _wl_jaccard_exact(spark, sf_dir):
+    """Uncapped exact form, kept as a non-headline parity workload."""
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
 
 
@@ -407,7 +444,8 @@ def pipeline_workloads():
         ("pipe_dedup_exact", _wl_dedup_exact, ORACLE_DEDUP_EXACT, False),
         ("pipe_dedup_minhash_lsh", _wl_minhash, ORACLE_MINHASH, True),
         ("pipe_dedup_simhash", _wl_simhash, ORACLE_SIMHASH, False),
-        ("pipe_dedup_ngram_jaccard", _wl_jaccard, ORACLE_JACCARD, True),
+        ("pipe_dedup_ngram_jaccard", _wl_jaccard, ORACLE_JACCARD_CAPPED, True),
+        ("pipe_dedup_ngram_jaccard_exact", _wl_jaccard_exact, ORACLE_JACCARD, False),
         ("pipe_dedup_clusters", _wl_clusters, ORACLE_CLUSTERS, False),
         ("pipe_text_quality", _wl_quality, ORACLE_QUALITY, False),
         ("pipe_text_token_stats", _wl_token_stats, ORACLE_TOKEN_STATS, False),
