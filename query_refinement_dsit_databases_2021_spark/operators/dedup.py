@@ -297,6 +297,7 @@ def neardup_components(
     # so the label sum strictly decreases until the fixpoint — one
     # scalar agg per round instead of a full self-join diff.
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = False
     for _ in range(max_iters):
         nb_min = (
             edges.join(
@@ -333,8 +334,19 @@ def neardup_components(
         )
         new_sum = labels.agg(F.sum("label")).first()[0]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # Silent non-convergence would return WRONG cluster labels;
+        # with pointer jumping this needs > 2^max_iters graph diameter,
+        # so reaching it means a bug or a pathological graph — fail
+        # loudly rather than emit plausible-looking partial labels.
+        raise RuntimeError(
+            f"neardup_components did not converge within {max_iters} "
+            "label-propagation rounds; raise max_iters (needed rounds "
+            "grow with log2 of the pair-graph diameter)"
+        )
     out = labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -155,12 +155,14 @@ def weighted_sample(
     curation step (upweight clean documents, downweight boilerplate)
     expressed as the same zero-shuffle salted-hash Bernoulli as
     :func:`stratified_sample`, with a per-row threshold instead of a
-    constant. The threshold is rounded to integer bucket units so the
-    keep test never compares raw floats.
+    constant. The threshold is quantized to integer bucket units with
+    floor(x + 0.5) — the module's tie-breaking convention (see
+    :func:`simsearch.quantize_int8`) — so the keep test never depends
+    on an engine's round-half behavior.
     """
     b = bucket_of(F.col(key), salt)
     p = F.least(F.greatest(F.col(weight), F.lit(0.0)), F.lit(1.0))
-    return df.where(b < F.round(p * BUCKETS, 0))
+    return df.where(b < F.floor(p * BUCKETS + F.lit(0.5)))
 
 
 def remix_sources(
@@ -175,7 +177,10 @@ def remix_sources(
     share (``N = min_g n_g / target_g``), then keep the first
     ``floor(target_g * N)`` rows of each group under the deterministic
     salted-hash permutation. Groups absent from ``targets`` are
-    dropped.
+    dropped; a target group with positive share that is absent from
+    the DATA raises (an empty group cannot supply any share, so the
+    only consistent downsample-only answer would be an empty result —
+    surfaced as an error instead of silently returning nothing).
 
     The group stats are a tiny driver-side aggregate (plan-time
     parameter, like CP domain resolution — SURVEY §4 O3); the data
@@ -192,9 +197,14 @@ def remix_sources(
     counts = {
         r[0]: r[1] for r in df.groupBy(group).count().collect()
     }
-    n_new = min(
-        counts.get(g, 0) / t for g, t in targets.items() if t > 0
-    )
+    absent = [g for g, t in targets.items() if t > 0 and g not in counts]
+    if absent:
+        raise ValueError(
+            f"target groups absent from data: {sorted(absent)} — a "
+            "positive share cannot be supplied by an empty group "
+            "(downsample-only contract)"
+        )
+    n_new = min(counts[g] / t for g, t in targets.items() if t > 0)
     keep_expr: Column | None = None
     import math as _math
 
@@ -242,13 +252,16 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum_prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    # `div` is integer division on longs — bit-exact for any int64
+    # cumulative sum, unlike float `/` which loses exactness past 2^53.
     return (
         docs.select(group, key, n_tok.alias("n_tokens"))
+        .withColumn("_prev", cum_prev.cast("long"))
         .select(
             group,
             key,
             "n_tokens",
-            (cum_prev / budget).cast("long").alias("bin"),
+            F.expr(f"_prev div {int(budget)}").alias("bin"),
         )
     )
 
@@ -328,9 +341,10 @@ WITH t AS (
   FROM documents),
 c AS (
   SELECT source, doc_id, n_tokens,
-         coalesce(sum(n_tokens) OVER (
+         CAST(coalesce(sum(n_tokens) OVER (
            PARTITION BY source ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS prev
   FROM t)
 SELECT source, doc_id, n_tokens, prev // 2048 AS bin
 FROM c ORDER BY source, doc_id"""
@@ -352,7 +366,7 @@ ORDER BY doc_id, start"""
 WITH q AS ({ORACLE_QUALITY})
 SELECT doc_id, quality FROM q
 WHERE {bucket_sql("CAST(doc_id AS VARCHAR)", "wsample")}
-      < round(least(greatest(quality, 0.0), 1.0) * {BUCKETS}, 0)
+      < floor(least(greatest(quality, 0.0), 1.0) * {BUCKETS} + 0.5)
 ORDER BY doc_id"""
 
     def _weighted(spark, sf_dir):

@@ -390,10 +390,13 @@ def anomaly_zscore(
     threshold: float = 2.5,
 ) -> DataFrame:
     """Trailing-window z-score anomaly detection: each point scored
-    against the mean/stddev of its own preceding ``trailing``-row
-    window (inclusive), flagged when ``|z| >= threshold``. Only full
-    windows are scored (the first ``trailing - 1`` rows per key are
-    warm-up). One per-key window sort; no second pass, no driver state.
+    against the mean/stddev of the ``trailing`` rows strictly BEFORE
+    it (the scored point is excluded from its own baseline — an
+    inclusive frame would let a large spike inflate its own mean/std
+    and shrink its own z, self-masking exactly the anomalies being
+    hunted), flagged when ``|z| >= threshold``. Only full windows are
+    scored (the first ``trailing`` rows per key are warm-up). One
+    per-key window sort; no second pass, no driver state.
 
     Values are lifted to integer cents before the moments (the
     ``moving_stats`` determinism trick): sums and sums-of-squares stay
@@ -406,7 +409,7 @@ def anomaly_zscore(
     w = (
         Window.partitionBy(key)
         .orderBy(ts, "event_id")
-        .rowsBetween(-(trailing - 1), 0)
+        .rowsBetween(-trailing, -1)
     )
     seq = Window.partitionBy(key).orderBy(ts, "event_id")
     cents = F.round(F.col(value) * 100, 0)
@@ -422,7 +425,7 @@ def anomaly_zscore(
     z = F.round((F.col("_c") - F.col("_mean")) / F.col("_std"), 4)
     return (
         scored.where(
-            (F.col("_rn") >= trailing)
+            (F.col("_rn") > trailing)
             & (F.col("_std") > 0)
             & (F.abs(z) >= threshold)
         )
@@ -437,16 +440,16 @@ def _anomaly_oracle(trailing: int = 20, threshold: float = 2.5) -> str:
 WITH s AS (
   SELECT event_id, event_type, value, round(value * 100, 0) AS c,
          row_number() OVER w AS rn,
-         avg(round(value * 100, 0)) OVER (w ROWS BETWEEN {trailing - 1} PRECEDING
-                                          AND CURRENT ROW) AS mean,
-         stddev_samp(round(value * 100, 0)) OVER (w ROWS BETWEEN {trailing - 1}
-                                                  PRECEDING AND CURRENT ROW) AS std
+         avg(round(value * 100, 0)) OVER (w ROWS BETWEEN {trailing} PRECEDING
+                                          AND 1 PRECEDING) AS mean,
+         stddev_samp(round(value * 100, 0)) OVER (w ROWS BETWEEN {trailing}
+                                                  PRECEDING AND 1 PRECEDING) AS std
   FROM events
   WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
 SELECT event_id, event_type, round(value, 2) AS value_r,
        round((c - mean) / std, 4) AS z
 FROM s
-WHERE rn >= {trailing} AND std > 0
+WHERE rn > {trailing} AND std > 0
   AND abs(round((c - mean) / std, 4)) >= {threshold}
 ORDER BY event_id"""
 

@@ -142,6 +142,17 @@ def test_neardup_components_without_docs_only_paired(spark):
     assert got == {2: 2, 4: 2}
 
 
+def test_neardup_components_raises_when_unconverged(spark):
+    # exhausting max_iters must raise, never silently return partial
+    # (wrong) labels: a 12-node path cannot converge in one
+    # propagate+hop round
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        neardup_components(pairs, max_iters=1)
+
+
 def test_weighted_sample_probability_extremes(spark):
     from query_refinement_dsit_databases_2021_spark.operators.sampling import (
         weighted_sample,
@@ -192,5 +203,15 @@ def test_remix_sources_rejects_bad_targets(docs):
         remix_sources(docs, {"src0": -0.1})
     with pytest.raises(ValueError):
         remix_sources(docs, {"src0": 0.0})
-    # a target group missing from the data -> nothing can be supplied
-    assert remix_sources(docs, {"nope": 1.0}).count() == 0
+    # a positive-share target group missing from the data raises
+    # instead of silently returning an empty result (its oracle
+    # would otherwise diverge: an inner join drops the group and
+    # still samples the others)
+    with pytest.raises(ValueError, match="absent from data"):
+        remix_sources(docs, {"nope": 1.0})
+    with pytest.raises(ValueError, match="nope"):
+        remix_sources(docs, {"src0": 0.5, "nope": 0.5})
+    # a ZERO-share target for a missing group is harmless: it asks
+    # for nothing, so the mix is still satisfiable
+    out = remix_sources(docs, {"src0": 1.0, "nope": 0.0})
+    assert out.groupBy("source").count().rdd.collectAsMap() == {"src0": 20}

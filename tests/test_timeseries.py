@@ -142,19 +142,24 @@ def test_anomaly_zscore_flags_spike(spark):
         anomaly_zscore,
     )
 
-    # 19 quiet points then a spike: with trailing=20 only row 20 has a
-    # full window, and the spike dominates its own window's stddev
-    rows = [(i, _ts(1, 0, i), 1, "a", 10.0 + (i % 2)) for i in range(1, 20)]
-    rows.append((20, _ts(1, 0, 20), 1, "a", 500.0))
+    # 20 quiet points then a spike: with trailing=20 only row 21 has a
+    # full PRECEDING window; the spike is excluded from its own
+    # baseline (exclusive frame), so it cannot self-mask
+    rows = [(i, _ts(1, 0, i), 1, "a", 10.0 + (i % 2)) for i in range(1, 21)]
+    rows.append((21, _ts(1, 0, 21), 1, "a", 500.0))
     df = spark.createDataFrame(
         rows,
         "event_id long, ts timestamp, user_id long, event_type string, value double",
     )
     out = anomaly_zscore(df).collect()
-    assert [r.event_id for r in out] == [20]
+    assert [r.event_id for r in out] == [21]
     assert out[0].z > 2.5 and out[0].value_r == 500.0
+    # the exclusive baseline is the quiet alternation (std 50 cents,
+    # mean 1050): z = (50000 - 1050) / 50 -> enormous, far beyond what
+    # an inclusive frame (spike inflating its own std) would yield
+    assert out[0].z > 100
     # warm-up rows are never flagged even if extreme
-    assert anomaly_zscore(df.where("event_id <= 19")).count() == 0
+    assert anomaly_zscore(df.where("event_id <= 20")).count() == 0
 
 
 def test_value_histogram_buckets(spark, tiny_events):
