@@ -6,12 +6,21 @@ ONE JSON line: {"metric", "value", "unit", "queries", "sf"}.
 Per-query time is wall-clock for plan + execution to a count/collect
 action (results are not retained). Caches are cleared between queries
 so each measures its own full pipeline.
+
+Median-of-N protocol: this machine's ambient swing is large (15-43 s
+totals on identical code, BASELINE.md), so a single run is noise.
+Each query is timed ``--repeat`` times (default 3, round-robin across
+the whole suite so repeats of one query never ride the same transient)
+and the reported per-query number is the MEDIAN; ``value`` is the sum
+of medians. ``spread`` carries per-query min/max for honesty.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -19,6 +28,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--repeat",
+        type=int,
+        default=int(os.environ.get("SPARK_GRAFT_REPEAT", "3")),
+        help="timed passes per query; reported time is the median",
+    )
+    args = parser.parse_args()
+    repeat = max(1, args.repeat)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
@@ -46,15 +65,26 @@ def main() -> None:
     all_w["cp_filter_avg"].fn(spark, sf_dir).count()
     spark.catalog.clearCache()
 
-    times: dict[str, float] = {}
-    for name in names:
-        spark.catalog.clearCache()
-        t0 = time.time()
-        df = all_w[name].fn(spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    rows: dict[str, int] = {}
+    for rep in range(repeat):
+        for name in names:
+            spark.catalog.clearCache()
+            t0 = time.time()
+            df = all_w[name].fn(spark, sf_dir)
+            n = df.count()
+            dt = time.time() - t0
+            samples[name].append(dt)
+            rows[name] = n
+            print(
+                f"# pass {rep + 1}/{repeat} {name}: {dt:.3f}s ({n} rows)",
+                file=sys.stderr,
+            )
 
+    times = {n: round(statistics.median(ts), 3) for n, ts in samples.items()}
+    spread = {
+        n: [round(min(ts), 3), round(max(ts), 3)] for n, ts in samples.items()
+    }
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -63,6 +93,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "median": times,
+                "spread": spread,
+                "repeat": repeat,
                 "sf": sf,
                 "cpus": cpus,
             }
