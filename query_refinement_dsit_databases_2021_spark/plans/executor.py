@@ -77,17 +77,25 @@ class Engine:
         strategy: str = "auto",
         partition_rows: int | None = None,
         cache_dir: str | None = None,
+        cache_auto_seconds: float | None = None,
     ):
         self.spark = spark
         self.strategy = strategy
         self.partition_rows = partition_rows
         # K2 cache: the reference pickles its UDF map when the build
         # exceeds 300 s and reloads it on demand
-        # (reference:src/server.py:249-286). Here the distributed UDF
-        # map (the candidates DataFrame) is written to parquet keyed by
-        # a fingerprint of (table, column, domains, measure set) — the
-        # exact inputs that determine its content. Opt-in via cache_dir.
+        # (reference:src/server.py:249-286, threshold at :264). Here the
+        # distributed UDF map (the candidates DataFrame) is written to
+        # parquet keyed by a fingerprint of (table, column, domains,
+        # measure set) — the exact inputs that determine its content.
+        # Two modes, both requiring cache_dir:
+        #   cache_auto_seconds=None  -> cache every build (opt-in eager)
+        #   cache_auto_seconds=T     -> reference parity: build in
+        #       memory, persist to parquet only when the measured build
+        #       took longer than T seconds (the reference's 300 s
+        #       trigger); cheap builds stay cache-free.
         self.cache_dir = cache_dir
+        self.cache_auto_seconds = cache_auto_seconds
         self._tables: dict[str, DataFrame] = {}
         self.last_info = ExecutionInfo()
 
@@ -177,11 +185,26 @@ class Engine:
             path = os.path.join(
                 self.cache_dir, f"udfmap_{self._cache_key(spec)}.parquet"
             )
-            if not os.path.exists(path):
+            if os.path.exists(path):
+                candidates = self.spark.read.parquet(path).persist()
+            elif self.cache_auto_seconds is None:
                 build_candidates(
                     segment, spec, t_start, t_end, strategy, self.partition_rows
                 ).write.mode("overwrite").parquet(path)
-            candidates = self.spark.read.parquet(path).persist()
+                candidates = self.spark.read.parquet(path).persist()
+            else:
+                # reference parity (src/server.py:264): time the build
+                # and self-cache only when it was expensive enough that
+                # a reload beats a rebuild
+                import time as _time
+
+                t0 = _time.time()
+                candidates = build_candidates(
+                    segment, spec, t_start, t_end, strategy, self.partition_rows
+                ).persist()
+                candidates.count()  # materialize so the timer sees the build
+                if _time.time() - t0 > self.cache_auto_seconds:
+                    candidates.write.mode("overwrite").parquet(path)
         else:
             candidates = build_candidates(
                 segment, spec, t_start, t_end, strategy, self.partition_rows

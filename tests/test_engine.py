@@ -203,3 +203,45 @@ def test_udf_map_parquet_cache(spark, tmp_path, series_tiny):
         QuerySpec("t", "y", (2, 8), (2, 4), (ConstraintSpec("avg_amp", (), 1, 3),))
     ).collect()
     assert len(os.listdir(cache)) == 2
+
+
+def test_udf_map_cache_auto_threshold(spark, tmp_path, series_tiny):
+    """K2 time trigger (reference:src/server.py:264): with
+    cache_auto_seconds set, the build self-caches only when it exceeds
+    the threshold; a second execute() then reads the parquet cache."""
+    import os
+
+    from query_refinement_dsit_databases_2021_spark.plans.executor import Engine
+    from query_refinement_dsit_databases_2021_spark.plans.spec import (
+        ConstraintSpec,
+        QuerySpec,
+    )
+
+    spec = QuerySpec(
+        "t", "y", (2, 10), (2, 4), (ConstraintSpec("avg_amp", (), 1, 3),)
+    )
+
+    # threshold no real build can beat -> never caches
+    cold = str(tmp_path / "cold")
+    os.makedirs(cold)
+    eng = Engine(spark, cache_dir=cold, cache_auto_seconds=1e9)
+    eng.register_series("t", series_tiny)
+    baseline = sorted(map(tuple, eng.execute(spec).collect()))
+    assert os.listdir(cold) == []
+
+    # zero threshold -> every build is "slow", triggering the
+    # reference's >300s pickle behavior
+    hot = str(tmp_path / "hot")
+    os.makedirs(hot)
+    eng2 = Engine(spark, cache_dir=hot, cache_auto_seconds=0.0)
+    eng2.register_series("t", series_tiny)
+    first = sorted(map(tuple, eng2.execute(spec).collect()))
+    files = os.listdir(hot)
+    assert len(files) == 1
+    # second execute() reads the parquet cache (entry untouched) and
+    # returns identical rows
+    mtime = os.path.getmtime(os.path.join(hot, files[0]))
+    second = sorted(map(tuple, eng2.execute(spec).collect()))
+    assert os.listdir(hot) == files
+    assert os.path.getmtime(os.path.join(hot, files[0])) == mtime
+    assert first == second == baseline
