@@ -230,3 +230,86 @@ def test_none_domains_resolve_to_data_min_max(spark, ys, lo_hi):
     # (e) None sides ≡ data-driven defaults (t_min=1; offset lo=1)
     assert got_implicit == got_explicit
     assert engine.last_info.spec.x_domain[0] == 1
+
+
+def _level_commit(levels, k_new):
+    """Test-local model of the reference's multi-level relaxation commit
+    (reference:src/server.py:706-719): each "search level" is replayed
+    in full, its best results are committed via
+    ``sortPenalties(nr, k_new - len(results))``, and only the REMAINING
+    slots are contested by the next level. ``levels`` is a list of
+    lists of ``(candidate, rp)``."""
+    results = []
+    for nr in levels:
+        if k_new <= len(results):
+            break
+        results = results + sorted(nr, key=lambda r: r[1])[: k_new - len(results)]
+    return results
+
+
+def test_multilevel_level_commit_divergence(spark):
+    """SURVEY §2.9 note, made concrete: the reference's level-by-level
+    relaxation commit (reference:src/server.py:708-719) and this
+    engine's declarative global top-(k−n) by RP DISAGREE whenever a
+    later-level candidate out-scores a committed earlier-level one.
+
+    Two facts frame the divergence:
+
+    1. The multi-level path is unreachable in the reference as written:
+       a failpoint's replay relaxes every failed constraint to that
+       subtree's own min/max (src/server.py:752-755, 593-596), which by
+       construction admits every leaf of the subtree, so a replay can
+       never record ``new_failures`` — the reference's own comments mark
+       the path "UNTESTED CODE" (src/server.py:697-699, 714). For every
+       query the reference can actually run, relaxation is single-level
+       and the level commit coincides with the global top-(k−n).
+    2. Under the PAPER's semantics, were a second level reachable, the
+       commit order would matter. This test constructs that scenario
+       with real engine-scored candidates and pins the divergent rows.
+
+    Series/spec below (avg_amp in [5, 9], k = 2, zero passing) yields
+    admissible failing candidates led by, in global RP order:
+        A = (time_id 8,  offset 2)  rp ≈ 0.545455
+        C = (time_id 17, offset 3)  rp ≈ 0.568182
+        B = (time_id 15, offset 2)  rp ≈ 0.590909
+    Hypothetical levels: level 1 = {A, B}, level 2 = {C}.
+        reference level-commit → {A, B}  (B committed before C competes)
+        declarative global top-2 → {A, C}
+    Divergent row set: reference keeps B=(15, 2); the engine returns
+    C=(17, 3) instead. The engine's answer is pinned below.
+    """
+    ys = [0, 3, 1, 4, 2, 6, 1, 5, 2, 7, 3, 1, 6, 2, 4, 1, 8, 2, 3, 5, 1, 4, 6, 2, 3]
+    series = spark.createDataFrame(
+        [(i + 1, float(v)) for i, v in enumerate(ys)], ["time_id", "y"]
+    )
+    engine = Engine(spark)
+    engine.register_series("lvl_series", series)
+    con = ConstraintSpec("avg_amp", (), 5.0, 9.0)
+
+    # probe: every admissible failing candidate with its RP
+    probe = QuerySpec(
+        "lvl_series", "y", (1, 18), (2, 4), (con,), cardinality=500, refined=True
+    )
+    rows = engine.execute(probe, include_scores=True).collect()
+    assert engine.last_info.n_passing == 0
+    scored = sorted((round(r.rp, 9), r.time_id, r.offset) for r in rows if r.rp > 0)
+    (rp_a, *a), (rp_c, *c), (rp_b, *b) = scored[0], scored[1], scored[2]
+    a, b, c = tuple(a), tuple(b), tuple(c)
+    assert a == (8, 2) and c == (17, 3) and b == (15, 2)
+    assert rp_a < rp_c < rp_b  # strict: the divergence is not a tie artifact
+
+    # hypothetical two-level layout: B discovered at level 1, C at level 2
+    levels = [[(a, rp_a), (b, rp_b)], [(c, rp_c)]]
+    committed = {cand for cand, _ in _level_commit(levels, 2)}
+    global_top2 = {cand for _, *cand2 in scored[:2] for cand in [tuple(cand2)]}
+    assert committed == {a, b}
+    assert global_top2 == {a, c}
+    assert committed != global_top2  # the named divergence: B vs C
+
+    # the ENGINE implements the declarative contract: global top-(k−n)
+    final = QuerySpec(
+        "lvl_series", "y", (1, 18), (2, 4), (con,), cardinality=2, refined=True
+    )
+    got = sorted((r.time_id, r.offset) for r in engine.execute(final).collect())
+    assert engine.last_info.action == "relax"
+    assert got == sorted([a, c])
