@@ -174,6 +174,12 @@ def _block_size(partition_rows: int | None, reach_fwd: int, reach_bwd: int) -> i
     return max(block, 2 * (reach_fwd + reach_bwd + 1))
 
 
+# Superblock fan-in for strategy S's exclusive prefix over block totals:
+# bounds the rows crossing the single-partition window stage to
+# n_blocks / FAN (see _build_sparse).
+SPARSE_OFFSET_FAN = 4096
+
+
 # ---------------------------------------------------------------------------
 # strategy W: per-lx window frames
 # ---------------------------------------------------------------------------
@@ -294,9 +300,36 @@ def _build_sparse(
         "S_local", F.sum("y").over(wc.rowsBetween(Window.unboundedPreceding, 0))
     )
     totals = helper.groupBy("wpid").agg(F.sum("y").alias("tot"))
-    w_off = Window.orderBy("wpid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "wpid", F.coalesce(F.sum("tot").over(w_off), F.lit(0.0)).alias("S_off")
+    # Two-level exclusive prefix over block totals: a flat
+    # Window.orderBy("wpid") funnels every block-total row through ONE
+    # partition — fine to ~1e6 blocks, a straggler beyond. Fold blocks
+    # into superblocks of SPARSE_OFFSET_FAN: the within-superblock scan
+    # distributes on the superblock id, and only n_blocks/FAN rows
+    # cross the remaining single-partition stage (cliff pushed to
+    # ~FAN*1e6 blocks; the same fold applies recursively if a third
+    # level is ever warranted).
+    t1 = totals.withColumn(
+        "sb", F.expr(f"CAST(wpid AS BIGINT) div {SPARSE_OFFSET_FAN}")
+    )
+    sb_tot = t1.groupBy("sb").agg(F.sum("tot").alias("sb_t"))
+    w_sb = Window.orderBy("sb").rowsBetween(Window.unboundedPreceding, -1)
+    sb_off = sb_tot.select(
+        "sb", F.coalesce(F.sum("sb_t").over(w_sb), F.lit(0.0)).alias("sb_off")
+    )
+    w_in = (
+        Window.partitionBy("sb")
+        .orderBy("wpid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        t1.join(F.broadcast(sb_off), "sb")
+        .select(
+            "wpid",
+            (
+                F.coalesce(F.sum("tot").over(w_in), F.lit(0.0))
+                + F.col("sb_off")
+            ).alias("S_off"),
+        )
     )
     arrays = [F.array(*[F.col(f"M_{j}") for j in range(jmax + 1)]).alias("M")]
     if need_min:

@@ -110,6 +110,35 @@ def test_halo_partitioning_invariant(spark, strategy):
             assert b[key][col] == pytest.approx(val, abs=1e-9), (key, col)
 
 
+def test_sparse_two_level_offset_fold(spark, monkeypatch):
+    """Strategy S's exclusive prefix over block totals is a two-level
+    fold (within-superblock scan + single-partition scan over superblock
+    totals). With the fan forced to 2 and 10 blocks (= 5 superblocks),
+    every fold path is exercised and measure values must be identical
+    to the brute-force oracle and the single-block plan."""
+    import numpy as np
+
+    from query_refinement_dsit_databases_2021_spark.operators import candidates
+
+    monkeypatch.setattr(candidates, "SPARSE_OFFSET_FAN", 2)
+    rng = np.random.default_rng(11)
+    ys = rng.integers(-50, 50, size=300).astype(float)
+    series = [(i + 1, float(y)) for i, y in enumerate(ys)]
+    df = spark.createDataFrame(series, "time_id long, y double")
+    spec = _spec((1, 280), (0, 6), CONS_ALL)
+
+    folded = _collect(build_candidates(df, spec, 1, 300, "sparse", partition_rows=30))
+    single = _collect(
+        build_candidates(df, spec, 1, 300, "sparse", partition_rows=10**6)
+    )
+    want = brute_candidates(series, spec)
+    assert set(folded) == set(single) == set(want)
+    for key in want:
+        for col, val in want[key].items():
+            assert folded[key][col] == pytest.approx(val, abs=1e-9), (key, col)
+            assert single[key][col] == pytest.approx(val, abs=1e-9), (key, col)
+
+
 EXT_CONS = [
     ConstraintSpec("sum_amp", (), None, None),
     ConstraintSpec("min_amp", (), None, None),
