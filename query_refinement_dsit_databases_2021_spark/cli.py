@@ -34,7 +34,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
         prog="query_refinement_dsit_databases_2021_spark",
         description="CP window-query engine with automatic refinement (PySpark)",
     )
-    p.add_argument("--table", required=True, help="series table parquet path")
+    p.add_argument(
+        "--table",
+        required=True,
+        action="append",
+        help="series table parquet path (repeatable; with several, the "
+        "dataset is picked interactively like the reference client)",
+    )
     p.add_argument("--name", default=None, help="table name in the query (default: file stem)")
     p.add_argument("--query", required=True, help="query text file, or - for stdin")
     p.add_argument("--out-dir", default="obj", help="sink dir for plot + timers")
@@ -53,6 +59,23 @@ def build_arg_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--master", default=None, help="spark master override")
     return p
+
+
+def pick_dataset(tables: list[str]) -> str:
+    """Interactive dataset selection, mirroring the reference's
+    numbered stdin loop (reference:src/client.py:103-121): print the
+    options, re-prompt until a valid number is entered."""
+    if len(tables) == 1:
+        return tables[0]
+    print("\nPlease enter a number to select a dataset:")
+    for i, path in enumerate(tables, 1):
+        stem = os.path.splitext(os.path.basename(path))[0]
+        print(f"{i}: {stem} - {path}")
+    while True:
+        x = input()
+        if x.isdigit() and 1 <= int(x) <= len(tables):
+            return tables[int(x) - 1]
+        print("Please choose a correct number")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -75,10 +98,11 @@ def main(argv: list[str] | None = None) -> int:
     with t.stage("parse"):
         spec = parse_query(text)
 
-    name = args.name or os.path.splitext(os.path.basename(args.table))[0]
+    table = pick_dataset(args.table)
+    name = args.name or os.path.splitext(os.path.basename(table))[0]
     engine = Engine(spark, strategy=args.strategy, cache_dir=args.cache_dir)
     with t.stage("get-data"):
-        engine.register_parquet(name, args.table)
+        engine.register_parquet(name, table)
 
     # catalog readout (S6, reference:src/client.py:124-146)
     for tbl, cols in engine.list_tables().items():

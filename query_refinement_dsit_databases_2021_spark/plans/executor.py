@@ -122,6 +122,17 @@ class Engine:
     def register_parquet(self, name: str, path: str) -> None:
         self.register_series(name, self.spark.read.parquet(path))
 
+    def register_jdbc(
+        self, name: str, url: str, table: str, **options
+    ) -> None:
+        """Source parity with the reference's Postgres storage
+        (reference:src/client.py:68-88): register a series table read
+        through Spark's JDBC source (optionally range-partitioned on
+        time_id — see sources.series.read_jdbc)."""
+        from query_refinement_dsit_databases_2021_spark.sources import series
+
+        self.register_series(name, series.read_jdbc(self.spark, url, table, **options))
+
     def list_tables(self) -> dict[str, list[str]]:
         """Catalog readout (information_schema analogue,
         reference:src/client.py:124-146)."""

@@ -111,3 +111,53 @@ def load_series(df: DataFrame, column: str) -> DataFrame:
         F.col("time_id").cast("long").alias("time_id"),
         F.col(column).cast("double").alias("y"),
     )
+
+
+def read_jdbc(
+    spark,
+    url: str,
+    table: str,
+    partition_column: str | None = "time_id",
+    num_partitions: int | None = None,
+    **options: str,
+) -> DataFrame:
+    """JDBC series source — parity with the reference's Postgres storage
+    (reference:src/client.py:68-88 connects psycopg2 to
+    ``dbname=<emg|gas>``; the Spark analogue is the built-in JDBC
+    reader, ``jdbc:postgresql://host/dbname``).
+
+    When ``partition_column``/``num_partitions`` are given the read is
+    range-partitioned on that column by the JDBC source itself (Spark
+    issues one bounded query per partition), so a large series table
+    lands distributed instead of through a single connection. Bounds
+    are probed with a MIN/MAX push-down query (S7) unless provided in
+    ``options`` (``lowerBound``/``upperBound``).
+
+    The container ships no JDBC driver jars, so this path is exercised
+    in tests through the registration seam (`Engine.register_jdbc`)
+    with the reader monkeypatched — the reader body itself is a thin
+    pass-through to the public ``spark.read.jdbc`` surface.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if partition_column is not None and num_partitions:
+        if "lowerBound" not in options or "upperBound" not in options:
+            bounds = (
+                spark.read.format("jdbc")
+                .option("url", url)
+                .option(
+                    "dbtable",
+                    f"(SELECT MIN({partition_column}) AS lo, "
+                    f"MAX({partition_column}) AS hi FROM {table}) b",
+                )
+                .load()
+                .first()
+            )
+            reader = reader.option("lowerBound", str(bounds["lo"])).option(
+                "upperBound", str(bounds["hi"])
+            )
+        reader = reader.option("partitionColumn", partition_column).option(
+            "numPartitions", str(num_partitions)
+        )
+    return reader.load()

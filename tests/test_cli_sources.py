@@ -134,3 +134,69 @@ def test_cli_strategy_flag(spark, tmp_path, capsys):
     )
     assert rc == 0
     assert "strategy=sparse" in capsys.readouterr().out
+
+
+def test_cli_interactive_dataset_pick(spark, tmp_path, capsys, monkeypatch):
+    """Reference-UX parity (src/client.py:103-121): with several
+    --table options the CLI prompts a numbered pick, re-prompting on
+    invalid input, then runs against the chosen dataset."""
+    from query_refinement_dsit_databases_2021_spark.cli import main
+
+    tables = []
+    for name in ("emg_data", "gas_data"):
+        path = str(tmp_path / f"{name}.parquet")
+        spark.createDataFrame(
+            [(i, 1.5 + math.sin(i / 7.0)) for i in range(1, 301)],
+            "time_id long, emg1 double",
+        ).write.mode("overwrite").parquet(path)
+        tables.append(path)
+    qf = tmp_path / "query.txt"
+    qf.write_text(
+        "SELECT time_id, offset IN_DOMAIN [50, 150], [5, 20]\n"
+        "FROM gas_data.emg1\nWHERE avg_amp() in [1, 2] MAX\nLIMIT REFINED 5\n"
+    )
+    answers = iter(["7", "x", "2"])  # two invalid picks, then dataset 2
+    monkeypatch.setattr("builtins.input", lambda: next(answers))
+    rc = main(
+        [
+            "--table", tables[0], "--table", tables[1],
+            "--query", str(qf), "--out-dir", str(tmp_path / "obj3"),
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Please enter a number to select a dataset" in out
+    assert "Please choose a correct number" in out  # re-prompt happened
+    assert "table gas_data" in out  # pick 2 won
+    assert "5 result(s)" in out
+
+
+def test_register_jdbc_wiring(spark, monkeypatch):
+    """Engine.register_jdbc goes through sources.series.read_jdbc and
+    lands in the same catalog/validation path as every other source
+    (no JDBC driver ships in this container, so the reader seam is
+    substituted; read_jdbc itself is a pass-through to spark.read.jdbc)."""
+    from query_refinement_dsit_databases_2021_spark.plans.executor import Engine
+    from query_refinement_dsit_databases_2021_spark.sources import series as src
+
+    seen = {}
+
+    def fake_read_jdbc(sp, url, table, **options):
+        seen.update(url=url, table=table, options=options)
+        return spark.createDataFrame(
+            [(i, float(i % 5)) for i in range(1, 61)], "time_id long, y double"
+        )
+
+    monkeypatch.setattr(src, "read_jdbc", fake_read_jdbc)
+    eng = Engine(spark)
+    eng.register_jdbc(
+        "emg", "jdbc:postgresql://localhost/emg", "emg_table", num_partitions=4
+    )
+    assert seen["url"].endswith("/emg") and seen["table"] == "emg_table"
+    assert seen["options"] == {"num_partitions": 4}
+    assert eng.list_tables() == {"emg": ["time_id", "y"]}
+    got = eng.execute(
+        "SELECT time_id, offset IN_DOMAIN [5, 40], [2, 6]\n"
+        "FROM emg.y\nWHERE avg_amp() in [1, 3] MAX\nLIMIT 5"
+    ).collect()
+    assert len(got) == 5
