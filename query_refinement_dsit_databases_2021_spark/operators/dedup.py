@@ -410,3 +410,39 @@ def ngram_jaccard_pairs(
         .where(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+def decontaminate(
+    docs: DataFrame, eval_docs: DataFrame, k: int = 5, min_hits: int = 1
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share at
+    least ``min_hits`` distinct ``k``-word shingles with an evaluation
+    set (the standard guard against test-set leakage into training
+    data; k chosen long enough that coincidental overlap is rare).
+
+    Scale shape: the eval side is a benchmark — tiny next to a 100 TB
+    corpus — so its distinct shingle set is BROADCAST and the corpus is
+    filtered by a broadcast hash join (one corpus scan, no corpus-side
+    shuffle); the only shuffle is the per-doc hit count on doc_id.
+    Corpus shingles are distinct per document, so ``count(*)`` after
+    the join IS the distinct-shared-shingle count.
+
+    Returns ``(doc_id, n_shared, contaminated)`` for every corpus doc.
+    """
+    corpus_sh = shingles(docs, k)
+    eval_sh = shingles(eval_docs, k).select("s").distinct()
+    hits = (
+        corpus_sh.join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    n = F.coalesce(F.col("n_shared"), F.lit(0)).cast("long")
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            n.alias("n_shared"),
+            (n >= min_hits).alias("contaminated"),
+        )
+    )

@@ -437,6 +437,52 @@ def _wl_curation(spark, sf_dir):
     )
 
 
+# --- benchmark decontamination + PII scrub workloads ----------------------
+
+DECON_K = 5  # shingle length; long enough that coincidental overlap is rare
+_DECON_SHINGLE = " || '|' || ".join(f"ws[i + {j}]" for j in range(DECON_K))
+# corpus = docs outside the held-out set, eval set = every 17th doc —
+# a self-contained stand-in for "training corpus vs benchmark suite"
+ORACLE_DECON = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, {_DECON_SHINGLE} AS s
+  FROM tok, unnest(range(1, greatest(len(ws) - {DECON_K - 2}, 1))) u(i)),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 0),
+hits AS (
+  SELECT doc_id, count(*) AS n_shared
+  FROM sh JOIN ev USING (s) WHERE doc_id % 17 <> 0 GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+       coalesce(h.n_shared, 0) >= 1 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
+LEFT JOIN hits h USING (doc_id)
+ORDER BY doc_id"""
+
+
+def _wl_decontaminate(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 17 != 0)
+    eval_docs = docs.where(F.col("doc_id") % 17 == 0)
+    return dedup.decontaminate(corpus, eval_docs, k=DECON_K).orderBy("doc_id")
+
+
+ORACLE_SCRUB = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{textops.PII_EMAIL}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(text, '{textops.PII_IPV4}'))::BIGINT AS n_ips,
+       len(regexp_extract_all(text, '{textops.PII_PHONE}'))::BIGINT AS n_phones,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{textops.PII_EMAIL}', '<EMAIL>', 'g'),
+           '{textops.PII_IPV4}', '<IP>', 'g'),
+           '{textops.PII_PHONE}', '<PHONE>', 'g') AS scrubbed
+FROM documents ORDER BY doc_id"""
+
+
+def _wl_scrub_pii(spark, sf_dir):
+    return textops.scrub_pii(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def pipeline_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
@@ -454,6 +500,8 @@ def pipeline_workloads():
         ("pipe_text_repetition", _wl_repetition, ORACLE_REPETITION, False),
         ("pipe_curation_chain", _wl_curation, _oracle_curation(), False),
         ("pipe_text_bpe_tokens", _wl_bpe_tokens, ORACLE_BPE_TOKENS, False),
+        ("pipe_decontaminate", _wl_decontaminate, ORACLE_DECON, False),
+        ("pipe_scrub_pii", _wl_scrub_pii, ORACLE_SCRUB, False),
     ]
     out = [Workload(n, f, o, h) for n, f, o, h in entries]
     try:

@@ -263,3 +263,45 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         "text_hash",
         F.coalesce("min_shingle_hash", F.lit(-1)).alias("min_shingle_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data curation: redact before training)
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the Java-regex ∩ RE2 common subset so Spark
+# (java.util.regex) and DuckDB (RE2) match identically: no backrefs, no
+# lookaround; the phone pattern requires a leading '+' so the greedy
+# digit-run has a single feasible longest match under both leftmost-first
+# (Java) and leftmost-longest (RE2) semantics.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9][0-9 -]{6,}[0-9]"
+
+
+def scrub_pii(docs: DataFrame) -> DataFrame:
+    """Redact emails, IPv4 addresses, and +international phone numbers,
+    keeping per-document match counts (counted on the RAW text, so the
+    counts are independent of replacement order). Replacement applies
+    email -> ip -> phone, the same fixed order as the oracle. Pure
+    JVM-side regexp codegen — no shuffle, no Python.
+
+    Returns ``(doc_id, n_emails, n_ips, n_phones, scrubbed)``.
+    """
+    text = F.col("text")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(text, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(text, F.lit(PII_IPV4)).cast("long").alias("n_ips"),
+        F.regexp_count(text, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        scrubbed.alias("scrubbed"),
+    )

@@ -197,3 +197,57 @@ def test_ivf_exhaustive_probe_equals_brute_force(emb_tiny):
         )
     )
     assert ivf == brute
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        scrub_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "host 10.0.255.3 and 192.168.1.1 up"),
+            (3, "call +30 210-555-0199 today"),
+            (4, "clean text only"),
+            (5, "a@b.io at 8.8.8.8 dial +12025550143"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert got[1].scrubbed == "mail <EMAIL> now"
+    assert (got[1].n_emails, got[1].n_ips, got[1].n_phones) == (1, 0, 0)
+    assert got[2].scrubbed == "host <IP> and <IP> up"
+    assert got[2].n_ips == 2
+    assert got[3].scrubbed == "call <PHONE> today"
+    assert got[3].n_phones == 1
+    assert got[4].scrubbed == "clean text only"
+    assert (got[4].n_emails, got[4].n_ips, got[4].n_phones) == (0, 0, 0)
+    assert got[5].scrubbed == "<EMAIL> at <IP> dial <PHONE>"
+
+
+def test_decontaminate_flags_eval_overlap(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.dedup import (
+        decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "totally unrelated words with no overlap at all here"),
+            (3, "question the quick brown fox jumps answer maybe"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "benchmark asks the quick brown fox jumps over things")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in decontaminate(corpus, eval_docs, k=5).collect()}
+    # doc 1 shares the 5-grams "the quick brown fox jumps" and
+    # "quick brown fox jumps over"; doc 3 shares only the first
+    assert got[1].contaminated and got[1].n_shared == 2
+    assert got[3].contaminated and got[3].n_shared == 1
+    assert not got[2].contaminated and got[2].n_shared == 0
+    # every corpus doc appears exactly once
+    assert set(got) == {1, 2, 3}
