@@ -92,10 +92,11 @@ def main() -> None:
                 "metric": "headline_workloads_total_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
-                "median": times,
+                "queries": times,  # per-query MEDIAN over `repeat` passes
+                "aggregation": "median",
                 "spread": spread,
                 "repeat": repeat,
+                "rows": rows,
                 "sf": sf,
                 "cpus": cpus,
             }

@@ -72,8 +72,16 @@ def pick_dataset(tables: list[str]) -> str:
         stem = os.path.splitext(os.path.basename(path))[0]
         print(f"{i}: {stem} - {path}")
     while True:
-        x = input()
-        if x.isdigit() and 1 <= int(x) <= len(tables):
+        try:
+            x = input()
+        except EOFError:
+            raise SystemExit(
+                "stdin closed before a dataset was picked — pass a single "
+                "--table for non-interactive runs"
+            )
+        # isdecimal, not isdigit: superscript digits pass isdigit but
+        # crash int()
+        if x.isdecimal() and 1 <= int(x) <= len(tables):
             return tables[int(x) - 1]
         print("Please choose a correct number")
 
@@ -88,6 +96,11 @@ def main(argv: list[str] | None = None) -> int:
             kw["master"] = args.master
         spark = get_spark(**kw)
 
+    if args.query == "-" and len(args.table) > 1:
+        raise SystemExit(
+            "--query - consumes stdin, which the interactive dataset pick "
+            "also needs; pass a single --table or a query file"
+        )
     with t.stage("read-query"):
         if args.query == "-":
             text = sys.stdin.read()

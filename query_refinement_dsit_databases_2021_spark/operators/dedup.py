@@ -298,7 +298,11 @@ def neardup_components(
     # scalar agg per round instead of a full self-join diff.
     prev_sum = labels.agg(F.sum("label")).first()[0]
     converged = False
-    for _ in range(max_iters):
+    # max_iters + 1: convergence is detected by a NO-CHANGE round, so a
+    # graph that reaches its fixpoint exactly on round max_iters needs
+    # one extra (cheap, no-op) round to prove it — max_iters bounds the
+    # PRODUCTIVE rounds
+    for _ in range(max_iters + 1):
         nb_min = (
             edges.join(
                 labels.select(
@@ -393,6 +397,8 @@ def ngram_jaccard_pairs(
     groupBy + equi-join — one extra shuffle, but AQE can split a
     pathologically skewed stop-shingle's partitions there, so prefer
     it when a mega-shingle would straggle the window task."""
+    if cap_strategy not in ("window", "join"):
+        raise ValueError("cap_strategy must be 'window' or 'join'")
     sh = shingles(docs).persist()
     if max_posting is not None and cap_strategy == "window":
         w = Window.partitionBy("s")
@@ -402,8 +408,6 @@ def ngram_jaccard_pairs(
             .drop("_df")
         )
     elif max_posting is not None:
-        if cap_strategy != "join":
-            raise ValueError("cap_strategy must be 'window' or 'join'")
         rare = (
             sh.groupBy("s")
             .agg(F.count("*").alias("df"))
@@ -413,6 +417,7 @@ def ngram_jaccard_pairs(
         joined_sh = sh.join(rare, "s").persist()
     else:
         joined_sh = sh
+
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = joined_sh.select(F.col("doc_id").alias("doc_a"), "s")
     sb = joined_sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))

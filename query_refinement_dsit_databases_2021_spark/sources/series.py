@@ -142,7 +142,10 @@ def read_jdbc(
     for k, v in options.items():
         reader = reader.option(k, v)
     if partition_column is not None and num_partitions:
-        if "lowerBound" not in options or "upperBound" not in options:
+        # Spark reader options are case-insensitive — match that here
+        # so caller-supplied lowercase bounds suppress the probe
+        given = {k.lower() for k in options}
+        if "lowerbound" not in given or "upperbound" not in given:
             bounds = (
                 spark.read.format("jdbc")
                 .option("url", url)
@@ -154,6 +157,13 @@ def read_jdbc(
                 .load()
                 .first()
             )
+            if bounds["lo"] is None or bounds["hi"] is None:
+                raise ValueError(
+                    f"JDBC table {table!r} is empty (or {partition_column!r} "
+                    "is all NULL) — cannot derive partition bounds; load it "
+                    "unpartitioned (num_partitions=None) or pass "
+                    "lowerBound/upperBound explicitly"
+                )
             reader = reader.option("lowerBound", str(bounds["lo"])).option(
                 "upperBound", str(bounds["hi"])
             )
