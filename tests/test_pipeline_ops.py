@@ -300,3 +300,38 @@ def test_scrub_pii_cross_engine_adversarial(spark):
         for r in con.execute(ORACLE_SCRUB).fetchall()
     }
     assert got == want
+
+
+def test_decontaminate_matches_set_model(spark):
+    """Differential vs a pure-Python shingle-set model on a randomized
+    small-alphabet corpus (seeded): n_shared must equal the exact
+    distinct-k-gram intersection count for every corpus doc."""
+    import random
+
+    from query_refinement_dsit_databases_2021_spark.operators.dedup import (
+        decontaminate,
+    )
+
+    rng = random.Random(1234)
+    words = [f"w{i}" for i in range(12)]  # tiny alphabet -> real overlap
+    mk = lambda n: " ".join(rng.choice(words) for _ in range(n))
+    corpus_rows = [(i, mk(rng.randint(2, 30))) for i in range(1, 41)]
+    eval_rows = [(100 + i, mk(rng.randint(5, 25))) for i in range(4)]
+    k = 3
+
+    def sh_set(text):
+        ws = text.split(" ")
+        return {"|".join(ws[i : i + k]) for i in range(len(ws) - k + 1)}
+
+    eval_sh = set().union(*(sh_set(t) for _, t in eval_rows))
+    want = {
+        d: len(sh_set(t) & eval_sh) for d, t in corpus_rows
+    }
+
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    ev = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in decontaminate(corpus, ev, k=k).collect()}
+    assert set(got) == set(want)
+    for d, n in want.items():
+        assert got[d].n_shared == n, (d, got[d].n_shared, n)
+        assert got[d].contaminated == (n >= 1)
