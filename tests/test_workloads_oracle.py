@@ -54,6 +54,28 @@ def _approx_eq(a, b):
     return True
 
 
+# Numeric "kind" per engine type, for the cross-engine dtype guard:
+# DuckDB HUGEINT (any sum(BIGINT)) exports as double at the arrow layer
+# the external driver hashes at, so an integer column on the Spark side
+# vs HUGEINT on the oracle side hash-mismatches even with identical
+# values (bit sql_q12 in round 1 and pipe_pack_sequences in round 2).
+# fetchall()-based value comparison cannot see this — DESCRIBE can.
+_DUCK_INT = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+             "USMALLINT", "UINTEGER", "UBIGINT"}
+_DUCK_FLOAT = {"FLOAT", "DOUBLE"}
+_SPARK_INT = {"tinyint", "smallint", "int", "bigint"}
+_SPARK_FLOAT = {"float", "double"}
+
+
+def _kind(t, ints, floats):
+    base = t.split("(")[0].upper() if t[0].isupper() else t.split("(")[0]
+    if base in ints:
+        return "i"
+    if base in floats:
+        return "f"
+    return "other"
+
+
 @pytest.mark.parametrize(
     "name", [n for n, w in WORKLOADS.items() if w.oracle is not None]
 )
@@ -65,5 +87,20 @@ def test_workload_matches_duckdb(spark, duck, name):
     assert sdf.columns == [d[0] for d in duck.execute(w.oracle).description], (
         "column names must match between Spark and oracle"
     )
+    # dtype-class guard (plan-only, no re-execution): the oracle must
+    # not emit HUGEINT (CAST sums to BIGINT!), and int-vs-float kind
+    # must agree with Spark for every column
+    otypes = {
+        r[0]: r[1] for r in duck.execute(f"DESCRIBE ({w.oracle})").fetchall()
+    }
+    stypes = dict(sdf.dtypes)
+    for col in sdf.columns:
+        assert "HUGEINT" not in otypes[col], (
+            name, col, otypes[col], "wrap the oracle sum in CAST(AS BIGINT)"
+        )
+        sk = _kind(stypes[col], _SPARK_INT, _SPARK_FLOAT)
+        ok = _kind(otypes[col], _DUCK_INT, _DUCK_FLOAT)
+        if "i" in (sk, ok) or "f" in (sk, ok):
+            assert sk == ok, (name, col, stypes[col], otypes[col])
     assert len(srows) == len(orows), (name, len(srows), len(orows))
     assert _approx_eq(_rowset(srows), _rowset(orows)), name
