@@ -651,4 +651,92 @@ def simsearch_workloads():
             oracle_quantize_int8(),
             False,
         ),
+        Workload(
+            "pipe_ann_quantized_topk",
+            _wl_quantized_topk,
+            oracle_quantized_topk(),
+            False,
+        ),
     ]
+
+
+def quantized_cosine_topk(
+    emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
+) -> DataFrame:
+    """Top-k cosine neighbors over the INT8-QUANTIZED codes — the
+    memory-bounded serving path that follows :func:`quantize_int8`
+    (4-8x smaller working set; integer SIMD dot products on a real
+    engine). Cosine is scale-invariant, so searching the raw codes
+    equals searching the dequantized vectors exactly: no scale column
+    is touched. Code dots/norm-squares are sums of products bounded by
+    127^2 * dim — exactly representable in double — so the ONLY float
+    op is the final division: bit-identical across engines.
+
+    Zero vectors (all-zero codes) have no direction and are excluded
+    from both sides, mirroring the oracle.
+
+    Returns (q_id, vec_id, rank, qcos_sim), rank by (cos desc, vec_id).
+    """
+    qz = quantize_int8(emb)
+    v = F.transform(F.col("q"), lambda x: x.cast("double"))
+    base = qz.select(
+        "vec_id",
+        v.alias("v"),
+        F.sqrt(_fold_sum(F.transform(v, lambda x: x * x))).alias("nrm"),
+    ).where(F.col("nrm") > 0)
+    queries = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cos = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6)
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(base)
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias("qcos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("qcos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "q_id", "vec_id", F.col("rank").cast("long").alias("rank"), "qcos_sim"
+        )
+    )
+
+
+def oracle_quantized_topk(
+    n_queries: int = N_QUERIES, k: int = TOP_K, dim: int = DIM
+) -> str:
+    return f"""
+WITH s AS (
+  SELECT vec_id,
+         greatest(list_max(list_transform(embedding, x -> abs(x)))::DOUBLE,
+                  1e-30) AS scale, embedding
+  FROM embeddings),
+qz AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> floor(x::DOUBLE * 127 / scale + 0.5)) AS v
+  FROM s),
+base AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+  FROM qz)
+SELECT q_id, vec_id, rank, qcos_sim FROM (
+  SELECT q_id, vec_id, qcos_sim,
+         row_number() OVER (PARTITION BY q_id
+             ORDER BY qcos_sim DESC, vec_id ASC)::BIGINT AS rank
+  FROM (
+    SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
+           round({_sql_dot("q.v", "b.v", dim)} / (q.nrm * b.nrm), 6) AS qcos_sim
+    FROM base q CROSS JOIN base b
+    WHERE q.vec_id < {n_queries} AND q.nrm > 0 AND b.nrm > 0
+      AND b.vec_id <> q.vec_id))
+WHERE rank <= {k}"""
+
+
+def _wl_quantized_topk(spark, sf_dir):
+    return quantized_cosine_topk(_emb(spark, sf_dir))

@@ -81,3 +81,28 @@ def test_brute_force_is_broadcast(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     plan = simsearch.cosine_topk(emb)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_quantized_topk_recall_vs_float(spark):
+    """int8 quantization must barely perturb neighbor sets: recall@5 of
+    the quantized search vs the float brute force >= 0.9 on the sf0.001
+    embeddings, and similarities agree within the quantization error."""
+    from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
+        cosine_topk,
+        quantized_cosine_topk,
+    )
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    emb = spark.table("embeddings")
+    exact = {}
+    for r in cosine_topk(emb).collect():
+        exact.setdefault(r.q_id, set()).add(r.vec_id)
+    quant = {}
+    for r in quantized_cosine_topk(emb).collect():
+        quant.setdefault(r.q_id, set()).add(r.vec_id)
+    assert set(quant) == set(exact)
+    hits = sum(len(exact[q] & quant[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    recall = hits / total
+    assert recall >= 0.9, recall
