@@ -94,6 +94,31 @@ def _with_norm(emb: DataFrame) -> DataFrame:
     )
 
 
+def _brute_topk(
+    base: DataFrame, n_queries: int, k: int, out_col: str
+) -> DataFrame:
+    """Shared brute-force shape: broadcast queries × ONE corpus scan
+    over a (vec_id, v, nrm) frame, exact cosine, per-query top-k by
+    (score desc, vec_id asc). The single place that owns the 6-dp
+    rounding and tie-break contract the oracles mirror."""
+    queries = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cos = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6)
+    scored = (
+        F.broadcast(queries)
+        .crossJoin(base)
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cos.alias(out_col))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc(out_col), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", F.col("rank").cast("long").alias("rank"), out_col)
+    )
+
+
 def cosine_topk(
     emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
 ) -> DataFrame:
@@ -103,23 +128,7 @@ def cosine_topk(
     Returns (q_id, vec_id, rank, cos_sim); cos_sim rounded to 6 dp,
     rank deterministic via (cos desc, vec_id asc).
     """
-    base = _with_norm(emb)
-    queries = base.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
-    )
-    cos = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6)
-    scored = (
-        F.broadcast(queries)
-        .crossJoin(base)
-        .where(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", cos.alias("cos_sim"))
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("q_id", "vec_id", F.col("rank").cast("long").alias("rank"), "cos_sim")
-    )
+    return _brute_topk(_with_norm(emb), n_queries, k, "cos_sim")
 
 
 def _bucket_expr(v: Column, table: int, nbits: int) -> Column:
@@ -604,11 +613,75 @@ SELECT vec_id, round(scale, 6) AS scale_r,
 FROM s ORDER BY vec_id"""
 
 
+def quantized_cosine_topk(
+    emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
+) -> DataFrame:
+    """Top-k cosine neighbors over the INT8-QUANTIZED codes — the
+    memory-bounded serving path that follows :func:`quantize_int8`
+    (4-8x smaller working set; integer SIMD dot products on a real
+    engine). Cosine is scale-invariant, so searching the raw codes
+    equals searching the dequantized vectors exactly: no scale column
+    is touched. Code dots and norm-squares are sums of products bounded
+    by 127^2 * dim — exactly representable in double — so the float
+    work is limited to correctly-rounded IEEE sqrt/multiply/divide on
+    those exact sums: deterministic across engines.
+
+    Zero vectors (all-zero codes) have no direction and are excluded
+    from both sides, mirroring the oracle.
+
+    Returns (q_id, vec_id, rank, qcos_sim), rank by (cos desc, vec_id).
+    """
+    qz = quantize_int8(emb)
+    v = _as_double(F.col("q"))
+    base = qz.select(
+        "vec_id",
+        v.alias("v"),
+        F.sqrt(_fold_sum(F.transform(v, lambda x: x * x))).alias("nrm"),
+    ).where(F.col("nrm") > 0)
+    return _brute_topk(base, n_queries, k, "qcos_sim")
+
+
+def oracle_quantized_topk(
+    n_queries: int = N_QUERIES, k: int = TOP_K, dim: int = DIM
+) -> str:
+    return f"""
+WITH s AS (
+  SELECT vec_id,
+         greatest(list_max(list_transform(embedding, x -> abs(x)))::DOUBLE,
+                  1e-30) AS scale, embedding
+  FROM embeddings),
+qz AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> floor(x::DOUBLE * 127 / scale + 0.5)) AS v
+  FROM s),
+base AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+  FROM qz)
+SELECT q_id, vec_id, rank, qcos_sim FROM (
+  SELECT q_id, vec_id, qcos_sim,
+         row_number() OVER (PARTITION BY q_id
+             ORDER BY qcos_sim DESC, vec_id ASC)::BIGINT AS rank
+  FROM (
+    SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
+           round({_sql_dot("q.v", "b.v", dim)} / (q.nrm * b.nrm), 6) AS qcos_sim
+    FROM base q CROSS JOIN base b
+    WHERE q.vec_id < {n_queries} AND q.nrm > 0 AND b.nrm > 0
+      AND b.vec_id <> q.vec_id))
+WHERE rank <= {k}"""
+
+
 def _emb(spark, sf_dir):
     from query_refinement_dsit_databases_2021_spark.workloads import register_views
 
     register_views(spark, sf_dir)
     return spark.table("embeddings")
+
+
+def _wl_quantized_topk(spark, sf_dir):
+    return quantized_cosine_topk(_emb(spark, sf_dir))
 
 
 def _wl_brute(spark, sf_dir):
@@ -660,83 +733,3 @@ def simsearch_workloads():
     ]
 
 
-def quantized_cosine_topk(
-    emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
-) -> DataFrame:
-    """Top-k cosine neighbors over the INT8-QUANTIZED codes — the
-    memory-bounded serving path that follows :func:`quantize_int8`
-    (4-8x smaller working set; integer SIMD dot products on a real
-    engine). Cosine is scale-invariant, so searching the raw codes
-    equals searching the dequantized vectors exactly: no scale column
-    is touched. Code dots/norm-squares are sums of products bounded by
-    127^2 * dim — exactly representable in double — so the ONLY float
-    op is the final division: bit-identical across engines.
-
-    Zero vectors (all-zero codes) have no direction and are excluded
-    from both sides, mirroring the oracle.
-
-    Returns (q_id, vec_id, rank, qcos_sim), rank by (cos desc, vec_id).
-    """
-    qz = quantize_int8(emb)
-    v = F.transform(F.col("q"), lambda x: x.cast("double"))
-    base = qz.select(
-        "vec_id",
-        v.alias("v"),
-        F.sqrt(_fold_sum(F.transform(v, lambda x: x * x))).alias("nrm"),
-    ).where(F.col("nrm") > 0)
-    queries = base.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-    )
-    cos = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6)
-    scored = (
-        F.broadcast(queries)
-        .crossJoin(base)
-        .where(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id", cos.alias("qcos_sim"))
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("qcos_sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "q_id", "vec_id", F.col("rank").cast("long").alias("rank"), "qcos_sim"
-        )
-    )
-
-
-def oracle_quantized_topk(
-    n_queries: int = N_QUERIES, k: int = TOP_K, dim: int = DIM
-) -> str:
-    return f"""
-WITH s AS (
-  SELECT vec_id,
-         greatest(list_max(list_transform(embedding, x -> abs(x)))::DOUBLE,
-                  1e-30) AS scale, embedding
-  FROM embeddings),
-qz AS (
-  SELECT vec_id,
-         list_transform(embedding,
-             x -> floor(x::DOUBLE * 127 / scale + 0.5)) AS v
-  FROM s),
-base AS (
-  SELECT vec_id, v,
-         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-              list_transform(v, x -> x * x)), (acc, x) -> acc + x)) AS nrm
-  FROM qz)
-SELECT q_id, vec_id, rank, qcos_sim FROM (
-  SELECT q_id, vec_id, qcos_sim,
-         row_number() OVER (PARTITION BY q_id
-             ORDER BY qcos_sim DESC, vec_id ASC)::BIGINT AS rank
-  FROM (
-    SELECT q.vec_id AS q_id, b.vec_id AS vec_id,
-           round({_sql_dot("q.v", "b.v", dim)} / (q.nrm * b.nrm), 6) AS qcos_sim
-    FROM base q CROSS JOIN base b
-    WHERE q.vec_id < {n_queries} AND q.nrm > 0 AND b.nrm > 0
-      AND b.vec_id <> q.vec_id))
-WHERE rank <= {k}"""
-
-
-def _wl_quantized_topk(spark, sf_dir):
-    return quantized_cosine_topk(_emb(spark, sf_dir))

@@ -93,16 +93,26 @@ def test_quantized_topk_recall_vs_float(spark):
     )
     from query_refinement_dsit_databases_2021_spark.workloads import register_views
 
-    register_views(spark, "/root/testdata/sf0.001")
+    register_views(spark, SF_DIR)
     emb = spark.table("embeddings")
-    exact = {}
+    exact, exact_sim = {}, {}
     for r in cosine_topk(emb).collect():
         exact.setdefault(r.q_id, set()).add(r.vec_id)
+        exact_sim[(r.q_id, r.vec_id)] = r.cos_sim
     quant = {}
+    sim_delta = 0.0
     for r in quantized_cosine_topk(emb).collect():
         quant.setdefault(r.q_id, set()).add(r.vec_id)
+        if (r.q_id, r.vec_id) in exact_sim:
+            sim_delta = max(
+                sim_delta, abs(r.qcos_sim - exact_sim[(r.q_id, r.vec_id)])
+            )
     assert set(quant) == set(exact)
     hits = sum(len(exact[q] & quant[q]) for q in exact)
     total = sum(len(exact[q]) for q in exact)
     recall = hits / total
     assert recall >= 0.9, recall
+    # similarity agreement on the common pairs, within quantization
+    # error (|delta cos| is O(1/127) per component pair, far under 0.02
+    # for these unit-scale vectors)
+    assert sim_delta <= 0.02, sim_delta

@@ -68,7 +68,7 @@ _SPARK_FLOAT = {"float", "double"}
 
 
 def _kind(t, ints, floats):
-    base = t.split("(")[0].upper() if t[0].isupper() else t.split("(")[0]
+    base = t.split("(")[0]
     if base in ints:
         return "i"
     if base in floats:
