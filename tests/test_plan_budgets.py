@@ -99,3 +99,53 @@ def test_chunk_scan_prunes_columns(pdocs):
     scan = next(l for l in plan.split("\n") if "FileScan" in l)
     assert "doc_id" in scan and "text" in scan
     assert "lang" not in scan and "source" not in scan
+
+
+def test_decontaminate_broadcasts_eval_side(pdocs):
+    from query_refinement_dsit_databases_2021_spark.operators.dedup import (
+        decontaminate,
+    )
+
+    corpus = pdocs.where(F.col("doc_id") % 5 != 0)
+    ev = pdocs.where(F.col("doc_id") % 5 == 0)
+    plan = _plan(decontaminate(corpus, ev, k=2))
+    # the eval shingle set joins the corpus as a broadcast — the corpus
+    # never shuffles for candidate filtering
+    assert "BroadcastHashJoin" in plan
+    # shuffles: eval-side distinct + per-doc hit count + the final
+    # doc-join — never more (a regression inserting a corpus-side
+    # pre-join shuffle would push this over)
+    assert _exchanges(decontaminate(corpus, ev, k=2)) <= 4
+
+
+def test_scrub_pii_is_map_only(pdocs):
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        scrub_pii,
+    )
+
+    df = scrub_pii(pdocs)
+    assert _exchanges(df) == 0
+    scan = next(l for l in _plan(df).split("\n") if "FileScan" in l)
+    assert "lang" not in scan and "source" not in scan  # pruned
+
+
+def test_quantized_topk_single_corpus_scan(spark, tmp_path_factory):
+    from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
+        quantized_cosine_topk,
+    )
+
+    path = str(tmp_path_factory.mktemp("plan") / "emb2.parquet")
+    spark.createDataFrame(
+        [(i, [float(i % 7), 1.0 - (i % 5), 0.5 * i]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(path)
+    emb = spark.read.parquet(path)
+    plan = _plan(quantized_cosine_topk(emb, n_queries=4, k=2))
+    # queries broadcast against ONE corpus scan (BroadcastNestedLoop for
+    # the crossJoin), then a single SHUFFLE exchange for the per-query
+    # top-k window (the BroadcastExchange is data movement by design)
+    assert "BroadcastNestedLoopJoin" in plan
+    shuffles = plan.count("Exchange hashpartitioning") + plan.count(
+        "Exchange rangepartitioning"
+    )
+    assert shuffles <= 1, plan
