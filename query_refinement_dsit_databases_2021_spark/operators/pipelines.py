@@ -483,6 +483,23 @@ def _wl_scrub_pii(spark, sf_dir):
     return textops.scrub_pii(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+# Order-independent corpus digests: bit_xor and sum-mod-P over the
+# per-doc rolling hashes (sums CAST to BIGINT — DuckDB's HUGEINT would
+# surface as double at the driver's arrow layer).
+ORACLE_MANIFEST = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+       CAST(bit_xor({_sql_rolling_hash("text")}) AS BIGINT) AS xor_digest,
+       CAST(sum({_sql_rolling_hash("text")}) % {HASH_P} AS BIGINT)
+         AS sum_digest
+FROM documents"""
+
+
+def _wl_manifest(spark, sf_dir):
+    return textops.corpus_manifest(_docs(spark, sf_dir))
+
+
 def pipeline_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
@@ -502,6 +519,7 @@ def pipeline_workloads():
         ("pipe_text_bpe_tokens", _wl_bpe_tokens, ORACLE_BPE_TOKENS, False),
         ("pipe_decontaminate", _wl_decontaminate, ORACLE_DECON, False),
         ("pipe_scrub_pii", _wl_scrub_pii, ORACLE_SCRUB, False),
+        ("pipe_corpus_manifest", _wl_manifest, ORACLE_MANIFEST, False),
     ]
     out = [Workload(n, f, o, h) for n, f, o, h in entries]
     try:

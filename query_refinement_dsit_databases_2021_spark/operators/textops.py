@@ -305,3 +305,29 @@ def scrub_pii(docs: DataFrame) -> DataFrame:
         F.regexp_count(text, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
         scrubbed.alias("scrubbed"),
     )
+
+
+def corpus_manifest(docs: DataFrame) -> DataFrame:
+    """Integrity fingerprint of a corpus snapshot — the one-row audit
+    record a pipeline logs after every stage (ingest, dedup, filter,
+    remix) to prove reproducibility: doc/token/char totals plus two
+    order-independent content digests over the per-doc rolling hashes
+    (bit_xor, and sum mod the hash prime — xor alone cancels duplicate
+    pairs, the modular sum does not). One map-side-combinable aggregate:
+    no shuffle beyond the final single-row reduce, scale-free at 100 TB.
+
+    Returns ``(n_docs, n_tokens, n_chars, xor_digest, sum_digest)``.
+    """
+    h = rolling_hash(F.col("text"))
+    return docs.select(
+        F.lit(1).alias("_one"),
+        F.size(tokens(F.col("text"))).cast("long").alias("_nt"),
+        F.length("text").cast("long").alias("_nc"),
+        h.alias("_h"),
+    ).agg(
+        F.count("_one").cast("long").alias("n_docs"),
+        F.sum("_nt").alias("n_tokens"),
+        F.sum("_nc").alias("n_chars"),
+        F.expr("bit_xor(_h)").alias("xor_digest"),
+        (F.sum("_h") % F.lit(HASH_P)).alias("sum_digest"),
+    )

@@ -335,3 +335,36 @@ def test_decontaminate_matches_set_model(spark):
     for d, n in want.items():
         assert got[d].n_shared == n, (d, got[d].n_shared, n)
         assert got[d].contaminated == (n >= 1)
+
+
+def test_corpus_manifest_detects_change_and_ignores_order(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        corpus_manifest,
+    )
+
+    rows = [(i, f"doc number {i} words here") for i in range(1, 30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = corpus_manifest(df).collect()[0]
+    assert base.n_docs == 29
+    # partition/order independence: digests are aggregates, not folds
+    shuffled = corpus_manifest(df.repartition(7).orderBy(F.desc("doc_id")))
+    assert shuffled.collect()[0] == base
+    # a single changed character flips both digests
+    df2 = spark.createDataFrame(
+        [(i, t if i != 15 else t + "!") for i, t in rows],
+        "doc_id long, text string",
+    )
+    got = corpus_manifest(df2).collect()[0]
+    assert got.xor_digest != base.xor_digest
+    assert got.sum_digest != base.sum_digest
+    assert got.n_chars == base.n_chars + 1
+    # a swapped duplicate pair: xor cancels, the modular sum catches it
+    df3 = spark.createDataFrame(
+        [(1, "aa"), (2, "aa")], "doc_id long, text string"
+    )
+    df4 = spark.createDataFrame(
+        [(1, "bb"), (2, "bb")], "doc_id long, text string"
+    )
+    m3, m4 = corpus_manifest(df3).collect()[0], corpus_manifest(df4).collect()[0]
+    assert m3.xor_digest == m4.xor_digest == 0  # xor blind spot, by design
+    assert m3.sum_digest != m4.sum_digest  # sum digest is not
