@@ -487,13 +487,16 @@ def _wl_scrub_pii(spark, sf_dir):
 # per-doc rolling hashes (sums CAST to BIGINT — DuckDB's HUGEINT would
 # surface as double at the driver's arrow layer).
 ORACLE_MANIFEST = f"""
+WITH h AS (
+  SELECT len(string_split(text, ' ')) AS nt, length(text) AS nc,
+         {_sql_rolling_hash("text")} AS dh
+  FROM documents)
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
-       CAST(sum(length(text)) AS BIGINT) AS n_chars,
-       CAST(bit_xor({_sql_rolling_hash("text")}) AS BIGINT) AS xor_digest,
-       CAST(sum({_sql_rolling_hash("text")}) % {HASH_P} AS BIGINT)
-         AS sum_digest
-FROM documents"""
+       CAST(sum(nt) AS BIGINT) AS n_tokens,
+       CAST(sum(nc) AS BIGINT) AS n_chars,
+       CAST(bit_xor(dh) AS BIGINT) AS xor_digest,
+       CAST(sum(dh) % {HASH_P} AS BIGINT) AS sum_digest
+FROM h"""
 
 
 def _wl_manifest(spark, sf_dir):

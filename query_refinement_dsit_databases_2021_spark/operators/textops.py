@@ -320,14 +320,19 @@ def corpus_manifest(docs: DataFrame) -> DataFrame:
     """
     h = rolling_hash(F.col("text"))
     return docs.select(
-        F.lit(1).alias("_one"),
         F.size(tokens(F.col("text"))).cast("long").alias("_nt"),
         F.length("text").cast("long").alias("_nc"),
         h.alias("_h"),
     ).agg(
-        F.count("_one").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_docs"),
         F.sum("_nt").alias("n_tokens"),
         F.sum("_nc").alias("n_chars"),
         F.expr("bit_xor(_h)").alias("xor_digest"),
-        (F.sum("_h") % F.lit(HASH_P)).alias("sum_digest"),
+        # sum in decimal(38,0): each _h < 2^31, so an int64 accumulator
+        # would wrap past ~2^32 docs and (since 2^64 is not a multiple
+        # of the prime) diverge from the oracle's exact HUGEINT sum —
+        # decimal is exact to 1e38, good for ~1e27 docs
+        (F.sum(F.col("_h").cast("decimal(38,0)")) % F.lit(HASH_P))
+        .cast("long")
+        .alias("sum_digest"),
     )

@@ -108,14 +108,16 @@ def test_decontaminate_broadcasts_eval_side(pdocs):
 
     corpus = pdocs.where(F.col("doc_id") % 5 != 0)
     ev = pdocs.where(F.col("doc_id") % 5 == 0)
-    plan = _plan(decontaminate(corpus, ev, k=2))
+    df = decontaminate(corpus, ev, k=2)
+    plan = _plan(df)
     # the eval shingle set joins the corpus as a broadcast — the corpus
     # never shuffles for candidate filtering
     assert "BroadcastHashJoin" in plan
-    # shuffles: eval-side distinct + per-doc hit count + the final
-    # doc-join — never more (a regression inserting a corpus-side
-    # pre-join shuffle would push this over)
-    assert _exchanges(decontaminate(corpus, ev, k=2)) <= 4
+    # total Exchange budget 4: eval-side distinct + per-doc hit count +
+    # the final doc-join, PLUS the BroadcastExchange (which the count
+    # includes); a regression inserting a corpus-side pre-join shuffle
+    # pushes this over
+    assert plan.count("Exchange") <= 4
 
 
 def test_scrub_pii_is_map_only(pdocs):
@@ -141,10 +143,14 @@ def test_quantized_topk_single_corpus_scan(spark, tmp_path_factory):
     ).write.parquet(path)
     emb = spark.read.parquet(path)
     plan = _plan(quantized_cosine_topk(emb, n_queries=4, k=2))
-    # queries broadcast against ONE corpus scan (BroadcastNestedLoop for
-    # the crossJoin), then a single SHUFFLE exchange for the per-query
-    # top-k window (the BroadcastExchange is data movement by design)
+    # join strategy + shuffle budget: queries broadcast via
+    # BroadcastNestedLoop, then a single SHUFFLE exchange for the
+    # per-query top-k window (the BroadcastExchange is by design).
+    # Scans: exactly two FileScans — the FULL corpus once, plus the
+    # pruned queries side (vec_id < n_queries pushed to the scan);
+    # a third scan would mean the corpus is read twice.
     assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("FileScan") == 2, plan
     shuffles = plan.count("Exchange hashpartitioning") + plan.count(
         "Exchange rangepartitioning"
     )
