@@ -503,6 +503,117 @@ def _wl_manifest(spark, sf_dir):
     return textops.corpus_manifest(_docs(spark, sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# Curation chain v2: the round-2 operators composed into ONE dataflow —
+# decontaminate (drop eval-set leakage) -> PII scrub -> quality filter
+# on the SCRUBBED text -> exact dedup -> deterministic split ->
+# per-split stats + xor content digest. Every stage reuses an
+# already-oracle-checked operator; the oracle composes the same CTEs.
+# ---------------------------------------------------------------------------
+
+
+def _oracle_curation_v2() -> str:
+    from query_refinement_dsit_databases_2021_spark.operators.sampling import (
+        sql_bucket,
+    )
+
+    bucket = sql_bucket("CAST(g.doc_id AS VARCHAR)", "split")
+    scrub = (
+        f"regexp_replace(regexp_replace(regexp_replace(d.text, "
+        f"'{textops.PII_EMAIL}', '<EMAIL>', 'g'), "
+        f"'{textops.PII_IPV4}', '<IP>', 'g'), "
+        f"'{textops.PII_PHONE}', '<PHONE>', 'g')"
+    )
+    return f"""
+WITH tok0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh0 AS (
+  SELECT DISTINCT doc_id, {_DECON_SHINGLE} AS s
+  FROM tok0, unnest(range(1, greatest(len(ws) - {DECON_K - 2}, 1))) u(i)),
+ev AS (SELECT DISTINCT s FROM sh0 WHERE doc_id % 17 = 0),
+cont AS (
+  SELECT DISTINCT doc_id FROM sh0 JOIN ev USING (s) WHERE doc_id % 17 <> 0),
+clean AS (
+  SELECT d.doc_id, {scrub} AS text
+  FROM documents d
+  WHERE d.doc_id % 17 <> 0
+    AND d.doc_id NOT IN (SELECT doc_id FROM cont)),
+tq AS (SELECT doc_id, string_split(text, ' ') AS ws FROM clean),
+m AS (
+  SELECT doc_id,
+         len(ws)::INT AS n_tokens,
+         len(list_distinct(ws))::INT AS n_types,
+         len(list_filter(ws, w -> w IN ({_STOP_IN})))::INT AS n_stop
+  FROM tq),
+q AS (
+  SELECT doc_id,
+         round(CAST(0.4 AS DOUBLE) * (n_types / n_tokens)
+             + CAST(0.4 AS DOUBLE)
+               * (CAST(1.0 AS DOUBLE) - n_stop / n_tokens)
+             + CAST(0.2 AS DOUBLE)
+               * least(n_tokens / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)),
+             6) AS quality
+  FROM m),
+good AS (
+  SELECT c.doc_id, c.text FROM clean c JOIN q USING (doc_id)
+  WHERE q.quality >= {CURATION_MIN_QUALITY}),
+surv AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY text),
+s AS (
+  SELECT g.doc_id, g.text,
+         CASE WHEN h < 8000 THEN 'train'
+              WHEN h < 9000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT g.doc_id, g.text, {bucket} AS h
+        FROM good g JOIN surv USING (doc_id)) g)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(bit_xor({_sql_rolling_hash("text")}) AS BIGINT) AS xor_digest
+FROM s GROUP BY split ORDER BY split"""
+
+
+def _wl_curation_v2(spark, sf_dir):
+    from query_refinement_dsit_databases_2021_spark.operators.sampling import (
+        hash_split,
+    )
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.where(F.col("doc_id") % 17 != 0)
+    ev = docs.where(F.col("doc_id") % 17 == 0)
+    clean_ids = (
+        dedup.decontaminate(corpus, ev, k=DECON_K)
+        .where(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    scrubbed = (
+        textops.scrub_pii(corpus.join(clean_ids, "doc_id"))
+        .select("doc_id", F.col("scrubbed").alias("text"))
+    )
+    good = (
+        textops.quality_columns(scrubbed)
+        .where(F.col("quality") >= CURATION_MIN_QUALITY)
+        .select("doc_id")
+    )
+    kept = scrubbed.join(good, "doc_id")
+    surv = dedup.exact_dedup(kept, by_hash=True).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    sdocs = kept.join(surv, "doc_id")
+    return (
+        hash_split(sdocs)
+        .select(
+            "split",
+            F.size(textops.tokens(F.col("text"))).cast("long").alias("_nt"),
+            textops.rolling_hash(F.col("text")).alias("_h"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("n_tokens"),
+            F.expr("bit_xor(_h)").alias("xor_digest"),
+        )
+        .orderBy("split")
+    )
+
+
 def pipeline_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
@@ -523,6 +634,7 @@ def pipeline_workloads():
         ("pipe_decontaminate", _wl_decontaminate, ORACLE_DECON, False),
         ("pipe_scrub_pii", _wl_scrub_pii, ORACLE_SCRUB, False),
         ("pipe_corpus_manifest", _wl_manifest, ORACLE_MANIFEST, False),
+        ("pipe_curation_chain_v2", _wl_curation_v2, _oracle_curation_v2(), False),
     ]
     out = [Workload(n, f, o, h) for n, f, o, h in entries]
     try:
