@@ -95,13 +95,22 @@ def _with_norm(emb: DataFrame) -> DataFrame:
 
 
 def _brute_topk(
-    base: DataFrame, n_queries: int, k: int, out_col: str
+    base: DataFrame,
+    n_queries: int,
+    k: int,
+    out_col: str,
+    query_base: DataFrame | None = None,
 ) -> DataFrame:
     """Shared brute-force shape: broadcast queries × ONE corpus scan
     over a (vec_id, v, nrm) frame, exact cosine, per-query top-k by
     (score desc, vec_id asc). The single place that owns the 6-dp
-    rounding and tie-break contract the oracles mirror."""
-    queries = base.where(F.col("vec_id") < n_queries).select(
+    rounding and tie-break contract the oracles mirror. ``query_base``
+    lets a filtered search draw its queries from the UNfiltered frame
+    (hybrid retrieval: the predicate restricts candidates, not
+    queries)."""
+    queries = (query_base if query_base is not None else base).where(
+        F.col("vec_id") < n_queries
+    ).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
     cos = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6)
@@ -673,11 +682,64 @@ SELECT q_id, vec_id, rank, qcos_sim FROM (
 WHERE rank <= {k}"""
 
 
+def filtered_cosine_topk(
+    emb: DataFrame,
+    docs: DataFrame,
+    lang: str = "en",
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Hybrid retrieval: top-k cosine neighbors among ONLY the vectors
+    whose joined document satisfies a metadata predicate
+    (``documents.lang = lang``; embeddings.vec_id aligns with
+    documents.doc_id). PRE-filtering — the predicate restricts the
+    candidate corpus before the scan meets the broadcast queries, so
+    the NLJ does |queries| x |filtered| work, never |queries| x
+    |corpus| followed by a discard (the post-filter anti-pattern).
+    Queries themselves are NOT filtered: a query in any language
+    retrieves its top-k among the ``lang`` candidates.
+
+    Returns (q_id, vec_id, rank, cos_sim) like :func:`cosine_topk`.
+    """
+    all_vecs = _with_norm(emb)
+    keep = docs.where(F.col("lang") == lang).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    base = all_vecs.join(keep, "vec_id")
+    return _brute_topk(base, n_queries, k, "cos_sim", query_base=all_vecs)
+
+
+def oracle_filtered_topk(
+    lang: str = "en", n_queries: int = N_QUERIES, k: int = TOP_K, dim: int = DIM
+) -> str:
+    return f"""
+WITH {_SQL_BASE},
+keep AS (SELECT doc_id FROM documents WHERE lang = '{lang}'),
+cand AS (SELECT b.* FROM base b JOIN keep kd ON kd.doc_id = b.vec_id),
+q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM base
+      WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q_id, vec_id,
+         round({_sql_dot("qv", "v", dim)} / (qn * nrm), 6) AS cos_sim
+  FROM q CROSS JOIN cand WHERE vec_id <> q_id)
+SELECT q_id, vec_id, rank, cos_sim FROM (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+             ORDER BY cos_sim DESC, vec_id ASC)::BIGINT AS rank
+  FROM scored)
+WHERE rank <= {k}"""
+
+
 def _emb(spark, sf_dir):
     from query_refinement_dsit_databases_2021_spark.workloads import register_views
 
     register_views(spark, sf_dir)
     return spark.table("embeddings")
+
+
+def _wl_filtered_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return filtered_cosine_topk(emb, spark.table("documents"))
 
 
 def _wl_quantized_topk(spark, sf_dir):
@@ -728,6 +790,12 @@ def simsearch_workloads():
             "pipe_ann_quantized_topk",
             _wl_quantized_topk,
             oracle_quantized_topk(),
+            False,
+        ),
+        Workload(
+            "pipe_ann_filtered_topk",
+            _wl_filtered_topk,
+            oracle_filtered_topk(),
             False,
         ),
     ]

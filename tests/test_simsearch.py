@@ -116,3 +116,29 @@ def test_quantized_topk_recall_vs_float(spark):
     # error (|delta cos| is O(1/127) per component pair, far under 0.02
     # for these unit-scale vectors)
     assert sim_delta <= 0.02, sim_delta
+
+
+def test_filtered_topk_prefilters_candidates(spark):
+    """Hybrid retrieval semantics: every returned neighbor satisfies
+    the metadata predicate; queries themselves are unrestricted; and
+    the filter is applied BEFORE the join (pre-filter plan)."""
+    from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
+        filtered_cosine_topk,
+    )
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, SF_DIR)
+    emb, docs = spark.table("embeddings"), spark.table("documents")
+    out = filtered_cosine_topk(emb, docs, lang="en").collect()
+    en_ids = {r.doc_id for r in docs.where("lang = 'en'").collect()}
+    assert out and all(r.vec_id in en_ids for r in out)
+    # queries are NOT restricted to the predicate: non-en queries
+    # present too (query ids = vec_id < N_QUERIES regardless of lang)
+    q_ids = {r.q_id for r in out}
+    assert not q_ids <= en_ids
+    # pre-filter plan: the candidate side filter reaches the scan
+    # below the nested-loop join, so the join never sees non-en rows
+    plan = filtered_cosine_topk(
+        emb, docs, lang="en"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
