@@ -169,7 +169,114 @@ FROM errors e ASOF LEFT JOIN clicks c
 """
 
 
+# ops_range_bucket_join: clicks landing inside a 10-minute window after
+# each error event of the same user — a point-in-interval join with a
+# 4-minute bucket (every interval spans 3-4 buckets, exercising the
+# multi-bucket explode).
+RANGE_WINDOW_US = 10 * 60 * 1_000_000
+RANGE_BUCKET_US = 4 * 60 * 1_000_000
+
+RANGE_ORACLE = f"""
+WITH clicks AS (
+  SELECT event_id AS click_id, user_id, epoch_us(ts) AS ts
+  FROM events WHERE event_type = 'click'),
+wins AS (
+  SELECT event_id AS error_id, user_id, epoch_us(ts) AS start,
+         epoch_us(ts) + {RANGE_WINDOW_US} AS "end"
+  FROM events WHERE event_type = 'error')
+SELECT c.click_id, c.user_id, w.error_id,
+       CAST(c.ts - w.start AS BIGINT) AS offset_us
+FROM clicks c JOIN wins w
+  ON c.user_id = w.user_id AND c.ts BETWEEN w.start AND w."end"
+ORDER BY click_id, error_id"""
+
+
+def _wl_range_bucket(spark, sf_dir):
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    ev = spark.table("events").withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts"),
+    )
+    wins = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("start"),
+        (F.unix_micros(F.col("ts")) + RANGE_WINDOW_US).alias("end"),
+    )
+    joined = range_bucket_join(
+        clicks, wins, by=["user_id"], bucket_width=RANGE_BUCKET_US
+    )
+    return (
+        joined.select(
+            "click_id",
+            "user_id",
+            "error_id",
+            (F.col("ts") - F.col("start")).alias("offset_us"),
+        )
+        .orderBy("click_id", "error_id")
+    )
+
+
 def asof_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
-    return [Workload("ops_asof_join", _wl_asof, ASOF_ORACLE, headline=False)]
+    return [
+        Workload("ops_asof_join", _wl_asof, ASOF_ORACLE, headline=False),
+        Workload(
+            "ops_range_bucket_join", _wl_range_bucket, RANGE_ORACLE, headline=False
+        ),
+    ]
+
+
+def range_bucket_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    by: Sequence[str],
+    ts: str = "ts",
+    start: str = "start",
+    end: str = "end",
+    bucket_width: int = 1,
+) -> DataFrame:
+    """Point-in-interval join (the TSDB/range-join staple Spark has no
+    native band-join optimization for), as a composition of existing
+    ops: each interval EXPLODES to the buckets it covers
+    (floor(start/w)..floor(end/w)), each point maps to exactly ONE
+    bucket (floor(ts/w)), and an EQUI-join on (by..., bucket) plus the
+    exact ``start <= ts <= end`` filter yields every containment pair —
+    at most once per pair, because an interval covers the point's
+    bucket exactly once, so no post-join dedup.
+
+    Why not the naive theta join: a range predicate alone gives
+    BroadcastNestedLoopJoin (|points| x |intervals| comparisons). The
+    bucketed form is shuffle-partitionable and AQE-skew-splittable;
+    work is |points| + sum(interval_len / w) bucket rows, with
+    ``bucket_width`` trading interval duplication (small w) against
+    per-bucket fanout (large w) — size it near the median interval
+    length (SCALE.md). ``ts``/``start``/``end`` are integer columns
+    (e.g. unix micros); inclusive on both ends.
+    """
+    bw = int(bucket_width)
+    ivals = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start) / bw).cast("long"),
+                F.floor(F.col(end) / bw).cast("long"),
+            )
+        ),
+    )
+    pts = points.withColumn("_bucket", F.floor(F.col(ts) / bw).cast("long"))
+    cond = [pts[c] == ivals[c] for c in by] + [pts["_bucket"] == ivals["_bucket"]]
+    out = (
+        pts.join(ivals, cond)
+        .where((pts[ts] >= ivals[start]) & (pts[ts] <= ivals[end]))
+        .drop(ivals["_bucket"])
+        .drop(pts["_bucket"])
+    )
+    for c in by:
+        out = out.drop(ivals[c])
+    return out

@@ -84,3 +84,39 @@ def test_bad_direction_rejected(frames):
     left, right = frames
     with pytest.raises(ValueError):
         asof_join(left, right, ts="t", by=["grp"], value_cols=["rid"], direction="nearest")
+
+
+def test_range_bucket_join_edges_and_plan(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.asof import (
+        range_bucket_join,
+    )
+
+    pts = spark.createDataFrame(
+        [
+            (1, "u", 10),   # inside A
+            (2, "u", 20),   # boundary: end of A (inclusive), start of B
+            (3, "u", 45),   # inside B only
+            (4, "u", 100),  # outside everything
+            (5, "v", 10),   # right ts, wrong key
+        ],
+        "pid long, user string, ts long",
+    )
+    ivals = spark.createDataFrame(
+        [("A", "u", 5, 20), ("B", "u", 20, 60)],
+        "iid string, user string, start long, end long",
+    )
+    out = range_bucket_join(
+        pts, ivals, by=["user"], ts="ts", bucket_width=7
+    ).select("pid", "iid")
+    got = sorted((r.pid, r.iid) for r in out.collect())
+    # inclusive both ends; multi-bucket intervals (A spans buckets 0-2,
+    # B spans 2-8 with width 7) produce each pair exactly ONCE
+    assert got == [(1, "A"), (2, "A"), (2, "B"), (3, "B")]
+    # the plan must be an EQUI-join (hash/sort-merge on key+bucket),
+    # never the BroadcastNestedLoopJoin a raw range predicate yields
+    plan = (
+        range_bucket_join(pts, ivals, by=["user"], ts="ts", bucket_width=7)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
