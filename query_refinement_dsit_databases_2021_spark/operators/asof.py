@@ -169,12 +169,12 @@ FROM errors e ASOF LEFT JOIN clicks c
 """
 
 
-# ops_range_bucket_join: clicks landing inside a 10-minute window after
+# ops_range_bucket_join: clicks landing inside a 2-hour window after
 # each error event of the same user — a point-in-interval join with a
-# 4-minute bucket (every interval spans 3-4 buckets, exercising the
+# 45-minute bucket (every interval spans 3-4 buckets, exercising the
 # multi-bucket explode).
-RANGE_WINDOW_US = 10 * 60 * 1_000_000
-RANGE_BUCKET_US = 4 * 60 * 1_000_000
+RANGE_WINDOW_US = 2 * 3600 * 1_000_000
+RANGE_BUCKET_US = 45 * 60 * 1_000_000
 
 RANGE_ORACLE = f"""
 WITH clicks AS (
