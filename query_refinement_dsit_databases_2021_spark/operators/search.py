@@ -1,0 +1,285 @@
+"""Full-text retrieval over the document corpus: inverted-index
+postings, integer-exact TF-IDF, and BM25 top-k search.
+
+The reference engine has no text-retrieval operator; this module adds
+the lexical-search leg a training-data pipeline needs next to the ANN
+family in ``simsearch.py`` (hybrid retrieval = lexical + vector; see
+``pipe_ann_filtered_topk`` for the vector half).
+
+Spark-first design — all three stages are shuffle-minimal:
+
+- postings are built ONLY for the query's terms: the exploded token
+  stream is filtered by an ``isin`` literal list *before* the
+  ``groupBy`` that builds term frequencies, so the inverted index
+  materialized per search is O(matching tokens), never O(corpus
+  vocabulary). At 100 TB the full-vocabulary index is a separate,
+  amortized artifact; a per-query plan must not rebuild it.
+- document frequency ``df(t)`` is derived from those same filtered
+  postings (a document contains ``t`` iff it has a posting row), so no
+  second corpus scan is needed; the per-term ``df`` table is at most
+  ``|query terms|`` rows and is broadcast back.
+- the query set itself is a literal in-memory DataFrame, broadcast to
+  every executor; per-query top-k is one ``row_number`` window
+  partitioned by ``query_id`` (k rows per query survive the shuffle
+  thanks to the rank filter's partial evaluation under AQE).
+
+Determinism contract (cross-engine hash-exactness vs DuckDB):
+
+- ``tfidf_topk`` is pure int64 arithmetic: ``idf_scaled(t) =
+  (N * SCALE) div df(t)`` with integer division, ``score = Σ tf *
+  idf_scaled`` — bit-exact in any engine. With ``SCALE = 10^6`` the
+  score stays inside int64 for corpora up to ~10^11 documents and
+  ~10^3 term frequency; shrink ``SCALE`` beyond that.
+- ``bm25_topk`` needs ``ln`` (documented, unavoidable for BM25), so
+  scores are rounded to ``ROUND_DIGITS`` decimals and the top-k order
+  is taken on the ROUNDED score with ``doc_id`` as the tiebreak —
+  last-ulp ``ln``/sum differences between engines cannot reorder the
+  result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from query_refinement_dsit_databases_2021_spark.operators.textops import tokens
+
+SCALE = 1_000_000  # idf fixed-point scale for tfidf_topk
+BM25_K1 = 1.2  # classic Robertson defaults
+BM25_B = 0.75
+ROUND_DIGITS = 4
+TOP_K = 5
+
+# The registered workload's query set: small, literal, broadcastable.
+# Terms are drawn from the synthetic corpus vocabulary (TESTDATA.md).
+SEARCH_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (0, ("spark", "shuffle", "join")),
+    (1, ("window", "agg", "scan")),
+    (2, ("vector", "hash", "batch")),
+    (3, ("customer", "order", "query")),
+)
+
+
+def _query_df(spark: SparkSession) -> DataFrame:
+    rows = [
+        (qid, term) for qid, terms in SEARCH_QUERIES for term in terms
+    ]
+    return spark.createDataFrame(rows, "query_id INT, term STRING")
+
+
+def query_postings(docs: DataFrame, terms: list[str]) -> DataFrame:
+    """Term-frequency postings restricted to ``terms``:
+    ``(doc_id, term, tf)``.
+
+    The ``isin`` filter sits between the explode and the groupBy, so
+    only matching tokens reach the shuffle — the hot path never
+    aggregates the full vocabulary.
+    """
+    return (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tfidf_topk(
+    docs: DataFrame, spark: SparkSession, k: int = TOP_K
+) -> DataFrame:
+    """Integer-exact TF-IDF top-k per query:
+    ``score = Σ_t tf(t,d) * ((N * SCALE) div df(t))``.
+
+    The integer idf ``(N*SCALE) div df`` is a monotone rational proxy
+    for the usual ``log(N/df)`` — same ranking family, bit-exact in
+    int64 (real deployments may swap in the log form at the cost of
+    float determinism; see :func:`bm25_topk`).
+
+    Returns ``(query_id, doc_id, score, rank)`` with ``rank`` 1..k by
+    ``(score desc, doc_id asc)``.
+    """
+    all_terms = sorted({t for _, ts in SEARCH_QUERIES for t in ts})
+    n_docs = docs.count()  # plan-time scalar (corpus cardinality)
+    post = query_postings(docs, all_terms)
+    # df(t) from the filtered postings: ≤ |all_terms| rows -> broadcast
+    df_t = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_t.select(
+        "term",
+        F.expr(f"({n_docs} * {SCALE}) div df").cast("long").alias("idf_scaled"),
+    )
+    qt = _query_df(spark if spark is not None else docs.sparkSession)
+    scored = (
+        post.join(F.broadcast(qt), "term")
+        .join(F.broadcast(idf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("tf") * F.col("idf_scaled")).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", F.col("rank").cast("int"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    spark: SparkSession,
+    k: int = TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 top-k per query (Lucene's non-negative idf variant):
+
+    ``idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))``
+    ``score(d) = Σ_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``
+
+    ``dl`` is the document token count; ``avgdl``/``N`` are plan-time
+    corpus scalars. Scores are rounded to ``ROUND_DIGITS`` and ranked
+    on the rounded value (doc_id tiebreak) — see the module determinism
+    contract.
+    """
+    all_terms = sorted({t for _, ts in SEARCH_QUERIES for t in ts})
+    stats = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.size(tokens(F.col("text")))).alias("avgdl"),
+    ).collect()[0]
+    n_docs, avgdl = stats["n"], float(stats["avgdl"])
+    dl = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("dl")
+    )
+    post = query_postings(docs, all_terms).join(dl, "doc_id")
+    df_t = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_t.select(
+        "term",
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ).alias("idf"),
+    )
+    qt = _query_df(spark)
+    tfn = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))
+    )
+    scored = (
+        post.join(F.broadcast(qt), "term")
+        .join(F.broadcast(idf), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(F.col("idf") * tfn), ROUND_DIGITS).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", F.col("rank").cast("int"))
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Workload registry entries (DuckDB oracles)
+# ---------------------------------------------------------------------------
+
+
+def _sql_queries() -> str:
+    rows = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in SEARCH_QUERIES for t in ts
+    )
+    return f"(VALUES {rows}) q(query_id, term)"
+
+
+def _sql_terms() -> str:
+    all_terms = sorted({t for _, ts in SEARCH_QUERIES for t in ts})
+    return ", ".join(f"'{t}'" for t in all_terms)
+
+
+def oracle_tfidf_topk(k: int = TOP_K) -> str:
+    return f"""
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+post AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM documents, unnest(string_split(text, ' ')) t(term)
+  WHERE t.term IN ({_sql_terms()})
+  GROUP BY doc_id, t.term),
+dft AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+idf AS (SELECT term, CAST((n.n_docs * {SCALE}) // df AS BIGINT) AS idf_scaled
+        FROM dft, n),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         CAST(sum(p.tf * i.idf_scaled) AS BIGINT) AS score
+  FROM post p
+  JOIN {_sql_queries()} ON p.term = q.term
+  JOIN idf i ON p.term = i.term
+  GROUP BY q.query_id, p.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM scored)
+SELECT query_id, doc_id, score, rank
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank"""
+
+
+def oracle_bm25_topk(
+    k: int = TOP_K, k1: float = BM25_K1, b: float = BM25_B
+) -> str:
+    return f"""
+WITH corpus AS (
+  SELECT count(*) AS n_docs,
+         avg(len(string_split(text, ' '))) AS avgdl
+  FROM documents),
+dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+       FROM documents),
+post AS (
+  SELECT d.doc_id, t.term, count(*) AS tf
+  FROM documents d, unnest(string_split(text, ' ')) t(term)
+  WHERE t.term IN ({_sql_terms()})
+  GROUP BY d.doc_id, t.term),
+dft AS (SELECT term, count(*) AS df FROM post GROUP BY term),
+idf AS (SELECT term,
+               ln(1.0 + (c.n_docs - df + 0.5) / (df + 0.5)) AS idf
+        FROM dft, corpus c),
+scored AS (
+  SELECT q.query_id, p.doc_id,
+         round(sum(i.idf * (p.tf * ({k1} + 1)) /
+               (p.tf + {k1} * (1 - {b} + {b} * l.dl / c.avgdl))), {ROUND_DIGITS})
+           AS score
+  FROM post p
+  JOIN {_sql_queries()} ON p.term = q.term
+  JOIN idf i ON p.term = i.term
+  JOIN dl l ON p.doc_id = l.doc_id
+  CROSS JOIN corpus c
+  GROUP BY q.query_id, p.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM scored)
+SELECT query_id, doc_id, score, rank
+FROM ranked WHERE rank <= {k} ORDER BY query_id, rank"""
+
+
+def _wl_tfidf(spark, sf_dir):
+    from query_refinement_dsit_databases_2021_spark.operators.pipelines import _docs
+
+    return tfidf_topk(_docs(spark, sf_dir), spark)
+
+
+def _wl_bm25(spark, sf_dir):
+    from query_refinement_dsit_databases_2021_spark.operators.pipelines import _docs
+
+    return bm25_topk(_docs(spark, sf_dir), spark)
+
+
+def search_workloads():
+    from query_refinement_dsit_databases_2021_spark.workloads import Workload
+
+    return [
+        Workload("pipe_search_tfidf", _wl_tfidf, oracle_tfidf_topk(), False),
+        Workload("pipe_search_bm25", _wl_bm25, oracle_bm25_topk(), False),
+    ]

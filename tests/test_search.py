@@ -1,0 +1,130 @@
+"""Unit tests for the full-text retrieval operators
+(operators/search.py) on tiny hand-checked corpora.
+
+The differential oracle in test_workloads_oracle.py covers the full
+corpus; these pin the scoring arithmetic (integer idf, BM25 formula),
+the top-k/tiebreak contract, and the plan shape (broadcast joins, the
+pre-shuffle term filter).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from query_refinement_dsit_databases_2021_spark.operators import search
+from query_refinement_dsit_databases_2021_spark.operators.search import (
+    SCALE,
+    bm25_topk,
+    query_postings,
+    tfidf_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # vocabulary chosen to intersect SEARCH_QUERIES:
+    #   q0 = (spark, shuffle, join), q1 = (window, agg, scan), ...
+    rows = [
+        (1, "spark join spark shuffle"),
+        (2, "spark window window"),
+        (3, "join join join filler filler"),
+        (4, "agg scan window"),
+        (5, "filler filler filler"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_query_postings_tf(corpus):
+    post = {
+        (r["doc_id"], r["term"]): r["tf"]
+        for r in query_postings(corpus, ["spark", "join", "window"]).collect()
+    }
+    assert post == {
+        (1, "spark"): 2,
+        (1, "join"): 1,
+        (2, "spark"): 1,
+        (2, "window"): 2,
+        (3, "join"): 3,
+        (4, "window"): 1,
+    }
+
+
+def test_tfidf_scores_hand_checked(corpus, spark):
+    # N=5; df(spark)=2, df(join)=2, df(shuffle)=1, df(window)=2,
+    # df(agg)=1, df(scan)=1. idf_scaled = (5*SCALE) div df.
+    got = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in tfidf_topk(corpus, spark).collect()
+    }
+    idf2 = (5 * SCALE) // 2
+    idf1 = (5 * SCALE) // 1
+    # q0 doc1: 2*idf(spark) + 1*idf(join) + 1*idf(shuffle)
+    assert got[(0, 1)] == 2 * idf2 + 1 * idf2 + 1 * idf1
+    # q0 doc3: 3*idf(join)
+    assert got[(0, 3)] == 3 * idf2
+    # q1 doc4: 1*idf(agg) + 1*idf(scan) + 1*idf(window)
+    assert got[(1, 4)] == idf1 + idf1 + idf2
+    # doc5 matches nothing
+    assert not any(d == 5 for (_, d) in got)
+
+
+def test_tfidf_rank_tiebreak_doc_id(spark):
+    # two docs with identical score -> lower doc_id ranks first
+    rows = [(7, "spark"), (3, "spark")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [
+        (r["doc_id"], r["rank"])
+        for r in tfidf_topk(df, spark).where(F.col("query_id") == 0).collect()
+    ]
+    assert out == [(3, 1), (7, 2)]
+
+
+def test_bm25_formula_hand_checked(spark):
+    # single-term corpus keeps the closed form small:
+    # N=2, df(spark)=2, idf = ln(1 + 0.5/2.5) = ln 1.2
+    # doc1: tf=1, dl=1; doc2: tf=2, dl=2; avgdl=1.5
+    rows = [(1, "spark"), (2, "spark spark")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(df, spark).where(F.col("query_id") == 0).collect()
+    }
+    k1, b = search.BM25_K1, search.BM25_B
+
+    def bm25(tf, dl, avgdl=1.5):
+        idf = math.log(1.2)
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert got[1] == pytest.approx(round(bm25(1, 1), search.ROUND_DIGITS))
+    assert got[2] == pytest.approx(round(bm25(2, 2), search.ROUND_DIGITS))
+    # higher tf wins despite length normalization at these sizes
+    assert got[2] > got[1]
+
+
+def test_topk_truncates(spark):
+    rows = [(i, "spark") for i in range(1, 20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_topk(df, spark, k=3).where(F.col("query_id") == 0).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert [r["doc_id"] for r in out] == [1, 2, 3]  # tiebreak asc
+
+
+def _plan(df):
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_plan_broadcast_and_prefilter(corpus, spark):
+    plan = _plan(tfidf_topk(corpus, spark))
+    # query set and idf table must be broadcast, never shuffled
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the isin term filter must run before the tf aggregation (on the
+    # generated/exploded stream), so only matching tokens shuffle
+    gen = plan.index("Generate")
+    agg = plan.index("HashAggregate")
+    assert "Filter" in plan
+    assert gen > agg  # formatted plan lists leaves last: Generate below agg
