@@ -1,0 +1,80 @@
+"""Unit tests for batch sessionization (operators/sessions.py) on
+hand-checked event sequences; the differential oracle in
+test_workloads_oracle.py covers the full events table.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from query_refinement_dsit_databases_2021_spark.operators.sessions import (
+    session_stats,
+    sessionize,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            (eid, dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s), u, v)
+            for eid, s, u, v in rows
+        ],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+
+
+def test_gap_splits_sessions(spark):
+    # user 1: events at t=0, 10, 10000 with gap=100 -> sessions 1,1,2
+    ev = _ev(spark, [(1, 0, 1, 1.0), (2, 10, 1, 1.0), (3, 10000, 1, 1.0)])
+    got = {
+        r["event_id"]: r["session_id"]
+        for r in sessionize(ev, gap_seconds=100).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2}
+
+
+def test_gap_is_strict(spark):
+    # gap exactly equal to the threshold does NOT split
+    ev = _ev(spark, [(1, 0, 1, 1.0), (2, 100, 1, 1.0), (3, 201, 1, 1.0)])
+    got = {
+        r["event_id"]: r["session_id"]
+        for r in sessionize(ev, gap_seconds=100).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2}  # 100 keeps, 101 splits
+
+
+def test_users_independent(spark):
+    ev = _ev(spark, [(1, 0, 1, 1.0), (2, 0, 2, 1.0), (3, 500, 2, 1.0)])
+    got = {
+        (r["user_id"], r["event_id"]): r["session_id"]
+        for r in sessionize(ev, gap_seconds=100).collect()
+    }
+    assert got == {(1, 1): 1, (2, 2): 1, (2, 3): 2}
+
+
+def test_tie_order_by_event_id(spark):
+    # same timestamp: event_id orders the lag chain deterministically
+    ev = _ev(spark, [(2, 0, 1, 1.0), (1, 0, 1, 1.0)])
+    out = sessionize(ev, gap_seconds=100).collect()
+    assert {r["session_id"] for r in out} == {1}
+
+
+def test_session_stats_rollup(spark):
+    ev = _ev(
+        spark,
+        [(1, 0, 1, 1.5), (2, 60, 1, 2.5), (3, 10000, 1, 4.0)],
+    )
+    rows = session_stats(ev, gap_seconds=100).collect()
+    assert [
+        (r["user_id"], r["session_id"], r["n_events"], r["duration_s"], r["total_value"])
+        for r in rows
+    ] == [(1, 1, 2, 60, 4.0), (1, 2, 1, 0, 4.0)]
+
+
+def test_single_exchange_plan(spark):
+    ev = _ev(spark, [(1, 0, 1, 1.0), (2, 10, 2, 1.0)])
+    plan = session_stats(ev)._jdf.queryExecution().executedPlan().toString()
+    # lag + running sum + per-session agg must share ONE hash
+    # partitioning on user_id; orderBy adds the final range exchange
+    assert plan.count("Exchange hashpartitioning") == 1
