@@ -471,3 +471,61 @@ def decontaminate(
             (n >= min_hits).alias("contaminated"),
         )
     )
+
+
+PASSAGE_TOKENS = 16
+
+
+def passage_dedup(docs: DataFrame, passage_tokens: int = PASSAGE_TOKENS) -> DataFrame:
+    """Passage-level exact duplication report: per document, how many
+    of its fixed-width token passages also occur in ANOTHER document.
+
+    This is the substring-granular leg of the dedup family (mC4/
+    RefinedWeb-style "remove repeated boilerplate passages"): documents
+    are split into non-overlapping ``passage_tokens``-token windows,
+    each passage is hashed, and a passage counts as duplicated when
+    its hash appears in >= 2 distinct documents.
+
+    Scale shape: only ``(doc_id, passage_hash)`` longs ever shuffle —
+    passage text dies inside the projection that hashes it. Three
+    map-combinable aggregations (distinct per-doc passages, per-hash
+    doc counts, per-doc rollup) plus one equi-join on the hash; no
+    all-pairs comparison anywhere. Short final passages (< width) are
+    kept — a trailing fragment shared across docs is still boilerplate.
+
+    Returns ``(doc_id, n_passages, n_dup_passages)`` for documents with
+    at least one duplicated passage, ordered by ``doc_id``. Counts are
+    over DISTINCT passages per document.
+    """
+    p = int(passage_tokens)
+    ws = tokens(F.col("text"))
+    starts = F.sequence(
+        F.lit(0),
+        ((F.greatest(F.size(ws), F.lit(1)) - 1) / p).cast("long"),
+    )
+    pairs = (
+        docs.select("doc_id", ws.alias("_ws"), F.explode(starts).alias("i"))
+        .select(
+            "doc_id",
+            rolling_hash(
+                F.array_join(
+                    F.slice(F.col("_ws"), (F.col("i") * p + 1).cast("int"), p),
+                    " ",
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    cnt = pairs.groupBy("h").agg(F.count(F.lit(1)).alias("n_docs"))
+    flagged = pairs.join(cnt.where(F.col("n_docs") >= 2), "h", "left")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(F.col("n_docs").isNotNull().cast("long")).alias(
+                "n_dup_passages"
+            ),
+        )
+        .where(F.col("n_dup_passages") >= 1)
+        .orderBy("doc_id")
+    )

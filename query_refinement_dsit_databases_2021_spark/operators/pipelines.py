@@ -614,6 +614,28 @@ def _wl_curation_v2(spark, sf_dir):
     )
 
 
+_PAS_P = dedup.PASSAGE_TOKENS
+ORACLE_PASSAGES = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+pas AS (
+  SELECT DISTINCT doc_id,
+         {_sql_rolling_hash(f"array_to_string(array_slice(ws, i * {_PAS_P} + 1, i * {_PAS_P} + {_PAS_P}), ' ')")} AS h
+  FROM tok,
+       unnest(range(0, ((greatest(len(ws), 1) - 1) // {_PAS_P}) + 1)) u(i)),
+cnt AS (SELECT h, count(*) AS n_docs FROM pas GROUP BY h)
+SELECT p.doc_id,
+       CAST(count(*) AS BIGINT) AS n_passages,
+       CAST(sum((c.n_docs >= 2)::INT) AS BIGINT) AS n_dup_passages
+FROM pas p JOIN cnt c USING (h)
+GROUP BY p.doc_id
+HAVING sum((c.n_docs >= 2)::INT) >= 1
+ORDER BY doc_id"""
+
+
+def _wl_passages(spark, sf_dir):
+    return dedup.passage_dedup(_docs(spark, sf_dir))
+
+
 def pipeline_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
@@ -624,6 +646,7 @@ def pipeline_workloads():
         ("pipe_dedup_ngram_jaccard", _wl_jaccard, ORACLE_JACCARD_CAPPED, True),
         ("pipe_dedup_ngram_jaccard_exact", _wl_jaccard_exact, ORACLE_JACCARD, False),
         ("pipe_dedup_clusters", _wl_clusters, ORACLE_CLUSTERS, False),
+        ("pipe_dedup_passages", _wl_passages, ORACLE_PASSAGES, False),
         ("pipe_text_quality", _wl_quality, ORACLE_QUALITY, False),
         ("pipe_text_token_stats", _wl_token_stats, ORACLE_TOKEN_STATS, False),
         ("pipe_text_langid", _wl_langid, ORACLE_LANGID, False),

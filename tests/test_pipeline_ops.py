@@ -368,3 +368,38 @@ def test_corpus_manifest_detects_change_and_ignores_order(spark):
     m3, m4 = corpus_manifest(df3).collect()[0], corpus_manifest(df4).collect()[0]
     assert m3.xor_digest == m4.xor_digest == 0  # xor blind spot, by design
     assert m3.sum_digest != m4.sum_digest  # sum digest is not
+
+
+def test_passage_dedup_shared_block(spark):
+    # docs 1 and 2 share one full 16-token passage; doc 3 is disjoint
+    block = " ".join(f"w{i}" for i in range(16))
+    rows = [
+        (1, block + " " + "a b c"),
+        (2, block + " " + "x y z"),
+        (3, " ".join(f"q{i}" for i in range(20))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_passages"], r["n_dup_passages"])
+        for r in dedup.passage_dedup(df).collect()
+    }
+    # each of docs 1/2 has 2 passages (block + 3-token tail), 1 shared;
+    # doc 3 has no duplicated passage -> excluded from the report
+    assert got == {1: (2, 1), 2: (2, 1)}
+
+
+def test_passage_dedup_short_and_exact_docs(spark):
+    # identical short docs (< passage width) count as duplicated;
+    # within-doc repetition alone does NOT (distinct per doc)
+    block = " ".join(f"w{i}" for i in range(16))
+    rows = [
+        (1, "tiny doc"),
+        (2, "tiny doc"),
+        (3, block + " " + block),  # same passage twice, one doc only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_passages"], r["n_dup_passages"])
+        for r in dedup.passage_dedup(df).collect()
+    }
+    assert got == {1: (1, 1), 2: (1, 1)}
