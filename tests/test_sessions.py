@@ -78,3 +78,37 @@ def test_single_exchange_plan(spark):
     # lag + running sum + per-session agg must share ONE hash
     # partitioning on user_id; orderBy adds the final range exchange
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_batch_matches_streaming_session_window(spark):
+    # the batch gap-split must agree with Spark's session_window
+    # semantics (merge at diff <= gap, split at diff > gap), including
+    # the boundary: events exactly `gap` apart share a session
+    ev = _ev(
+        spark,
+        [
+            (1, 0, 1, 1.0),
+            (2, 100, 1, 1.0),     # == gap: merges
+            (3, 201, 1, 1.0),     # > gap from 2: splits
+            (4, 0, 2, 1.0),
+            (5, 500, 2, 1.0),
+        ],
+    )
+    gap = 100
+    batch = (
+        sessionize(ev, gap_seconds=gap)
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"), F.count("*").alias("n_events"))
+    )
+    got_batch = sorted(
+        (r["user_id"], r["session_start"], r["n_events"]) for r in batch.collect()
+    )
+    sw = (
+        ev.groupBy(F.session_window("ts", f"{gap} seconds").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("user_id"), F.col("sw.start").alias("session_start"), "n_events")
+    )
+    got_sw = sorted(
+        (r["user_id"], r["session_start"], r["n_events"]) for r in sw.collect()
+    )
+    assert got_batch == got_sw
