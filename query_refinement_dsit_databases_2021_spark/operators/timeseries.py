@@ -488,6 +488,50 @@ GROUP BY event_type, bucket
 ORDER BY event_type, bucket"""
 
 
+def percentile_rollup(
+    events: DataFrame, key: str = "event_type", value: str = "value"
+) -> DataFrame:
+    """Exact latency-style percentile rollup per key: discrete
+    p50/p90/p99 (an actual observed value — `percentile_disc`, the
+    SLO convention) plus continuous p95 and the sample count.
+
+    One hash aggregate; Spark's sort-based `percentile_disc`/
+    `percentile_cont` and DuckDB's `quantile_disc`/`quantile_cont`
+    share the same index formula — verified bit-exact including
+    even-n and duplicate-heavy boundary cases (`tests/test_timeseries.py`).
+    At 100 TB exact per-key percentiles buffer each key's values on
+    one task: fine for bounded key cardinality with ~1e8 rows/key;
+    beyond that use the `approx_percentile` sketch (`sql_approx_agg`)
+    — mergeable, bounded memory, but no longer oracle-exact.
+    """
+    pd = "percentile_disc({p}) WITHIN GROUP (ORDER BY {v})"
+    return (
+        events.groupBy(key)
+        .agg(
+            F.expr(pd.format(p=0.5, v=value)).alias("p50"),
+            F.expr(pd.format(p=0.9, v=value)).alias("p90"),
+            F.expr(pd.format(p=0.99, v=value)).alias("p99"),
+            F.expr(
+                f"percentile_cont(0.95) WITHIN GROUP (ORDER BY {value})"
+            ).alias("p95_cont"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(key)
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT event_type,
+       quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.9) AS p90,
+       quantile_disc(value, 0.99) AS p99,
+       quantile_cont(value, 0.95) AS p95_cont,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type"""
+
+
 def timeseries_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import (
         Workload,
@@ -510,4 +554,5 @@ def timeseries_workloads():
         _w("ts_rate_of_change", ORACLE_RATE, rate_of_change),
         _w("ts_anomaly_zscore", _anomaly_oracle(), anomaly_zscore),
         _w("ts_histogram", ORACLE_HISTOGRAM, value_histogram),
+        _w("ts_percentiles", ORACLE_PERCENTILES, percentile_rollup),
     ]

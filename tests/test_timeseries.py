@@ -177,3 +177,21 @@ def test_value_histogram_buckets(spark, tiny_events):
         ("a", 2): (1, 50.0, 50.0),
         ("b", 0): (2, 4.0, 8.0),
     }
+
+
+def test_percentile_rollup_boundary_cases(spark):
+    # even-n and duplicate-heavy sets: pins the disc/cont index
+    # formulas the DuckDB oracle must share (see percentile_rollup doc)
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        percentile_rollup,
+    )
+
+    rows = [("a", v) for v in [1.0, 2.0, 3.0, 4.0]]
+    rows += [("b", v) for v in [1.0, 1.0, 1.0, 2.0, 2.0, 9.0]]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    got = {r["event_type"]: r for r in percentile_rollup(df).collect()}
+    assert (got["a"]["p50"], got["a"]["p90"], got["a"]["p99"]) == (2.0, 4.0, 4.0)
+    assert got["a"]["p95_cont"] == pytest.approx(3.85)
+    assert (got["b"]["p50"], got["b"]["p90"], got["b"]["p99"]) == (1.0, 9.0, 9.0)
+    assert got["b"]["p95_cont"] == pytest.approx(7.25)
+    assert got["a"]["n"] == 4 and got["b"]["n"] == 6
