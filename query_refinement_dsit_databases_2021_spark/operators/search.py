@@ -282,4 +282,65 @@ def search_workloads():
     return [
         Workload("pipe_search_tfidf", _wl_tfidf, oracle_tfidf_topk(), False),
         Workload("pipe_search_bm25", _wl_bm25, oracle_bm25_topk(), False),
+        Workload(
+            "pipe_search_phrase", _wl_phrase, oracle_phrase_search(), False
+        ),
     ]
+
+
+SEARCH_PHRASE: tuple[str, ...] = ("table", "value")
+
+
+def phrase_search(docs: DataFrame, phrase: tuple[str, ...]) -> DataFrame:
+    """Exact phrase search through POSITIONAL postings: per document,
+    how many times the token sequence ``phrase`` occurs.
+
+    Architecture (the part that matters at 100 TB): tokens are
+    position-stamped with ``posexplode`` and filtered to the phrase's
+    terms before anything shuffles; each adjacency constraint
+    ``pos(term_i) = pos(term_0) + i`` is an EQUI-join — the i-th
+    posting stream is keyed on ``(doc_id, pos - i)`` so every hop is
+    hash-partitionable (no theta-join, no NLJ). A K-word phrase is
+    K-1 such joins over streams already reduced to single-term
+    postings. The DuckDB oracle intentionally uses the other
+    algorithm (direct sliding-window scan), making the differential
+    an algebraic cross-check rather than a transliteration.
+
+    Returns ``(doc_id, n_occurrences)``, ordered by ``doc_id``.
+    """
+    if len(phrase) < 2:
+        raise ValueError("phrase must have at least two tokens")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.col("text"))).alias("pos", "term"),
+    ).where(F.col("term").isin(list(set(phrase))))
+    out = None
+    for i, term in enumerate(phrase):
+        leg = pos.where(F.col("term") == term).select(
+            "doc_id", (F.col("pos") - i).alias("anchor")
+        )
+        out = leg if out is None else out.join(leg, ["doc_id", "anchor"])
+    return (
+        out.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy("doc_id")
+    )
+
+
+def oracle_phrase_search(phrase: tuple[str, ...] = SEARCH_PHRASE) -> str:
+    conds = " AND ".join(
+        f"ws[i + {i}] = '{t}'" for i, t in enumerate(phrase)
+    )
+    return f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM tok, unnest(range(1, greatest(len(ws) - {len(phrase) - 2}, 1))) u(i)
+WHERE {conds}
+GROUP BY doc_id
+ORDER BY doc_id"""
+
+
+def _wl_phrase(spark, sf_dir):
+    from query_refinement_dsit_databases_2021_spark.operators.pipelines import _docs
+
+    return phrase_search(_docs(spark, sf_dir), SEARCH_PHRASE)

@@ -128,3 +128,57 @@ def test_plan_broadcast_and_prefilter(corpus, spark):
     agg = plan.index("HashAggregate")
     assert "Filter" in plan
     assert gen > agg  # formatted plan lists leaves last: Generate below agg
+
+
+def test_phrase_search_hand_checked(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.search import (
+        phrase_search,
+    )
+
+    rows = [
+        (1, "big table scan big table"),   # 2 occurrences of "big table"
+        (2, "big data table"),             # adjacency broken -> 0
+        (3, "table big"),                  # wrong order -> 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search(df, ("big", "table")).collect()
+    }
+    assert got == {1: 2}
+
+
+def test_phrase_search_three_words_and_repeats(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.search import (
+        phrase_search,
+    )
+
+    rows = [
+        (1, "a a a b"),   # "a a" occurs at pos 1 and 2 (overlapping)
+        (2, "x a a b y"), # "a a b" once
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got2 = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search(df, ("a", "a")).collect()
+    }
+    assert got2 == {1: 2, 2: 1}
+    got3 = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_search(df, ("a", "a", "b")).collect()
+    }
+    assert got3 == {1: 1, 2: 1}
+
+
+def test_phrase_search_equijoin_plan(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.search import (
+        phrase_search,
+    )
+
+    rows = [(1, "big table")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plan = _plan(phrase_search(df, ("big", "table")))
+    # every adjacency hop must be an equi-join (hash or sort-merge),
+    # never a nested-loop theta join
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
