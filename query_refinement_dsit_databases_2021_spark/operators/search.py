@@ -83,6 +83,24 @@ def query_postings(docs: DataFrame, terms: list[str]) -> DataFrame:
     )
 
 
+def full_postings(docs: DataFrame) -> DataFrame:
+    """The standing full-vocabulary inverted index ``(term, doc_id,
+    tf)`` — the amortized artifact the module docstring points at.
+
+    Built once per corpus snapshot and written bucketed by ``term``
+    (``scale.write_bucketed``), it turns every later term lookup into
+    a bucket-pruned scan and every scoring aggregation into an
+    exchange-free job: the groupBy(term) partitioning is satisfied by
+    the bucket layout (zero-Exchange, asserted in
+    ``tests/test_search.py::test_bucketed_postings_zero_exchange``).
+    """
+    return (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
 def tfidf_topk(
     docs: DataFrame, spark: SparkSession, k: int = TOP_K
 ) -> DataFrame:

@@ -182,3 +182,35 @@ def test_phrase_search_equijoin_plan(spark):
     # never a nested-loop theta join
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_postings_zero_exchange(corpus, spark):
+    # the standing-index path: postings written bucketed by term make
+    # per-term scoring aggregations exchange-free
+    from query_refinement_dsit_databases_2021_spark.operators.scale import (
+        write_bucketed,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.search import (
+        full_postings,
+    )
+
+    try:
+        write_bucketed(full_postings(corpus), "t_postings", "term", 4)
+        post = spark.table("t_postings")
+        qt = spark.createDataFrame(
+            [("spark",), ("join",)], "term string"
+        )
+        scored = (
+            post.join(F.broadcast(qt), "term")
+            .groupBy("term")
+            .agg(F.sum("tf").alias("total_tf"))
+        )
+        plan = scored._jdf.queryExecution().executedPlan().toString()
+        # the tiny query side broadcasts (BroadcastExchange is the
+        # point); the bucketed postings side must never shuffle
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "Bucketed: true" in plan
+        got = {r["term"]: r["total_tf"] for r in scored.collect()}
+        assert got == {"spark": 3, "join": 4}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_postings")
