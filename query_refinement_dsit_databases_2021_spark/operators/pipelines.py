@@ -614,6 +614,27 @@ def _wl_curation_v2(spark, sf_dir):
     )
 
 
+ORACLE_LM_SCORE = """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= 2),
+bg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM base, unnest(range(1, len(ws))) u(i)),
+c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(sum(n2) AS BIGINT) AS n1 FROM c2 GROUP BY w1)
+SELECT bg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln(c2.n2 / c1.n1)), 6) AS avg_logp
+FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY bg.doc_id
+ORDER BY bg.doc_id"""
+
+
+def _wl_lm_score(spark, sf_dir):
+    return textops.bigram_lm_scores(_docs(spark, sf_dir))
+
+
 _PAS_P = dedup.PASSAGE_TOKENS
 ORACLE_PASSAGES = f"""
 WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -652,6 +673,7 @@ def pipeline_workloads():
         ("pipe_text_langid", _wl_langid, ORACLE_LANGID, False),
         ("pipe_text_fingerprints", _wl_fingerprints, ORACLE_FINGERPRINTS, False),
         ("pipe_text_repetition", _wl_repetition, ORACLE_REPETITION, False),
+        ("pipe_text_lm_score", _wl_lm_score, ORACLE_LM_SCORE, False),
         ("pipe_curation_chain", _wl_curation, _oracle_curation(), False),
         ("pipe_text_bpe_tokens", _wl_bpe_tokens, ORACLE_BPE_TOKENS, False),
         ("pipe_decontaminate", _wl_decontaminate, ORACLE_DECON, False),

@@ -336,3 +336,52 @@ def corpus_manifest(docs: DataFrame) -> DataFrame:
         .cast("long")
         .alias("sum_digest"),
     )
+
+
+def bigram_lm_scores(docs: DataFrame) -> DataFrame:
+    """Corpus-trained bigram language-model score per document — the
+    CCNet-style quality signal (fluent text scores high, gibberish and
+    boilerplate-mangled text score low): ``avg_logp = mean over doc
+    bigrams of ln(count(w1 w2) / count(w1 ·))``.
+
+    Counts are trained on the SAME corpus being scored, so every doc
+    bigram exists in the model (no smoothing needed) and the score is
+    a pure function of the corpus. Scale shape: the bigram model is a
+    (vocab²-bounded) aggregate, re-joined to the per-doc bigram stream
+    on (w1, w2) and (w1,) — plain shuffle equi-joins, no broadcast
+    assumption on the model side (at 100 TB the bigram table is big).
+    In deployment, train once, write bucketed by (w1, w2), and score
+    any corpus against it exchange-free (same layout trick as
+    ``search.full_postings``).
+
+    Returns ``(doc_id, n_bigrams, avg_logp)`` for docs with >= 2
+    tokens, ordered by doc_id; ``avg_logp`` rounded to 6 dp.
+    """
+    base = docs.select("doc_id", tokens(F.col("text")).alias("ws")).where(
+        F.size("ws") >= 2
+    )
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            # Spark array subscripts are 0-based (the DuckDB oracle's
+            # are 1-based — each side indexes its own way)
+            F.expr(
+                "transform(sequence(1, size(ws) - 1), "
+                "i -> struct(ws[i-1] AS w1, ws[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(F.col("n2") / F.col("n1"))), 6).alias(
+                "avg_logp"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -403,3 +403,31 @@ def test_passage_dedup_short_and_exact_docs(spark):
         for r in dedup.passage_dedup(df).collect()
     }
     assert got == {1: (1, 1), 2: (1, 1)}
+
+
+def test_bigram_lm_scores_hand_checked(spark):
+    import math
+
+    rows = [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"])
+        for r in textops.bigram_lm_scores(df).collect()
+    }
+    # model: c(a b)=2, c(a c)=1, c(a ·)=3; single-token doc 4 excluded
+    assert got == {
+        1: (1, round(math.log(2 / 3), 6)),
+        2: (1, round(math.log(2 / 3), 6)),
+        3: (1, round(math.log(1 / 3), 6)),
+    }
+
+
+def test_bigram_lm_repetition_scores_high(spark):
+    # deterministic transitions score ln(1)=0; a doc whose prefixes
+    # branch (p -> q and p -> r) scores negative (the quality-filter
+    # direction: predictable text ranks above high-branching text)
+    rows = [(1, "x y x y x y x y"), (2, "p q p r")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["avg_logp"] for r in textops.bigram_lm_scores(df).collect()}
+    assert got[1] == 0.0
+    assert got[2] < 0.0
