@@ -116,13 +116,17 @@ def tfidf_topk(
     ``(score desc, doc_id asc)``.
     """
     all_terms = sorted({t for _, ts in SEARCH_QUERIES for t in ts})
-    n_docs = docs.count()  # plan-time scalar (corpus cardinality)
+    # corpus cardinality as a broadcast 1-row aggregate, NOT a driver
+    # .count(): keeps the whole search ONE Spark job (a separate count
+    # job re-scans the corpus and roughly doubles wall time)
+    n_df = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     post = query_postings(docs, all_terms)
     # df(t) from the filtered postings: ≤ |all_terms| rows -> broadcast
     df_t = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = df_t.select(
+    idf = df_t.crossJoin(F.broadcast(n_df)).select(
         "term",
-        F.expr(f"({n_docs} * {SCALE}) div df").cast("long").alias("idf_scaled"),
+        # long arithmetic: n_docs * SCALE overflows int32 from ~2k docs
+        F.expr(f"(n_docs * {SCALE}) div df").cast("long").alias("idf_scaled"),
     )
     qt = _query_df(spark if spark is not None else docs.sparkSession)
     scored = (
@@ -160,27 +164,33 @@ def bm25_topk(
     contract.
     """
     all_terms = sorted({t for _, ts in SEARCH_QUERIES for t in ts})
-    stats = docs.select(
-        F.count(F.lit(1)).alias("n"),
+    # N and avgdl as a broadcast 1-row aggregate (same single-job
+    # rationale as tfidf_topk; a driver .collect() would add a second
+    # full corpus-scan job)
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg(F.size(tokens(F.col("text")))).alias("avgdl"),
-    ).collect()[0]
-    n_docs, avgdl = stats["n"], float(stats["avgdl"])
+    )
     dl = docs.select(
         "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("dl")
     )
-    post = query_postings(docs, all_terms).join(dl, "doc_id")
+    post = (
+        query_postings(docs, all_terms)
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+    )
     df_t = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = df_t.select(
+    idf = df_t.crossJoin(F.broadcast(stats.select("n_docs"))).select(
         "term",
         F.log(
             F.lit(1.0)
-            + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5))
             / (F.col("df") + F.lit(0.5))
         ).alias("idf"),
     )
     qt = _query_df(spark)
     tfn = (F.col("tf") * (k1 + 1)) / (
-        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.lit(avgdl))
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     )
     scored = (
         post.join(F.broadcast(qt), "term")
