@@ -158,8 +158,9 @@ def bm25_topk(
     ``idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))``
     ``score(d) = Σ_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``
 
-    ``dl`` is the document token count; ``avgdl``/``N`` are plan-time
-    corpus scalars. Scores are rounded to ``ROUND_DIGITS`` and ranked
+    ``dl`` is the document token count; ``avgdl``/``N`` are broadcast
+    1-row corpus aggregates (not driver round-trips — the whole search
+    is one Spark job). Scores are rounded to ``ROUND_DIGITS`` and ranked
     on the rounded value (doc_id tiebreak) — see the module determinism
     contract.
     """
@@ -308,7 +309,7 @@ def search_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
     return [
-        Workload("pipe_search_tfidf", _wl_tfidf, oracle_tfidf_topk(), False),
+        Workload("pipe_search_tfidf", _wl_tfidf, oracle_tfidf_topk(), True),
         Workload("pipe_search_bm25", _wl_bm25, oracle_bm25_topk(), False),
         Workload(
             "pipe_search_phrase", _wl_phrase, oracle_phrase_search(), False

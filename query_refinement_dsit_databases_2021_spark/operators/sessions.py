@@ -127,6 +127,6 @@ def sessions_workloads():
 
     return [
         Workload(
-            "ops_sessionize", _wl_sessionize, oracle_session_stats(), False
+            "ops_sessionize", _wl_sessionize, oracle_session_stats(), True
         ),
     ]

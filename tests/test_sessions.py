@@ -112,3 +112,38 @@ def test_batch_matches_streaming_session_window(spark):
         (r["user_id"], r["session_start"], r["n_events"]) for r in sw.collect()
     )
     assert got_batch == got_sw
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    offsets=st.lists(
+        st.integers(min_value=0, max_value=2000), min_size=1, max_size=30
+    ),
+    gap=st.integers(min_value=1, max_value=500),
+)
+def test_sessionize_properties(spark, offsets, gap):
+    # invariants for any event sequence and any gap:
+    #  (1) sessions partition the events (no loss, no duplication)
+    #  (2) within a session, consecutive gaps are all <= gap
+    #  (3) across a session boundary, the gap is > gap
+    ev = _ev(spark, [(i, s, 1, 1.0) for i, s in enumerate(sorted(set(offsets)))])
+    rows = sorted(
+        (r["ts"], r["session_id"])
+        for r in sessionize(ev, gap_seconds=gap).collect()
+    )
+    assert len(rows) == len(set(offsets))  # (1)
+    for (t_prev, s_prev), (t_cur, s_cur) in zip(rows, rows[1:]):
+        d = (t_cur - t_prev).total_seconds()
+        if s_cur == s_prev:
+            assert d <= gap  # (2)
+        else:
+            assert s_cur == s_prev + 1
+            assert d > gap  # (3)
