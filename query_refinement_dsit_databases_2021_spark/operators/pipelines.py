@@ -657,6 +657,43 @@ def _wl_passages(spark, sf_dir):
     return dedup.passage_dedup(_docs(spark, sf_dir))
 
 
+# boilerplate coverage: integer cross-multiplied threshold (no float
+# ratio), CASTs because DuckDB count/sum(CASE) are HUGEINT
+ORACLE_BOILERPLATE = f"""
+WITH {SQL_SHINGLES},
+dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+per AS (
+  SELECT sh.doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum((dfq.df >= 2)::INT) AS BIGINT) AS n_shared
+  FROM sh JOIN dfq USING (s)
+  GROUP BY sh.doc_id)
+SELECT doc_id, n_shingles, n_shared,
+       (100 * n_shared > 60 * n_shingles)::INT AS flagged
+FROM per ORDER BY doc_id"""
+
+
+def _wl_boilerplate(spark, sf_dir):
+    return textops.boilerplate_coverage(_docs(spark, sf_dir))
+
+
+# raw-occurrence (non-distinct) k-grams — same window construction as
+# SQL_SHINGLES minus the DISTINCT; full (n DESC, gram ASC) tie-break
+# makes the LIMIT set deterministic in both engines
+ORACLE_NGRAM_TOPK = f"""
+WITH tok AS (SELECT string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT {_SHINGLE_EXPR} AS gram
+  FROM tok, unnest(range(1, greatest(len(ws) - {SHINGLE_K - 2}, 1))) u(i))
+SELECT gram, CAST(count(*) AS BIGINT) AS n
+FROM g GROUP BY gram
+ORDER BY n DESC, gram LIMIT 50"""
+
+
+def _wl_ngram_topk(spark, sf_dir):
+    return textops.ngram_topk(_docs(spark, sf_dir))
+
+
 def pipeline_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
@@ -674,6 +711,8 @@ def pipeline_workloads():
         ("pipe_text_fingerprints", _wl_fingerprints, ORACLE_FINGERPRINTS, False),
         ("pipe_text_repetition", _wl_repetition, ORACLE_REPETITION, False),
         ("pipe_text_lm_score", _wl_lm_score, ORACLE_LM_SCORE, False),
+        ("pipe_filter_boilerplate", _wl_boilerplate, ORACLE_BOILERPLATE, False),
+        ("pipe_ngram_topk", _wl_ngram_topk, ORACLE_NGRAM_TOPK, False),
         ("pipe_curation_chain", _wl_curation, _oracle_curation(), False),
         ("pipe_text_bpe_tokens", _wl_bpe_tokens, ORACLE_BPE_TOKENS, False),
         ("pipe_decontaminate", _wl_decontaminate, ORACLE_DECON, False),

@@ -123,6 +123,58 @@ def bucketed_join(
 # driver workloads: salted formulations must be row-identical to the
 # plain SQL the oracle runs (event_type is the skewed key: few distinct
 # values over the whole events table)
+ZORDER_BITS = 16
+
+
+def zorder_key(x, y, bits: int = ZORDER_BITS):
+    """Morton (Z-order) interleave of the low ``bits`` bits of two
+    integer columns — the multi-dimensional clustering key. Sorting or
+    range-partitioning a table by this key keeps rows that are close in
+    BOTH dimensions in the same files, so min/max file statistics prune
+    range predicates on either column (a lexicographic sort only prunes
+    the leading one).
+
+    Unrolled shift/mask arithmetic — pure whole-stage-codegen integer
+    ops, no UDF, and the identical expression is evaluated by the
+    DuckDB oracle (same shifts, same masks, bit-exact).
+    """
+    mask = (1 << bits) - 1
+    xm = x.cast("long").bitwiseAND(F.lit(mask))
+    ym = y.cast("long").bitwiseAND(F.lit(mask))
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        acc = acc.bitwiseOR(
+            F.shiftleft(F.shiftright(xm, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(ym, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return acc
+
+
+def zorder_sql(x_expr: str, y_expr: str, bits: int = ZORDER_BITS) -> str:
+    """The oracle-side transliteration of :func:`zorder_key` — the same
+    unrolled interleave as portable SQL bit arithmetic."""
+    mask = (1 << bits) - 1
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({x_expr}) & {mask}) >> {i} & 1) << {2 * i})")
+        terms.append(f"(((({y_expr}) & {mask}) >> {i} & 1) << {2 * i + 1})")
+    return "CAST(" + " | ".join(terms) + " AS BIGINT)"
+
+
+def zorder_layout(
+    df: DataFrame, x: str, y: str, n_files: int, bits: int = ZORDER_BITS
+) -> DataFrame:
+    """Range-partition ``df`` by its Z-order key into ``n_files``
+    write tasks — the standard OPTIMIZE-ZORDER layout step before a
+    parquet write. Each output file covers one contiguous Z-curve
+    segment, i.e. a compact rectangle-ish region of (x, y) space, so
+    min/max stats prune on both columns. One range shuffle (sampled
+    boundaries), no global sort."""
+    keyed = df.withColumn("__z", zorder_key(F.col(x), F.col(y), bits))
+    return keyed.repartitionByRange(n_files, "__z").drop("__z")
+
+
 # ---------------------------------------------------------------------------
 
 def _wl_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,10 +210,30 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def _wl_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    li = spark.table("lineitem").where(F.col("l_orderkey") < 2000)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        zorder_key(F.col("l_partkey"), F.col("l_suppkey")).alias("zkey"),
+    )
+
+
+ORACLE_ZORDER_KEY = f"""
+SELECT l_orderkey, l_linenumber,
+       {zorder_sql('l_partkey', 'l_suppkey')} AS zkey
+FROM lineitem WHERE l_orderkey < 2000
+ORDER BY l_orderkey, l_linenumber"""
+
+
 def scale_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
     return [
         Workload("ops_salted_join", _wl_salted_join, ORACLE_SALTED_JOIN),
         Workload("ops_salted_distinct", _wl_salted_distinct, ORACLE_SALTED_DISTINCT),
+        Workload("ops_zorder_key", _wl_zorder_key, ORACLE_ZORDER_KEY),
     ]

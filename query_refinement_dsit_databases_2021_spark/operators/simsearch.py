@@ -622,6 +622,53 @@ SELECT vec_id, round(scale, 6) AS scale_r,
 FROM s ORDER BY vec_id"""
 
 
+def label_centroid_stats(
+    embs: DataFrame, col: str = "embedding", label: str = "label"
+) -> DataFrame:
+    """Per-label centroid accumulators over the embedding column — the
+    aggregation kernel under k-means / SemDeDup-style semantic
+    clustering: for every (label, dim) the component sum and vector
+    count, from which ``centroid[dim] = sum/n``.
+
+    Components are quantized to integer millis (``floor(x*1000+0.5)``,
+    the module's tie-safe convention) BEFORE summing, so the aggregate
+    is a sum of int64 — order-free and bit-exact across engines,
+    unlike a float sum whose value depends on reduction order.
+    ``sum_sq`` (the quantized second moment) gives per-dim variance for
+    dispersion/convergence checks without a second pass.
+
+    Plan at 100 TB: posexplode multiplies rows by dim (64 here), then
+    ONE map-side-combinable groupBy(label, dim) — partial aggregation
+    collapses each partition to labels*dim rows before the shuffle, so
+    shuffle bytes are O(partitions * labels * dim), independent of row
+    count. No Python, no driver traffic.
+    """
+    q = F.transform(
+        F.col(col), lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long")
+    )
+    exploded = embs.select(label, F.posexplode(q).alias("dim", "qv"))
+    return exploded.groupBy(label, "dim").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("qv").alias("sum_q"),
+        F.sum(F.col("qv") * F.col("qv")).alias("sum_sq"),
+    )
+
+
+def oracle_label_centroid_stats() -> str:
+    # range + 1-based list indexing (the repo's ordinality idiom —
+    # this DuckDB build lacks WITH ORDINALITY)
+    return """
+WITH x AS (
+  SELECT label, i - 1 AS dim,
+         floor(embedding[i]::DOUBLE * 1000 + 0.5)::BIGINT AS qv
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i))
+SELECT label, CAST(dim AS INTEGER) AS dim,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(qv) AS BIGINT) AS sum_q,
+       CAST(sum(qv * qv) AS BIGINT) AS sum_sq
+FROM x GROUP BY label, dim ORDER BY label, dim"""
+
+
 def quantized_cosine_topk(
     emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
 ) -> DataFrame:
@@ -796,6 +843,12 @@ def simsearch_workloads():
             "pipe_ann_filtered_topk",
             _wl_filtered_topk,
             oracle_filtered_topk(),
+            False,
+        ),
+        Workload(
+            "pipe_embed_label_stats",
+            lambda spark, sf_dir: label_centroid_stats(_emb(spark, sf_dir)),
+            oracle_label_centroid_stats(),
             False,
         ),
     ]

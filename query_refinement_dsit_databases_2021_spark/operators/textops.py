@@ -76,6 +76,79 @@ def shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     )
 
 
+def boilerplate_coverage(
+    docs: DataFrame, k: int = SHINGLE_K, min_docs: int = 2, pct: int = 60
+) -> DataFrame:
+    """Cross-document boilerplate coverage filter (the corpus-level
+    companion to :func:`repetition_stats`' within-document signals —
+    the MassiveText/Gopher "fraction of text in duplicated n-grams"
+    rule, evaluated exactly instead of by sketch).
+
+    For each document: ``n_shingles`` distinct k-shingles,
+    ``n_shared`` of which occur in at least ``min_docs`` distinct
+    documents corpus-wide; ``flagged`` = 1 when shared shingles cover
+    more than ``pct`` percent. The threshold test is integer
+    cross-multiplication (``100 * n_shared > pct * n_shingles``) — no
+    float ratio, so Spark and the DuckDB oracle agree bit-exactly.
+
+    Plan at 100 TB: shingle explode -> ONE map-side-combinable
+    ``groupBy(s)`` for document frequency -> equi-join back on the
+    shingle (both sides hash-partitioned on ``s``) -> ``groupBy(doc_id)``
+    fold. Two shuffles, both on high-cardinality keys; no driver
+    traffic. Documents shorter than k tokens have no shingles and are
+    absent from the output (mirrored by the oracle).
+    """
+    sh = shingles(docs, k)
+    # sh is distinct per (doc_id, s), so count(*) per s IS the
+    # document frequency — no countDistinct shuffle-side exactness tax
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    return (
+        sh.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum((F.col("df") >= min_docs).cast("long")).alias("n_shared"),
+        )
+        .withColumn(
+            "flagged",
+            (F.lit(100) * F.col("n_shared") > F.lit(pct) * F.col("n_shingles"))
+            .cast("int"),
+        )
+    )
+
+
+def ngram_topk(docs: DataFrame, k: int = SHINGLE_K, topk: int = 50) -> DataFrame:
+    """Corpus-wide top-``topk`` most frequent k-grams (raw occurrence
+    counts, NOT per-document-distinct — the vocabulary/boilerplate
+    inspection view).
+
+    Ties broken by the n-gram text ascending, so the top-k set is
+    fully deterministic. One explode -> map-combinable groupBy ->
+    global ``orderBy().limit()`` which Spark executes as
+    TakeOrderedAndProject (per-partition heaps, no global sort) — the
+    plan you want when the group count is ~vocabulary-sized.
+    """
+    base = docs.select(tokens(F.col("text")).alias("ws"))
+    ws = F.col("ws")
+    n = F.size(ws)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            "|", *[F.element_at(ws, i + int(j)) for j in range(k)]
+        ),
+    )
+    return (
+        base.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "gram")
+        .limit(topk)
+    )
+
+
 def shingle_hashes(sh: DataFrame) -> DataFrame:
     """(doc_id, h): each shingle mapped to its 31-bit polynomial hash —
     no vocabulary pass, no shuffle, pure codegen arithmetic."""

@@ -28,7 +28,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -193,6 +193,49 @@ def interval_join(
     return c.join(p, cond, "inner").select("left_id", "right_id", "user_id")
 
 
+def trending_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Sliding-window event counts per type — the streamable half of a
+    trending-topics query. Each event lands in ``window/slide``
+    overlapping windows; with the watermark, completed windows emit in
+    append mode and their state is dropped."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("win"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def rank_topk_per_window(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Rank the top-``k`` types inside each closed window, fully
+    tie-broken (n desc, type asc) so the k-set is deterministic.
+
+    A global rank over a streaming aggregate is not expressible in
+    append mode (the rank could change until the window closes), so in
+    a live pipeline this step runs per micro-batch in ``foreachBatch``
+    over the CLOSED windows the upstream watermark emits — at which
+    point it is exactly this batch plan. The unified batch/stream test
+    asserts that equivalence."""
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n"), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("window_start", "window_end", "event_type", "n", "rk")
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame,
     keys: tuple[str, ...] = ("user_id", "event_type"),
@@ -262,6 +305,27 @@ ORDER BY left_id, right_id"""
 ORACLE_DEDUP_KEYS = """
 SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type"""
 
+# sliding 10-min/5-min windows: every event belongs to exactly two
+# epoch-aligned starts — time_bucket(5min) and that minus 5min — the
+# same assignment Spark's window(ts, 10m, 5m) expansion makes
+ORACLE_TRENDING_TOPK = """
+WITH e AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts)
+           - i * INTERVAL '5 minutes' AS window_start,
+         event_type
+  FROM events, unnest([0, 1]) u(i)),
+c AS (
+  SELECT window_start, event_type, count(*) AS n
+  FROM e GROUP BY window_start, event_type),
+r AS (
+  SELECT window_start, window_start + INTERVAL '10 minutes' AS window_end,
+         event_type, n,
+         row_number() OVER (PARTITION BY window_start
+                            ORDER BY n DESC, event_type) AS rk
+  FROM c)
+SELECT window_start, window_end, event_type, n, CAST(rk AS INTEGER) AS rk
+FROM r WHERE rk <= 3 ORDER BY window_start, rk"""
+
 
 def _events(spark, sf_dir):
     from query_refinement_dsit_databases_2021_spark.workloads import register_views
@@ -287,6 +351,12 @@ def _wl_interval_join(spark, sf_dir):
     ).orderBy("left_id", "right_id")
 
 
+def _wl_trending_topk(spark, sf_dir):
+    # unified batch/stream model: the identical plan (counts + the
+    # foreachBatch-side rank) evaluated on the batch view
+    return rank_topk_per_window(trending_counts(_events(spark, sf_dir)))
+
+
 def _wl_dedup_keys(spark, sf_dir):
     # batch path: dropDuplicatesWithinWatermark is streaming-only, and
     # with the span-covering delay used here its key set equals plain
@@ -309,6 +379,9 @@ def streaming_workloads():
         Workload("stream_sessionized", _wl_sessionized, ORACLE_SESSIONIZED, False),
         Workload("stream_interval_join", _wl_interval_join, ORACLE_INTERVAL_JOIN, False),
         Workload("stream_dedup_keys", _wl_dedup_keys, ORACLE_DEDUP_KEYS, False),
+        Workload(
+            "stream_trending_topk", _wl_trending_topk, ORACLE_TRENDING_TOPK, False
+        ),
     ]
 
 

@@ -239,3 +239,71 @@ def test_jsonl_roundtrip_and_corrupt_audit(spark, tmp_path):
     assert sorted(
         (r["doc_id"], r["text"]) for r in back.where("doc_id IS NOT NULL").collect()
     ) == [(1, "a b c"), (2, "d e")]
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    from query_refinement_dsit_databases_2021_spark.sources.columnar import (
+        read_orc,
+        write_orc,
+    )
+
+    df = spark.range(1000).selectExpr("id", "id % 7 AS k", "id * 1.5 AS v")
+    p = str(tmp_path / "t_orc")
+    write_orc(df, p)
+    back = read_orc(spark, p)
+    assert back.count() == 1000
+    pruned = back.where("id > 900").select("id", "k")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # ORC scans push filters and prune columns like parquet
+    assert "PushedFilters: [" in plan and "GreaterThan(id,900)" in plan, plan
+    assert "ReadSchema: struct<id:bigint,k:bigint>" in plan, plan
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    from query_refinement_dsit_databases_2021_spark.sources.columnar import (
+        write_partitioned,
+    )
+
+    df = spark.range(400).selectExpr(
+        "id", "CASE WHEN id % 2 = 0 THEN 'en' ELSE 'de' END AS lang"
+    )
+    p = str(tmp_path / "t_part")
+    write_partitioned(df, p, ["lang"])
+    import os
+
+    assert sorted(
+        d for d in os.listdir(p) if d.startswith("lang=")
+    ) == ["lang=de", "lang=en"]
+    back = spark.read.parquet(p).where("lang = 'en'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan
+    assert back.count() == 200
+
+
+def test_compact_small_files(spark, tmp_path):
+    from query_refinement_dsit_databases_2021_spark.sources.columnar import (
+        compact_small_files,
+        dir_bytes,
+    )
+
+    src = str(tmp_path / "tiny")
+    # 64 tiny files
+    spark.range(20000).selectExpr("id", "id * 2 AS v").repartition(
+        64
+    ).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 64
+    dest = str(tmp_path / "compact")
+    total = dir_bytes(spark, src)
+    n = compact_small_files(
+        spark, src, dest, target_file_bytes=max(total // 3, 1)
+    )
+    out_files = glob.glob(f"{dest}/part-*.parquet")
+    assert len(out_files) == n <= 4
+    assert spark.read.parquet(dest).count() == 20000
+    # refuse in-place compaction
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        compact_small_files(spark, src, src)

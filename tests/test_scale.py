@@ -99,3 +99,56 @@ def test_bucketed_join_elides_exchanges(spark):
         spark.sql("DROP TABLE IF EXISTS t_bl")
         spark.sql("DROP TABLE IF EXISTS t_br")
         shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.scale import zorder_key
+
+    def morton(x, y, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    df = spark.range(200).select(
+        (F.col("id") * 7 % 301).alias("x"), (F.col("id") * 13 % 509).alias("y")
+    )
+    rows = df.withColumn("z", zorder_key(F.col("x"), F.col("y"))).collect()
+    for r in rows:
+        assert r["z"] == morton(r["x"], r["y"]), (r["x"], r["y"])
+
+
+def test_zorder_layout_prunes_non_leading_dim(spark):
+    """The point of the layout: range-partitioned Z-curve segments give
+    every file a compact bounding box in BOTH dims, so a predicate on
+    the NON-leading dimension skips most files; a lexicographic layout
+    (sort by x) puts the full y range in every file and skips none."""
+    from query_refinement_dsit_databases_2021_spark.operators.scale import (
+        zorder_key,
+        zorder_layout,
+    )
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    n_files = 16
+
+    def overlapping_files(parts_df):
+        # per-output-partition min/max — exactly the parquet footer
+        # stats a reader would prune on
+        stats = (
+            parts_df.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(F.min("y").alias("lo"), F.max("y").alias("hi"))
+            .collect()
+        )
+        assert len(stats) == n_files
+        # probe: y BETWEEN 0 AND 3 (a thin slice of the non-leading dim)
+        return sum(1 for r in stats if r["lo"] <= 3 and r["hi"] >= 0)
+
+    lex = grid.repartitionByRange(n_files, "x", "y")
+    zed = zorder_layout(grid, "x", "y", n_files)
+    n_lex, n_zed = overlapping_files(lex), overlapping_files(zed)
+    assert n_lex == n_files  # every x-stripe spans all of y
+    assert n_zed <= n_files // 2, (n_zed, n_lex)

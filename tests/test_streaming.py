@@ -243,3 +243,23 @@ def test_running_max_stateful(spark, events_dir):
         .collect()
     }
     assert final == expected
+
+
+def test_trending_topk_stream_counts_then_rank_matches_batch(spark, events_dir):
+    """The split the operator documents: counts are the streamable
+    half (complete mode here so open windows are visible too); the
+    rank runs batch-side over the sink — together they must equal the
+    one-shot batch plan."""
+    stream = W.read_event_stream(spark, events_dir)
+    W.run_to_memory_sink(
+        W.trending_counts(stream), "trend_counts", output_mode="complete"
+    )
+    ranked = W.rank_topk_per_window(spark.table("trend_counts"))
+    got = {tuple(r) for r in ranked.collect()}
+    want = {
+        tuple(r)
+        for r in W.rank_topk_per_window(
+            W.trending_counts(_batch_events(spark, events_dir))
+        ).collect()
+    }
+    assert got == want and len(got) > 0
