@@ -622,6 +622,204 @@ SELECT vec_id, round(scale, 6) AS scale_r,
 FROM s ORDER BY vec_id"""
 
 
+# spherical k-means defaults: 8 seeds drawn from the same id lattice
+# as IVF (all >= 100, clear of the query prefix), 2 Lloyd iterations
+KMEANS_SEED_IDS = tuple(100 + 16 * i for i in range(8))
+KMEANS_ITERS = 2
+
+
+def _quantize_mills(v: Column) -> Column:
+    """Component-wise integer millis (floor(x*1000+0.5), the module's
+    tie-safe convention) — makes every cross-row sum an int64 sum,
+    order-free and engine-exact."""
+    return F.transform(v, lambda x: F.floor(x * 1000 + F.lit(0.5)).cast("long"))
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    seed_ids=KMEANS_SEED_IDS,
+    n_iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """Spherical k-means (Lloyd's) over the embedding column —
+    deterministic and engine-reproducible, the clustering step under
+    SemDeDup-style semantic curation and IVF index training:
+
+    - init: the seed vectors themselves (fixed ids, no rand());
+    - assign: nearest centroid by ``round(cosine, 6)``, ties to the
+      smallest cell id — the module's argmax contract;
+    - update: component means from QUANTIZED integer sums
+      (``sum(floor(x*1000+0.5)) / (1000.0 * n)``) so the new centroid
+      is identical regardless of aggregation order, then one
+      fixed-order fold for its norm. Cells keep their seed's vec_id as
+      a stable id; a cell that empties is dropped (deterministically)
+      rather than re-seeded.
+
+    Returns the assignment under the FINAL centroids: ``(vec_id,
+    cell)``.
+
+    Plan at 100 TB: each iteration is one centroid-literal projection
+    (no join — centroids unroll into the scan) plus one
+    map-side-combinable groupBy(cell, dim) whose output is k·dim rows;
+    the only driver traffic is those k·dim integer sums per iteration
+    (plan-time scalars, same O4 pattern as CP domain resolution). The
+    oracle unrolls the identical iterations as SQL CTEs.
+    """
+    import math as _math
+
+    base = _with_norm(emb)
+    cents = _centroid_literals(emb, seed_ids)
+    for _ in range(n_iters):
+        assign = _nearest_cells(base, cents, 1).select("vec_id", "cell")
+        stats = (
+            assign.join(base, "vec_id")
+            .select("cell", F.posexplode(_quantize_mills(F.col("v"))).alias("dim", "qv"))
+            .groupBy("cell", "dim")
+            .agg(F.sum("qv").alias("sq"), F.count("*").alias("n"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in stats:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["dim"])] = (
+                int(r["sq"]),
+                int(r["n"]),
+            )
+        cents = []
+        for cell in sorted(by_cell):
+            dims = by_cell[cell]
+            cv = [dims[i][0] / (1000.0 * dims[i][1]) for i in range(len(dims))]
+            # plain left fold in dim order — the exact sequence of IEEE
+            # adds the oracle's list_reduce and _with_norm's aggregate use
+            acc = 0.0
+            for x in cv:
+                acc = acc + x * x
+            cents.append((cell, cv, _math.sqrt(acc)))
+    return _nearest_cells(base, cents, 1).select("vec_id", "cell")
+
+
+def oracle_kmeans(
+    seed_ids=KMEANS_SEED_IDS, n_iters: int = KMEANS_ITERS, dim: int = DIM
+) -> str:
+    """The same Lloyd iterations unrolled as SQL CTEs (set-based update
+    instead of driver literals — different mechanics, same values)."""
+    ids = ", ".join(str(i) for i in seed_ids)
+    parts = [
+        _SQL_BASE,
+        f"cents0 AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM base\n"
+        f"           WHERE vec_id IN ({ids}))",
+    ]
+    for t in range(n_iters + 1):
+        parts.append(
+            f"""a{t} AS (
+  SELECT vec_id, cell FROM (
+    SELECT b.vec_id, c.cell,
+           row_number() OVER (PARTITION BY b.vec_id
+               ORDER BY round({_sql_dot('b.v', 'c.cv', dim)} / (b.nrm * c.cn), 6) DESC,
+                        c.cell ASC) AS rnk
+    FROM base b CROSS JOIN cents{t} c) WHERE rnk = 1)"""
+        )
+        if t < n_iters:
+            parts.append(
+                f"""s{t} AS (
+  SELECT a.cell, i, sum(floor(b.v[i] * 1000 + 0.5)::BIGINT) AS sq,
+         count(*) AS n
+  FROM a{t} a JOIN base b USING (vec_id),
+       unnest(range(1, {dim + 1})) u(i)
+  GROUP BY a.cell, i)"""
+            )
+            parts.append(
+                f"""cents{t + 1} AS (
+  SELECT cell, cv,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(cv, x -> x * x)), (acc, x) -> acc + x)) AS cn
+  FROM (SELECT cell, list(sq / (1000.0 * n) ORDER BY i) AS cv
+        FROM s{t} GROUP BY cell))"""
+            )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a{n_iters}"
+        + "\nORDER BY vec_id"
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.3,
+    seed_ids=KMEANS_SEED_IDS,
+    n_iters: int = KMEANS_ITERS,
+    assign: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the corpus
+    (:func:`kmeans_fit`, or pass a precomputed ``assign``), then inside
+    each cell mark every vector that has a SMALLER-id neighbor at
+    ``round(cosine, 6) >= threshold`` as a duplicate — the kept set is
+    the per-near-duplicate-group minimum id, matching the module's
+    representative convention (:func:`embedding cosine near-dup`).
+
+    Output: ``(vec_id, cell, is_dup)`` for every vector.
+
+    Scale shape: the pair work is a within-cell self-join — bounded by
+    cell sizes (k tunes the bound), never corpus²; cells are the
+    natural bucketing/partition key, so at 100 TB the join shuffles on
+    ``cell`` and a hot cell is AQE-splittable. The miss risk (near-dups
+    straddling a cell boundary) is the standard SemDeDup trade; raise
+    k-means iterations or run the LSH near-dup pass for recall.
+    """
+    if assign is None:
+        assign = kmeans_fit(emb, seed_ids, n_iters)
+    base = _with_norm(emb).join(assign, "vec_id")
+    a = base.select(
+        "cell",
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    b = base.select(
+        "cell",
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    cos = F.round(_dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 6)
+    dup_ids = (
+        a.join(b, "cell")
+        .where(F.col("a_id") < F.col("b_id"))
+        .where(cos >= threshold)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assign.join(dup_ids.withColumn("is_dup", F.lit(1)), "vec_id", "left")
+        .select("vec_id", "cell", F.coalesce("is_dup", F.lit(0)).alias("is_dup"))
+    )
+
+
+def oracle_semantic_dedup(
+    threshold: float = 0.3,
+    seed_ids=KMEANS_SEED_IDS,
+    n_iters: int = KMEANS_ITERS,
+    dim: int = DIM,
+) -> str:
+    kmeans = oracle_kmeans(seed_ids, n_iters, dim)
+    # reuse the kmeans CTE chain, swap its final SELECT for the dedup
+    body = kmeans[: kmeans.rindex("\nSELECT vec_id,")]
+    return (
+        body
+        + f""",
+asg AS (SELECT vec_id, cell FROM a{n_iters}),
+j AS (SELECT asg.cell, vec_id, v, nrm FROM asg JOIN base USING (vec_id)),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM j a JOIN j b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round({_sql_dot('a.v', 'b.v', dim)} / (a.nrm * b.nrm), 6)
+        >= {threshold})
+SELECT asg.vec_id, CAST(asg.cell AS BIGINT) AS cell,
+       CASE WHEN dups.vec_id IS NULL THEN 0 ELSE 1 END AS is_dup
+FROM asg LEFT JOIN dups ON asg.vec_id = dups.vec_id
+ORDER BY asg.vec_id"""
+    )
+
+
 def label_centroid_stats(
     embs: DataFrame, col: str = "embedding", label: str = "label"
 ) -> DataFrame:
@@ -849,6 +1047,18 @@ def simsearch_workloads():
             "pipe_embed_label_stats",
             lambda spark, sf_dir: label_centroid_stats(_emb(spark, sf_dir)),
             oracle_label_centroid_stats(),
+            False,
+        ),
+        Workload(
+            "pipe_embed_kmeans",
+            lambda spark, sf_dir: kmeans_fit(_emb(spark, sf_dir)),
+            oracle_kmeans(),
+            False,
+        ),
+        Workload(
+            "pipe_dedup_semantic",
+            lambda spark, sf_dir: semantic_dedup(_emb(spark, sf_dir)),
+            oracle_semantic_dedup(),
             False,
         ),
     ]

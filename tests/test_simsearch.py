@@ -142,3 +142,54 @@ def test_filtered_topk_prefilters_candidates(spark):
         emb, docs, lang="en"
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_kmeans_assignment_structure(spark):
+    """Total, deterministic partition: every vector assigned exactly
+    once, cell ids drawn from the seed ids, several cells in use, and
+    a re-run is bit-identical (no rand() anywhere)."""
+    from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
+        KMEANS_SEED_IDS,
+        kmeans_fit,
+    )
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, SF_DIR)
+    emb = spark.table("embeddings")
+    got = {r["vec_id"]: r["cell"] for r in kmeans_fit(emb, n_iters=2).collect()}
+    assert len(got) == emb.count()
+    assert set(got.values()) <= set(KMEANS_SEED_IDS)
+    assert len(set(got.values())) >= 2  # multiple cells actually used
+    again = {r["vec_id"]: r["cell"] for r in kmeans_fit(emb, n_iters=2).collect()}
+    assert got == again
+
+
+def test_semantic_dedup_single_cell_equals_brute_force(spark):
+    """With a degenerate 1-cell assignment the kept set must be the
+    global min-id-representative rule at the threshold."""
+    from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
+        _dot,
+        _with_norm,
+        semantic_dedup,
+    )
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, SF_DIR)
+    emb = spark.table("embeddings").where("vec_id < 120")
+    one_cell = emb.select("vec_id", F.lit(0).cast("long").alias("cell"))
+    got = {
+        r["vec_id"]: r["is_dup"]
+        for r in semantic_dedup(emb, threshold=0.3, assign=one_cell).collect()
+    }
+    base = _with_norm(emb)
+    a = base.select(F.col("vec_id").alias("a_id"), F.col("v").alias("av"), F.col("nrm").alias("an"))
+    b = base.select(F.col("vec_id").alias("b_id"), F.col("v").alias("bv"), F.col("nrm").alias("bn"))
+    cos = F.round(_dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 6)
+    want_dups = {
+        r["b_id"]
+        for r in a.crossJoin(b)
+        .where((F.col("a_id") < F.col("b_id")) & (cos >= 0.3))
+        .collect()
+    }
+    assert {v for v, d in got.items() if d == 1} == want_dups
+    assert set(got) == {r["vec_id"] for r in emb.select("vec_id").collect()}
