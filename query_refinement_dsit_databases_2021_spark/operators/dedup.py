@@ -65,6 +65,39 @@ def exact_dedup(docs: DataFrame, by_hash: bool = False) -> DataFrame:
     )
 
 
+def incremental_dedup(
+    base: DataFrame, incr: DataFrame, by_hash: bool = True
+) -> DataFrame:
+    """Snapshot-incremental exact dedup: from the new shard ``incr``,
+    keep only documents whose text does not already exist in the
+    standing corpus ``base``, deduplicated within the shard too (min
+    doc_id survives). This is how a 100 TB corpus actually grows — the
+    daily crawl is deduped against the lake, never the lake against
+    itself again.
+
+    Plan: hash both sides (sha2-256 when ``by_hash``, the 32-byte-key
+    shuffle form of :func:`exact_dedup`), LEFT ANTI join the shard
+    against the distinct base keys, then one groupBy for the
+    within-shard survivor. The anti join shuffles the (small) shard and
+    the base KEY COLUMN only — with the base keys maintained as their
+    own bucketed table (one write, appended per increment), the
+    repeated-ingest steady state reads just that key table, and AQE
+    broadcasts shard-sized sides. Returns ``(keep_id, n_copies)``
+    rows for the genuinely-new documents.
+    """
+    key = (
+        (lambda c: F.sha2(c, 256)) if by_hash else (lambda c: c)
+    )
+    base_keys = base.select(key(F.col("text")).alias("k")).distinct()
+    return (
+        incr.select(key(F.col("text")).alias("k"), "doc_id")
+        .join(base_keys, "k", "left_anti")
+        .groupBy("k")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
 def minhash_signatures_wide(
     docs: DataFrame, n_hashes: int = N_HASHES
 ) -> DataFrame:

@@ -96,6 +96,24 @@ ORACLE_DEDUP_EXACT = """
 SELECT min(doc_id) AS keep_id, count(*) AS n_copies
 FROM documents GROUP BY text"""
 
+# incremental ingest: base = doc_id % 10 < 8 (the standing corpus),
+# shard = the rest; sha2 keying matches the Spark side exactly
+ORACLE_DEDUP_INCREMENTAL = """
+WITH base AS (SELECT DISTINCT sha256(text) AS k FROM documents
+              WHERE doc_id % 10 < 8),
+shard AS (SELECT sha256(text) AS k, doc_id FROM documents
+          WHERE doc_id % 10 >= 8)
+SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+FROM shard ANTI JOIN base USING (k)
+GROUP BY k ORDER BY keep_id"""
+
+
+def _wl_dedup_incremental(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return dedup.incremental_dedup(
+        docs.where("doc_id % 10 < 8"), docs.where("doc_id % 10 >= 8")
+    )
+
 _MH_MINS = ", ".join(
     f"min(({lcg_a(j)} * h + {lcg_b(j)}) % {HASH_P}) AS mh{j}"
     for j in range(N_HASHES)
@@ -699,6 +717,12 @@ def pipeline_workloads():
 
     entries = [
         ("pipe_dedup_exact", _wl_dedup_exact, ORACLE_DEDUP_EXACT, False),
+        (
+            "pipe_dedup_incremental",
+            _wl_dedup_incremental,
+            ORACLE_DEDUP_INCREMENTAL,
+            False,
+        ),
         ("pipe_dedup_minhash_lsh", _wl_minhash, ORACLE_MINHASH, True),
         ("pipe_dedup_simhash", _wl_simhash, ORACLE_SIMHASH, False),
         ("pipe_dedup_ngram_jaccard", _wl_jaccard, ORACLE_JACCARD_CAPPED, True),

@@ -431,3 +431,29 @@ def test_bigram_lm_repetition_scores_high(spark):
     got = {r["doc_id"]: r["avg_logp"] for r in textops.bigram_lm_scores(df).collect()}
     assert got[1] == 0.0
     assert got[2] < 0.0
+
+
+def test_incremental_dedup_drops_base_dups_and_shard_dups(spark):
+    base = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f")], "doc_id long, text string"
+    )
+    incr = spark.createDataFrame(
+        [
+            (10, "a b c"),   # already in base -> dropped
+            (11, "g h i"),   # new
+            (12, "g h i"),   # within-shard dup of 11
+            (13, "j k l"),   # new
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["keep_id"]: r["n_copies"]
+        for r in dedup.incremental_dedup(base, incr).collect()
+    }
+    assert got == {11: 2, 13: 1}
+    # by_hash=False takes the raw-text key path, same groups
+    raw = {
+        r["keep_id"]: r["n_copies"]
+        for r in dedup.incremental_dedup(base, incr, by_hash=False).collect()
+    }
+    assert raw == got
