@@ -532,6 +532,129 @@ GROUP BY event_type
 ORDER BY event_type"""
 
 
+def time_weighted_avg(
+    events: DataFrame,
+    ts: str = "ts",
+    key: str = "event_type",
+    value: str = "value",
+    tiebreak: str = "event_id",
+    width: str = "1 day",
+) -> DataFrame:
+    """Time-weighted average per (key, bucket) — the TSDB aggregate for
+    irregularly-sampled series (a reading that held for 6 hours must
+    outweigh one that held for a minute; plain ``avg`` is wrong the
+    moment sampling is irregular).
+
+    LOCF weighting within the bucket: each observation covers the
+    segment from its timestamp to the next observation of the same key
+    (or the bucket end for the last one). Weights are integer
+    MICROSECONDS and values integer mills, so the weighted sum is an
+    int64 sum — order-free exact; per-bucket weights total ≤ the bucket
+    width, so ``Σ dur_us·mills ≤ 8.64e10 · |value|·1e3`` never nears
+    int64 overflow regardless of row count. Equal timestamps get zero
+    duration except the last in ``tiebreak`` order (deterministic).
+
+    One window pass partitioned by key (the lead lookup) + one hash
+    aggregate — no global sort. Returns ``(bucket, key, w_us, twa)``.
+    """
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    nxt = F.lead(ts).over(w)
+    bucket = bucket_start(F.col(ts), width)
+    bucket_end = bucket + F.expr(f"INTERVAL {width}")
+    seg_end = F.least(F.coalesce(nxt, bucket_end), bucket_end)
+    # NTZ-safe epoch micros (session tz is UTC — sessions.py convention);
+    # only the DIFFERENCE is used, so any fixed offset cancels anyway
+    dur_us = F.unix_micros(seg_end.cast("timestamp")) - F.unix_micros(
+        F.col(ts).cast("timestamp")
+    )
+    qv = F.floor(F.col(value) * 1000 + F.lit(0.5)).cast("long")
+    staged = events.select(
+        bucket.alias("bucket"),
+        F.col(key),
+        dur_us.alias("w_us"),
+        (dur_us * qv).alias("wq"),
+    )
+    agg = staged.groupBy("bucket", key).agg(
+        F.sum("w_us").alias("w_us"), F.sum("wq").alias("swq")
+    )
+    twa = F.when(
+        F.col("w_us") > 0, F.round(F.col("swq") / (1000.0 * F.col("w_us")), 6)
+    )
+    return agg.select("bucket", key, "w_us", twa.alias("twa"))
+
+
+ORACLE_TWA = """
+WITH seg AS (
+  SELECT time_bucket(INTERVAL '1 day', ts) AS bucket, event_type,
+         epoch_us(least(coalesce(lead(ts) OVER (PARTITION BY event_type
+                                                ORDER BY ts, event_id),
+                        time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day'),
+                  time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day'))
+           - epoch_us(ts) AS w_us,
+         floor(value * 1000 + 0.5)::BIGINT AS qv
+  FROM events)
+SELECT bucket, event_type, CAST(sum(w_us) AS BIGINT) AS w_us,
+       CASE WHEN sum(w_us) > 0
+            THEN round(sum(w_us * qv) / (1000.0 * sum(w_us)), 6) END AS twa
+FROM seg GROUP BY bucket, event_type ORDER BY bucket, event_type"""
+
+
+def downsample_m4(
+    events: DataFrame,
+    ts: str = "ts",
+    key: str = "event_type",
+    value: str = "value",
+    tiebreak: str = "event_id",
+    width: str = "6 hours",
+) -> DataFrame:
+    """M4 visualization downsampling: per (key, bucket) keep the four
+    extremal points — first, last, min-value, max-value — the minimal
+    point set that renders the same line/area at bucket-per-pixel
+    resolution (M4, PVLDB 7(10)). Points serving multiple roles emit
+    once (DISTINCT).
+
+    Four rank windows over ONE (key, bucket) exchange; ranks are fully
+    tie-broken (ts, tiebreak / value, ts, tiebreak) so the survivor
+    set is deterministic and the oracle states the identical ranks. At
+    100 TB the output is 4·keys·(span/width) rows — the whole point:
+    render-size, not data-size.
+    """
+    w = Window.partitionBy("bucket", key)
+    first = F.row_number().over(w.orderBy(ts, tiebreak))
+    last = F.row_number().over(w.orderBy(F.desc(ts), F.desc(tiebreak)))
+    vmin = F.row_number().over(w.orderBy(value, ts, tiebreak))
+    vmax = F.row_number().over(w.orderBy(F.desc(value), F.desc(ts), F.desc(tiebreak)))
+    staged = events.select(
+        bucket_start(F.col(ts), width).alias("bucket"), key, ts, value, tiebreak
+    )
+    return (
+        staged.withColumn("keep", (first == 1) | (last == 1) | (vmin == 1) | (vmax == 1))
+        .where("keep")
+        .select("bucket", key, ts, value)
+        .distinct()
+    )
+
+
+ORACLE_M4 = """
+WITH staged AS (
+  SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket, event_type, ts,
+         value, event_id FROM events),
+r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY bucket, event_type
+                       ORDER BY ts, event_id) AS r_first,
+    row_number() OVER (PARTITION BY bucket, event_type
+                       ORDER BY ts DESC, event_id DESC) AS r_last,
+    row_number() OVER (PARTITION BY bucket, event_type
+                       ORDER BY value, ts, event_id) AS r_min,
+    row_number() OVER (PARTITION BY bucket, event_type
+                       ORDER BY value DESC, ts DESC, event_id DESC) AS r_max
+  FROM staged)
+SELECT DISTINCT bucket, event_type, ts, value
+FROM r WHERE r_first = 1 OR r_last = 1 OR r_min = 1 OR r_max = 1
+ORDER BY bucket, event_type, ts"""
+
+
 def timeseries_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import (
         Workload,
@@ -555,4 +678,6 @@ def timeseries_workloads():
         _w("ts_anomaly_zscore", _anomaly_oracle(), anomaly_zscore),
         _w("ts_histogram", ORACLE_HISTOGRAM, value_histogram),
         _w("ts_percentiles", ORACLE_PERCENTILES, percentile_rollup),
+        _w("ts_time_weighted_avg", ORACLE_TWA, time_weighted_avg),
+        _w("ts_downsample_m4", ORACLE_M4, downsample_m4),
     ]

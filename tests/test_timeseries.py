@@ -6,6 +6,7 @@ stats, and irregular-axis rate of change."""
 from datetime import datetime
 
 import pytest
+from pyspark.sql import functions as F
 
 from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
     gapfill_interp,
@@ -195,3 +196,54 @@ def test_percentile_rollup_boundary_cases(spark):
     assert (got["b"]["p50"], got["b"]["p90"], got["b"]["p99"]) == (1.0, 9.0, 9.0)
     assert got["b"]["p95_cont"] == pytest.approx(7.25)
     assert got["a"]["n"] == 4 and got["b"]["n"] == 6
+
+
+def test_time_weighted_avg_hand_checked(spark):
+    """Irregular sampling: value 10 held 18h, value 2 held 6h (to the
+    bucket end) -> TWA 8.0 while the naive avg is 6.0; equal-ts runs
+    give all weight to the last row in tiebreak order."""
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    rows = [
+        (1, "2021-01-01 00:00:00", "a", 10.0),
+        (2, "2021-01-01 18:00:00", "a", 2.0),
+        # key b: duplicate timestamps — earlier tiebreak gets 0 weight
+        (3, "2021-01-02 00:00:00", "b", 100.0),
+        (4, "2021-01-02 00:00:00", "b", 4.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = {
+        (str(r["bucket"]), r["event_type"]): (r["w_us"], r["twa"])
+        for r in time_weighted_avg(df).collect()
+    }
+    day_us = 24 * 3600 * 1_000_000
+    assert got[("2021-01-01 00:00:00", "a")] == (day_us, 8.0)
+    assert got[("2021-01-02 00:00:00", "b")] == (day_us, 4.0)
+
+
+def test_downsample_m4_keeps_extremes(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        downsample_m4,
+    )
+
+    rows = [
+        (i, f"2021-01-01 00:{i:02d}:00", "a", v)
+        for i, v in enumerate([5.0, 1.0, 9.0, 3.0, 7.0])
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    pts = {
+        (str(r["ts"]), r["value"]) for r in downsample_m4(df).collect()
+    }
+    # first (5.0), last (7.0), min (1.0), max (9.0) — NOT the middle 3.0
+    assert pts == {
+        ("2021-01-01 00:00:00", 5.0),
+        ("2021-01-01 00:04:00", 7.0),
+        ("2021-01-01 00:01:00", 1.0),
+        ("2021-01-01 00:02:00", 9.0),
+    }
