@@ -26,6 +26,8 @@ import pytest
 from hypothesis import HealthCheck, assume, given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
+
 from query_refinement_dsit_databases_2021_spark.operators import scoring
 from query_refinement_dsit_databases_2021_spark.plans.executor import Engine
 from query_refinement_dsit_databases_2021_spark.plans.spec import (
@@ -313,3 +315,103 @@ def test_multilevel_level_commit_divergence(spark):
     got = sorted((r.time_id, r.offset) for r in engine.execute(final).collect())
     assert engine.last_info.action == "relax"
     assert got == sorted([a, c])
+
+
+# ---------------------------------------------------------------------------
+# Layout / pipeline operator properties (round-2 additions)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    x=st.integers(min_value=0, max_value=(1 << 16) - 1),
+    y=st.integers(min_value=0, max_value=(1 << 16) - 1),
+)
+def test_zorder_key_is_monotone_in_quadrant_refinement(x, y):
+    """Pure-expression property of the Morton interleave (numpy-free
+    reference model): the top 2 bits of the z-key identify the (x, y)
+    half-planes — i.e. the key's bit prefix IS the quadtree path, which
+    is exactly why range-partitioning it yields rectangle-ish files."""
+
+    def morton(a, b, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    z = morton(x, y)
+    assert (z >> 31) & 1 == (y >> 15) & 1
+    assert (z >> 30) & 1 == (x >> 15) & 1
+    # interleave is a bijection: unpack returns the inputs
+    ux = sum((((z >> (2 * i)) & 1) << i) for i in range(16))
+    uy = sum((((z >> (2 * i + 1)) & 1) << i) for i in range(16))
+    assert (ux, uy) == (x, y)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    texts=st.lists(
+        st.sampled_from(["a b c", "d e f", "g h i", "j k l"]),
+        min_size=4,
+        max_size=12,
+    ),
+    split_at=st.integers(min_value=1, max_value=3),
+)
+def test_incremental_dedup_union_property(spark, texts, split_at):
+    """incremental_dedup(base, incr) keep-set == texts of the full
+    dedup survivors that live in the increment and are NOT in base —
+    i.e. incremental ingest never re-admits a known text and never
+    misses a new one."""
+    from query_refinement_dsit_databases_2021_spark.operators import dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = df.where(F.col("doc_id") < split_at)
+    incr = df.where(F.col("doc_id") >= split_at)
+    kept = {r["keep_id"] for r in dedup.incremental_dedup(base, incr).collect()}
+    base_texts = {t for i, t in rows if i < split_at}
+    want = set()
+    seen = set()
+    for i, t in rows:
+        if i < split_at:
+            continue
+        if t in base_texts or t in seen:
+            continue
+        seen.add(t)
+        want.add(i)
+    assert kept == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(
+        st.floats(min_value=-50, max_value=50, allow_nan=False, width=32),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_time_weighted_avg_of_constant_is_the_constant(spark, vals):
+    """TWA invariants: (1) a constant series has TWA == the constant
+    (quantized to mills) for any sampling pattern; (2) bucket weights
+    always total exactly the covered span to the bucket end."""
+    import math
+
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    c = vals[0]
+    rows = [
+        (i, f"2021-01-01 00:{i * 5:02d}:00", "k", c) for i in range(len(vals))
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = time_weighted_avg(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    day_us = 24 * 3600 * 1_000_000
+    first_offset_us = 0
+    assert r["w_us"] == day_us - first_offset_us
+    assert r["twa"] == pytest.approx(math.floor(c * 1000 + 0.5) / 1000, abs=1e-9)
