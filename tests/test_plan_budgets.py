@@ -155,3 +155,63 @@ def test_quantized_topk_single_corpus_scan(spark, tmp_path_factory):
         "Exchange rangepartitioning"
     )
     assert shuffles <= 1, plan
+
+
+def test_round2_operator_exchange_budgets(pdocs, pevents, spark, tmp_path_factory):
+    from query_refinement_dsit_databases_2021_spark.operators.dedup import (
+        incremental_dedup,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.scale import zorder_key
+    from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
+        label_centroid_stats,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        boilerplate_coverage,
+        ngram_topk,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        downsample_m4,
+        time_weighted_avg,
+    )
+
+    # zorder_key: pure projection, zero shuffles
+    zed = pdocs.select(zorder_key(F.col("doc_id"), F.col("doc_id") + 1))
+    assert _exchanges(zed) == 0
+
+    # boilerplate: df groupBy + join-back + per-doc rollup — at most
+    # THREE hash shuffles; a small df side may broadcast (2)
+    assert _plan(boilerplate_coverage(pdocs)).count("Exchange hashpartitioning") <= 3
+
+    # ngram_topk: one partial-agg shuffle; top-k must be
+    # TakeOrderedAndProject — no global Sort
+    top = ngram_topk(pdocs)
+    assert "TakeOrderedAndProject" in _plan(top)
+    assert _plan(top).count("Exchange hashpartitioning") == 1
+
+    # label stats: ONE map-side-combinable shuffle with partial_sum
+    path = str(tmp_path_factory.mktemp("plan") / "emb.parquet")
+    spark.createDataFrame(
+        [(i, [float(i), float(i + 1)], i % 3) for i in range(30)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(path)
+    pemb = spark.read.parquet(path)
+    ls_plan = _plan(label_centroid_stats(pemb))
+    assert ls_plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in ls_plan or "partial" in ls_plan
+
+    # incremental dedup: anti join + one groupBy; base side carries the
+    # KEY column only (pruned scan)
+    inc_plan = _plan(
+        incremental_dedup(pdocs.where("doc_id < 20"), pdocs.where("doc_id >= 20"))
+    )
+    assert "LeftAnti" in inc_plan
+
+    # TWA: ONE exchange — the (bucket, key) aggregation's clustered
+    # distribution is satisfied by the lead-window's hash(key)
+    # partitioning (subset-key co-location), so no second shuffle
+    assert _plan(time_weighted_avg(pevents)).count("Exchange hashpartitioning") == 1
+
+    # M4: four rank windows over the SAME (bucket,key) partitioning —
+    # one exchange, re-sorted per ordering, never re-shuffled
+    m4_plan = _plan(downsample_m4(pevents))
+    assert m4_plan.count("Exchange hashpartitioning") == 1
