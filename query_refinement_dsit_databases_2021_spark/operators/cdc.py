@@ -1,0 +1,189 @@
+"""Change-data operators: MERGE-style upsert and SCD2 history.
+
+The reference's storage is load-once (reference:src/client.py loads a
+CSV into Postgres and never mutates it); a lake deployment ingests
+change streams. Two standard shapes, both as pure DataFrame algebra
+(the MERGE here is the *computation* — pair it with an atomic
+table/partition swap for the commit, same contract as
+``sources.columnar.compact_small_files``):
+
+- :func:`merge_upsert` — latest-wins key merge of an updates batch
+  into a base snapshot (inserts + updates in one pass).
+- :func:`scd2_history` — collapse a changelog into slowly-changing-
+  dimension type-2 validity intervals (valid_from / valid_to, NULL =
+  current), emitting one row per *change* of the tracked value.
+
+Determinism: "latest" is total-ordered by (ts, tiebreak), never by
+arrival; every comparison the operators make is on exact values.
+
+Scale: both are one hash exchange on the entity key (window or
+groupBy); no global sort, no driver state. Skewed entities follow the
+usual salting advice (operators/scale.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+    value: str = "value",
+) -> DataFrame:
+    """MERGE: per ``key``, the latest updates row (by ``ts, tiebreak``)
+    replaces the base row; keys only in updates are inserts; keys only
+    in base pass through. Returns ``(key, ts, value)`` — the new
+    snapshot.
+
+    Physical shape: updates collapsed to latest-per-key (one window
+    over the updates batch — typically tiny next to base), then base
+    LEFT ANTI updates ∪ latest-updates. Base is scanned once and never
+    shuffled on anything but the key; with base bucketed by the key
+    the anti join is exchange-free on its side.
+    """
+    w = Window.partitionBy(key).orderBy(F.desc(ts), F.desc(tiebreak))
+    latest = (
+        updates.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(key, ts, value)
+    )
+    untouched = base.select(key, ts, value).join(
+        latest.select(key), key, "left_anti"
+    )
+    return untouched.unionByName(latest)
+
+
+def scd2_history(
+    changelog: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    tiebreak: str = "event_id",
+    value: str = "value",
+) -> DataFrame:
+    """SCD2: collapse a changelog into validity intervals. Consecutive
+    rows (in ``ts, tiebreak`` order per key) with the SAME value merge
+    into one version; each version gets ``valid_from`` = its first
+    event time and ``valid_to`` = the next version's start (NULL for
+    the current version).
+
+    One window partitioning does everything: change detection
+    (``lag(value)``), version numbering (running sum of change flags),
+    then a groupBy on (key, version) and a lead for valid_to — the
+    second window rides the same hash partitioning, so the whole
+    history build is ONE exchange on the key.
+    """
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    lag_v = F.lag("v").over(w)
+    flagged = (
+        changelog.select(key, ts, tiebreak, F.col(value).alias("v"))
+        .withColumn("_chg", F.when(lag_v.eqNullSafe(F.col("v")), 0).otherwise(1))
+        .withColumn(
+            "_ver",
+            F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    versions = flagged.groupBy(key, "_ver").agg(
+        F.min(ts).alias("valid_from"),
+        # every row in a version carries the SAME value by construction
+        # (a change starts a new version), so min == the version value
+        F.min("v").alias("value"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = Window.partitionBy(key).orderBy("_ver")
+    return versions.select(
+        key,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "value",
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Workloads: base = event_id % 3 < 2 snapshot (latest per user),
+# updates = the rest; SCD2 over the full per-user value changelog.
+# ---------------------------------------------------------------------------
+
+ORACLE_MERGE_UPSERT = """
+WITH base AS (
+  SELECT user_id, ts, value FROM (
+    SELECT user_id, ts, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE event_id % 3 < 2) WHERE rn = 1),
+upd AS (
+  SELECT user_id, ts, value FROM (
+    SELECT user_id, ts, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE event_id % 3 = 2) WHERE rn = 1)
+SELECT user_id, ts, value FROM base ANTI JOIN upd USING (user_id)
+UNION ALL
+SELECT user_id, ts, value FROM upd
+ORDER BY user_id"""
+
+
+ORACLE_SCD2 = """
+WITH c AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(value) OVER w IS NOT DISTINCT FROM value
+              THEN 0 ELSE 1 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+v AS (
+  SELECT user_id, ts, event_id, value,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS ver
+  FROM c),
+g AS (
+  SELECT user_id, ver, min(ts) AS valid_from,
+         min(value) AS value,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM v GROUP BY user_id, ver)
+SELECT user_id, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY ver) AS valid_to,
+       value, n_events
+FROM g ORDER BY user_id, valid_from"""
+
+
+def _events(spark, sf_dir):
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    return spark.table("events")
+
+
+def _wl_merge_upsert(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    base_latest = (
+        ev.where("event_id % 3 < 2")
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.desc("ts"), F.desc("event_id")
+                )
+            ),
+        )
+        .where("_rn = 1")
+        .select("user_id", "ts", "value")
+    )
+    return merge_upsert(base_latest, ev.where("event_id % 3 = 2"))
+
+
+def _wl_scd2(spark, sf_dir):
+    return scd2_history(_events(spark, sf_dir))
+
+
+def cdc_workloads():
+    from query_refinement_dsit_databases_2021_spark.workloads import Workload
+
+    return [
+        Workload("ops_merge_upsert", _wl_merge_upsert, ORACLE_MERGE_UPSERT),
+        Workload("ops_scd2_history", _wl_scd2, ORACLE_SCD2),
+    ]

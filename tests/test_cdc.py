@@ -1,0 +1,75 @@
+"""Hand-checked change-data operators (operators/cdc.py); the full
+corpus is covered by the ops_merge_upsert / ops_scd2_history oracles in
+test_workloads_oracle.py."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F  # noqa: F401
+
+from query_refinement_dsit_databases_2021_spark.operators.cdc import (
+    merge_upsert,
+    scd2_history,
+)
+
+
+def _t(m):
+    return datetime(2024, 1, 1, 0, m)
+
+
+def test_merge_upsert_latest_wins_insert_and_passthrough(spark):
+    base = spark.createDataFrame(
+        [(1, _t(0), 10.0), (2, _t(0), 20.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    updates = spark.createDataFrame(
+        [
+            # two updates for user 1: the later (ts, event_id) wins
+            (100, _t(5), 1, 11.0),
+            (101, _t(9), 1, 12.0),
+            # insert for user 3
+            (102, _t(7), 3, 30.0),
+        ],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    got = {
+        r["user_id"]: (r["ts"], r["value"])
+        for r in merge_upsert(base, updates).collect()
+    }
+    assert got == {1: (_t(9), 12.0), 2: (_t(0), 20.0), 3: (_t(7), 30.0)}
+
+
+def test_merge_upsert_equal_ts_tiebreak(spark):
+    base = spark.createDataFrame(
+        [(1, _t(0), 10.0)], "user_id long, ts timestamp, value double"
+    )
+    updates = spark.createDataFrame(
+        [(200, _t(5), 1, 1.0), (201, _t(5), 1, 2.0)],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    [r] = merge_upsert(base, updates).collect()
+    assert (r["user_id"], r["value"]) == (1, 2.0)  # highest event_id wins
+
+
+def test_scd2_collapses_runs_and_links_intervals(spark):
+    changelog = spark.createDataFrame(
+        [
+            (1, _t(0), 1, 5.0),
+            (2, _t(1), 1, 5.0),  # same value -> same version
+            (3, _t(2), 1, 7.0),  # change -> version 2
+            (4, _t(3), 1, 5.0),  # back to 5.0 -> NEW version (SCD2, not distinct)
+            (5, _t(0), 2, 9.0),  # other key: single current version
+        ],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    rows = sorted(
+        scd2_history(changelog).collect(),
+        key=lambda r: (r["user_id"], r["valid_from"]),
+    )
+    u1 = [(r["valid_from"], r["valid_to"], r["value"], r["n_events"]) for r in rows if r["user_id"] == 1]
+    assert u1 == [
+        (_t(0), _t(2), 5.0, 2),
+        (_t(2), _t(3), 7.0, 1),
+        (_t(3), None, 5.0, 1),
+    ]
+    [u2] = [r for r in rows if r["user_id"] == 2]
+    assert (u2["valid_from"], u2["valid_to"], u2["value"]) == (_t(0), None, 9.0)

@@ -215,3 +215,20 @@ def test_round2_operator_exchange_budgets(pdocs, pevents, spark, tmp_path_factor
     # one exchange, re-sorted per ordering, never re-shuffled
     m4_plan = _plan(downsample_m4(pevents))
     assert m4_plan.count("Exchange hashpartitioning") == 1
+
+
+def test_cdc_exchange_budgets(pevents):
+    from query_refinement_dsit_databases_2021_spark.operators.cdc import (
+        merge_upsert,
+        scd2_history,
+    )
+
+    # SCD2: lag, running sum, groupBy(key, ver), lead — all on the same
+    # hash(key) partitioning: exactly ONE exchange
+    assert _plan(scd2_history(pevents)).count("Exchange hashpartitioning") == 1
+
+    base = pevents.where("event_id % 2 = 0").select("user_id", "ts", "value")
+    upd = pevents.where("event_id % 2 = 1")
+    mp = _plan(merge_upsert(base, upd))
+    assert "LeftAnti" in mp
+    assert mp.count("Exchange hashpartitioning") <= 3
