@@ -351,6 +351,54 @@ def _wl_interval_join(spark, sf_dir):
     ).orderBy("left_id", "right_id")
 
 
+def enrich_with_static(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch equi-joins the
+    (unbounded) stream against a bounded dimension table — no state, no
+    watermark needed; Spark broadcasts the static side per batch. The
+    standard lookup/enrichment pattern (type metadata, customer dims);
+    works identically on batch input, which is what the oracle checks.
+
+    At scale the dim is refreshed by re-reading its table per trigger
+    (Delta/parquet static sides re-resolve files each batch), so
+    enrichment follows slowly-changing dims without restarting the
+    query."""
+    return events.join(F.broadcast(dim), "event_type").select(
+        "event_id", "event_type", "type_share_pct", "value"
+    )
+
+
+def type_share_dim(events_batch: DataFrame) -> DataFrame:
+    """A bounded dimension derived from a batch snapshot: per type, its
+    integer share of events in parts-per-hundred (exact integer
+    arithmetic — the enrichment value the oracle recomputes)."""
+    total = events_batch.count()
+    return (
+        events_batch.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type",
+            F.floor(F.col("n") * 100 / F.lit(total)).cast("long").alias(
+                "type_share_pct"
+            ),
+        )
+    )
+
+
+ORACLE_ENRICH_STATIC = """
+WITH dim AS (
+  SELECT event_type,
+         CAST(floor(count(*) * 100 / (SELECT count(*) FROM events)) AS BIGINT)
+           AS type_share_pct
+  FROM events GROUP BY event_type)
+SELECT event_id, event_type, type_share_pct, value
+FROM events JOIN dim USING (event_type) ORDER BY event_id"""
+
+
+def _wl_enrich_static(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return enrich_with_static(ev, type_share_dim(ev))
+
+
 def _wl_trending_topk(spark, sf_dir):
     # unified batch/stream model: the identical plan (counts + the
     # foreachBatch-side rank) evaluated on the batch view
@@ -381,6 +429,9 @@ def streaming_workloads():
         Workload("stream_dedup_keys", _wl_dedup_keys, ORACLE_DEDUP_KEYS, False),
         Workload(
             "stream_trending_topk", _wl_trending_topk, ORACLE_TRENDING_TOPK, False
+        ),
+        Workload(
+            "stream_enrich_static", _wl_enrich_static, ORACLE_ENRICH_STATIC, False
         ),
     ]
 

@@ -263,3 +263,19 @@ def test_trending_topk_stream_counts_then_rank_matches_batch(spark, events_dir):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_enrich_with_static_stream_matches_batch(spark, events_dir):
+    """Stream-static join: the stream side enriched against a bounded
+    dim computed from the batch snapshot must equal the batch join."""
+    dim = W.type_share_dim(_batch_events(spark, events_dir))
+    stream = W.read_event_stream(spark, events_dir)
+    W.run_to_memory_sink(
+        W.enrich_with_static(stream, dim), "enriched", output_mode="append"
+    )
+    got = {tuple(r) for r in spark.table("enriched").collect()}
+    want = {
+        tuple(r)
+        for r in W.enrich_with_static(_batch_events(spark, events_dir), dim).collect()
+    }
+    assert got == want and len(got) > 0
