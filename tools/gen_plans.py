@@ -1,0 +1,99 @@
+"""Regenerate PLANS.md: captured `explain('formatted')` operator trees
+for representative workloads, with notes on what each plan must show.
+
+Usage: python tools/gen_plans.py  [sf_dir]  (default /root/testdata/sf0.01)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+NOTES = {
+    "sql_q3_topk_join": (
+        "Both dim joins broadcast (customer/orders sides under the "
+        "threshold); TakeOrderedAndProject for the LIMIT 10 — no global "
+        "sort. Filters pushed to all three parquet scans."
+    ),
+    "pipe_dedup_minhash_lsh": (
+        "ONE groupBy(doc_id) computes all 16 min-hash aggregates "
+        "(partial_min map-side); band keys fold columns — the only other "
+        "exchange is the (band, sig) self-join. No per-(doc,hash) row "
+        "explosion anywhere."
+    ),
+    "pipe_ann_cosine_topk": (
+        "Queries broadcast (BroadcastNestedLoopJoin) over ONE corpus "
+        "scan; per-query top-k via rank window partitioned by q_id. The "
+        "corpus is never shuffled."
+    ),
+    "pipe_ngram_topk": (
+        "Partial count before the single hash exchange; "
+        "TakeOrderedAndProject caps driver traffic at k rows."
+    ),
+    "ts_time_weighted_avg": (
+        "ONE exchange: the (bucket,key) aggregation's clustered "
+        "distribution is satisfied by the lead-window's hash(key) "
+        "partitioning."
+    ),
+    "ts_downsample_m4": (
+        "Four rank windows ride one (bucket,key) exchange — re-sorts, "
+        "never re-shuffles."
+    ),
+    "ops_scd2_history": (
+        "lag + running sum + groupBy(key,ver) + lead all on one "
+        "hash(user_id) exchange."
+    ),
+    "ops_zorder_key": (
+        "Pure projection: 64 unrolled shift/mask terms inside "
+        "WholeStageCodegen; zero exchanges; l_orderkey pushdown reaches "
+        "the scan."
+    ),
+    "pipe_embed_label_stats": (
+        "posexplode then ONE map-combinable exchange; partial_sum "
+        "collapses each partition to labels*dim rows before the shuffle."
+    ),
+    "pipe_filter_boilerplate": (
+        "Shingle DF via groupBy(s), join back on s, per-doc rollup — "
+        "every shuffle keys on a high-cardinality column; threshold is "
+        "integer cross-multiplication in the final project."
+    ),
+}
+
+HEADER = """# PLANS — captured physical plans for representative workloads
+
+Generated from `df.explain('formatted')` at sf0.01, `local[4]`,
+`spark.sql.shuffle.partitions=4` (plan shape, not timing, is the
+point — Exchange/codegen structure is identical at cluster scale).
+Regenerate with `python tools/gen_plans.py` after plan-affecting
+changes; the per-plan notes state what to look for.
+"""
+
+
+def main() -> None:
+    from query_refinement_dsit_databases_2021_spark import get_spark
+    from query_refinement_dsit_databases_2021_spark.workloads import workloads
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="plans", master="local[4]", shuffle_partitions=4)
+    ws = workloads()
+    out = [HEADER]
+    for name, note in NOTES.items():
+        df = ws[name].fn(spark, sf_dir)
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = df._jdf.queryExecution().explainString(mode)
+        tree = plan.split("\n\n")[0]
+        tree = re.sub(r"\(\d+\)", "(·)", tree)  # stable diffs across runs
+        out.append(f"## {name}\n\n{note}\n\n```\n{tree}\n```\n")
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    with open(path, "w") as f:
+        f.write("\n".join(out))
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
