@@ -48,29 +48,32 @@ def tokens(text: Column) -> Column:
     return F.split(text, " ")
 
 
-def shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """Distinct k-word shingles per document: (doc_id, s).
-
-    1-indexed ``element_at`` windows mirror the oracle SQL exactly.
-    Documents with fewer than k tokens produce no shingles (guarded:
-    Spark's ``sequence(1, n)`` would count *down* for n < 1).
-    """
-    # materialize the token array in its own projection: referencing the
-    # split expression directly inside the transform lambda makes codegen
-    # re-split the text for every element_at — O(tokens^2 * k) per doc
-    # (measured 8-10x slower at sf0.1)
-    base = docs.select("doc_id", tokens(F.col("text")).alias("ws"))
-    ws = F.col("ws")
+def gram_array(ws: Column, k: int) -> Column:
+    """All k-token windows of a token array as ``'|'``-joined strings —
+    the shared construction under :func:`shingles` and
+    :func:`ngram_topk` (and the oracle's ``_SHINGLE_EXPR``): 1-indexed
+    ``element_at`` windows, guarded for < k tokens (Spark's
+    ``sequence(1, n)`` would count *down* for n < 1)."""
     n = F.size(ws)
     idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
         F.array().cast("array<int>")
     )
-    sh = F.transform(
+    return F.transform(
         idx,
         lambda i: F.concat_ws(
             "|", *[F.element_at(ws, i + int(j)) for j in range(k)]
         ),
     )
+
+
+def shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """Distinct k-word shingles per document: (doc_id, s)."""
+    # materialize the token array in its own projection: referencing the
+    # split expression directly inside the transform lambda makes codegen
+    # re-split the text for every element_at — O(tokens^2 * k) per doc
+    # (measured 8-10x slower at sf0.1)
+    base = docs.select("doc_id", tokens(F.col("text")).alias("ws"))
+    sh = gram_array(F.col("ws"), k)
     return base.select(
         "doc_id", F.explode(F.array_distinct(sh)).alias("s")
     )
@@ -129,17 +132,7 @@ def ngram_topk(docs: DataFrame, k: int = SHINGLE_K, topk: int = 50) -> DataFrame
     plan you want when the group count is ~vocabulary-sized.
     """
     base = docs.select(tokens(F.col("text")).alias("ws"))
-    ws = F.col("ws")
-    n = F.size(ws)
-    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
-        F.array().cast("array<int>")
-    )
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            "|", *[F.element_at(ws, i + int(j)) for j in range(k)]
-        ),
-    )
+    grams = gram_array(F.col("ws"), k)
     return (
         base.select(F.explode(grams).alias("gram"))
         .groupBy("gram")

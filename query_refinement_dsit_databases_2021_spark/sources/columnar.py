@@ -82,10 +82,18 @@ def compact_small_files(
     consistent and the swap is the caller's atomic-rename/metastore
     step (in-place overwrite of a path being read is how jobs lose
     data).
+
+    When the target implies MORE files than the scan's read splits
+    (splitting oversized files, not merging small ones), ``coalesce``
+    cannot raise the partition count, so this falls back to
+    ``repartition`` — that path pays one shuffle, which is the real
+    cost of re-cutting large files.
     """
     if src.rstrip("/") == dest.rstrip("/"):
         raise ValueError("compact into a NEW path, then swap — not in place")
     n_files = max(1, math.ceil(dir_bytes(spark, src) / target_file_bytes))
     df = spark.read.format(fmt).load(src)
-    df.coalesce(n_files).write.mode("overwrite").format(fmt).save(dest)
+    n_read = df.rdd.getNumPartitions()
+    sized = df.coalesce(n_files) if n_files <= n_read else df.repartition(n_files)
+    sized.write.mode("overwrite").format(fmt).save(dest)
     return n_files

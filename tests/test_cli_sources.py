@@ -307,3 +307,24 @@ def test_compact_small_files(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         compact_small_files(spark, src, src)
+
+
+def test_compact_splits_oversized_files_via_repartition(spark, tmp_path):
+    from query_refinement_dsit_databases_2021_spark.sources.columnar import (
+        compact_small_files,
+        dir_bytes,
+    )
+
+    src = str(tmp_path / "big")
+    spark.range(50000).selectExpr("id", "id * 3 AS v").coalesce(1).write.parquet(src)
+    import glob
+
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 1
+    dest = str(tmp_path / "split")
+    total = dir_bytes(spark, src)
+    # target 1/4 of the single file -> MORE files than read splits:
+    # the repartition fallback must actually produce them
+    n = compact_small_files(spark, src, dest, target_file_bytes=max(total // 4, 1))
+    assert n >= 2
+    assert len(glob.glob(f"{dest}/part-*.parquet")) == n
+    assert spark.read.parquet(dest).count() == 50000
