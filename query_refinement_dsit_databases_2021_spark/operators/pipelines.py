@@ -712,6 +712,49 @@ def _wl_ngram_topk(spark, sf_dir):
     return textops.ngram_topk(_docs(spark, sf_dir))
 
 
+# DuckDB regexp_replace needs the 'g' flag (Spark replaces globally by
+# default); the transform set is ASCII-only so both regex engines agree
+ORACLE_NORMALIZE = """
+WITH n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS norm_text
+  FROM documents)
+SELECT doc_id, norm_text, (norm_text != text)::INT AS changed
+FROM n ORDER BY doc_id"""
+
+
+def _wl_normalize(spark, sf_dir):
+    return textops.normalize_text(_docs(spark, sf_dir))
+
+
+# vocabulary ranks fully tie-broken (tf DESC, term ASC); ids INTEGER to
+# match Spark's int literals; token order restored via the range-index
+# idiom + list(… ORDER BY i)
+ORACLE_TOKENIZE = f"""
+WITH tf AS (
+  SELECT term, count(*) AS tf
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY term),
+v AS (
+  SELECT term, CAST(rn AS INTEGER) AS id FROM (
+    SELECT term, row_number() OVER (ORDER BY tf DESC, term) AS rn FROM tf)
+  WHERE rn <= 16),
+tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+e AS (SELECT doc_id, i, ws[i] AS w
+      FROM tok, unnest(range(1, len(ws) + 1)) u(i)),
+j AS (SELECT doc_id, i, coalesce(v.id, 0) AS id
+      FROM e LEFT JOIN v ON e.w = v.term)
+SELECT doc_id, list(id ORDER BY i) AS ids
+FROM j GROUP BY doc_id ORDER BY doc_id"""
+
+
+def _wl_tokenize(spark, sf_dir):
+    # vocab_size 16 < the corpus's 31 distinct terms, so the OOV->0
+    # path is actually exercised by the gate
+    return textops.tokenize_ids(_docs(spark, sf_dir), vocab_size=16)
+
+
 def pipeline_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
@@ -737,6 +780,8 @@ def pipeline_workloads():
         ("pipe_text_lm_score", _wl_lm_score, ORACLE_LM_SCORE, False),
         ("pipe_filter_boilerplate", _wl_boilerplate, ORACLE_BOILERPLATE, False),
         ("pipe_ngram_topk", _wl_ngram_topk, ORACLE_NGRAM_TOPK, False),
+        ("pipe_text_normalize", _wl_normalize, ORACLE_NORMALIZE, False),
+        ("pipe_tokenize_ids", _wl_tokenize, ORACLE_TOKENIZE, False),
         ("pipe_curation_chain", _wl_curation, _oracle_curation(), False),
         ("pipe_text_bpe_tokens", _wl_bpe_tokens, ORACLE_BPE_TOKENS, False),
         ("pipe_decontaminate", _wl_decontaminate, ORACLE_DECON, False),

@@ -451,3 +451,60 @@ def bigram_lm_scores(docs: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def normalize_text(docs: DataFrame) -> DataFrame:
+    """Canonical text normalization — the map-only pass that precedes
+    dedup/tokenization (unnormalized text defeats exact dedup):
+    lowercase, strip non-alphanumeric-except-space (the ASCII-safe
+    transform subset the Java and DuckDB regex engines share
+    byte-for-byte), collapse whitespace runs, trim. Emits the changed
+    flag so the pipeline can report normalization impact.
+
+    Pure codegen projection: no shuffle, no Python. At 100 TB this is
+    a rewrite pass fused into whatever scan follows it.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        (norm != F.col("text")).cast("int").alias("changed"),
+    )
+
+
+TOKENIZE_VOCAB_SIZE = 256
+
+
+def tokenize_ids(
+    docs: DataFrame, vocab_size: int = TOKENIZE_VOCAB_SIZE
+) -> DataFrame:
+    """Tokenize against a corpus-trained vocabulary: ids are the
+    frequency ranks (1 = most frequent; ties broken by term ascending),
+    out-of-vocabulary tokens map to 0 — the id-ization step between
+    text curation and sequence packing.
+
+    The vocabulary is a bounded artifact (like IVF centroids), so it is
+    collected once and inlined as a map literal; the encode itself is a
+    per-row ``transform`` — order-preserving by construction, no
+    explode/re-sort round trip, no shuffle. At 100 TB: train once,
+    persist the vocab table, encode any corpus map-only.
+    """
+    ranked = (
+        token_stats(docs)
+        .orderBy(F.desc("tf"), "term")
+        .limit(vocab_size)
+        .collect()
+    )
+    entries = []
+    for i, r in enumerate(ranked):
+        entries.append(F.lit(r["term"]))
+        entries.append(F.lit(i + 1))
+    vocab = F.create_map(*entries)
+    ids = F.transform(tokens(F.col("text")), lambda w: F.coalesce(vocab[w], F.lit(0)))
+    return docs.select("doc_id", ids.alias("ids"))

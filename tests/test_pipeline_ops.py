@@ -457,3 +457,23 @@ def test_incremental_dedup_drops_base_dups_and_shard_dups(spark):
         for r in dedup.incremental_dedup(base, incr, by_hash=False).collect()
     }
     assert raw == got
+
+
+def test_normalize_text_dirty_input(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   WORLD!!"), (2, "already clean")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["norm_text"], r["changed"]) for r in
+           textops.normalize_text(df).collect()}
+    assert got == {1: ("hello world", 1), 2: ("already clean", 0)}
+
+
+def test_tokenize_ids_order_rank_and_oov(spark):
+    # corpus tfs: b=4, a=3, c=1 -> ids b=1, a=2; vocab_size=2 makes c OOV
+    df = spark.createDataFrame(
+        [(1, "a b b c"), (2, "b a a b")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["ids"] for r in
+           textops.tokenize_ids(df, vocab_size=2).collect()}
+    assert got == {1: [2, 1, 1, 0], 2: [1, 2, 2, 1]}
