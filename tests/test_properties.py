@@ -415,3 +415,53 @@ def test_time_weighted_avg_of_constant_is_the_constant(spark, vals):
     first_offset_us = 0
     assert r["w_us"] == day_us - first_offset_us
     assert r["twa"] == pytest.approx(math.floor(c * 1000 + 0.5) / 1000, abs=1e-9)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),   # user
+            st.integers(min_value=0, max_value=50),  # minute
+            st.sampled_from([1.0, 2.0, 3.0]),        # value
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_scd2_matches_python_reference(spark, events):
+    """scd2_history vs a straight-line python model: sort per key by
+    (ts, event_id), collapse equal-value runs, link intervals."""
+    from datetime import datetime
+
+    from query_refinement_dsit_databases_2021_spark.operators.cdc import scd2_history
+
+    rows = [
+        (i, datetime(2024, 1, 1, 0, m), u, v) for i, (u, m, v) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    key = lambda t: (t[0], t[1], t[2] or datetime.max, t[3], t[4])  # noqa: E731
+    got = sorted(
+        (
+            (r["user_id"], r["valid_from"], r["valid_to"], r["value"], r["n_events"])
+            for r in scd2_history(df).collect()
+        ),
+        key=key,
+    )
+    want = []
+    by_user = {}
+    for i, ts, u, v in sorted(rows, key=lambda r: (r[2], r[1], r[0])):
+        by_user.setdefault(u, []).append((ts, v))
+    for u, seq in by_user.items():
+        runs = []
+        for ts, v in seq:
+            if runs and runs[-1][2] == v:
+                runs[-1][3] += 1
+            else:
+                runs.append([ts, None, v, 1])
+        for a, b in zip(runs, runs[1:]):
+            a[1] = b[0]
+        want += [(u, r[0], r[1], r[2], r[3]) for r in runs]
+    assert got == sorted(want, key=key)
