@@ -104,6 +104,40 @@ def scd2_history(
     )
 
 
+def rollup_aggregate(events: DataFrame, key: str = "event_type") -> DataFrame:
+    """The mergeable per-key rollup state: count, integer-cent value
+    sum (order-free exact), and min/max — every component is
+    re-aggregable, which is what makes the rollup incrementally
+    maintainable."""
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+    return events.groupBy(key).agg(
+        F.count("*").alias("n"),
+        F.sum(cents).alias("sum_cents"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+
+
+def incremental_rollup(base_agg: DataFrame, delta: DataFrame, key: str = "event_type") -> DataFrame:
+    """Incremental materialized-rollup maintenance: merge a standing
+    aggregate with a new batch's aggregate instead of recomputing
+    history — at 100 TB the standing agg is keys-sized while history is
+    petabytes, so this turns a full-history job into a delta-sized one.
+
+    Works because every component is a commutative monoid merge
+    (count/sum add, min/max fold). The workload's oracle recomputes the
+    rollup FROM SCRATCH over the full table — a genuinely different
+    computation path whose equality IS the maintenance invariant.
+    """
+    merged = base_agg.unionByName(rollup_aggregate(delta, key))
+    return merged.groupBy(key).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_cents").alias("sum_cents"),
+        F.min("min_v").alias("min_v"),
+        F.max("max_v").alias("max_v"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Workloads: base = event_id % 3 < 2 snapshot (latest per user),
 # updates = the rest; SCD2 over the full per-user value changelog.
@@ -180,10 +214,26 @@ def _wl_scd2(spark, sf_dir):
     return scd2_history(_events(spark, sf_dir))
 
 
+# the oracle recomputes from scratch; the Spark side maintains:
+# agg(first 2/3) merged with the last 1/3 delta
+ORACLE_INCR_ROLLUP = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(floor(value * 100 + 0.5)::BIGINT) AS BIGINT) AS sum_cents,
+       min(value) AS min_v, max(value) AS max_v
+FROM events GROUP BY event_type ORDER BY event_type"""
+
+
+def _wl_incr_rollup(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    base_agg = rollup_aggregate(ev.where("event_id % 3 < 2"))
+    return incremental_rollup(base_agg, ev.where("event_id % 3 = 2"))
+
+
 def cdc_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
     return [
         Workload("ops_merge_upsert", _wl_merge_upsert, ORACLE_MERGE_UPSERT),
         Workload("ops_scd2_history", _wl_scd2, ORACLE_SCD2),
+        Workload("ops_incremental_rollup", _wl_incr_rollup, ORACLE_INCR_ROLLUP),
     ]
