@@ -362,21 +362,52 @@ def _wl_bpe_tokens(spark, sf_dir):
 # closure with a recursive CTE and labels each component by its min
 # doc_id — algorithm-independent ground truth for the Spark side's
 # min-label propagation (dedup.neardup_components).
-ORACLE_CLUSTERS = f"""
-WITH RECURSIVE sp AS (SELECT doc_a, doc_b FROM ({ORACLE_SIMHASH}) t),
-edges AS (
+# Connected components WITHOUT transitive closure: the recursive
+# `reach` formulation materializes SUM(component_size^2) rows — at
+# sf0.1 the simhash graph is ONE ~5k-doc component with 1.36M edges,
+# i.e. a ~25M-row closure that ground DuckDB for >25 minutes. Min-label
+# propagation is O(E) per round and needs rounds >= the min-id node's
+# eccentricity (measured graph diameter <= 10 at sf0.1; 12 rounds
+# leaves margin — and an unconverged oracle fails the differential
+# LOUDLY, it cannot silently agree with Spark's fixpoint labels).
+_CC_ROUNDS = 12
+
+
+def _oracle_clusters(rounds: int = _CC_ROUNDS) -> str:
+    parts = [
+        f"sp AS (SELECT doc_a, doc_b FROM ({ORACLE_SIMHASH}) t)",
+        """edges AS MATERIALIZED (
   SELECT doc_a AS a, doc_b AS b FROM sp
-  UNION SELECT doc_b, doc_a FROM sp),
-reach(a, b) AS (
-  SELECT a, b FROM edges
-  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-lbl AS (SELECT a AS doc_id, least(min(b), a) AS cluster_id
-        FROM reach GROUP BY a)
+  UNION ALL SELECT doc_b, doc_a FROM sp)""",
+        "l0 AS MATERIALIZED (SELECT DISTINCT a AS n, a AS l FROM edges)",
+    ]
+    for i in range(rounds):
+        # MATERIALIZED is load-bearing: DuckDB inlines CTEs by default,
+        # and each round references the previous one twice -> 2^rounds
+        # expansion without it (exhausts file handles on the re-opened
+        # parquet scans before it even runs)
+        parts.append(
+            f"""l{i + 1} AS MATERIALIZED (
+  SELECT n, min(l) AS l FROM (
+    SELECT n, l FROM l{i}
+    UNION ALL
+    SELECT e.a AS n, x.l FROM edges e JOIN l{i} x ON x.n = e.b)
+  GROUP BY n)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+lbl AS (SELECT n AS doc_id, l AS cluster_id FROM l{rounds})
 SELECT d.doc_id,
        coalesce(l.cluster_id, d.doc_id) AS cluster_id,
        d.doc_id = coalesce(l.cluster_id, d.doc_id) AS is_canonical
 FROM documents d LEFT JOIN lbl l USING (doc_id)
 ORDER BY d.doc_id"""
+    )
+
+
+ORACLE_CLUSTERS = _oracle_clusters()
 
 
 def _wl_clusters(spark, sf_dir):
