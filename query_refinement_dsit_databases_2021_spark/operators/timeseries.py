@@ -227,7 +227,17 @@ def rate_of_change(
             F.col(id_col), F.col(key), (dv / dt).alias("_rate"), dt.alias("_dt")
         )
         .where(F.col("_dt") > 0)
-        .select(id_col, key, F.round("_rate", 6).alias("rate"))
+        # floor(x*1e6+0.5)/1e6, not round(x, 6): both engines evaluate
+        # the identical IEEE ops, whereas round() disagrees when the
+        # quotient's binary value straddles a decimal half boundary
+        # (observed once in 98k rows at sf0.1)
+        .select(
+            id_col,
+            key,
+            (F.floor(F.col("_rate") * 1e6 + F.lit(0.5)) / F.lit(1e6)).alias(
+                "rate"
+            ),
+        )
     )
 
 
@@ -376,7 +386,8 @@ WITH o AS (
          datediff('second', lag(ts) OVER w, ts) AS dt
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
-SELECT event_id, user_id, round((value - pv) / dt, 6) AS rate
+SELECT event_id, user_id,
+       floor((value - pv) / dt * 1000000 + 0.5) / 1000000.0 AS rate
 FROM o WHERE dt > 0
 """
 
