@@ -786,6 +786,43 @@ def _wl_tokenize(spark, sf_dir):
     return textops.tokenize_ids(_docs(spark, sf_dir), vocab_size=16)
 
 
+# dataset card: the per-source datasheet a curated release ships with.
+# Every aggregate is order-free (counts, int sums, quantized-mills
+# quality sum) so it doubles as a reproducibility receipt — a re-run on
+# any partitioning must produce the identical card.
+ORACLE_DATASET_CARD = f"""
+WITH q AS ({ORACLE_QUALITY}),
+card AS (
+  SELECT d.source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens,
+         CAST(sum(d.n_chars) AS BIGINT) AS n_chars,
+         CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
+         CAST(sum(floor(q.quality * 1000 + 0.5)::BIGINT) AS BIGINT)
+           AS quality_mills
+  FROM documents d JOIN q ON q.doc_id = d.doc_id
+  GROUP BY d.source)
+SELECT * FROM card ORDER BY source"""
+
+
+def _wl_dataset_card(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    q = textops.quality_columns(docs).select("doc_id", "quality")
+    return (
+        docs.join(q, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(textops.tokens(F.col("text")))).alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum(
+                F.floor(F.col("quality") * 1000 + F.lit(0.5)).cast("long")
+            ).alias("quality_mills"),
+        )
+    )
+
+
 def pipeline_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
@@ -813,6 +850,7 @@ def pipeline_workloads():
         ("pipe_ngram_topk", _wl_ngram_topk, ORACLE_NGRAM_TOPK, False),
         ("pipe_text_normalize", _wl_normalize, ORACLE_NORMALIZE, False),
         ("pipe_tokenize_ids", _wl_tokenize, ORACLE_TOKENIZE, False),
+        ("pipe_dataset_card", _wl_dataset_card, ORACLE_DATASET_CARD, False),
         ("pipe_curation_chain", _wl_curation, _oracle_curation(), False),
         ("pipe_text_bpe_tokens", _wl_bpe_tokens, ORACLE_BPE_TOKENS, False),
         ("pipe_decontaminate", _wl_decontaminate, ORACLE_DECON, False),
