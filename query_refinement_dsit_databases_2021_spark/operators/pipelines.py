@@ -759,6 +759,11 @@ def _wl_normalize(spark, sf_dir):
     return textops.normalize_text(_docs(spark, sf_dir))
 
 
+# gate vocab size: 16 < the corpus's 31 distinct terms, so the OOV->0
+# path is actually exercised; ONE constant feeds both the oracle SQL
+# and the Spark call (a stale copy would fail the gate confusingly)
+TOKENIZE_GATE_VOCAB = 16
+
 # vocabulary ranks fully tie-broken (tf DESC, term ASC); ids INTEGER to
 # match Spark's int literals; token order restored via the range-index
 # idiom + list(… ORDER BY i)
@@ -770,7 +775,7 @@ WITH tf AS (
 v AS (
   SELECT term, CAST(rn AS INTEGER) AS id FROM (
     SELECT term, row_number() OVER (ORDER BY tf DESC, term) AS rn FROM tf)
-  WHERE rn <= 16),
+  WHERE rn <= {TOKENIZE_GATE_VOCAB}),
 tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 e AS (SELECT doc_id, i, ws[i] AS w
       FROM tok, unnest(range(1, len(ws) + 1)) u(i)),
@@ -781,44 +786,71 @@ FROM j GROUP BY doc_id ORDER BY doc_id"""
 
 
 def _wl_tokenize(spark, sf_dir):
-    # vocab_size 16 < the corpus's 31 distinct terms, so the OOV->0
-    # path is actually exercised by the gate
-    return textops.tokenize_ids(_docs(spark, sf_dir), vocab_size=16)
+    return textops.tokenize_ids(
+        _docs(spark, sf_dir), vocab_size=TOKENIZE_GATE_VOCAB
+    )
 
 
 # dataset card: the per-source datasheet a curated release ships with.
 # Every aggregate is order-free (counts, int sums, quantized-mills
 # quality sum) so it doubles as a reproducibility receipt — a re-run on
-# any partitioning must produce the identical card.
+# any partitioning must produce the identical card. The quality mills
+# floor-quantize the RAW blend (exact int components -> identical IEEE
+# ops), never round(x, 6) — stacking floor on an engine-native round()
+# is the divergence class ts_rate_of_change hit at sf0.1.
 ORACLE_DATASET_CARD = f"""
-WITH q AS ({ORACLE_QUALITY}),
-card AS (
-  SELECT d.source,
-         CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens,
-         CAST(sum(d.n_chars) AS BIGINT) AS n_chars,
-         CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs,
-         CAST(sum(floor(q.quality * 1000 + 0.5)::BIGINT) AS BIGINT)
-           AS quality_mills
-  FROM documents d JOIN q ON q.doc_id = d.doc_id
-  GROUP BY d.source)
-SELECT * FROM card ORDER BY source"""
+WITH t AS (
+  SELECT doc_id, source, lang, n_chars,
+         string_split(text, ' ') AS ws FROM documents),
+m AS (
+  SELECT doc_id, source, lang, n_chars,
+         len(ws)::INT AS n_tok,
+         len(list_distinct(ws))::INT AS n_typ,
+         len(list_filter(ws, w -> w IN ({_STOP_IN})))::INT AS n_stop
+  FROM t),
+q AS (
+  SELECT *,
+         floor((CAST(0.4 AS DOUBLE) * (n_typ / n_tok)
+              + CAST(0.4 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - n_stop / n_tok)
+              + CAST(0.2 AS DOUBLE)
+                * least(n_tok / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)))
+               * 1000 + 0.5)::BIGINT AS qmills
+  FROM m)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(qmills) AS BIGINT) AS quality_mills
+FROM q GROUP BY source ORDER BY source"""
 
 
 def _wl_dataset_card(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    q = textops.quality_columns(docs).select("doc_id", "quality")
+    # ONE tokenization feeds token count, type count, and the blend
+    base = docs.select(
+        "doc_id", "source", "lang", "n_chars",
+        textops.tokens(F.col("text")).alias("ws"),
+    )
+    ws = F.col("ws")
+    n_tok = F.size(ws)
+    n_typ = F.size(F.array_distinct(ws))
+    n_stop = F.size(F.filter(ws, lambda w: w.isin(*textops.STOPWORDS)))
+    blend = (
+        F.lit(0.4) * (n_typ / n_tok)
+        + F.lit(0.4) * (F.lit(1.0) - n_stop / n_tok)
+        + F.lit(0.2) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    )
+    qmills = F.floor(blend * 1000 + F.lit(0.5)).cast("long")
     return (
-        docs.join(q, "doc_id")
+        base.select("source", "lang", "n_chars", n_tok.alias("n_tok"), qmills.alias("qmills"))
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum(F.size(textops.tokens(F.col("text")))).alias("n_tokens"),
+            F.sum("n_tok").alias("n_tokens"),
             F.sum("n_chars").alias("n_chars"),
             F.countDistinct("lang").alias("n_langs"),
-            F.sum(
-                F.floor(F.col("quality") * 1000 + F.lit(0.5)).cast("long")
-            ).alias("quality_mills"),
+            F.sum("qmills").alias("quality_mills"),
         )
     )
 

@@ -495,12 +495,22 @@ def tokenize_ids(
     explode/re-sort round trip, no shuffle. At 100 TB: train once,
     persist the vocab table, encode any corpus map-only.
     """
+    # tf-only training: ONE map-combinable groupBy count — token_stats'
+    # document frequency would force a needless two-phase distinct agg
     ranked = (
-        token_stats(docs)
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("tf"))
         .orderBy(F.desc("tf"), "term")
         .limit(vocab_size)
         .collect()
     )
+    if not ranked:
+        # empty/all-null corpus: every token is OOV. An empty
+        # create_map() is map<void,void> and fails analysis on a
+        # string lookup — emit the constant 0 instead.
+        ids = F.transform(tokens(F.col("text")), lambda w: F.lit(0))
+        return docs.select("doc_id", ids.alias("ids"))
     entries = []
     for i, r in enumerate(ranked):
         entries.append(F.lit(r["term"]))
