@@ -622,6 +622,75 @@ SELECT vec_id, round(scale, 6) AS scale_r,
 FROM s ORDER BY vec_id"""
 
 
+def write_ivf_layout(
+    emb: DataFrame, path: str, centroid_ids=IVF_CENTROID_IDS
+) -> None:
+    """Materialize the IVF index as a hive layout: the corpus written
+    ``partitionBy(cell)`` so each cell is its own directory. This is
+    the amortization step the measured crossover demands (BASELINE.md:
+    the per-corpus assignment pass costs more than brute force at low
+    query counts) — assign ONCE at write time; every later search reads
+    only its probed cells via plan-time directory pruning."""
+    base = _with_norm(emb)
+    cents = _centroid_literals(emb, centroid_ids)
+    assign = _nearest_cells(base, cents, 1).select("vec_id", "cell")
+    emb.join(assign, "vec_id").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
+
+
+def ivf_topk_from_layout(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = TOP_K,
+    centroid_ids=IVF_CENTROID_IDS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Serve ANN from a :func:`write_ivf_layout` table: compute each
+    query's ``nprobe`` nearest cells (centroid literals — no corpus
+    touch), then scan ONLY those cell directories (``cell IN (...)``
+    becomes PartitionFilters — pruned before any file opens) and
+    rescore exactly. Per-query corpus cost is the probed share, with
+    zero per-search assignment work. Same output shape/semantics as
+    :func:`ivf_ann_topk` over the same corpus+queries (pinned by a
+    test)."""
+    qbase = _with_norm(queries)
+    cents = _centroid_literals(queries.sparkSession.read.parquet(path), centroid_ids)
+    probes = _nearest_cells(qbase, cents, nprobe).select(
+        F.col("vec_id").alias("q_id"), "cell"
+    )
+    probe_cells = sorted({int(r["cell"]) for r in probes.collect()})
+    corpus = _with_norm(
+        spark.read.parquet(path).where(F.col("cell").isin(probe_cells))
+    )
+    # re-attach each row's cell for the (q_id, cell) candidate join
+    cells = spark.read.parquet(path).where(
+        F.col("cell").isin(probe_cells)
+    ).select("vec_id", "cell")
+    cand = (
+        F.broadcast(probes)
+        .join(cells, "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id")
+    )
+    q = qbase.select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cos = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6)
+    scored = (
+        cand.join(F.broadcast(q), "q_id")
+        .join(corpus, "vec_id")
+        .select("q_id", "vec_id", cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", F.col("rank").cast("long").alias("rank"), "cos_sim")
+    )
+
+
 # spherical k-means defaults: 8 seeds drawn from the same id lattice
 # as IVF (all >= 100, clear of the query prefix), 2 Lloyd iterations
 KMEANS_SEED_IDS = tuple(100 + 16 * i for i in range(8))

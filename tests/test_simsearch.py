@@ -193,3 +193,29 @@ def test_semantic_dedup_single_cell_equals_brute_force(spark):
     }
     assert {v for v, d in got.items() if d == 1} == want_dups
     assert set(got) == {r["vec_id"] for r in emb.select("vec_id").collect()}
+
+
+def test_ivf_layout_serving_matches_inline_and_prunes(spark, tmp_path):
+    """write_ivf_layout + ivf_topk_from_layout ≡ the inline ivf_ann_topk,
+    and the serving scan prunes to the probed cell DIRECTORIES
+    (PartitionFilters — no unprobed file is ever opened)."""
+    from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
+        N_QUERIES,
+        ivf_ann_topk,
+        ivf_topk_from_layout,
+        write_ivf_layout,
+    )
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, SF_DIR)
+    emb = spark.table("embeddings")
+    path = str(tmp_path / "ivf_layout")
+    write_ivf_layout(emb, path)
+
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    served = ivf_topk_from_layout(spark, path, queries)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    got = sorted(tuple(r) for r in served.collect())
+    want = sorted(tuple(r) for r in ivf_ann_topk(emb).collect())
+    assert got == want and len(got) > 0
