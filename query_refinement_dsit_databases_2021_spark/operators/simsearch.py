@@ -622,6 +622,21 @@ SELECT vec_id, round(scale, 6) AS scale_r,
 FROM s ORDER BY vec_id"""
 
 
+def oracle_quantize_int8_scalar() -> str:
+    """Scalar-row form of :func:`oracle_quantize_int8` for the external
+    gate (one row per (vec_id, dim); dims 0-based like posexplode)."""
+    return """
+WITH s AS (
+  SELECT vec_id, embedding,
+         greatest(list_max(list_transform(embedding, x -> abs(x)))::DOUBLE,
+                  1e-30) AS scale
+  FROM embeddings)
+SELECT vec_id, round(scale, 6) AS scale_r, CAST(i - 1 AS INTEGER) AS dim,
+       floor(embedding[i]::DOUBLE * 127 / scale + 0.5)::INTEGER AS qv
+FROM s, unnest(range(1, len(embedding) + 1)) u(i)
+ORDER BY vec_id, dim"""
+
+
 def write_ivf_layout(
     emb: DataFrame, path: str, centroid_ids=IVF_CENTROID_IDS
 ) -> None:
@@ -1095,9 +1110,16 @@ def simsearch_workloads():
             False,
         ),
         Workload(
+            # gate form emits SCALAR rows (vec_id, dim, qv): array
+            # columns have never been driver-hashed (same unproven
+            # class as raw timestamps — see workloads.py time
+            # normalization); the operator itself still returns codes
+            # as arrays
             "pipe_embed_quantize_int8",
-            lambda spark, sf_dir: quantize_int8(_emb(spark, sf_dir)),
-            oracle_quantize_int8(),
+            lambda spark, sf_dir: quantize_int8(_emb(spark, sf_dir)).select(
+                "vec_id", "scale_r", F.posexplode("q").alias("dim", "qv")
+            ),
+            oracle_quantize_int8_scalar(),
             False,
         ),
         Workload(
