@@ -609,22 +609,10 @@ def quantize_int8(
     return embs.select(key, F.round(scale, 6).alias("scale_r"), q.alias("q"))
 
 
-def oracle_quantize_int8() -> str:
-    return """
-WITH s AS (
-  SELECT vec_id, embedding,
-         greatest(list_max(list_transform(embedding, x -> abs(x)))::DOUBLE,
-                  1e-30) AS scale
-  FROM embeddings)
-SELECT vec_id, round(scale, 6) AS scale_r,
-       list_transform(embedding,
-                      x -> floor(x::DOUBLE * 127 / scale + 0.5)::INTEGER) AS q
-FROM s ORDER BY vec_id"""
-
-
 def oracle_quantize_int8_scalar() -> str:
-    """Scalar-row form of :func:`oracle_quantize_int8` for the external
-    gate (one row per (vec_id, dim); dims 0-based like posexplode)."""
+    """Gate oracle for quantize_int8 in scalar-row form (one row per
+    (vec_id, dim); dims 0-based like posexplode — arrays are a
+    driver-hash-unproven type class)."""
     return """
 WITH s AS (
   SELECT vec_id, embedding,
@@ -637,21 +625,58 @@ FROM s, unnest(range(1, len(embedding) + 1)) u(i)
 ORDER BY vec_id, dim"""
 
 
+def _cell_projection(cents) -> "Column":
+    """Single-nearest-cell as a pure per-row expression (no explode, no
+    join): the argmax entry of the per-centroid (cos, -cell) structs."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.round(
+                    _dot(F.col("v"), F.array(*[F.lit(x) for x in cv]))
+                    / (F.col("nrm") * F.lit(cn)),
+                    6,
+                ).alias("cos"),
+                F.lit(-cell).alias("negcell"),
+            )
+            for cell, cv, cn in cents
+        ]
+    )
+    best = F.element_at(F.reverse(F.array_sort(entries)), 1)
+    return (-best["negcell"]).cast("long")
+
+
 def write_ivf_layout(
     emb: DataFrame, path: str, centroid_ids=IVF_CENTROID_IDS
 ) -> None:
     """Materialize the IVF index as a hive layout: the corpus written
-    ``partitionBy(cell)`` so each cell is its own directory. This is
-    the amortization step the measured crossover demands (BASELINE.md:
-    the per-corpus assignment pass costs more than brute force at low
-    query counts) — assign ONCE at write time; every later search reads
-    only its probed cells via plan-time directory pruning."""
-    base = _with_norm(emb)
+    ``partitionBy(cell)`` so each cell is its own directory, plus a
+    sidecar centroid table at ``<path>__centroids`` — serving reads
+    centroids from the sidecar (tiny), never from the corpus, and the
+    centroid set can never drift from the one that partitioned the
+    layout. This is the amortization step the measured crossover
+    demands (BASELINE.md: the per-corpus assignment pass costs more
+    than brute force at low query counts) — assign ONCE at write time.
+
+    The assignment is a pure projection fused into the single write
+    scan (no join, no shuffle before partitionBy's task-side split).
+    """
+    spark = emb.sparkSession
     cents = _centroid_literals(emb, centroid_ids)
-    assign = _nearest_cells(base, cents, 1).select("vec_id", "cell")
-    emb.join(assign, "vec_id").write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(path)
+    spark.createDataFrame(
+        [(cell, cv, cn) for cell, cv, cn in cents],
+        "cell long, cv array<double>, cn double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}__centroids")
+    v = _as_double(F.col("embedding"))
+    nrm = F.sqrt(_fold_sum(F.transform(v, lambda x: x * x)))
+    (
+        emb.withColumn("v", v)
+        .withColumn("nrm", nrm)
+        .withColumn("cell", _cell_projection(cents))
+        .drop("v", "nrm")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
 
 
 def ivf_topk_from_layout(
@@ -659,44 +684,55 @@ def ivf_topk_from_layout(
     path: str,
     queries: DataFrame,
     k: int = TOP_K,
-    centroid_ids=IVF_CENTROID_IDS,
     nprobe: int = IVF_NPROBE,
 ) -> DataFrame:
-    """Serve ANN from a :func:`write_ivf_layout` table: compute each
-    query's ``nprobe`` nearest cells (centroid literals — no corpus
-    touch), then scan ONLY those cell directories (``cell IN (...)``
-    becomes PartitionFilters — pruned before any file opens) and
-    rescore exactly. Per-query corpus cost is the probed share, with
-    zero per-search assignment work. Same output shape/semantics as
-    :func:`ivf_ann_topk` over the same corpus+queries (pinned by a
-    test)."""
+    """Serve ANN from a :func:`write_ivf_layout` table: centroids come
+    from the layout's sidecar (a |cells|-row read — the corpus is never
+    scanned for them, and the set is the one that actually partitioned
+    the data), each query's ``nprobe`` nearest cells are computed from
+    those literals, and ONE scan reads only the probed cell directories
+    (``cell IN (...)`` prunes at plan time — PartitionFilters content
+    is asserted in the test). Per-query corpus cost is the probed
+    share, with zero per-search assignment work. Same output
+    shape/semantics as :func:`ivf_ann_topk` over the same
+    corpus+queries (pinned by a test)."""
+    cents = [
+        (int(r["cell"]), [float(x) for x in r["cv"]], float(r["cn"]))
+        for r in spark.read.parquet(f"{path}__centroids").collect()
+    ]
+    cents.sort()
     qbase = _with_norm(queries)
-    cents = _centroid_literals(queries.sparkSession.read.parquet(path), centroid_ids)
-    probes = _nearest_cells(qbase, cents, nprobe).select(
-        F.col("vec_id").alias("q_id"), "cell"
+    probe_rows = (
+        _nearest_cells(qbase, cents, nprobe)
+        .select(F.col("vec_id").alias("q_id"), "cell")
+        .collect()
     )
-    probe_cells = sorted({int(r["cell"]) for r in probes.collect()})
-    corpus = _with_norm(
-        spark.read.parquet(path).where(F.col("cell").isin(probe_cells))
+    probes = spark.createDataFrame(
+        [(int(r["q_id"]), int(r["cell"])) for r in probe_rows],
+        "q_id long, cell long",
     )
-    # re-attach each row's cell for the (q_id, cell) candidate join
-    cells = spark.read.parquet(path).where(
-        F.col("cell").isin(probe_cells)
-    ).select("vec_id", "cell")
+    probe_cells = sorted({int(r["cell"]) for r in probe_rows})
+    # ONE pruned scan; keep cell alongside the normalized vector
+    raw = spark.read.parquet(path).where(F.col("cell").isin(probe_cells))
+    v = _as_double(F.col("embedding"))
+    corpus = raw.select(
+        "vec_id",
+        "cell",
+        v.alias("v"),
+        F.sqrt(_fold_sum(F.transform(v, lambda x: x * x))).alias("nrm"),
+    )
     cand = (
         F.broadcast(probes)
-        .join(cells, "cell")
+        .join(corpus, "cell")
         .where(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id")
+        .select("q_id", "vec_id", "v", "nrm")
     )
     q = qbase.select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
     cos = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6)
-    scored = (
-        cand.join(F.broadcast(q), "q_id")
-        .join(corpus, "vec_id")
-        .select("q_id", "vec_id", cos.alias("cos_sim"))
+    scored = cand.join(F.broadcast(q), "q_id").select(
+        "q_id", "vec_id", cos.alias("cos_sim")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (

@@ -276,7 +276,9 @@ def test_partitioned_write_prunes_directories(spark, tmp_path):
     ) == ["lang=de", "lang=en"]
     back = spark.read.parquet(p).where("lang = 'en'")
     plan = back._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "lang" in plan
+    import re as _re
+
+    assert _re.search(r"PartitionFilters: \[[^\]]*lang", plan), plan
     assert back.count() == 200
 
 

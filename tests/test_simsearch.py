@@ -215,7 +215,12 @@ def test_ivf_layout_serving_matches_inline_and_prunes(spark, tmp_path):
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     served = ivf_topk_from_layout(spark, path, queries)
     plan = served._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan and "cell" in plan
+    # the filter must be INSIDE PartitionFilters (an empty
+    # "PartitionFilters: []" plus 'cell' in the schema would also match
+    # a naive substring check)
+    import re as _re
+
+    assert _re.search(r"PartitionFilters: \[[^\]]*cell", plan), plan
     got = sorted(tuple(r) for r in served.collect())
     want = sorted(tuple(r) for r in ivf_ann_topk(emb).collect())
     assert got == want and len(got) > 0
