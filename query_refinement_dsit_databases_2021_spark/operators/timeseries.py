@@ -271,8 +271,16 @@ def ewma(
             F.lit(0.0)
         )
         den = den + F.when(lagged.isNotNull(), F.lit(weight)).otherwise(F.lit(0.0))
+    # tie-safe 6-dp quantization (rate_of_change idiom): the quotient
+    # of a weight-blend over ugly (1-alpha)^j doubles is exactly the
+    # round-half divergence class — floor(x*1e6+0.5)/1e6 on both sides
     return daily.select(
-        "day", key, "total", F.round(num / den, 6).alias("ewma")
+        "day",
+        key,
+        "total",
+        (F.floor((num / den) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "ewma"
+        ),
     )
 
 
@@ -371,7 +379,8 @@ WITH daily AS (
          round(sum(value), 2) AS total
   FROM events GROUP BY 1, 2)
 SELECT day, event_type, total,
-       round(({' + '.join(num)}) / ({' + '.join(den)}), 6) AS ewma
+       floor(({' + '.join(num)}) / ({' + '.join(den)})
+             * 1000000 + 0.5) / 1000000.0 AS ewma
 FROM daily
 WINDOW w AS (PARTITION BY event_type ORDER BY day)
 """
@@ -482,8 +491,16 @@ def value_histogram(
         events.groupBy(F.col(key), bucket.alias("bucket"))
         .agg(
             F.count("*").alias("n"),
-            F.round(F.min(value), 2).alias("lo_v"),
-            F.round(F.max(value), 2).alias("hi_v"),
+            # tie-safe 2-dp quantization: ~10% of events.value carries
+            # full double precision, so engine-native round(x, 2) on
+            # the raw extrema is the cross-engine round-half class —
+            # floor(x*100+0.5)/100 evaluates identical IEEE ops
+            (F.floor(F.min(value) * F.lit(100) + F.lit(0.5)) / F.lit(100.0)).alias(
+                "lo_v"
+            ),
+            (F.floor(F.max(value) * F.lit(100) + F.lit(0.5)) / F.lit(100.0)).alias(
+                "hi_v"
+            ),
         )
         .orderBy(key, "bucket")
     )
@@ -492,8 +509,8 @@ def value_histogram(
 ORACLE_HISTOGRAM = """
 SELECT event_type, floor((value - 0.0) / 25.0)::BIGINT AS bucket,
        count(*) AS n,
-       round(min(value), 2) AS lo_v,
-       round(max(value), 2) AS hi_v
+       floor(min(value) * 100 + 0.5) / 100.0 AS lo_v,
+       floor(max(value) * 100 + 0.5) / 100.0 AS hi_v
 FROM events
 GROUP BY event_type, bucket
 ORDER BY event_type, bucket"""
@@ -558,7 +575,12 @@ def time_weighted_avg(
 
     LOCF weighting within the bucket: each observation covers the
     segment from its timestamp to the next observation of the same key
-    (or the bucket end for the last one). Weights are integer
+    (or the bucket end for the last one). Coverage therefore starts at
+    each bucket's FIRST observation — the span from bucket_start to
+    that first sample is unweighted, unlike TimescaleDB-style locf
+    which carries the prior bucket's last point across the boundary;
+    callers wanting boundary carry should gap-fill first
+    (:func:`gapfill_locf`). Weights are integer
     MICROSECONDS and values integer mills, so the weighted sum is an
     int64 sum — order-free exact; per-bucket weights total ≤ the bucket
     width, so ``Σ dur_us·mills ≤ 8.64e10 · |value|·1e3`` never nears
@@ -588,8 +610,15 @@ def time_weighted_avg(
     agg = staged.groupBy("bucket", key).agg(
         F.sum("w_us").alias("w_us"), F.sum("wq").alias("swq")
     )
+    # floor(x*1e6+0.5)/1e6, not round(x, 6): the rate_of_change
+    # tie-safe idiom — both engines evaluate identical IEEE ops,
+    # whereas round() disagrees when the quotient straddles a decimal
+    # half boundary (the exact class that flipped ts_rate_of_change
+    # once in 98k rows at sf0.1)
+    q = F.col("swq") / (1000.0 * F.col("w_us"))
     twa = F.when(
-        F.col("w_us") > 0, F.round(F.col("swq") / (1000.0 * F.col("w_us")), 6)
+        F.col("w_us") > 0,
+        F.floor(q * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
     )
     return agg.select("bucket", key, "w_us", twa.alias("twa"))
 
@@ -606,7 +635,8 @@ WITH seg AS (
   FROM events)
 SELECT bucket, event_type, CAST(sum(w_us) AS BIGINT) AS w_us,
        CASE WHEN sum(w_us) > 0
-            THEN round(sum(w_us * qv) / (1000.0 * sum(w_us)), 6) END AS twa
+            THEN floor(sum(w_us * qv) / (1000.0 * sum(w_us))
+                       * 1000000 + 0.5) / 1000000.0 END AS twa
 FROM seg GROUP BY bucket, event_type ORDER BY bucket, event_type"""
 
 

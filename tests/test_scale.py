@@ -143,12 +143,21 @@ def test_zorder_layout_prunes_non_leading_dim(spark):
             .agg(F.min("y").alias("lo"), F.max("y").alias("hi"))
             .collect()
         )
-        assert len(stats) == n_files
+        # repartitionByRange samples boundaries and may legally leave
+        # some partitions empty (they emit no stats row) — assert the
+        # bound, and base ratios on the observed non-empty count
+        assert 0 < len(stats) <= n_files
         # probe: y BETWEEN 0 AND 3 (a thin slice of the non-leading dim)
-        return sum(1 for r in stats if r["lo"] <= 3 and r["hi"] >= 0)
+        return (
+            sum(1 for r in stats if r["lo"] <= 3 and r["hi"] >= 0),
+            len(stats),
+        )
 
     lex = grid.repartitionByRange(n_files, "x", "y")
     zed = zorder_layout(grid, "x", "y", n_files)
-    n_lex, n_zed = overlapping_files(lex), overlapping_files(zed)
-    assert n_lex == n_files  # every x-stripe spans all of y
-    assert n_zed <= n_files // 2, (n_zed, n_lex)
+    (n_lex, lex_files), (n_zed, zed_files) = (
+        overlapping_files(lex),
+        overlapping_files(zed),
+    )
+    assert n_lex == lex_files  # every x-stripe spans all of y
+    assert n_zed <= zed_files // 2, (n_zed, zed_files, n_lex, lex_files)
