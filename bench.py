@@ -53,7 +53,13 @@ def main() -> None:
         sf = None
 
     all_w = workloads()
-    names = [n for n, w in all_w.items() if w.headline]
+    # non-headline workloads benched anyway: regression tripwires for
+    # paths with no other recorded throughput number (the Arrow
+    # applyInPandas escape hatch behind strategy P)
+    extra_bench = ("cp_ext_median_pandas",)
+    names = [n for n, w in all_w.items() if w.headline] + [
+        n for n in extra_bench if not all_w[n].headline
+    ]
 
     # untimed warm-up: session/JIT/codegen init and parquet footer reads
     # are one-time costs, not part of any query's steady-state time

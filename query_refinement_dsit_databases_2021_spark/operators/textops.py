@@ -480,31 +480,87 @@ def normalize_text(docs: DataFrame) -> DataFrame:
 
 TOKENIZE_VOCAB_SIZE = 256
 
+# above this vocabulary size the inlined create_map literal bloats the
+# plan (every task re-parses a multi-MB expression tree; measured plan
+# growth is linear in entries) — switch to a broadcast-join encode
+TOKENIZE_JOIN_THRESHOLD = 4096
+
 
 def tokenize_ids(
-    docs: DataFrame, vocab_size: int = TOKENIZE_VOCAB_SIZE
+    docs: DataFrame,
+    vocab_size: int = TOKENIZE_VOCAB_SIZE,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Tokenize against a corpus-trained vocabulary: ids are the
     frequency ranks (1 = most frequent; ties broken by term ascending),
     out-of-vocabulary tokens map to 0 — the id-ization step between
     text curation and sequence packing.
 
-    The vocabulary is a bounded artifact (like IVF centroids), so it is
-    collected once and inlined as a map literal; the encode itself is a
-    per-row ``transform`` — order-preserving by construction, no
-    explode/re-sort round trip, no shuffle. At 100 TB: train once,
-    persist the vocab table, encode any corpus map-only.
+    Two encode strategies, same output:
+
+    - ``literal`` (small vocabs): the vocabulary is a bounded artifact
+      (like IVF centroids), collected once and inlined as a map
+      literal; the encode is a per-row ``transform`` — order-preserving
+      by construction, no explode/re-sort round trip, no shuffle.
+    - ``join`` (real 32k–100k vocabularies, where the map literal
+      bloats every task's expression tree): posexplode the tokens,
+      broadcast-join the vocab table on term, re-assemble per doc with
+      ``array_sort(collect_list(struct(pos, id)))`` — one doc_id
+      exchange, vocab never leaves the JVM, token order restored by
+      the (pos, id) struct sort.
+
+    ``auto`` picks by :data:`TOKENIZE_JOIN_THRESHOLD`. At 100 TB:
+    train once, persist the vocab table, encode any corpus map-only
+    (literal) or with one broadcast + one doc-key exchange (join).
     """
+    if strategy not in ("auto", "literal", "join"):
+        raise ValueError(f"unknown tokenize strategy {strategy!r}")
+    if strategy == "auto":
+        strategy = "join" if vocab_size > TOKENIZE_JOIN_THRESHOLD else "literal"
+
     # tf-only training: ONE map-combinable groupBy count — token_stats'
     # document frequency would force a needless two-phase distinct agg
-    ranked = (
+    tf = (
         docs.select(F.explode(tokens(F.col("text"))).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("tf"))
-        .orderBy(F.desc("tf"), "term")
-        .limit(vocab_size)
-        .collect()
     )
+
+    if strategy == "join":
+        # rank inside the bounded top-vocab_size slice: the window is
+        # single-partition but only ever sees <= vocab_size rows (a
+        # vocabulary artifact, not corpus-scale data)
+        rank_w = Window.orderBy(F.desc("tf"), "term")
+        vocab_df = (
+            tf.orderBy(F.desc("tf"), "term")
+            .limit(vocab_size)
+            .select("term", "tf")
+            .withColumn("id", F.row_number().over(rank_w).cast("int"))
+            .select("term", "id")
+        )
+        toks = docs.select("doc_id", tokens(F.col("text")).alias("ws"))
+        ex = toks.select("doc_id", F.posexplode("ws").alias("pos", "w"))
+        mapped = ex.join(
+            F.broadcast(vocab_df), ex["w"] == vocab_df["term"], "left"
+        ).select("doc_id", "pos", F.coalesce("id", F.lit(0)).alias("id"))
+        enc = mapped.groupBy("doc_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                lambda s: s["id"],
+            ).alias("_ids")
+        )
+        # empty token arrays never reach posexplode — restore them (and
+        # NULL-text docs) to mirror the literal path's transform() output
+        return toks.join(enc, "doc_id", "left").select(
+            "doc_id",
+            F.when(F.col("ws").isNull(), F.lit(None).cast("array<int>"))
+            .otherwise(
+                F.coalesce("_ids", F.lit([]).cast("array<int>"))
+            )
+            .alias("ids"),
+        )
+
+    ranked = tf.orderBy(F.desc("tf"), "term").limit(vocab_size).collect()
     if not ranked:
         # empty/all-null corpus: every token is OOV. An empty
         # create_map() is map<void,void> and fails analysis on a

@@ -477,3 +477,35 @@ def test_tokenize_ids_order_rank_and_oov(spark):
     got = {r["doc_id"]: r["ids"] for r in
            textops.tokenize_ids(df, vocab_size=2).collect()}
     assert got == {1: [2, 1, 1, 0], 2: [1, 2, 2, 1]}
+
+
+def test_tokenize_ids_join_strategy_matches_literal(spark):
+    """The broadcast-join encode (the 32k–100k vocab path where the
+    create_map literal would bloat the plan) must reproduce the literal
+    path exactly, including OOV->0 and empty-token docs."""
+    df = spark.createDataFrame(
+        [(1, "a b b c d e"), (2, "b a a b"), (3, "zz yy"), (4, "")],
+        "doc_id long, text string",
+    )
+    lit = {r["doc_id"]: r["ids"] for r in
+           textops.tokenize_ids(df, vocab_size=3, strategy="literal").collect()}
+    join = {r["doc_id"]: r["ids"] for r in
+            textops.tokenize_ids(df, vocab_size=3, strategy="join").collect()}
+    assert lit == join
+    # rank sanity on the join path: b(tf 4)=1, a(tf 3)=2, c(tf 1)=3
+    assert join[2] == [1, 2, 2, 1] and join[1][:3] == [2, 1, 1]
+
+
+def test_tokenize_ids_auto_picks_join_at_large_vocab(spark):
+    """vocab_size=50_000 must route to the join encode (no create_map
+    literal in the plan) and still produce correct ids."""
+    df = spark.createDataFrame(
+        [(1, "a b b c"), (2, "b a a b")], "doc_id long, text string"
+    )
+    out = textops.tokenize_ids(df, vocab_size=50_000)  # auto
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "map(" not in plan  # literal path would inline create_map
+    assert "Join" in plan
+    got = {r["doc_id"]: r["ids"] for r in out.collect()}
+    # all 3 terms fit in a 50k vocab: b=1, a=2, c=3
+    assert got == {1: [2, 1, 1, 3], 2: [1, 2, 2, 1]}

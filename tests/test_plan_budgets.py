@@ -217,6 +217,61 @@ def test_round2_operator_exchange_budgets(pdocs, pevents, spark, tmp_path_factor
     assert m4_plan.count("Exchange hashpartitioning") == 1
 
 
+def test_lsh_ann_topk_budget(spark):
+    """LSH ANN is bucketed candidate generation + exact rescore: every
+    join must be an equi-join (a NestedLoop/Cartesian here would mean
+    the bucket keys fell out of the plan and it degenerated to
+    all-pairs), the query side broadcasts, and the shuffle budget is
+    the candidate distinct + the per-query rank window."""
+    from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
+        lsh_ann_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(lsh_ann_topk(emb))
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan  # queries ride a broadcast
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_salted_join_shuffles_on_salt(spark):
+    """The whole point of the salted join: with broadcast off (the
+    100 TB case — both sides too big), the shuffle keys must be
+    key+salt so one hot key spreads over n_salts reducers."""
+    from query_refinement_dsit_databases_2021_spark.operators.scale import (
+        salted_join,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    keys = [
+        ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+        ("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"),
+    ]
+    saved = {k: spark.conf.get(k, None) for k, _ in keys}
+    try:
+        for k, v in keys:
+            spark.conf.set(k, v)
+        plan = _plan(salted_join(li, orders, ["l_orderkey"]))
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # both exchanges carry (l_orderkey, __salt) — the skew spreader
+    import re
+
+    parts = re.findall(r"hashpartitioning\([^)]*\)", plan)
+    salted = [p for p in parts if "l_orderkey" in p and "__salt" in p]
+    assert len(salted) >= 2, parts
+
+
 def test_cdc_exchange_budgets(pevents):
     from query_refinement_dsit_databases_2021_spark.operators.cdc import (
         merge_upsert,

@@ -60,6 +60,19 @@ NOTES = {
         "every shuffle keys on a high-cardinality column; threshold is "
         "integer cross-multiplication in the final project."
     ),
+    "pipe_ann_lsh_topk": (
+        "Bucketed candidates: (tbl,bucket) equi-joins only — no "
+        "NestedLoop/Cartesian anywhere (that would be all-pairs); query "
+        "vectors ride a broadcast; one distinct + one rank-window "
+        "exchange. tests/test_plan_budgets.py pins the budget."
+    ),
+    "ops_salted_join": (
+        "Skew spreader: at bench/cluster scale (broadcast off) both "
+        "exchanges hash on (key, __salt) so a hot key spans n_salts "
+        "reducers; the small side replicates via explode(sequence). "
+        "At sf0.01 AQE may legally broadcast — the salted shuffle keys "
+        "are pinned under forced-shuffle in tests/test_plan_budgets.py."
+    ),
 }
 
 HEADER = """# PLANS — captured physical plans for representative workloads
