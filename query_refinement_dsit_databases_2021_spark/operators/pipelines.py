@@ -768,6 +768,57 @@ def _wl_normalize(spark, sf_dir):
     return textops.normalize_text(_docs(spark, sf_dir))
 
 
+# Gopher rule filter: every ratio is integer cross-multiplication on
+# both engines; list folds are left folds (bit-identical)
+ORACLE_GOPHER = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         string_split(text, chr(10)) AS lines
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         len(ws)::BIGINT AS n_tok,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(ws, w -> len(w)::BIGINT)),
+             (acc, x) -> acc + x) AS sum_len,
+         len(list_filter(ws, w -> contains(w, '#')
+                               OR contains(w, '...')))::BIGINT AS n_sym,
+         len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))::BIGINT
+           AS n_alpha,
+         len(list_filter(ws, w -> w IN ({_STOP_IN})))::BIGINT AS n_stop,
+         len(lines)::BIGINT AS n_lines,
+         len(list_filter(lines, l -> starts_with(l, '- ')
+                                   OR starts_with(l, '* ')))::BIGINT
+           AS n_bullet,
+         len(list_filter(lines, l -> ends_with(l, '...')))::BIGINT AS n_ell
+  FROM t),
+r AS (
+  SELECT doc_id, n_tok,
+         (n_tok >= {textops.GOPHER_MIN_TOKENS}
+          AND n_tok <= {textops.GOPHER_MAX_TOKENS}) AS ok_len,
+         (3 * n_tok <= sum_len AND sum_len <= 10 * n_tok) AS ok_word_len,
+         (10 * n_sym <= n_tok) AS ok_symbols,
+         (5 * n_alpha >= 4 * n_tok) AS ok_alpha,
+         (n_stop >= 2) AS ok_stop,
+         (10 * n_bullet <= 9 * n_lines AND 10 * n_ell <= 3 * n_lines)
+           AS ok_lines
+  FROM m)
+SELECT doc_id, n_tok AS n_tokens,
+       CAST(ok_len AS INTEGER) AS ok_len,
+       CAST(ok_word_len AS INTEGER) AS ok_word_len,
+       CAST(ok_symbols AS INTEGER) AS ok_symbols,
+       CAST(ok_alpha AS INTEGER) AS ok_alpha,
+       CAST(ok_stop AS INTEGER) AS ok_stop,
+       CAST(ok_lines AS INTEGER) AS ok_lines,
+       CAST(ok_len AND ok_word_len AND ok_symbols AND ok_alpha
+            AND ok_stop AND ok_lines AS INTEGER) AS keep
+FROM r ORDER BY doc_id"""
+
+
+def _wl_gopher(spark, sf_dir):
+    return textops.gopher_rules(_docs(spark, sf_dir))
+
+
 # gate vocab size: 16 < the corpus's 31 distinct terms, so the OOV->0
 # path is actually exercised; ONE constant feeds both the oracle SQL
 # and the Spark call (a stale copy would fail the gate confusingly)
@@ -894,6 +945,7 @@ def pipeline_workloads():
         ("pipe_text_repetition", _wl_repetition, ORACLE_REPETITION, False),
         ("pipe_text_lm_score", _wl_lm_score, ORACLE_LM_SCORE, False),
         ("pipe_filter_boilerplate", _wl_boilerplate, ORACLE_BOILERPLATE, False),
+        ("pipe_filter_gopher", _wl_gopher, ORACLE_GOPHER, False),
         ("pipe_ngram_topk", _wl_ngram_topk, ORACLE_NGRAM_TOPK, False),
         ("pipe_text_normalize", _wl_normalize, ORACLE_NORMALIZE, False),
         ("pipe_tokenize_ids", _wl_tokenize, ORACLE_TOKENIZE, False),

@@ -223,6 +223,64 @@ def remix_sources(
     return ranked.where(keep_expr).drop("_h", "_rn")
 
 
+def temperature_mix(
+    df: DataFrame,
+    alpha: float = 0.5,
+    group: str = "source",
+    key: str = "doc_id",
+    salt: str = "tempmix",
+) -> DataFrame:
+    """Temperature-based source reweighting — the ``n^alpha`` mixing
+    recipe multilingual/multi-source LLM corpora use (alpha=1 keeps the
+    natural mix, alpha=0 equalizes sources; 0.3–0.7 is the usual
+    flattening range). Downsample-only, like :func:`remix_sources`.
+
+    The per-group cap has a closed form with NO cross-group float sum:
+    with targets ``t_g = n_g^a / W`` and the downsample-only corpus
+    size ``N = min_h n_h / t_h``, the normalizer ``W`` cancels and
+    ``cap_g = floor(n_g^a * n_min^(1-a))`` — order-free, so both
+    engines compute the identical IEEE product (for a=0.5 both factors
+    are correctly-rounded sqrts; the smallest group is kept whole:
+    ``cap_min = n_min``). Group counts are a tiny plan-time aggregate;
+    the data path is one window shuffle on the group key, identical to
+    :func:`remix_sources`.
+    """
+    import math as _math
+
+    from pyspark.sql import Window
+
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+    counts = {r[0]: r[1] for r in df.groupBy(group).count().collect()}
+    if not counts:
+        raise ValueError("cannot mix an empty corpus")
+    n_min = min(counts.values())
+    if alpha == 0.5:
+        # sqrt is IEEE-correctly-rounded — bit-identical to the oracle
+        caps = {
+            g: int(_math.floor(_math.sqrt(float(n)) * _math.sqrt(float(n_min))))
+            for g, n in counts.items()
+        }
+    else:
+        # pow() is not guaranteed correctly rounded; fine for the
+        # operator, but the oracle-paired workload pins alpha=0.5
+        caps = {
+            g: int(_math.floor(float(n) ** alpha * float(n_min) ** (1.0 - alpha)))
+            for g, n in counts.items()
+        }
+    keep_expr: Column | None = None
+    for g, cap in caps.items():
+        cond = (F.col(group) == g) & (F.col("_rn") <= cap)
+        keep_expr = cond if keep_expr is None else keep_expr | cond
+    h = bucket_of(
+        F.concat(F.col(group).cast("string"), F.lit("|"), F.col(key).cast("string")),
+        salt,
+    )
+    w = Window.partitionBy(group).orderBy("_h", key)
+    ranked = df.withColumn("_h", h).withColumn("_rn", F.row_number().over(w))
+    return ranked.where(keep_expr).drop("_h", "_rn")
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int = 2048,
@@ -395,6 +453,30 @@ ORDER BY doc_id"""
             "doc_id", "source"
         )
 
+    # temperature mix at alpha=0.5: cap_g = floor(sqrt(n_g)*sqrt(n_min))
+    # (the normalizer-free closed form; sqrt is correctly rounded on
+    # both engines, so the caps are bit-identical)
+    oracle_temperature = f"""
+WITH n AS (SELECT source, count(*) AS n_g FROM documents GROUP BY source),
+mn AS (SELECT min(n_g) AS n_min FROM n),
+cap AS (SELECT source,
+               CAST(floor(sqrt(CAST(n_g AS DOUBLE))
+                          * sqrt(CAST(n_min AS DOUBLE))) AS BIGINT) AS cap
+        FROM n, mn),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+  FROM (SELECT doc_id, source,
+               {bucket_sql("source || '|' || CAST(doc_id AS VARCHAR)", "tempmix")} AS h
+        FROM documents) b)
+SELECT doc_id, source
+FROM r JOIN cap USING (source)
+WHERE rn <= cap
+ORDER BY doc_id"""
+
+    def _temperature(spark, sf_dir):
+        return temperature_mix(_docs(spark, sf_dir)).select("doc_id", "source")
+
     def _split(spark, sf_dir):
         return hash_split(_docs(spark, sf_dir)).select("doc_id", "split")
 
@@ -414,6 +496,7 @@ ORDER BY doc_id"""
         Workload("pipe_sample_stratified", _strat, oracle_strat),
         Workload("pipe_sample_weighted", _weighted, oracle_weighted),
         Workload("pipe_remix_sources", _remix, oracle_remix),
+        Workload("pipe_sample_temperature", _temperature, oracle_temperature),
         Workload("pipe_pack_sequences", _pack, oracle_pack),
         Workload("pipe_chunk_documents", _chunk, oracle_chunk),
     ]

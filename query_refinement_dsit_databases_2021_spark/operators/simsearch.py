@@ -1131,10 +1131,108 @@ def _wl_ann_recall(spark, sf_dir):
     return ann_recall(_emb(spark, sf_dir))
 
 
+OUTLIER_Z = 2.0
+
+
+def embedding_outliers(emb: DataFrame, threshold: float = OUTLIER_Z) -> DataFrame:
+    """Embedding outlier detection by distance-to-centroid z-score —
+    the curation pass that flags vectors far from the corpus mean
+    (mislabeled modality, corrupted rows, adversarial junk). Norm-based
+    checks are degenerate on unit-normalized corpora (every norm is
+    1.0); squared distance to the mean vector is not.
+
+    Determinism: components quantize to integer mills; the per-dim
+    mean comes from exact int64 sums (a dim-sized plan-time aggregate,
+    inlined as literals like IVF centroids); each vector's squared
+    distance is a fixed-order LEFT FOLD over dims (bit-identical to
+    the oracle's ``list_reduce`` over ``list(... ORDER BY i)``) and is
+    floor-quantized to an int64 before the corpus moment sums, so the
+    final z is one identical IEEE expression, floor-quantized at 4 dp.
+    Returns flagged ``(vec_id, d2m, z)`` rows; empty when the corpus
+    is degenerate (std = 0 — guarded on both engines, no divide error).
+
+    100 TB: two corpus scans (dim-mean, then score) + a 1-row stats
+    broadcast; Σ d2m² stays in int64 for ~1e5-mills²-scale distances
+    up to ~1e5 rows per unit — beyond, pre-scale the quantization.
+    """
+    v = _as_double(F.col("embedding"))
+    qv = _quantize_mills(v)
+    staged = emb.select("vec_id", qv.alias("qv"))
+    dim_sums = (
+        staged.select(F.posexplode("qv").alias("i", "c"))
+        .groupBy("i")
+        .agg(F.sum("c").alias("s"), F.count("*").alias("n"))
+        .orderBy("i")
+        .collect()
+    )
+    means = [r["s"] / r["n"] for r in dim_sums]  # exact ints -> IEEE div
+    m_lit = F.array(*[F.lit(m) for m in means])
+    diff2 = F.zip_with(
+        F.col("qv"), m_lit, lambda c, m: (c - m) * (c - m)
+    )
+    d2m = F.floor(
+        F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x) + F.lit(0.5)
+    ).cast("long")
+    scored = staged.select("vec_id", d2m.alias("d2m"))
+    stats = scored.agg(
+        F.count("*").alias("n"),
+        F.sum("d2m").alias("s"),
+        F.sum(F.col("d2m") * F.col("d2m")).alias("ss"),
+    )
+    joined = scored.crossJoin(F.broadcast(stats))
+    mu = F.col("s") / F.col("n")
+    sd = F.sqrt(F.col("ss") / F.col("n") - mu * mu)
+    # when() guards the ANSI divide: z is NULL (row dropped) if sd == 0
+    z4 = F.when(
+        sd > 0,
+        F.floor((F.col("d2m") - mu) / sd * 1e4 + F.lit(0.5)) / 1e4,
+    )
+    return (
+        joined.select("vec_id", "d2m", z4.alias("z"))
+        .where(F.col("z").isNotNull() & (F.abs(F.col("z")) >= threshold))
+    )
+
+
+def oracle_embedding_outliers(threshold: float = OUTLIER_Z) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+             x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5)::BIGINT) AS qv
+  FROM embeddings),
+e AS (SELECT vec_id, i, qv[i] AS c
+      FROM q, unnest(range(1, len(qv) + 1)) u(i)),
+m AS (SELECT i, CAST(sum(c) AS BIGINT) AS s, count(*) AS n FROM e GROUP BY i),
+d AS (
+  SELECT vec_id,
+         floor(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list((e.c - CAST(m.s AS DOUBLE) / m.n)
+                    * (e.c - CAST(m.s AS DOUBLE) / m.n) ORDER BY e.i)),
+               (acc, x) -> acc + x) + 0.5)::BIGINT AS d2m
+  FROM e JOIN m USING (i) GROUP BY vec_id),
+st AS (SELECT count(*) AS n, CAST(sum(d2m) AS BIGINT) AS s,
+              CAST(sum(d2m * d2m) AS BIGINT) AS ss
+       FROM d),
+z AS (SELECT vec_id, d2m,
+             CASE WHEN sqrt(ss / n - (s / n) * (s / n)) > 0
+                  THEN floor((d2m - s / n)
+                             / sqrt(ss / n - (s / n) * (s / n))
+                             * 10000.0 + 0.5) / 10000.0 END AS z
+      FROM d, st)
+SELECT vec_id, d2m, z FROM z
+WHERE z IS NOT NULL AND abs(z) >= {threshold}
+ORDER BY vec_id"""
+
+
+def _wl_outliers(spark, sf_dir):
+    return embedding_outliers(_emb(spark, sf_dir)).orderBy("vec_id")
+
+
 def simsearch_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
     return [
+        Workload("pipe_embed_outliers", _wl_outliers, oracle_embedding_outliers(), False),
         Workload("pipe_ann_cosine_topk", _wl_brute, oracle_cosine_topk(), True),
         Workload("pipe_ann_lsh_topk", _wl_lsh, oracle_lsh_ann_topk(), False),
         Workload("pipe_ann_ivf_topk", _wl_ivf, oracle_ivf_ann_topk(), False),

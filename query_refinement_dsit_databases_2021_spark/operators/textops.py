@@ -237,6 +237,72 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+# Gopher-style document quality rule bounds (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", §A1.1 — public). Ratio rules compare by
+# integer cross-multiplication so no float ever reaches a threshold.
+GOPHER_MIN_TOKENS = 50
+GOPHER_MAX_TOKENS = 100_000
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Gopher-style rule-based quality filter: per-document boolean
+    rules plus the conjunction ``keep`` — the standard pre-training
+    curation gate that complements the continuous score of
+    :func:`quality_columns`:
+
+    - ``ok_len``: 50 <= tokens <= 100k
+    - ``ok_word_len``: mean word length in [3, 10]
+    - ``ok_symbols``: symbol-to-word ratio (# or ...) <= 0.1
+    - ``ok_alpha``: >= 80% of words contain an alphabetic character
+    - ``ok_stop``: >= 2 stopword hits
+    - ``ok_lines``: <= 90% bullet-started and <= 30% ellipsis-ended lines
+
+    Every ratio is an integer cross-multiplication (``3*n <= s`` rather
+    than ``s/n >= 3``), so both engines compare exact int64s. One pure
+    projection over higher-order array functions — no shuffle, no
+    Python; at 100 TB this fuses into whatever scan feeds it.
+    """
+    docs = docs.select(
+        "doc_id",
+        tokens(F.col("text")).alias("ws"),
+        F.split(F.col("text"), "\n").alias("lines"),
+    )
+    ws = F.col("ws")
+    n_tok = F.size(ws).cast("long")
+    sum_len = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_sym = F.size(
+        F.filter(ws, lambda w: w.contains("#") | w.contains("..."))
+    ).cast("long")
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[a-zA-Z]"))).cast("long")
+    n_stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS))).cast("long")
+    lines = F.col("lines")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(lines, lambda l: l.startswith("- ") | l.startswith("* "))
+    ).cast("long")
+    n_ell = F.size(F.filter(lines, lambda l: l.endswith("..."))).cast("long")
+    ok_len = (n_tok >= GOPHER_MIN_TOKENS) & (n_tok <= GOPHER_MAX_TOKENS)
+    ok_word_len = (3 * n_tok <= sum_len) & (sum_len <= 10 * n_tok)
+    ok_symbols = 10 * n_sym <= n_tok
+    ok_alpha = 5 * n_alpha >= 4 * n_tok
+    ok_stop = n_stop >= 2
+    ok_lines = (10 * n_bullet <= 9 * n_lines) & (10 * n_ell <= 3 * n_lines)
+    keep = ok_len & ok_word_len & ok_symbols & ok_alpha & ok_stop & ok_lines
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        ok_len.cast("int").alias("ok_len"),
+        ok_word_len.cast("int").alias("ok_word_len"),
+        ok_symbols.cast("int").alias("ok_symbols"),
+        ok_alpha.cast("int").alias("ok_alpha"),
+        ok_stop.cast("int").alias("ok_stop"),
+        ok_lines.cast("int").alias("ok_lines"),
+        keep.cast("int").alias("keep"),
+    )
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """Corpus term statistics: term frequency and document frequency
     per term — the classic explode -> groupBy(term) map-side-combinable

@@ -696,6 +696,169 @@ FROM r WHERE r_first = 1 OR r_last = 1 OR r_min = 1 OR r_max = 1
 ORDER BY bucket, event_type, ts"""
 
 
+def detect_gaps(
+    events: DataFrame,
+    ts: str = "ts",
+    key: str = "event_type",
+    tiebreak: str = "event_id",
+    min_gap: str = "auto",
+    factor: int = 10,
+) -> DataFrame:
+    """Sampling-gap detection — the TSDB health check that finds spans
+    where a series went silent: per key (ordered by ``(ts, tiebreak)``),
+    report every consecutive pair further apart than the threshold as
+    ``(key, gap_start, gap_end, gap_us)``.
+
+    ``min_gap="auto"`` (default) is scale-invariant: a gap is a delta
+    exceeding ``factor`` × the key's MEDIAN sampling interval (exact
+    ``percentile_disc`` — an observed int64, identical index formula on
+    both engines; a fixed wall-clock threshold either floods sparse
+    series or never fires on dense ones as data density scales). An
+    explicit interval string (e.g. ``"1 hour"``) gives the fixed form.
+
+    One per-key window sort (the lag lookup) plus, in auto mode, one
+    tiny per-key median agg broadcast back; the comparison is pure
+    int64. Output is gap-count-sized, not data-sized.
+    """
+    w = Window.partitionBy(key).orderBy(ts, tiebreak)
+    prev = F.lag(ts).over(w)
+    gap_us = F.unix_micros(F.col(ts).cast("timestamp")) - F.unix_micros(
+        prev.cast("timestamp")
+    )
+    staged = events.select(
+        F.col(key),
+        prev.alias("gap_start"),
+        F.col(ts).alias("gap_end"),
+        gap_us.alias("gap_us"),
+    )
+    if min_gap == "auto":
+        med = (
+            staged.where(F.col("gap_us").isNotNull())
+            .groupBy(key)
+            .agg(
+                F.expr(
+                    "percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us)"
+                ).alias("med_us")
+            )
+        )
+        return (
+            staged.join(F.broadcast(med), key)
+            .where(F.col("gap_us") > factor * F.col("med_us"))
+            .select(key, "gap_start", "gap_end", "gap_us")
+        )
+    # interval -> integer µs via a fixed-epoch round trip (plan-time
+    # constant folded by Catalyst; avoids parsing the interval string)
+    thresh = F.unix_micros(
+        F.lit("1970-01-01 00:00:00").cast("timestamp")
+        + F.expr(f"INTERVAL {min_gap}")
+    )
+    return staged.where(F.col("gap_us") > thresh)
+
+
+ORACLE_GAPS = """
+WITH d AS (
+  SELECT event_type,
+         lag(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS gap_start,
+         ts AS gap_end,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY event_type
+                                               ORDER BY ts, event_id))
+           AS gap_us
+  FROM events),
+m AS (SELECT event_type, CAST(quantile_disc(gap_us, 0.5) AS BIGINT) AS med_us
+      FROM d WHERE gap_us IS NOT NULL GROUP BY event_type)
+SELECT d.event_type, gap_start, gap_end, CAST(gap_us AS BIGINT) AS gap_us
+FROM d JOIN m USING (event_type)
+WHERE gap_us > 10 * med_us
+ORDER BY event_type, gap_end"""
+
+
+def cross_correlation(
+    events: DataFrame,
+    key_a: str = "click",
+    key_b: str = "purchase",
+    key: str = "event_type",
+    ts: str = "ts",
+    value: str = "value",
+    max_lag: int = 7,
+) -> DataFrame:
+    """Lagged Pearson cross-correlation between two keys' daily series
+    (does signal A lead signal B by L days?) — the co-movement
+    diagnostic behind alerting and causal-ish dashboards.
+
+    Daily totals are integer cents (per-row floor-quantized, summed as
+    int64 — order-free exact); for each lag the join is a day equi-join
+    on integer epoch-days (never an interval NLJ), and all five Pearson
+    sums (Σx, Σy, Σxy, Σx², Σy²) are exact int64s, so the only float
+    work is the final closed form — one expression, identical IEEE ops
+    on both engines, floor-quantized at 6 dp. Returns
+    ``(lag, n_days, r)`` where B is shifted ``lag`` days after A.
+
+    Scale: the daily rollup is ONE map-combinable agg; the per-lag
+    joins touch days×lags rows (render-sized, not data-sized).
+    """
+    cents = F.floor(F.col(value) * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        events.groupBy(F.datediff(F.to_date(ts), F.lit("1970-01-01")).alias("d"), F.col(key))
+        .agg(F.sum(cents).alias("c"))
+    )
+    a = daily.where(F.col(key) == key_a).select("d", F.col("c").alias("ca"))
+    b = daily.where(F.col(key) == key_b).select(
+        F.col("d").alias("db"), F.col("c").alias("cb")
+    )
+    spark = events.sparkSession
+    lags = spark.range(0, max_lag + 1).select(F.col("id").cast("int").alias("lag"))
+    # tiny lag spine (the timeseries.py:104 convention) + day equi-join
+    j = a.crossJoin(F.broadcast(lags)).join(
+        b, F.col("db") == F.col("d") + F.col("lag")
+    )
+    agg = j.groupBy("lag").agg(
+        F.count("*").alias("n_days"),
+        F.sum("ca").alias("sx"),
+        F.sum("cb").alias("sy"),
+        F.sum(F.col("ca") * F.col("cb")).alias("sxy"),
+        F.sum(F.col("ca") * F.col("ca")).alias("sxx"),
+        F.sum(F.col("cb") * F.col("cb")).alias("syy"),
+    )
+    n = F.col("n_days")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")) * F.sqrt(
+        (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    r6 = F.floor(num / den * 1e6 + F.lit(0.5)) / 1e6
+    return agg.select(
+        "lag", "n_days", r6.alias("r")
+    ).orderBy("lag")
+
+
+def _crosscorr_oracle(
+    key_a: str = "click", key_b: str = "purchase", max_lag: int = 7
+) -> str:
+    return f"""
+WITH daily AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         event_type,
+         CAST(sum(floor(value * 100 + 0.5)::BIGINT) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+a AS (SELECT d, c AS ca FROM daily WHERE event_type = '{key_a}'),
+b AS (SELECT d AS db, c AS cb FROM daily WHERE event_type = '{key_b}'),
+lags AS (SELECT CAST(unnest(range(0, {max_lag + 1})) AS INTEGER) AS lag),
+j AS (SELECT lag, ca, cb FROM a CROSS JOIN lags JOIN b ON db = d + lag),
+agg AS (
+  SELECT lag, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(ca) AS BIGINT) AS sx, CAST(sum(cb) AS BIGINT) AS sy,
+         CAST(sum(ca * cb) AS BIGINT) AS sxy,
+         CAST(sum(ca * ca) AS BIGINT) AS sxx,
+         CAST(sum(cb * cb) AS BIGINT) AS syy
+  FROM j GROUP BY lag)
+SELECT lag, n_days,
+       floor(CAST(n_days * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)))
+             * 1000000 + 0.5) / 1000000.0 AS r
+FROM agg ORDER BY lag"""
+
+
 def timeseries_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import (
         Workload,
@@ -721,4 +884,6 @@ def timeseries_workloads():
         _w("ts_percentiles", ORACLE_PERCENTILES, percentile_rollup),
         _w("ts_time_weighted_avg", ORACLE_TWA, time_weighted_avg),
         _w("ts_downsample_m4", ORACLE_M4, downsample_m4),
+        _w("ts_gaps", ORACLE_GAPS, detect_gaps),
+        _w("ts_cross_corr", _crosscorr_oracle(), cross_correlation),
     ]

@@ -509,3 +509,27 @@ def test_tokenize_ids_auto_picks_join_at_large_vocab(spark):
     got = {r["doc_id"]: r["ids"] for r in out.collect()}
     # all 3 terms fit in a 50k vocab: b=1, a=2, c=3
     assert got == {1: [2, 1, 1, 3], 2: [1, 2, 2, 1]}
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    """One crafted document per rule violation; the clean doc passes."""
+    clean = "the quick brown fox " + " ".join(f"tok{i}" for i in range(60)) + " a lot"
+    docs = spark.createDataFrame(
+        [
+            (1, clean),                                      # passes all
+            (2, "the a short doc"),                          # < 50 tokens
+            (3, "the a " + " ".join(["supercalifragilistic"] * 60)),  # long words
+            (4, "the a " + " ".join(["#"] * 60)),            # symbols + no alpha
+            (5, " ".join(f"tok{i}" for i in range(60))),     # no stopwords
+            (6, "the a " + " ".join(f"tok{i}" for i in range(58))
+                + "\n" + "\n".join(f"- bullet {i}" for i in range(20))),  # bullets
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textops.gopher_rules(docs).collect()}
+    assert got[1]["keep"] == 1
+    assert got[2]["ok_len"] == 0 and got[2]["keep"] == 0
+    assert got[3]["ok_word_len"] == 0 and got[3]["keep"] == 0
+    assert got[4]["ok_symbols"] == 0 and got[4]["ok_alpha"] == 0
+    assert got[5]["ok_stop"] == 0 and got[5]["keep"] == 0
+    assert got[6]["ok_lines"] == 0 and got[6]["keep"] == 0

@@ -287,3 +287,50 @@ def test_cdc_exchange_budgets(pevents):
     mp = _plan(merge_upsert(base, upd))
     assert "LeftAnti" in mp
     assert mp.count("Exchange hashpartitioning") <= 3
+
+
+def test_round3_operator_exchange_budgets(pdocs, pevents, spark, tmp_path_factory):
+    from query_refinement_dsit_databases_2021_spark.operators.sampling import (
+        temperature_mix,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
+        embedding_outliers,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        gopher_rules,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        cross_correlation,
+        detect_gaps,
+    )
+
+    # Gopher rules: pure codegen projection, zero exchanges
+    assert _exchanges(gopher_rules(pdocs)) == 0
+
+    # temperature mix: ONE window shuffle on the group key (counts are
+    # a plan-time aggregate, not part of the served plan)
+    assert (
+        _plan(temperature_mix(pdocs)).count("Exchange hashpartitioning") == 1
+    )
+
+    # gap detection (auto): lag window + per-key median agg, median
+    # joined back via broadcast — two hash exchanges, no NLJ
+    gp = _plan(detect_gaps(pevents))
+    assert gp.count("Exchange hashpartitioning") <= 2
+    assert "NestedLoop" not in gp and "Cartesian" not in gp
+
+    # cross-correlation: daily agg + day equi-join + per-lag agg; the
+    # only NLJ is the <= (max_lag+1)-row lag-spine broadcast
+    xp = _plan(cross_correlation(pevents, key_a="a", key_b="a", max_lag=3))
+    assert xp.count("BroadcastNestedLoopJoin") <= 1
+    assert xp.count("Exchange hashpartitioning") <= 3
+
+    # embedding outliers: served plan is map-only + the 1-row stats
+    # broadcast (dim-means are plan-time literals, like IVF centroids)
+    path = str(tmp_path_factory.mktemp("plan") / "emb3.parquet")
+    spark.createDataFrame(
+        [(i, [float(i % 7), 1.0 - (i % 5)]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    ).write.parquet(path)
+    op = _plan(embedding_outliers(spark.read.parquet(path)))
+    assert op.count("Exchange hashpartitioning") == 0

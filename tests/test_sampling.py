@@ -215,3 +215,29 @@ def test_remix_sources_rejects_bad_targets(docs):
     # for nothing, so the mix is still satisfiable
     out = remix_sources(docs, {"src0": 1.0, "nope": 0.0})
     assert out.groupBy("source").count().rdd.collectAsMap() == {"src0": 20}
+
+
+def test_temperature_mix_caps_and_extremes(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.sampling import (
+        temperature_mix,
+    )
+
+    rows = [(i, f"t{i}", "big" if i < 40 else "small") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # alpha=0.5: caps = floor(sqrt(n_g * n_min)) -> big 20, small 10
+    got = (
+        temperature_mix(df).groupBy("source").count().rdd.collectAsMap()
+    )
+    assert got == {"big": 20, "small": 10}
+    # the smallest group is always kept whole (cap_min = n_min)
+    assert got["small"] == 10
+    # alpha=1 is the natural mix (keep everything)
+    assert temperature_mix(df, alpha=1.0).count() == 50
+    # alpha=0 equalizes: every group capped at n_min
+    eq = temperature_mix(df, alpha=0.0).groupBy("source").count().rdd.collectAsMap()
+    assert eq == {"big": 10, "small": 10}
+    # deterministic
+    a = sorted(r.doc_id for r in temperature_mix(df).collect())
+    assert a == sorted(r.doc_id for r in temperature_mix(df).collect())
+    with pytest.raises(ValueError):
+        temperature_mix(df, alpha=1.5)

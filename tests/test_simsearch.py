@@ -224,3 +224,29 @@ def test_ivf_layout_serving_matches_inline_and_prunes(spark, tmp_path):
     got = sorted(tuple(r) for r in served.collect())
     want = sorted(tuple(r) for r in ivf_ann_topk(emb).collect())
     assert got == want and len(got) > 0
+
+
+def test_embedding_outliers_flags_far_vector(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
+        embedding_outliers,
+    )
+
+    # 30 vectors near [1, 0, 0] + one far opposite vector
+    rows = [(i, [1.0, 0.01 * (i % 5), 0.01 * (i % 3)]) for i in range(30)]
+    rows.append((99, [-1.0, 0.5, -0.5]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["z"] for r in embedding_outliers(df, threshold=2.0).collect()}
+    assert 99 in got and got[99] > 2.0
+    assert all(v == 99 for v in got)  # the cluster itself is not flagged
+
+
+def test_embedding_outliers_degenerate_corpus_is_empty(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
+        embedding_outliers,
+    )
+
+    # identical vectors: std = 0 -> empty result, no divide error
+    df = spark.createDataFrame(
+        [(i, [0.5, 0.5]) for i in range(10)], "vec_id long, embedding array<float>"
+    )
+    assert embedding_outliers(df).count() == 0

@@ -247,3 +247,50 @@ def test_downsample_m4_keeps_extremes(spark):
         ("2021-01-01 00:01:00", 1.0),
         ("2021-01-01 00:02:00", 9.0),
     }
+
+
+def test_detect_gaps_finds_known_gap(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        detect_gaps,
+    )
+
+    rows = [
+        (1, _ts(1, 0), 1, "a", 1.0),
+        (2, _ts(1, 0, 30), 1, "a", 1.0),
+        (3, _ts(1, 3), 1, "a", 1.0),      # 2.5 h gap after row 2
+        (4, _ts(1, 3, 20), 1, "a", 1.0),
+        (5, _ts(1, 0), 1, "b", 1.0),      # other key: no gap
+        (6, _ts(1, 0, 45), 1, "b", 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = detect_gaps(df, min_gap="1 hour").collect()
+    assert len(got) == 1
+    g = got[0]
+    assert g["event_type"] == "a"
+    assert g["gap_start"] == _ts(1, 0, 30) and g["gap_end"] == _ts(1, 3)
+    assert g["gap_us"] == 2 * 3600 * 1_000_000 + 1800 * 1_000_000
+
+
+def test_cross_correlation_detects_shifted_copy(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        cross_correlation,
+    )
+
+    # b's daily series is a's shifted one day later -> r ~ 1.0 at lag 1
+    rows = []
+    eid = 0
+    for d in range(12):
+        v = float(10 + (d * 13) % 7)  # non-constant
+        rows.append((eid, _ts(1 + d, 6), 1, "a", v)); eid += 1
+        rows.append((eid, _ts(2 + d, 6), 1, "b", v)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r["lag"]: (r["n_days"], r["r"]) for r in
+           cross_correlation(df, key_a="a", key_b="b", max_lag=3).collect()}
+    n1, r1 = out[1]
+    assert n1 == 12 and r1 >= 0.999999
+    # other lags see a permuted pairing -> strictly smaller correlation
+    assert out[0][1] < r1 and out[2][1] < r1

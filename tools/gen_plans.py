@@ -73,6 +73,17 @@ NOTES = {
         "At sf0.01 AQE may legally broadcast — the salted shuffle keys "
         "are pinned under forced-shuffle in tests/test_plan_budgets.py."
     ),
+    "pipe_filter_gopher": (
+        "Zero exchanges: every rule is integer cross-multiplication "
+        "inside ONE WholeStageCodegen projection over higher-order "
+        "array functions — the filter fuses into the scan."
+    ),
+    "ts_cross_corr": (
+        "Daily cents agg (map-combinable) -> lag-spine broadcast "
+        "(<= max_lag+1 rows, the only NLJ) -> day equi-join -> per-lag "
+        "agg of exact int64 Pearson sums; float appears only in the "
+        "final closed form."
+    ),
 }
 
 HEADER = """# PLANS — captured physical plans for representative workloads
