@@ -859,6 +859,243 @@ SELECT lag, n_days,
 FROM agg ORDER BY lag"""
 
 
+def anomaly_mad(
+    events: DataFrame,
+    key: str = "event_type",
+    value: str = "value",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Robust anomaly detection via median / MAD (the TSDB alternative
+    to :func:`anomaly_zscore` when the baseline itself is contaminated:
+    mean/std have a 0% breakdown point — one huge spike drags the mean
+    toward itself and masks its neighbors — while median/MAD tolerate
+    up to 50% outliers). A point is anomalous when
+    ``|x - median| > threshold * 1.4826 * MAD`` (1.4826 scales MAD to
+    sigma-equivalent under normality).
+
+    Determinism: values lift to integer cents (``floor(x*100+0.5)``),
+    so the median is the average of two integers (dyadic-exact) and
+    every |deviation| is a multiple of 0.5 — the flag compare is
+    ``|dev|*10^4 > round(threshold*14826) * MAD``, all exactly
+    representable doubles, no float rounding anywhere near the
+    boundary. The reported robust z uses the tie-safe
+    ``floor(x*1e4+0.5)/1e4`` idiom (both engines evaluate identical
+    IEEE ops on exact operands).
+
+    Plan: two hash aggregates (median, then MAD of deviations) over a
+    handful of keys, broadcast back — the exact per-key median is a
+    sort-based aggregate, the honest cost of exactness; the 100 TB
+    path swaps ``median`` for ``approx_percentile(c, 0.5)`` and keeps
+    everything else (SCALE.md). Returns flagged
+    ``(event_id, key, value_r, rz)``.
+    """
+    thr = int(round(threshold * 14826))
+    c = F.floor(F.col(value) * 100 + F.lit(0.5))
+    base = events.select("event_id", key, c.alias("_c"))
+    med = base.groupBy(key).agg(F.median("_c").alias("_med"))
+    j1 = base.join(F.broadcast(med), key)
+    mad = j1.groupBy(key).agg(
+        F.median(F.abs(F.col("_c") - F.col("_med"))).alias("_mad")
+    )
+    j2 = j1.join(F.broadcast(mad), key)
+    dev = F.col("_c") - F.col("_med")
+    rz = F.floor(
+        dev / (F.lit(1.4826) * F.col("_mad")) * F.lit(1e4) + F.lit(0.5)
+    ) / F.lit(1e4)
+    return (
+        j2.where(
+            (F.col("_mad") > 0)
+            & (F.abs(dev) * F.lit(10000) > F.lit(thr) * F.col("_mad"))
+        )
+        .select(
+            "event_id",
+            key,
+            (F.col("_c") / F.lit(100.0)).alias("value_r"),
+            rz.alias("rz"),
+        )
+    )
+
+
+def _mad_oracle(key: str = "event_type", threshold: float = 3.0) -> str:
+    thr = int(round(threshold * 14826))
+    return f"""
+WITH c AS (
+  SELECT event_id, {key}, floor(value * 100 + 0.5) AS c FROM events),
+m1 AS (SELECT {key}, median(c) AS med FROM c GROUP BY 1),
+j1 AS (SELECT c.*, med FROM c JOIN m1 USING ({key})),
+m2 AS (SELECT {key}, median(abs(c - med)) AS mad FROM j1 GROUP BY 1),
+j2 AS (SELECT j1.*, mad FROM j1 JOIN m2 USING ({key}))
+SELECT event_id, {key}, c / 100.0 AS value_r,
+       floor((c - med) / (1.4826 * mad) * 10000 + 0.5) / 10000.0 AS rz
+FROM j2
+WHERE mad > 0 AND abs(c - med) * 10000 > {thr} * mad
+ORDER BY event_id"""
+
+
+def seasonal_anomaly(
+    events: DataFrame,
+    ts: str = "ts",
+    key: str = "event_type",
+    value: str = "value",
+    factor: int = 3,
+) -> DataFrame:
+    """Seasonal-baseline anomaly detection: each point is compared to
+    the mean of its own (key, hour-of-day) slot — the diurnal profile —
+    and flagged when it exceeds ``factor`` times that slot baseline. A
+    3 AM burst that would vanish against a whole-day average stands out
+    against the 3 AM baseline; the flat-threshold ops (:func:`anomaly_zscore`,
+    :func:`anomaly_mad`) can't see seasonality at all.
+
+    Determinism: values lift to integer mills; the flag compare is the
+    cross-multiplied ``mills * n_slot > factor * sum_slot`` — pure
+    int64, no division at the boundary (safe while
+    ``n_slot * max_mills < 2^63``; a 100 TB corpus with >1e11 rows per
+    slot should divide first and compare the floor-quantized ratio,
+    SCALE.md). The reported ratio uses the tie-safe floor idiom on
+    identical exact operands.
+
+    Plan: one map-combinable hash aggregate over |keys| * 24 slots,
+    broadcast back into the scan — two passes over events, no window
+    sort. Returns flagged ``(event_id, key, hod, value_r, ratio)``.
+    """
+    mills = F.floor(F.col(value) * 1000 + F.lit(0.5)).cast("long")
+    hod = F.hour(F.col(ts)).cast("int")
+    base = events.select(
+        "event_id", key, hod.alias("hod"), mills.alias("_m")
+    )
+    prof = base.groupBy(key, "hod").agg(
+        F.count("*").alias("_n"), F.sum("_m").alias("_s")
+    )
+    j = base.join(F.broadcast(prof), [key, "hod"])
+    ratio = F.floor(
+        (F.col("_m") * F.col("_n")).cast("double")
+        / F.col("_s").cast("double")
+        * F.lit(1e4)
+        + F.lit(0.5)
+    ) / F.lit(1e4)
+    return (
+        j.where(
+            (F.col("_s") > 0)
+            & (F.col("_m") * F.col("_n") > F.lit(factor) * F.col("_s"))
+        )
+        .select(
+            "event_id",
+            key,
+            "hod",
+            (F.col("_m") / F.lit(1000.0)).alias("value_r"),
+            ratio.alias("ratio"),
+        )
+    )
+
+
+def _seasonal_oracle(key: str = "event_type", factor: int = 3) -> str:
+    return f"""
+WITH b AS (
+  SELECT event_id, {key}, CAST(hour(ts) AS INTEGER) AS hod,
+         floor(value * 1000 + 0.5)::BIGINT AS m
+  FROM events),
+prof AS (
+  SELECT {key}, hod, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(m) AS BIGINT) AS s
+  FROM b GROUP BY 1, 2),
+j AS (SELECT b.*, n, s FROM b JOIN prof USING ({key}, hod))
+SELECT event_id, {key}, hod, m / 1000.0 AS value_r,
+       floor(CAST(m * n AS DOUBLE) / CAST(s AS DOUBLE) * 10000 + 0.5)
+         / 10000.0 AS ratio
+FROM j
+WHERE s > 0 AND m * n > {factor} * s
+ORDER BY event_id"""
+
+
+def level_shift(
+    events: DataFrame,
+    ts: str = "ts",
+    key: str = "event_type",
+    value: str = "value",
+    w: int = 24,
+    delta: float = 30.0,
+) -> DataFrame:
+    """Level-shift (changepoint) detection: at each point, compare the
+    mean of the ``w`` observations strictly before it against the mean
+    of the ``w`` starting at it; flag when the means differ by at least
+    ``delta``. The two-sided-window test is the SQL-expressible core of
+    CUSUM-style changepoint detectors (the sequential-reset recursion
+    is deliberately NOT reproduced — it is order-recursive and
+    per-row-stateful, the wrong shape for a scan-parallel engine; the
+    windowed contrast detects the same sustained shifts).
+
+    Determinism: integer-cents window SUMS (order-free exact), the flag
+    compare is ``|post_sum - pre_sum| >= delta_cents * w`` in int64,
+    and only full windows score (count = w on both sides). Reported
+    means use the tie-safe floor idiom on exact operands.
+
+    Plan: ONE window sort partitioned by key (both frames share it);
+    no joins, no second pass. Returns flagged
+    ``(event_id, key, pre_avg, post_avg, diff_c)``.
+    """
+    delta_c = int(round(delta * 100)) * w
+    win = Window.partitionBy(key).orderBy(ts, "event_id")
+    pre = win.rowsBetween(-w, -1)
+    post = win.rowsBetween(0, w - 1)
+    c = F.floor(F.col(value) * 100 + F.lit(0.5)).cast("long")
+    scored = events.select(
+        "event_id",
+        key,
+        c.alias("_c"),
+        F.sum(c).over(pre).alias("_ps"),
+        F.count(c).over(pre).alias("_pn"),
+        F.sum(c).over(post).alias("_qs"),
+        F.count(c).over(post).alias("_qn"),
+    )
+    diff = F.col("_qs") - F.col("_ps")
+    def _avg(s):
+        return F.floor(
+            s.cast("double") / F.lit(100.0 * w) * F.lit(1e4) + F.lit(0.5)
+        ) / F.lit(1e4)
+    return (
+        scored.where(
+            (F.col("_pn") == w)
+            & (F.col("_qn") == w)
+            & (F.abs(diff) >= F.lit(delta_c))
+        )
+        .select(
+            "event_id",
+            key,
+            _avg(F.col("_ps")).alias("pre_avg"),
+            _avg(F.col("_qs")).alias("post_avg"),
+            diff.cast("long").alias("diff_c"),
+        )
+    )
+
+
+def _level_shift_oracle(
+    key: str = "event_type", w: int = 24, delta: float = 30.0
+) -> str:
+    delta_c = int(round(delta * 100)) * w
+    return f"""
+WITH c AS (
+  SELECT event_id, {key}, ts,
+         floor(value * 100 + 0.5)::BIGINT AS c
+  FROM events),
+s AS (
+  SELECT event_id, {key},
+         CAST(sum(c) OVER (win ROWS BETWEEN {w} PRECEDING AND 1 PRECEDING)
+              AS BIGINT) AS ps,
+         count(c) OVER (win ROWS BETWEEN {w} PRECEDING AND 1 PRECEDING) AS pn,
+         CAST(sum(c) OVER (win ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+              AS BIGINT) AS qs,
+         count(c) OVER (win ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS qn
+  FROM c
+  WINDOW win AS (PARTITION BY {key} ORDER BY ts, event_id))
+SELECT event_id, {key},
+       floor(CAST(ps AS DOUBLE) / {100.0 * w} * 10000 + 0.5) / 10000.0 AS pre_avg,
+       floor(CAST(qs AS DOUBLE) / {100.0 * w} * 10000 + 0.5) / 10000.0 AS post_avg,
+       qs - ps AS diff_c
+FROM s
+WHERE pn = {w} AND qn = {w} AND abs(qs - ps) >= {delta_c}
+ORDER BY event_id"""
+
+
 def timeseries_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import (
         Workload,
@@ -886,4 +1123,7 @@ def timeseries_workloads():
         _w("ts_downsample_m4", ORACLE_M4, downsample_m4),
         _w("ts_gaps", ORACLE_GAPS, detect_gaps),
         _w("ts_cross_corr", _crosscorr_oracle(), cross_correlation),
+        _w("ts_anomaly_mad", _mad_oracle(), anomaly_mad),
+        _w("ts_seasonal_anomaly", _seasonal_oracle(), seasonal_anomaly),
+        _w("ts_level_shift", _level_shift_oracle(), level_shift),
     ]

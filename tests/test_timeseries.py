@@ -294,3 +294,75 @@ def test_cross_correlation_detects_shifted_copy(spark):
     assert n1 == 12 and r1 >= 0.999999
     # other lags see a permuted pairing -> strictly smaller correlation
     assert out[0][1] < r1 and out[2][1] < r1
+
+
+def test_anomaly_mad_flags_spike_not_masked(spark):
+    # 40 baseline points at 10.0 plus TWO huge spikes: the spikes
+    # inflate mean/std enough that z-score-style detection weakens,
+    # but median/MAD (50% breakdown) still flag both cleanly
+    rows = [(i, datetime(2024, 3, 1, 0, i), 1, "a", 10.0 + (0.02 * (i % 5)))
+            for i in range(40)]
+    rows += [(100, datetime(2024, 3, 1, 2, 0), 1, "a", 500.0),
+             (101, datetime(2024, 3, 1, 2, 1), 1, "a", 480.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import anomaly_mad
+
+    out = anomaly_mad(df).collect()
+    assert sorted(r["event_id"] for r in out) == [100, 101]
+    # robust z of the 500 spike is enormous and positive
+    assert all(r["rz"] > 100 for r in out)
+
+
+def test_anomaly_mad_zero_mad_guard(spark):
+    # constant series: MAD = 0 -> nothing flagged (no divide, no flood)
+    rows = [(i, datetime(2024, 3, 1, 0, i), 1, "a", 7.0) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import anomaly_mad
+
+    assert anomaly_mad(df).count() == 0
+
+
+def test_seasonal_anomaly_uses_slot_baseline(spark):
+    # hour 3 baseline is ~2.0 except one 100.0 burst; hour 12 runs at
+    # 100.0 constantly. A flat threshold would flag all of hour 12;
+    # the seasonal op flags only the out-of-profile 3 AM burst.
+    rows = []
+    eid = 0
+    for day in range(1, 11):
+        rows.append((eid, datetime(2024, 3, day, 3, 0), 1, "a", 2.0)); eid += 1
+        rows.append((eid, datetime(2024, 3, day, 12, 0), 1, "a", 100.0)); eid += 1
+    rows.append((900, datetime(2024, 3, 15, 3, 0), 1, "a", 100.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import seasonal_anomaly
+
+    out = seasonal_anomaly(df).collect()
+    assert [r["event_id"] for r in out] == [900]
+    assert out[0]["hod"] == 3 and out[0]["ratio"] > 3
+
+
+def test_level_shift_detects_step(spark):
+    # 30 points at 10.0 then 30 points at 80.0: the contrast windows
+    # straddling the step (and only those) fire; full-window guard
+    # keeps the series edges silent
+    rows = [(i, datetime(2024, 3, 1, 0, i), 1, "a", 10.0) for i in range(30)]
+    rows += [(30 + i, datetime(2024, 3, 1, 1, i), 1, "a", 80.0) for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import level_shift
+
+    out = level_shift(df, w=10, delta=30.0).collect()
+    ids = sorted(r["event_id"] for r in out)
+    # the exact-step row sees pre=10s, post=80s -> diff 70; windows
+    # fully inside either level never fire
+    assert 30 in ids
+    assert all(10 <= i <= 49 for i in ids)
+    step = next(r for r in out if r["event_id"] == 30)
+    assert (step["pre_avg"], step["post_avg"]) == (10.0, 80.0)
+    assert step["diff_c"] == 70000
