@@ -403,6 +403,162 @@ def neardup_components(
     )
 
 
+def cluster_representatives(
+    docs: DataFrame, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Canonical-document selection per near-duplicate cluster: where
+    :func:`neardup_components` labels clusters by MIN doc_id (an
+    arbitrary survivor), a curation pipeline keeps the BEST member —
+    here the longest document (max ``n_chars``, doc_id as tiebreak),
+    the common "keep the most complete variant" rule. Only clusters
+    with >= 2 members are reported (singletons have nothing to choose).
+
+    Plan: the component labels (one row per doc) join back to the doc
+    metadata, then ONE window pass partitioned by cluster_id computes
+    the member count and the deterministic argmax — no self-join, no
+    driver state. At 100 TB the window partitions by cluster ids whose
+    sizes are near-dup cluster sizes (small by construction); the
+    join-back is a shuffle on doc_id shared with the labeling rounds.
+
+    Returns ``(cluster_id, rep_id, n_docs, rep_chars)``.
+    """
+    comp = neardup_components(
+        pairs if pairs is not None else simhash_pairs(docs), docs
+    )
+    j = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    part = Window.partitionBy("cluster_id")
+    w = part.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    ranked = j.select(
+        "cluster_id",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w).alias("_rn"),
+        F.count("*").over(part).alias("n_docs"),
+    )
+    return ranked.where((F.col("_rn") == 1) & (F.col("n_docs") >= 2)).select(
+        "cluster_id",
+        F.col("doc_id").alias("rep_id"),
+        "n_docs",
+        F.col("n_chars").alias("rep_chars"),
+    )
+
+
+def minhash_estimate_error(
+    docs: DataFrame,
+    n_hashes: int = N_HASHES,
+    rows_per_band: int = LSH_ROWS,
+) -> DataFrame:
+    """MinHash accuracy attestation (the dedup-side sibling of the ANN
+    recall attestation): for every LSH candidate pair, the MinHash
+    Jaccard ESTIMATE next to the EXACT shingle-set Jaccard, both as
+    integer parts-per-million, plus the absolute error. This is the
+    measurement that justifies trusting :func:`minhash_lsh_pairs` at a
+    threshold — run it on a sample shard before committing a 100 TB
+    dedup pass to a (bands, rows, threshold) configuration.
+
+    Determinism: est_ppm = matching-components * 1e6 DIV n_hashes,
+    exact_ppm = |A∩B| * 1e6 DIV |A∪B| — integer arithmetic end to end,
+    no float anywhere.
+
+    Plan: candidates from the banded equi-join (never all pairs); the
+    exact intersection restricts the shingle inverted-index self-join
+    to candidate docs via a semi-join BEFORE the shuffle, so the
+    posting-list blowup is bounded by the candidate set, not the
+    corpus. Candidate pairs that share no shingle (pure band-hash
+    collisions) surface with exact_ppm = 0 instead of silently
+    dropping. Returns ``(doc_a, doc_b, est_ppm, exact_ppm, err_ppm)``.
+    """
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        shingles as _shingles,
+    )
+
+    wide = minhash_signatures_wide(docs, n_hashes).persist()
+    bsig = lsh_band_signatures(wide, rows_per_band, n_hashes)
+    b1 = bsig.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    b2 = bsig.select(
+        F.col("doc_id").alias("doc_b"), "band", F.col("sig").alias("sig_b")
+    )
+    cand = (
+        b1.join(
+            b2,
+            (b1["band"] == b2["band"])
+            & (b1["sig"] == b2["sig_b"])
+            & (b1["doc_a"] < b2["doc_b"]),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+        .persist()
+    )
+    wa = wide.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(n_hashes)],
+    )
+    wb = wide.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(n_hashes)],
+    )
+    k = functools.reduce(
+        operator.add,
+        [(F.col(f"a{j}") == F.col(f"b{j}")).cast("int") for j in range(n_hashes)],
+    )
+    # integer ppm via int64 floor division (`div` / DuckDB `//`) — the
+    # float path (floor of a double quotient) can land on the wrong
+    # side of an integer boundary; true integer division cannot
+    est = (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (k.cast("long") * 1000000).alias("_en"),
+        )
+        .select("doc_a", "doc_b", F.expr(f"_en div {n_hashes}").alias("est_ppm"))
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    shc = sh.join(cand_docs, "doc_id", "left_semi")
+    sa = shc.select(F.col("doc_id").alias("doc_a"), "s")
+    sb = shc.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    inter = (
+        sa.join(sb, (sa["s"] == sb["s_b"]) & (sa["doc_a"] < sb["doc_b"]))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    c0 = F.coalesce(F.col("c"), F.lit(0)).cast("long")
+    exact = (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_ppm",
+            (c0 * 1000000).alias("_xn"),
+            (F.col("na") + F.col("nb") - c0).cast("long").alias("_xd"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_ppm",
+            F.expr("_xn div _xd").alias("exact_ppm"),
+        )
+    )
+    return exact.select(
+        "doc_a",
+        "doc_b",
+        "est_ppm",
+        "exact_ppm",
+        F.abs(F.col("est_ppm") - F.col("exact_ppm")).alias("err_ppm"),
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.5,

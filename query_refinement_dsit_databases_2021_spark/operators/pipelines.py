@@ -424,6 +424,57 @@ def _wl_clusters(spark, sf_dir):
     return dedup.neardup_components(dedup.simhash_pairs(docs), docs)
 
 
+ORACLE_CLUSTER_REPS = f"""
+SELECT cluster_id, rep_id, n_docs, rep_chars FROM (
+  SELECT cc.cluster_id, d.doc_id AS rep_id, d.n_chars AS rep_chars,
+         CAST(count(*) OVER (PARTITION BY cc.cluster_id) AS BIGINT) AS n_docs,
+         row_number() OVER (PARTITION BY cc.cluster_id
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rn
+  FROM ({ORACLE_CLUSTERS}) cc JOIN documents d USING (doc_id)) t
+WHERE rn = 1 AND n_docs >= 2
+ORDER BY cluster_id"""
+
+
+def _wl_cluster_reps(spark, sf_dir):
+    return dedup.cluster_representatives(_docs(spark, sf_dir))
+
+
+ORACLE_MINHASH_EST = f"""
+WITH {SQL_SHINGLES},
+{SQL_SHINGLE_HASHES},
+wide AS (SELECT doc_id, {_MH_MINS} FROM shr GROUP BY doc_id),
+bsig AS ({_MH_BANDS}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bsig a JOIN bsig b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+est AS (
+  SELECT doc_a, doc_b,
+         ({_MH_EQ})::BIGINT * 1000000 // {N_HASHES} AS est_ppm
+  FROM cand
+  JOIN wide wa ON wa.doc_id = doc_a
+  JOIN wide wb ON wb.doc_id = doc_b),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT e.doc_a, e.doc_b, e.est_ppm,
+       coalesce(i.c, 0) * 1000000
+         // (na.n + nb.n - coalesce(i.c, 0)) AS exact_ppm,
+       abs(e.est_ppm - coalesce(i.c, 0) * 1000000
+         // (na.n + nb.n - coalesce(i.c, 0))) AS err_ppm
+FROM est e
+LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+JOIN sizes na ON na.doc_id = e.doc_a
+JOIN sizes nb ON nb.doc_id = e.doc_b
+ORDER BY e.doc_a, e.doc_b"""
+
+
+def _wl_minhash_est(spark, sf_dir):
+    return dedup.minhash_estimate_error(_docs(spark, sf_dir))
+
+
 def _wl_langid(spark, sf_dir):
     return textops.langid_predictions(_docs(spark, sf_dir))
 
@@ -937,6 +988,8 @@ def pipeline_workloads():
         ("pipe_dedup_ngram_jaccard", _wl_jaccard, ORACLE_JACCARD_CAPPED, True),
         ("pipe_dedup_ngram_jaccard_exact", _wl_jaccard_exact, ORACLE_JACCARD, False),
         ("pipe_dedup_clusters", _wl_clusters, ORACLE_CLUSTERS, False),
+        ("pipe_cluster_reps", _wl_cluster_reps, ORACLE_CLUSTER_REPS, False),
+        ("pipe_minhash_est_error", _wl_minhash_est, ORACLE_MINHASH_EST, False),
         ("pipe_dedup_passages", _wl_passages, ORACLE_PASSAGES, False),
         ("pipe_text_quality", _wl_quality, ORACLE_QUALITY, False),
         ("pipe_text_token_stats", _wl_token_stats, ORACLE_TOKEN_STATS, False),

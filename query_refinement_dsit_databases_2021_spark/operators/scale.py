@@ -24,7 +24,7 @@ results are replay-stable and oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 DEFAULT_SALTS = 16
@@ -177,6 +177,59 @@ def zorder_layout(
 
 # ---------------------------------------------------------------------------
 
+def skew_profile(df: DataFrame, key: str, top_k: int = 20) -> DataFrame:
+    """Join-key skew diagnostics: the measurement that decides whether
+    a key needs :func:`salted_join` / AQE skew handling at all. Returns
+    the ``top_k`` heaviest key values with their absolute count and
+    corpus share — the "does one reducer eat this shuffle" report.
+
+    Plan: ONE map-combinable groupBy(key) (the per-key count is tiny
+    after partial aggregation no matter how hot the key), top-k via
+    orderBy+limit (TakeOrderedAndProject — never a global sort of the
+    key space), the corpus total as a 1-row broadcast joined in (no
+    separate driver-side count job), and the rank window runs over the
+    ≤ top_k surviving rows only. Shares are integer parts-per-million
+    (``cnt * 1e6 DIV total`` — exact while cnt < 2^63/1e6 ≈ 9e12 rows
+    per key; beyond that divide first). Returns
+    ``(rnk, k, cnt, share_ppm)``.
+    """
+    counts = df.groupBy(F.col(key).alias("k")).agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    top = (
+        counts.orderBy(F.col("cnt").desc(), F.col("k").asc())
+        .limit(top_k)
+        .join(F.broadcast(total))
+    )
+    rnk = F.row_number().over(
+        Window.orderBy(F.col("cnt").desc(), F.col("k").asc())
+    )
+    return top.select(
+        rnk.alias("rnk"),
+        "k",
+        "cnt",
+        F.expr("cnt * 1000000 DIV _total").alias("share_ppm"),
+    )
+
+
+def _wl_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    return skew_profile(spark.table("events"), "user_id", top_k=20)
+
+
+ORACLE_SKEW_PROFILE = """
+WITH counts AS (
+  SELECT user_id AS k, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, k) AS INTEGER) AS rnk,
+       k, cnt, cnt * 1000000 // total AS share_ppm
+FROM counts, tot
+ORDER BY cnt DESC, k LIMIT 20
+"""
+
+
 def _wl_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from query_refinement_dsit_databases_2021_spark.workloads import register_views
 
@@ -236,4 +289,5 @@ def scale_workloads():
         Workload("ops_salted_join", _wl_salted_join, ORACLE_SALTED_JOIN),
         Workload("ops_salted_distinct", _wl_salted_distinct, ORACLE_SALTED_DISTINCT),
         Workload("ops_zorder_key", _wl_zorder_key, ORACLE_ZORDER_KEY),
+        Workload("ops_skew_profile", _wl_skew_profile, ORACLE_SKEW_PROFILE),
     ]

@@ -533,3 +533,40 @@ def test_gopher_rules_each_rule_fires(spark):
     assert got[4]["ok_symbols"] == 0 and got[4]["ok_alpha"] == 0
     assert got[5]["ok_stop"] == 0 and got[5]["keep"] == 0
     assert got[6]["ok_lines"] == 0 and got[6]["keep"] == 0
+
+
+def test_cluster_representatives_picks_longest(spark):
+    # docs 1/2/3 form one near-dup cluster (identical text -> simhash
+    # hamming 0); doc 3 is padded longest so it must be the rep even
+    # though doc 1 is the min-id canonical label
+    rows = [
+        (1, "a b c d e f g h", 8),
+        (2, "a b c d e f g h", 8),
+        (3, "a b c d e f g h x", 9),
+        (9, "totally different words here now ok fine", 40),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    out = dedup.cluster_representatives(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["cluster_id"], r["rep_id"], r["n_docs"], r["rep_chars"]) == (
+        1, 3, 3, 9,
+    )
+
+
+def test_minhash_estimate_error_exact_on_identical(spark):
+    # identical docs: every signature component matches (est = 1e6 ppm)
+    # and the exact shingle jaccard is also 1e6 ppm -> error 0
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f g h i j"),
+        (3, "k l m n o p q r s t"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["doc_a"], r["doc_b"]): r for r in dedup.minhash_estimate_error(docs).collect()}
+    assert (1, 2) in out
+    r = out[(1, 2)]
+    assert (r["est_ppm"], r["exact_ppm"], r["err_ppm"]) == (1000000, 1000000, 0)
+    # est/exact/err are integers for every pair (ppm contract)
+    for r in out.values():
+        assert r["err_ppm"] == abs(r["est_ppm"] - r["exact_ppm"])

@@ -161,3 +161,17 @@ def test_zorder_layout_prunes_non_leading_dim(spark):
     )
     assert n_lex == lex_files  # every x-stripe spans all of y
     assert n_zed <= zed_files // 2, (n_zed, zed_files, n_lex, lex_files)
+
+
+def test_skew_profile_ranks_and_shares(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.scale import skew_profile
+
+    # key 'hot' holds 6 of 10 rows -> 600000 ppm, rank 1
+    rows = [(i, "hot" if i < 6 else f"k{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    out = skew_profile(df, "k", top_k=3).collect()
+    assert [r["rnk"] for r in out] == [1, 2, 3]
+    top = out[0]
+    assert (top["k"], top["cnt"], top["share_ppm"]) == ("hot", 6, 600000)
+    # ties (all cnt=1) break on key ascending
+    assert [r["k"] for r in out[1:]] == ["k6", "k7"]
