@@ -194,7 +194,11 @@ def skew_profile(df: DataFrame, key: str, top_k: int = 20) -> DataFrame:
     ``(rnk, k, cnt, share_ppm)``.
     """
     counts = df.groupBy(F.col(key).alias("k")).agg(F.count("*").alias("cnt"))
-    total = counts.agg(F.sum("cnt").alias("_total"))
+    # grand total as count(*) over the INPUT, not sum over `counts`: the
+    # latter duplicates the groupBy subtree (two hash exchanges); this
+    # form is a zero-column scan (parquet answers it from footer
+    # metadata) + a map-side partial-count gather — no shuffle at all
+    total = df.agg(F.count("*").alias("_total"))
     top = (
         counts.orderBy(F.col("cnt").desc(), F.col("k").asc())
         .limit(top_k)

@@ -334,3 +334,50 @@ def test_round3_operator_exchange_budgets(pdocs, pevents, spark, tmp_path_factor
     ).write.parquet(path)
     op = _plan(embedding_outliers(spark.read.parquet(path)))
     assert op.count("Exchange hashpartitioning") == 0
+
+
+def test_round3b_operator_exchange_budgets(pdocs, pevents):
+    from query_refinement_dsit_databases_2021_spark.operators.dedup import (
+        minhash_estimate_error,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.scale import (
+        skew_profile,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        anomaly_mad,
+        level_shift,
+        seasonal_anomaly,
+    )
+
+    # skew profiler: ONE groupBy exchange; top-k must be
+    # TakeOrderedAndProject (never a global Sort of the key space);
+    # the corpus total arrives via broadcast, not a second shuffle
+    sp = _plan(skew_profile(pevents, "user_id"))
+    assert "TakeOrderedAndProject" in sp
+    assert sp.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in sp
+
+    # MAD anomaly: median sort-aggs joined back via broadcast — the
+    # med subtree is consumed twice (MAD input + final stats), so its
+    # partial-agg-sized exchange appears twice plus MAD's own: 3 hash
+    # exchanges, each carrying ~|keys| rows per task; what matters is
+    # no sort-merge join / NLJ ever touches the event-sized side
+    mp = _plan(anomaly_mad(pevents))
+    assert mp.count("Exchange hashpartitioning") <= 3
+    assert "SortMergeJoin" not in mp and "CartesianProduct" not in mp
+
+    # seasonal baseline: ONE map-combinable profile agg, broadcast back
+    sa = _plan(seasonal_anomaly(pevents))
+    assert sa.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in sa
+
+    # level shift: both contrast frames share ONE window sort per key
+    lp = _plan(level_shift(pevents))
+    assert lp.count("Exchange hashpartitioning") == 1
+    assert lp.count("Window") == 1
+
+    # minhash attestation: banded candidate join + candidate-restricted
+    # exact intersection — equi-joins only, never a cross product
+    ep = _plan(minhash_estimate_error(pdocs))
+    assert "CartesianProduct" not in ep
+    assert "BroadcastNestedLoopJoin" not in ep

@@ -78,6 +78,23 @@ NOTES = {
         "inside ONE WholeStageCodegen projection over higher-order "
         "array functions — the filter fuses into the scan."
     ),
+    "ops_skew_profile": (
+        "ONE map-combinable groupBy(key) exchange; top-k is "
+        "TakeOrderedAndProject (never a global sort of the key space); "
+        "the corpus total is a zero-column parquet count (footer "
+        "metadata) broadcast in — the rank window runs over <= k rows."
+    ),
+    "ts_level_shift": (
+        "Both contrast frames (w-preceding / w-following sums + counts) "
+        "ride ONE hash(key) window exchange; flag compare is int64 on "
+        "exact cents sums; no joins anywhere."
+    ),
+    "pipe_minhash_est_error": (
+        "Banded (band,sig) candidate equi-join, then the exact-Jaccard "
+        "intersection self-join is SEMI-RESTRICTED to candidate docs "
+        "before its shuffle — posting-list work bounded by the "
+        "candidate set; all-integer ppm output, no Cartesian/NLJ."
+    ),
     "ts_cross_corr": (
         "Daily cents agg (map-combinable) -> lag-spine broadcast "
         "(<= max_lag+1 rows, the only NLJ) -> day equi-join -> per-lag "
