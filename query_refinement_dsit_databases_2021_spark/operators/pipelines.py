@@ -744,6 +744,26 @@ def _wl_lm_score(spark, sf_dir):
     return textops.bigram_lm_scores(_docs(spark, sf_dir))
 
 
+ORACLE_CCNET_BUCKETS = f"""
+WITH lm AS ({ORACLE_LM_SCORE.replace("ORDER BY bg.doc_id", "")}),
+t AS (
+  SELECT d.lang, lm.avg_logp,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY lm.avg_logp DESC, lm.doc_id) AS tercile
+  FROM lm JOIN documents d USING (doc_id))
+SELECT lang, CAST(tercile AS INTEGER) AS tercile,
+       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(avg_logp) AS lo_logp, max(avg_logp) AS hi_logp
+FROM t GROUP BY lang, tercile
+ORDER BY lang, tercile"""
+
+
+def _wl_ccnet_buckets(spark, sf_dir):
+    return textops.ccnet_quality_buckets(_docs(spark, sf_dir))
+
+
 _PAS_P = dedup.PASSAGE_TOKENS
 ORACLE_PASSAGES = f"""
 WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -997,6 +1017,7 @@ def pipeline_workloads():
         ("pipe_text_fingerprints", _wl_fingerprints, ORACLE_FINGERPRINTS, False),
         ("pipe_text_repetition", _wl_repetition, ORACLE_REPETITION, False),
         ("pipe_text_lm_score", _wl_lm_score, ORACLE_LM_SCORE, False),
+        ("pipe_quality_ccnet_buckets", _wl_ccnet_buckets, ORACLE_CCNET_BUCKETS, False),
         ("pipe_filter_boilerplate", _wl_boilerplate, ORACLE_BOILERPLATE, False),
         ("pipe_filter_gopher", _wl_gopher, ORACLE_GOPHER, False),
         ("pipe_ngram_topk", _wl_ngram_topk, ORACLE_NGRAM_TOPK, False),

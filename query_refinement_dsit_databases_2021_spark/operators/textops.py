@@ -519,6 +519,53 @@ def bigram_lm_scores(docs: DataFrame) -> DataFrame:
     )
 
 
+def ccnet_quality_buckets(docs: DataFrame) -> DataFrame:
+    """CCNet-style quality bucketing: rank each language's documents by
+    the corpus-trained LM score (:func:`bigram_lm_scores`) and split
+    into head / middle / tail terciles — the published recipe keeps
+    "head" for pretraining, samples "middle", and drops or reweights
+    "tail". Per-language terciles matter: a global cut would assign
+    whole low-resource languages to the tail purely because their
+    n-gram statistics are thinner.
+
+    Determinism: the tercile window orders by the 6-dp-rounded score
+    (identical on both engines) with doc_id as tiebreak; ntile's
+    remainder-to-leading-tiles split is SQL-standard on both. Output is
+    the per-bucket summary (order-free min/max over rounded scores).
+
+    Scale shape: everything rides the LM-score joins; the added window
+    partitions by language — per-language sorts, no global order.
+    Returns ``(lang, tercile, bucket, n_docs, lo_logp, hi_logp)``.
+    """
+    scores = bigram_lm_scores(docs)
+    j = scores.join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logp").desc(), F.col("doc_id").asc()
+    )
+    named = F.element_at(
+        F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+        F.col("tercile"),
+    )
+    return (
+        j.select("lang", "avg_logp", F.ntile(3).over(w).alias("tercile"))
+        .groupBy("lang", "tercile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("avg_logp").alias("lo_logp"),
+            F.max("avg_logp").alias("hi_logp"),
+        )
+        .select(
+            "lang",
+            "tercile",
+            named.alias("bucket"),
+            "n_docs",
+            "lo_logp",
+            "hi_logp",
+        )
+        .orderBy("lang", "tercile")
+    )
+
+
 def normalize_text(docs: DataFrame) -> DataFrame:
     """Canonical text normalization — the map-only pass that precedes
     dedup/tokenization (unnormalized text defeats exact dedup):

@@ -193,6 +193,48 @@ def interval_join(
     return c.join(p, cond, "inner").select("left_id", "right_id", "user_id")
 
 
+def interval_join_outer(
+    left: DataFrame,
+    right: DataFrame,
+    max_lag: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the conversion-
+    accounting form of :func:`interval_join`: every left event emits,
+    paired with each in-window right event or null-padded if none
+    arrives. In streaming, the null-padded row can only be emitted
+    once the right watermark passes ``left_ts + max_lag`` (the engine
+    must prove no match can still arrive), so unmatched results trail
+    by the lag + watermark delay — the price of a correct "never
+    converted" verdict on an unbounded stream. Batch input gives the
+    same rows eagerly (the oracle's form).
+
+    State/shuffle shape is identical to the inner form (hash on
+    user_id, watermark-bounded state); ``converted`` is an int flag so
+    downstream rollups are map-combinable sums."""
+    c = left.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("left_id"),
+        F.col("user_id").alias("left_user"),
+        F.col("ts").alias("left_ts"),
+    )
+    p = right.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("right_id"),
+        "user_id",
+        F.col("ts").alias("right_ts"),
+    )
+    cond = (
+        (F.col("left_user") == F.col("user_id"))
+        & (F.col("right_ts") >= F.col("left_ts"))
+        & (F.col("right_ts") < F.col("left_ts") + F.expr(f"INTERVAL {max_lag}"))
+    )
+    return c.join(p, cond, "left_outer").select(
+        "left_id",
+        F.col("left_user").alias("user_id"),
+        "right_id",
+        F.col("right_id").isNotNull().cast("int").alias("converted"),
+    )
+
+
 def trending_counts(
     events: DataFrame,
     window: str = "10 minutes",
@@ -300,6 +342,19 @@ JOIN events p ON c.user_id = p.user_id
 WHERE c.event_type = 'click' AND p.event_type = 'purchase'
 ORDER BY left_id, right_id"""
 
+# left-outer interval join: each click with its in-window purchases,
+# or one null-padded row if none. Cross-engine NULL ordering is safe
+# because a left_id group is either all-non-null or a single null row —
+# NULLS FIRST/LAST never reorders within a group.
+ORACLE_INTERVAL_JOIN_OUTER = """
+SELECT c.event_id AS left_id, c.user_id, p.event_id AS right_id,
+       (p.event_id IS NOT NULL)::INT AS converted
+FROM events c
+LEFT JOIN events p ON c.user_id = p.user_id AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL '2 hours'
+WHERE c.event_type = 'click'
+ORDER BY left_id, right_id"""
+
 # batch analogue of dedup_within_watermark with a span-covering delay:
 # the surviving key set is exactly DISTINCT over the keys
 ORACLE_DEDUP_KEYS = """
@@ -345,6 +400,15 @@ def _wl_sessionized(spark, sf_dir):
 def _wl_interval_join(spark, sf_dir):
     ev = _events(spark, sf_dir)
     return interval_join(
+        ev.where("event_type = 'click'"),
+        ev.where("event_type = 'purchase'"),
+        max_lag="2 hours",
+    ).orderBy("left_id", "right_id")
+
+
+def _wl_interval_join_outer(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return interval_join_outer(
         ev.where("event_type = 'click'"),
         ev.where("event_type = 'purchase'"),
         max_lag="2 hours",
@@ -426,6 +490,12 @@ def streaming_workloads():
         ),
         Workload("stream_sessionized", _wl_sessionized, ORACLE_SESSIONIZED, False),
         Workload("stream_interval_join", _wl_interval_join, ORACLE_INTERVAL_JOIN, False),
+        Workload(
+            "stream_interval_join_outer",
+            _wl_interval_join_outer,
+            ORACLE_INTERVAL_JOIN_OUTER,
+            False,
+        ),
         Workload("stream_dedup_keys", _wl_dedup_keys, ORACLE_DEDUP_KEYS, False),
         Workload(
             "stream_trending_topk", _wl_trending_topk, ORACLE_TRENDING_TOPK, False

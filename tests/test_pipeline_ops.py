@@ -570,3 +570,26 @@ def test_minhash_estimate_error_exact_on_identical(spark):
     # est/exact/err are integers for every pair (ppm contract)
     for r in out.values():
         assert r["err_ppm"] == abs(r["est_ppm"] - r["exact_ppm"])
+
+
+def test_ccnet_quality_buckets_terciles(spark):
+    # 6 docs per lang -> terciles of 2; fluent docs (repeating common
+    # bigrams) must land in head, unique-bigram docs in tail
+    rows = []
+    did = 0
+    for lang in ("en", "fr"):
+        for i in range(4):
+            rows.append((did, "the cat sat on the mat", lang)); did += 1
+        rows.append((did, f"zq{lang} xw yv uk tj ri", lang)); did += 1
+        rows.append((did, f"aa{lang} bb cc dd ee ff", lang)); did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = textops.ccnet_quality_buckets(docs).collect()
+    by = {(r["lang"], r["tercile"]): r for r in out}
+    for lang in ("en", "fr"):
+        assert [by[(lang, t)]["bucket"] for t in (1, 2, 3)] == [
+            "head", "middle", "tail",
+        ]
+        assert sum(by[(lang, t)]["n_docs"] for t in (1, 2, 3)) == 6
+        # scores are non-increasing across terciles
+        assert by[(lang, 1)]["lo_logp"] >= by[(lang, 2)]["hi_logp"]
+        assert by[(lang, 2)]["lo_logp"] >= by[(lang, 3)]["hi_logp"]

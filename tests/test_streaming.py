@@ -279,3 +279,58 @@ def test_enrich_with_static_stream_matches_batch(spark, events_dir):
         for r in W.enrich_with_static(_batch_events(spark, events_dir), dim).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_interval_join_outer_matches_batch_on_closed_region(spark, events_dir):
+    # LEFT OUTER interval join: matched rows emit eagerly, but a
+    # null-padded (never-converted) row emits only once the watermark
+    # proves no match can arrive — left events near the end of input
+    # never close, so exact parity holds on the watermark-closed region
+    lag, wm = "2 hours", "2 hours"
+    stream = W.read_event_stream(spark, events_dir)
+    joined = W.interval_join_outer(
+        stream.where("event_type = 'click'"),
+        stream.where("event_type = 'purchase'"),
+        max_lag=lag,
+        watermark=wm,
+    )
+    W.run_to_memory_sink(joined, "ijo", output_mode="append")
+    got = {tuple(r) for r in spark.table("ijo").collect()}
+    batch = _batch_events(spark, events_dir)
+    expected = {
+        tuple(r)
+        for r in W.interval_join_outer(
+            batch.where("event_type = 'click'"),
+            batch.where("event_type = 'purchase'"),
+            max_lag=lag,
+        ).collect()
+    }
+    # matched pairs: streaming result is exactly the batch inner rows
+    got_matched = {t for t in got if t[3] == 1}
+    exp_matched = {t for t in expected if t[3] == 1}
+    assert got_matched == exp_matched and len(got_matched) > 0
+    # closed region: the watermark advances at the END of a micro-batch
+    # and applies to the NEXT one, so events in the final file never
+    # raise the applied watermark — the effective final watermark is
+    # max(ts over all but the last slice) - delay. Every left event
+    # whose match window closed before that must agree exactly
+    # (including the null-padded non-conversions)
+    import glob
+
+    slices = sorted(glob.glob(f"{events_dir}/*.parquet"))
+    wm_base = (
+        spark.read.parquet(*slices[:-1]).agg(F.max("ts")).collect()[0][0]
+    )
+    closed = {
+        r["event_id"]
+        for r in batch.where(
+            (F.col("event_type") == "click")
+            & (F.col("ts") < F.lit(wm_base) - F.expr("INTERVAL 5 hours"))
+        ).collect()
+    }
+    got_closed = {t for t in got if t[0] in closed}
+    exp_closed = {t for t in expected if t[0] in closed}
+    assert got_closed == exp_closed
+    # and the closed region must actually contain non-conversions,
+    # else the interesting branch went untested
+    assert any(t[3] == 0 for t in exp_closed)
