@@ -483,6 +483,22 @@ def _wl_fingerprints(spark, sf_dir):
     return textops.fingerprints(_docs(spark, sf_dir))
 
 
+ORACLE_LANGID_CONFUSION = f"""
+WITH p AS ({ORACLE_LANGID}),
+cells AS (
+  SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+  FROM p GROUP BY 1, 2)
+SELECT actual, predicted, n,
+       n * 1000000
+         // CAST(sum(n) OVER (PARTITION BY actual) AS BIGINT) AS share_ppm
+FROM cells
+ORDER BY actual, predicted"""
+
+
+def _wl_langid_confusion(spark, sf_dir):
+    return textops.langid_confusion(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # End-to-end curation chain: quality filter -> exact dedup (survivors)
 # -> deterministic split -> per-split corpus stats, as ONE dataflow.
@@ -1014,6 +1030,12 @@ def pipeline_workloads():
         ("pipe_text_quality", _wl_quality, ORACLE_QUALITY, False),
         ("pipe_text_token_stats", _wl_token_stats, ORACLE_TOKEN_STATS, False),
         ("pipe_text_langid", _wl_langid, ORACLE_LANGID, False),
+        (
+            "pipe_langid_confusion",
+            _wl_langid_confusion,
+            ORACLE_LANGID_CONFUSION,
+            False,
+        ),
         ("pipe_text_fingerprints", _wl_fingerprints, ORACLE_FINGERPRINTS, False),
         ("pipe_text_repetition", _wl_repetition, ORACLE_REPETITION, False),
         ("pipe_text_lm_score", _wl_lm_score, ORACLE_LM_SCORE, False),

@@ -234,6 +234,70 @@ ORDER BY cnt DESC, k LIMIT 20
 """
 
 
+def column_stats(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ANALYZE-style column statistics — the stats a cost-based
+    optimizer (or a layout decision: bucket count, Z-order dims,
+    partition key choice) is fed: per-column min/max (integer cents),
+    exact distinct count, and null count, in ONE pass.
+
+    Plan: a single aggregate computes every column's four stats; the
+    exact NDVs make Spark expand the input once per distinct-column
+    (the standard Expand plan) — the honest cost of exact NDV. At
+    100 TB swap ``countDistinct`` for ``approx_count_distinct`` (HLL,
+    map-combinable, one pass, ~2% error) — the layout decisions this
+    feeds don't need exact cardinalities; exact is kept here because
+    the oracle contract demands determinism. Output is unpivoted to
+    one row per column via ``stack`` on the 1-row aggregate (driver-
+    side cost: |cols| rows).
+
+    Returns ``(col, lo_c, hi_c, ndv, n_nulls)`` ordered by col.
+    """
+    cents = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long")  # noqa: E731
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(cents(c)).alias(f"_lo_{c}"),
+            F.max(cents(c)).alias(f"_hi_{c}"),
+            F.countDistinct(F.col(c)).alias(f"_nd_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_nn_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', _lo_{c}, _hi_{c}, _nd_{c}, _nn_{c}" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (col, lo_c, hi_c, ndv, n_nulls)"
+    ).orderBy("col")
+
+
+def _wl_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    return column_stats(
+        spark.table("lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+
+def _column_stats_oracle(cols: list[str]) -> str:
+    parts = [
+        f"""SELECT '{c}' AS col,
+       floor(min({c}) * 100 + 0.5)::BIGINT AS lo_c,
+       floor(max({c}) * 100 + 0.5)::BIGINT AS hi_c,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls
+FROM lineitem"""
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts) + "\nORDER BY col"
+
+
+ORACLE_COLUMN_STATS = _column_stats_oracle(
+    ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+)
+
+
 def _wl_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from query_refinement_dsit_databases_2021_spark.workloads import register_views
 
@@ -294,4 +358,5 @@ def scale_workloads():
         Workload("ops_salted_distinct", _wl_salted_distinct, ORACLE_SALTED_DISTINCT),
         Workload("ops_zorder_key", _wl_zorder_key, ORACLE_ZORDER_KEY),
         Workload("ops_skew_profile", _wl_skew_profile, ORACLE_SKEW_PROFILE),
+        Workload("ops_column_stats", _wl_column_stats, ORACLE_COLUMN_STATS),
     ]

@@ -519,6 +519,36 @@ def bigram_lm_scores(docs: DataFrame) -> DataFrame:
     )
 
 
+def langid_confusion(docs: DataFrame, top_n: int = 20) -> DataFrame:
+    """Confusion matrix over :func:`langid_predictions` — the
+    evaluation surface for the classifier: per (actual, predicted)
+    cell count plus its integer-ppm share of the actual-language row
+    (the diagonal's share IS per-language recall). Run it per corpus
+    snapshot to catch profile drift before a mislabeled language
+    poisons a remix budget.
+
+    Plan: one groupBy over the prediction stream (|langs|² cells at
+    most), row shares via a window over those cells — post-aggregate
+    work is |langs|²-sized regardless of corpus size.
+    Returns ``(actual, predicted, n, share_ppm)``.
+    """
+    pred = langid_predictions(docs, top_n)
+    cells = pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("actual")
+    return (
+        cells.withColumn("_t", F.sum("n").over(w))
+        .select(
+            "actual",
+            "predicted",
+            "n",
+            F.expr("n * 1000000 div _t").alias("share_ppm"),
+        )
+        .orderBy("actual", "predicted")
+    )
+
+
 def ccnet_quality_buckets(docs: DataFrame) -> DataFrame:
     """CCNet-style quality bucketing: rank each language's documents by
     the corpus-trained LM score (:func:`bigram_lm_scores`) and split

@@ -593,3 +593,16 @@ def test_ccnet_quality_buckets_terciles(spark):
         # scores are non-increasing across terciles
         assert by[(lang, 1)]["lo_logp"] >= by[(lang, 2)]["hi_logp"]
         assert by[(lang, 2)]["lo_logp"] >= by[(lang, 3)]["hi_logp"]
+
+
+def test_langid_confusion_diagonal_recall(spark):
+    # two languages with disjoint vocab: perfect prediction -> only
+    # diagonal cells, each with share_ppm = 1000000
+    rows = [(i, "aaa bbb ccc ddd eee fff", "en") for i in range(5)]
+    rows += [(10 + i, "uuu vvv www xxx yyy zzz", "fr") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = textops.langid_confusion(docs).collect()
+    assert {(r["actual"], r["predicted"]) for r in out} == {
+        ("en", "en"), ("fr", "fr"),
+    }
+    assert all(r["share_ppm"] == 1000000 and r["n"] == 5 for r in out)

@@ -175,3 +175,14 @@ def test_skew_profile_ranks_and_shares(spark):
     assert (top["k"], top["cnt"], top["share_ppm"]) == ("hot", 6, 600000)
     # ties (all cnt=1) break on key ascending
     assert [r["k"] for r in out[1:]] == ["k6", "k7"]
+
+
+def test_column_stats_one_pass_exact(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.scale import column_stats
+
+    rows = [(1.0, None), (2.5, 4.0), (2.5, 4.0), (-1.25, None)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    out = {r["col"]: r for r in column_stats(df, ["a", "b"]).collect()}
+    a, b = out["a"], out["b"]
+    assert (a["lo_c"], a["hi_c"], a["ndv"], a["n_nulls"]) == (-125, 250, 3, 0)
+    assert (b["lo_c"], b["hi_c"], b["ndv"], b["n_nulls"]) == (400, 400, 1, 2)
