@@ -465,3 +465,85 @@ def test_scd2_matches_python_reference(spark, events):
             a[1] = b[0]
         want += [(u, r[0], r[1], r[2], r[3]) for r in runs]
     assert got == sorted(want, key=key)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.0, max_value=200.0, allow_nan=False, width=16),
+        min_size=8,
+        max_size=40,
+    )
+)
+def test_anomaly_mad_matches_numpy_oracle(spark, vals):
+    # brute NumPy mirror of the integer-cents median/MAD contract:
+    # same rows flagged, same 4-dp robust z
+    import numpy as np
+    from datetime import datetime, timedelta
+
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        anomaly_mad,
+    )
+
+    t0 = datetime(2024, 3, 1)
+    rows = [
+        (i, t0 + timedelta(minutes=i), 1, "a", float(v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    got = {
+        r["event_id"]: r["rz"] for r in anomaly_mad(df, threshold=2.0).collect()
+    }
+    c = np.floor(np.array(vals) * 100 + 0.5)
+    med = np.median(c)
+    mad = np.median(np.abs(c - med))
+    want = {}
+    if mad > 0:
+        thr = round(2.0 * 14826)
+        for i, ci in enumerate(c):
+            if abs(ci - med) * 10000 > thr * mad:
+                want[i] = np.floor((ci - med) / (1.4826 * mad) * 1e4 + 0.5) / 1e4
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.0, max_value=100.0, allow_nan=False, width=16),
+        min_size=10,
+        max_size=60,
+    ),
+    w=st.integers(2, 6),
+)
+def test_level_shift_matches_numpy_oracle(spark, vals, w):
+    import numpy as np
+    from datetime import datetime, timedelta
+
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        level_shift,
+    )
+
+    t0 = datetime(2024, 3, 1)
+    rows = [
+        (i, t0 + timedelta(minutes=i), 1, "a", float(v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    delta = 10.0
+    got = {r["event_id"]: r["diff_c"] for r in level_shift(df, w=w, delta=delta).collect()}
+    c = np.floor(np.array(vals) * 100 + 0.5).astype(np.int64)
+    want = {}
+    for i in range(len(c)):
+        if i - w < 0 or i + w > len(c):
+            continue
+        pre = int(c[i - w:i].sum())
+        post = int(c[i:i + w].sum())
+        if abs(post - pre) >= round(delta * 100) * w:
+            want[i] = post - pre
+    assert got == want
