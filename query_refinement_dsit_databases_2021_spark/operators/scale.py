@@ -298,6 +298,122 @@ ORACLE_COLUMN_STATS = _column_stats_oracle(
 )
 
 
+def corr_matrix(df: DataFrame, cols_scales: list[tuple[str, int]]) -> DataFrame:
+    """Pairwise Pearson correlation matrix over numeric columns — the
+    profiling companion to :func:`column_stats` (feeds Z-order dimension
+    choice: correlated dimensions waste interleaved bits, SCALE.md).
+
+    Determinism: each column is quantized to integers at a per-column
+    scale chosen so the five Pearson sums stay inside int64 (the
+    ``cross_correlation`` idiom); only the final closed form is float —
+    one identical IEEE expression per pair, floor-quantized at 6 dp.
+
+    Plan: ONE map-combinable aggregate computes every n/sum/sum-of-
+    squares/cross-product (|cols| + |cols|² terms, all partial-agg
+    friendly), then the |pairs| output rows unpivot from the 1-row
+    result. Int64 headroom applies to the moment SUMS
+    (sum(x²) <= n·(scale·max)²; at 10^12 rows keep scale·max under
+    ~3·10^3); the closed-form products run 128-bit on both engines
+    (decimal(38,0) ↔ HUGEINT) so they never overflow first. Returns ``(col_a, col_b, n, r)``.
+    """
+    qs = {c: F.floor(F.col(c) * s + F.lit(0.5)).cast("long") for c, s in cols_scales}
+    cols = [c for c, _ in cols_scales]
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(qs[c]).alias(f"_s_{c}"))
+        aggs.append(F.sum(qs[c] * qs[c]).alias(f"_ss_{c}"))
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(F.sum(qs[a] * qs[b]).alias(f"_sp_{a}_{b}"))
+    one = df.agg(*aggs)
+    outs = []
+    # the closed-form products (n*sxy, n*sxx, sx*sy) overflow int64 at
+    # real row counts even when the moment SUMS fit — mirror DuckDB's
+    # HUGEINT arithmetic with decimal(38,0): both are 128-bit exact, so
+    # the single CAST AS DOUBLE sees the identical integer on both
+    # engines and rounds identically (IEEE nearest)
+    D = "decimal(38,0)"
+
+    def _d(name: str):
+        return F.col(name).cast(D)
+
+    for a, b in pairs:
+        num = (
+            _d("_n") * _d(f"_sp_{a}_{b}") - _d(f"_s_{a}") * _d(f"_s_{b}")
+        ).cast("double")
+        den = F.sqrt(
+            (_d("_n") * _d(f"_ss_{a}") - _d(f"_s_{a}") * _d(f"_s_{a}")).cast(
+                "double"
+            )
+        ) * F.sqrt(
+            (_d("_n") * _d(f"_ss_{b}") - _d(f"_s_{b}") * _d(f"_s_{b}")).cast(
+                "double"
+            )
+        )
+        r6 = F.floor(num / den * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        outs.append(
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col("_n").alias("n"),
+                r6.alias("r"),
+            )
+        )
+    return (
+        one.select(F.explode(F.array(*outs)).alias("e"))
+        .select("e.col_a", "e.col_b", "e.n", "e.r")
+        .orderBy("col_a", "col_b")
+    )
+
+
+_CORR_COLS = [
+    ("l_quantity", 100),
+    ("l_extendedprice", 1),
+    ("l_discount", 100),
+    ("l_tax", 100),
+]
+
+
+def _wl_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    return corr_matrix(spark.table("lineitem"), _CORR_COLS)
+
+
+def _corr_matrix_oracle(cols_scales: list[tuple[str, int]]) -> str:
+    q = {c: f"floor({c} * {s} + 0.5)::BIGINT" for c, s in cols_scales}
+    cols = [c for c, _ in cols_scales]
+    sums = ["CAST(count(*) AS BIGINT) AS n"]
+    for c in cols:
+        sums.append(f"CAST(sum({q[c]}) AS BIGINT) AS s_{c}")
+        sums.append(f"CAST(sum({q[c]} * {q[c]}) AS BIGINT) AS ss_{c}")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    for a, b in pairs:
+        sums.append(f"CAST(sum({q[a]} * {q[b]}) AS BIGINT) AS sp_{a}_{b}")
+    # HUGEINT closed form (the Spark side mirrors with decimal(38,0))
+    sel = " UNION ALL ".join(
+        f"""SELECT '{a}' AS col_a, '{b}' AS col_b, n,
+       floor(CAST(CAST(n AS HUGEINT) * sp_{a}_{b}
+                  - CAST(s_{a} AS HUGEINT) * s_{b} AS DOUBLE)
+             / (sqrt(CAST(CAST(n AS HUGEINT) * ss_{a}
+                          - CAST(s_{a} AS HUGEINT) * s_{a} AS DOUBLE))
+                * sqrt(CAST(CAST(n AS HUGEINT) * ss_{b}
+                            - CAST(s_{b} AS HUGEINT) * s_{b} AS DOUBLE)))
+             * 1000000 + 0.5) / 1000000.0 AS r
+FROM m"""
+        for a, b in pairs
+    )
+    return (
+        f"WITH m AS (SELECT {', '.join(sums)} FROM lineitem)\n"
+        + sel
+        + "\nORDER BY col_a, col_b"
+    )
+
+
+ORACLE_CORR_MATRIX = _corr_matrix_oracle(_CORR_COLS)
+
+
 def _wl_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from query_refinement_dsit_databases_2021_spark.workloads import register_views
 
@@ -359,4 +475,5 @@ def scale_workloads():
         Workload("ops_zorder_key", _wl_zorder_key, ORACLE_ZORDER_KEY),
         Workload("ops_skew_profile", _wl_skew_profile, ORACLE_SKEW_PROFILE),
         Workload("ops_column_stats", _wl_column_stats, ORACLE_COLUMN_STATS),
+        Workload("ops_corr_matrix", _wl_corr_matrix, ORACLE_CORR_MATRIX),
     ]

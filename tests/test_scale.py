@@ -186,3 +186,17 @@ def test_column_stats_one_pass_exact(spark):
     a, b = out["a"], out["b"]
     assert (a["lo_c"], a["hi_c"], a["ndv"], a["n_nulls"]) == (-125, 250, 3, 0)
     assert (b["lo_c"], b["hi_c"], b["ndv"], b["n_nulls"]) == (400, 400, 1, 2)
+
+
+def test_corr_matrix_known_correlations(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.scale import corr_matrix
+
+    # y = x exactly (r = 1), z anti-correlated with x (r = -1)
+    rows = [(float(i), float(i), float(10 - i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = {(r["col_a"], r["col_b"]): r["r"] for r in corr_matrix(
+        df, [("x", 100), ("y", 100), ("z", 100)]
+    ).collect()}
+    assert out[("x", "y")] == 1.0
+    assert out[("x", "z")] == -1.0
+    assert out[("y", "z")] == -1.0

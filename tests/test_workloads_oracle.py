@@ -163,3 +163,24 @@ def test_workload_matches_duckdb(spark, duck, name):
             assert sk == ok, (name, col, stypes[col], otypes[col])
     assert len(srows) == len(orows), (name, len(srows), len(orows))
     assert _approx_eq(_rowset(srows), _rowset(orows)), name
+
+
+def test_gate_window_schemas_are_scalar_only(spark):
+    # The external driver's value hash has only ever certified scalar
+    # dtypes (BIGINT/INT/DOUBLE/VARCHAR/BOOL/DATE); arrays, raw
+    # timestamps, maps, structs, binary, and decimals are unproven or
+    # known-divergent classes. Every workload inside the first-50 gate
+    # window must therefore emit scalars only — this is the structural
+    # form of the per-rotation hand audit (BASELINE.md gate-hardening
+    # notes). Schema construction is lazy: nothing executes here.
+    from query_refinement_dsit_databases_2021_spark.workloads import DRIVER_PRIORITY
+
+    banned = ("array", "map", "struct", "binary", "decimal", "timestamp")
+    offenders = []
+    for name in DRIVER_PRIORITY:
+        df = WORKLOADS[name].fn(spark, SF_DIR)
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            if any(b in t for b in banned):
+                offenders.append((name, f.name, t))
+    assert not offenders, offenders
