@@ -1123,6 +1123,14 @@ def timeseries_workloads():
         _w("ts_downsample_m4", ORACLE_M4, downsample_m4),
         _w("ts_gaps", ORACLE_GAPS, detect_gaps),
         _w("ts_cross_corr", _crosscorr_oracle(), cross_correlation),
+        # autocorrelation = cross-correlation of a series with itself:
+        # lag 0 pins r = 1.0 (a free self-check), lags >= 1 give the
+        # ACF — the seasonality/persistence diagnostic
+        _w(
+            "ts_acf",
+            _crosscorr_oracle(key_a="click", key_b="click"),
+            lambda ev: cross_correlation(ev, key_a="click", key_b="click"),
+        ),
         _w("ts_anomaly_mad", _mad_oracle(), anomaly_mad),
         _w("ts_seasonal_anomaly", _seasonal_oracle(), seasonal_anomaly),
         _w("ts_level_shift", _level_shift_oracle(), level_shift),

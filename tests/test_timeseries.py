@@ -366,3 +366,22 @@ def test_level_shift_detects_step(spark):
     step = next(r for r in out if r["event_id"] == 30)
     assert (step["pre_avg"], step["post_avg"]) == (10.0, 80.0)
     assert step["diff_c"] == 70000
+
+
+def test_acf_lag_zero_is_one(spark):
+    # registry form: autocorrelation via cross_correlation with the
+    # same key on both sides — lag 0 must be exactly 1.0
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        cross_correlation,
+    )
+
+    rows = [
+        (i, datetime(2024, 3, 1 + i % 20, i % 24), 1, "a", float(1 + (i * 7) % 13))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r["lag"]: r["r"] for r in cross_correlation(df, key_a="a", key_b="a", max_lag=3).collect()}
+    assert out[0] == 1.0
+    assert all(-1.0 <= v <= 1.0 for v in out.values())
