@@ -20,7 +20,7 @@ Shared SQL fragments mirror the Spark building blocks one-to-one:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from query_refinement_dsit_databases_2021_spark.operators import dedup, textops
@@ -902,6 +902,117 @@ SELECT doc_id, n_tok AS n_tokens,
 FROM r ORDER BY doc_id"""
 
 
+# ---------------------------------------------------------------------------
+# Curation chain v3: the round-3 operators composed as ONE dataflow —
+# Gopher rule filter -> corpus-trained LM scoring -> per-language CCNet
+# terciles (keep head+middle) -> exact dedup survivors -> per-(lang,
+# tercile) manifest with an order-independent content digest. Every
+# stage is an already-oracle-checked operator; the chain certifies they
+# compose without driver-side data movement.
+# ---------------------------------------------------------------------------
+
+
+def _oracle_curation_v3() -> str:
+    gopher_keep = f"""
+t3 AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         string_split(text, chr(10)) AS lines
+  FROM documents),
+m3 AS (
+  SELECT doc_id,
+         len(ws)::BIGINT AS n_tok,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(ws, w -> len(w)::BIGINT)),
+             (acc, x) -> acc + x) AS sum_len,
+         len(list_filter(ws, w -> contains(w, '#')
+                               OR contains(w, '...')))::BIGINT AS n_sym,
+         len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]')))::BIGINT
+           AS n_alpha,
+         len(list_filter(ws, w -> w IN ({_STOP_IN})))::BIGINT AS n_stop,
+         len(lines)::BIGINT AS n_lines,
+         len(list_filter(lines, l -> starts_with(l, '- ')
+                                   OR starts_with(l, '* ')))::BIGINT
+           AS n_bullet,
+         len(list_filter(lines, l -> ends_with(l, '...')))::BIGINT AS n_ell
+  FROM t3),
+keep3 AS (
+  SELECT doc_id FROM m3
+  WHERE n_tok >= {textops.GOPHER_MIN_TOKENS}
+    AND n_tok <= {textops.GOPHER_MAX_TOKENS}
+    AND 3 * n_tok <= sum_len AND sum_len <= 10 * n_tok
+    AND 10 * n_sym <= n_tok
+    AND 5 * n_alpha >= 4 * n_tok
+    AND n_stop >= 2
+    AND 10 * n_bullet <= 9 * n_lines AND 10 * n_ell <= 3 * n_lines),
+kept AS (SELECT d.* FROM documents d JOIN keep3 USING (doc_id))"""
+    return f"""
+WITH {gopher_keep},
+base AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM kept
+  WHERE len(string_split(text, ' ')) >= 2),
+bg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM base, unnest(range(1, len(ws))) u(i)),
+c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(sum(n2) AS BIGINT) AS n1 FROM c2 GROUP BY w1),
+lm AS (
+  SELECT bg.doc_id, round(avg(ln(c2.n2 / c1.n1)), 6) AS avg_logp
+  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+  GROUP BY bg.doc_id),
+tct AS (
+  SELECT k.doc_id, k.lang,
+         ntile(3) OVER (PARTITION BY k.lang
+                        ORDER BY lm.avg_logp DESC, lm.doc_id) AS tercile
+  FROM lm JOIN kept k USING (doc_id)),
+sel AS (
+  SELECT k.doc_id, k.text, h.lang, h.tercile
+  FROM kept k JOIN (SELECT * FROM tct WHERE tercile <= 2) h USING (doc_id)),
+surv AS (SELECT min(doc_id) AS doc_id FROM sel GROUP BY text),
+fin AS (SELECT s.* FROM sel s JOIN surv USING (doc_id))
+SELECT lang, CAST(tercile AS INTEGER) AS tercile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+       CAST(bit_xor({_sql_rolling_hash("text")}) AS BIGINT) AS xor_digest
+FROM fin GROUP BY lang, tercile ORDER BY lang, tercile"""
+
+
+def _wl_curation_v3(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    keep = (
+        textops.gopher_rules(docs)
+        .where(F.col("keep") == 1)
+        .select("doc_id")
+    )
+    kept = docs.join(keep, "doc_id")
+    scores = textops.bigram_lm_scores(kept)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logp").desc(), F.col("doc_id").asc()
+    )
+    hm = (
+        scores.join(kept.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", F.ntile(3).over(w).alias("tercile"))
+        .where(F.col("tercile") <= 2)
+    )
+    sel = kept.select("doc_id", "text").join(hm, "doc_id")
+    surv = sel.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    fin = sel.join(surv.select("doc_id"), "doc_id")
+    return (
+        fin.select(
+            "lang",
+            "tercile",
+            F.size(textops.tokens(F.col("text"))).cast("long").alias("_nt"),
+            textops.rolling_hash(F.col("text")).alias("_h"),
+        )
+        .groupBy("lang", "tercile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").alias("n_tokens"),
+            F.expr("bit_xor(_h)").alias("xor_digest"),
+        )
+        .orderBy("lang", "tercile")
+    )
+
+
 def _wl_gopher(spark, sf_dir):
     return textops.gopher_rules(_docs(spark, sf_dir))
 
@@ -1052,6 +1163,7 @@ def pipeline_workloads():
         ("pipe_scrub_pii", _wl_scrub_pii, ORACLE_SCRUB, False),
         ("pipe_corpus_manifest", _wl_manifest, ORACLE_MANIFEST, False),
         ("pipe_curation_chain_v2", _wl_curation_v2, _oracle_curation_v2(), False),
+        ("pipe_curation_chain_v3", _wl_curation_v3, _oracle_curation_v3(), False),
     ]
     out = [Workload(n, f, o, h) for n, f, o, h in entries]
     # unguarded on purpose: numpy/pandas/pyarrow are baked in, so an

@@ -606,3 +606,44 @@ def test_langid_confusion_diagonal_recall(spark):
         ("en", "en"), ("fr", "fr"),
     }
     assert all(r["share_ppm"] == 1000000 and r["n"] == 5 for r in out)
+
+
+def test_curation_chain_v3_composes(spark):
+    # gopher filter drops the gibberish doc; terciles keep head+middle
+    # per lang; exact dedup keeps one of the two identical survivors —
+    # the per-(lang, tercile) manifest must reflect all three stages
+    from query_refinement_dsit_databases_2021_spark.operators.pipelines import (
+        _wl_curation_v3,
+    )
+    import os, tempfile
+
+    # 3x the base phrase clears GOPHER_MIN_TOKENS (50) comfortably
+    base = " ".join(
+        ["the cat sat on the mat and the dog ran to the cat and sat "
+         "with the mat while the cat and the dog sat on the mat again "
+         "and the mat was warm so the cat sat still and the dog sat too"] * 3
+    )
+    rows = []
+    for i in range(6):
+        rows.append((i, base + f" extra{i} words here", "en"))
+    rows.append((6, base + " extra0 words here", "en"))  # exact dup of 0
+    rows.append((7, "#### ... #### ... ####", "en"))  # gopher-dropped
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t, lang, "s0", len(t)) for i, t, lang in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        # register_views registers every table eagerly — link the other
+        # sf0.001 tables in; only documents feeds this workload
+        for t in os.listdir("/root/testdata/sf0.001"):
+            if t != "documents.parquet" and t.endswith(".parquet"):
+                os.symlink(f"/root/testdata/sf0.001/{t}", os.path.join(d, t))
+        out = _wl_curation_v3(spark, d).collect()
+    by = {r["tercile"]: r for r in out}
+    # 7 kept docs minus the dup -> 6 across terciles 1+2 of the
+    # 3-way split of 7 LM-scored docs: tercile 1 has 3, tercile 2 has 2
+    # (ntile(3) over 7 rows = 3/2/2) and dedup may only shrink them
+    assert set(by) <= {1, 2}
+    assert sum(r["n_docs"] for r in out) >= 4
+    assert all(r["lang"] == "en" for r in out)
+    assert all(r["n_tokens"] > 0 for r in out)
