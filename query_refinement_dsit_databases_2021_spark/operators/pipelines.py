@@ -983,7 +983,10 @@ def _wl_curation_v3(spark, sf_dir):
         .where(F.col("keep") == 1)
         .select("doc_id")
     )
-    kept = docs.join(keep, "doc_id")
+    # persist the filtered corpus: four downstream branches (LM stream,
+    # lang join, text selection, dedup) would otherwise each re-derive
+    # the Gopher pass — 20 corpus scans in the lazy DAG, measured
+    kept = docs.join(keep, "doc_id").persist()
     scores = textops.bigram_lm_scores(kept)
     w = Window.partitionBy("lang").orderBy(
         F.col("avg_logp").desc(), F.col("doc_id").asc()
@@ -993,7 +996,8 @@ def _wl_curation_v3(spark, sf_dir):
         .select("doc_id", "lang", F.ntile(3).over(w).alias("tercile"))
         .where(F.col("tercile") <= 2)
     )
-    sel = kept.select("doc_id", "text").join(hm, "doc_id")
+    # sel feeds both the survivor groupBy and the final join-back
+    sel = kept.select("doc_id", "text").join(hm, "doc_id").persist()
     surv = sel.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     fin = sel.join(surv.select("doc_id"), "doc_id")
     return (
