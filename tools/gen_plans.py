@@ -95,6 +95,23 @@ NOTES = {
         "before its shuffle — posting-list work bounded by the "
         "candidate set; all-integer ppm output, no Cartesian/NLJ."
     ),
+    "ops_corr_matrix": (
+        "ONE map-combinable aggregate computes every moment "
+        "(cols + cols^2 partial sums); pair rows unpivot from the "
+        "1-row result — no join, no window; closed-form products are "
+        "decimal(38,0) (the HUGEINT mirror), cast to double once."
+    ),
+    "pipe_quality_ccnet_buckets": (
+        "Rides the LM-score joins (bigram model re-joined on (w1,w2) "
+        "and (w1)); the added tercile window partitions by language — "
+        "per-language sorts, never a global order."
+    ),
+    "pipe_curation_chain_v3": (
+        "Four-stage composition: InMemoryTableScan on the persisted "
+        "Gopher-filtered corpus feeds the LM stream, the lang join, "
+        "the selection, and the dedup — one parquet pass, equi-joins "
+        "only, no NLJ/Cartesian anywhere."
+    ),
     "ts_cross_corr": (
         "Daily cents agg (map-combinable) -> lag-spine broadcast "
         "(<= max_lag+1 rows, the only NLJ) -> day equi-join -> per-lag "
