@@ -143,6 +143,108 @@ def incremental_rollup(base_agg: DataFrame, delta: DataFrame, key: str = "event_
 # updates = the rest; SCD2 over the full per-user value changelog.
 # ---------------------------------------------------------------------------
 
+def snapshot_diff(
+    base: DataFrame,
+    revised: DataFrame,
+    key: str = "k",
+    cols: tuple[str, ...] = ("ts_us", "v_mills"),
+) -> DataFrame:
+    """Table-diff between two keyed snapshots — the audit op behind
+    every incremental pipeline ("what did this ingest actually
+    change?"): each key classified as ``added`` (only in revised),
+    ``removed`` (only in base), or ``changed`` (present in both with
+    any compared column differing). Unchanged keys are dropped — the
+    diff is change-sized, not table-sized.
+
+    Plan: ONE full-outer equi-join on the key; the classification is a
+    codegen CASE over null-ness and column equality. Compared columns
+    should be exact types (integers, epoch-µs) — float state should be
+    quantized first, the repo-wide convention. At 100 TB both sides
+    bucketed by key make this exchange-free (``scale.write_bucketed``).
+
+    Returns ``(k, change)``.
+    """
+    a = base.select(
+        F.col(key).alias("k"), *[F.col(c).alias(f"a_{c}") for c in cols]
+    )
+    b = revised.select(
+        F.col(key).alias("k"), *[F.col(c).alias(f"b_{c}") for c in cols]
+    )
+    j = a.join(b, "k", "full_outer")
+    in_a = F.col(f"a_{cols[0]}").isNotNull()
+    in_b = F.col(f"b_{cols[0]}").isNotNull()
+    differs = None
+    for c in cols:
+        d = F.col(f"a_{c}") != F.col(f"b_{c}")
+        differs = d if differs is None else (differs | d)
+    change = (
+        F.when(~in_a & in_b, F.lit("added"))
+        .when(in_a & ~in_b, F.lit("removed"))
+        .when(differs, F.lit("changed"))
+    )
+    return (
+        j.select("k", change.alias("change"))
+        .where(F.col("change").isNotNull())
+        .orderBy("k")
+    )
+
+
+def _wl_snapshot_diff(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+
+    def latest(df):
+        return (
+            df.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(
+                        F.desc("ts"), F.desc("event_id")
+                    )
+                ),
+            )
+            .where("_rn = 1")
+            .select(
+                F.col("user_id").alias("k"),
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+                F.floor(F.col("value") * 1000 + F.lit(0.5))
+                .cast("long")
+                .alias("v_mills"),
+            )
+        )
+
+    # snapshots engineered to exercise all three classes: A lacks the
+    # %13 users (-> added), B lacks the %17 users (-> removed), and A
+    # sees only the first slice of events (-> changed latest states)
+    snap_a = latest(ev.where("event_id % 4 != 3")).where("k % 13 != 0")
+    snap_b = latest(ev).where("k % 17 != 0")
+    return snapshot_diff(snap_a, snap_b)
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH la AS (
+  SELECT user_id AS k, epoch_us(ts) AS ts_us,
+         floor(value * 1000 + 0.5)::BIGINT AS v_mills
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_id % 4 != 3) t
+  WHERE rn = 1 AND user_id % 13 != 0),
+lb AS (
+  SELECT user_id AS k, epoch_us(ts) AS ts_us,
+         floor(value * 1000 + 0.5)::BIGINT AS v_mills
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t
+  WHERE rn = 1 AND user_id % 17 != 0),
+j AS (
+  SELECT coalesce(la.k, lb.k) AS k,
+         CASE WHEN la.k IS NULL THEN 'added'
+              WHEN lb.k IS NULL THEN 'removed'
+              WHEN la.ts_us <> lb.ts_us OR la.v_mills <> lb.v_mills
+                THEN 'changed' END AS change
+  FROM la FULL OUTER JOIN lb ON la.k = lb.k)
+SELECT k, change FROM j WHERE change IS NOT NULL ORDER BY k"""
+
+
 ORACLE_MERGE_UPSERT = """
 WITH base AS (
   SELECT user_id, ts, value FROM (
@@ -236,4 +338,5 @@ def cdc_workloads():
         Workload("ops_merge_upsert", _wl_merge_upsert, ORACLE_MERGE_UPSERT),
         Workload("ops_scd2_history", _wl_scd2, ORACLE_SCD2),
         Workload("ops_incremental_rollup", _wl_incr_rollup, ORACLE_INCR_ROLLUP),
+        Workload("ops_snapshot_diff", _wl_snapshot_diff, ORACLE_SNAPSHOT_DIFF),
     ]

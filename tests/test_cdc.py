@@ -73,3 +73,17 @@ def test_scd2_collapses_runs_and_links_intervals(spark):
     ]
     [u2] = [r for r in rows if r["user_id"] == 2]
     assert (u2["valid_from"], u2["valid_to"], u2["value"]) == (_t(0), None, 9.0)
+
+
+def test_snapshot_diff_classifies_all_three(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.cdc import snapshot_diff
+
+    a = spark.createDataFrame(
+        [(1, 100, 10), (2, 100, 20), (3, 100, 30)], "k long, ts_us long, v_mills long"
+    )
+    b = spark.createDataFrame(
+        [(1, 100, 10), (2, 200, 25), (4, 100, 40)], "k long, ts_us long, v_mills long"
+    )
+    got = {r["k"]: r["change"] for r in snapshot_diff(a, b).collect()}
+    # 1 unchanged (dropped), 2 changed, 3 removed, 4 added
+    assert got == {2: "changed", 3: "removed", 4: "added"}
