@@ -159,8 +159,12 @@ def snapshot_diff(
     Plan: ONE full-outer equi-join on the key; the classification is a
     codegen CASE over null-ness and column equality. Compared columns
     should be exact types (integers, epoch-µs) — float state should be
-    quantized first, the repo-wide convention. At 100 TB both sides
-    bucketed by key make this exchange-free (``scale.write_bucketed``).
+    quantized first, the repo-wide convention — and non-null: the
+    difference test is deliberately NOT null-safe (NULL <> NULL is
+    NULL, i.e. "not a change") and both engines share that three-valued
+    logic; presence itself is keyed on the first compared column. At
+    100 TB both sides bucketed by key make this exchange-free
+    (``scale.write_bucketed``).
 
     Returns ``(k, change)``.
     """
