@@ -334,3 +334,41 @@ def test_interval_join_outer_matches_batch_on_closed_region(spark, events_dir):
     # and the closed region must actually contain non-conversions,
     # else the interesting branch went untested
     assert any(t[3] == 0 for t in exp_closed)
+
+
+def test_upsert_on_stream_matches_batch_merge(spark, events_dir, tmp_path):
+    # streaming CDC apply: per-micro-batch merge_upsert into a
+    # versioned snapshot must converge to the batch latest-per-key
+    # state over the same input — the materialized-view invariant
+    from query_refinement_dsit_databases_2021_spark.streaming.refine import (
+        read_snapshot,
+        upsert_on_stream,
+    )
+
+    root = str(tmp_path / "snap")
+    stream = W.read_event_stream(spark, events_dir)
+    fn = upsert_on_stream(root)
+    q = stream.writeStream.foreachBatch(fn).outputMode("update").start()
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        (r["user_id"], r["ts"], r["value"])
+        for r in read_snapshot(spark, root).collect()
+    )
+    batch = _batch_events(spark, events_dir)
+    from pyspark.sql import Window as SqlWindow
+
+    expected = sorted(
+        (r["user_id"], r["ts"], r["value"])
+        for r in batch.withColumn(
+            "_rn",
+            F.row_number().over(
+                SqlWindow.partitionBy("user_id").orderBy(
+                    F.desc("ts"), F.desc("event_id")
+                )
+            ),
+        )
+        .where("_rn = 1")
+        .collect()
+    )
+    assert got == expected and len(got) > 0
