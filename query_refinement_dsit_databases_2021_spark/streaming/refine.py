@@ -153,3 +153,29 @@ def read_snapshot(spark, snapshot_root: str) -> DataFrame:
         if d.startswith("v") and d[1:].isdigit()
     )
     return spark.read.parquet(f"{snapshot_root}/v{vs[-1]}")
+
+
+def sweep_snapshot_versions(snapshot_root: str, keep: int = 2) -> list[int]:
+    """Retention sweep for :func:`upsert_on_stream`'s versioned
+    snapshots: delete all but the newest ``keep`` committed versions
+    (keep >= 2 so a reader that resolved the previous version mid-swap
+    still finds its files). Returns the deleted version numbers.
+
+    This is deliberately a *separate* maintenance call, not part of
+    the commit path — exactly the VACUUM/expire-snapshots split table
+    formats make: commits stay cheap and readers define the retention
+    window, not the writer.
+    """
+    import os
+    import shutil
+
+    if keep < 1:
+        raise ValueError("keep must be >= 1")
+    vs = sorted(
+        int(d[1:]) for d in os.listdir(snapshot_root)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    doomed = vs[:-keep] if len(vs) > keep else []
+    for v in doomed:
+        shutil.rmtree(os.path.join(snapshot_root, f"v{v}"))
+    return doomed

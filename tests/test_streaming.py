@@ -372,3 +372,30 @@ def test_upsert_on_stream_matches_batch_merge(spark, events_dir, tmp_path):
         .collect()
     )
     assert got == expected and len(got) > 0
+
+
+def test_sweep_snapshot_versions_keeps_newest(spark, tmp_path):
+    import os
+
+    from query_refinement_dsit_databases_2021_spark.streaming.refine import (
+        read_snapshot,
+        sweep_snapshot_versions,
+        upsert_on_stream,
+    )
+
+    root = str(tmp_path / "snap")
+    fn = upsert_on_stream(root)
+    # three manual "micro-batches" through the same foreachBatch fn
+    for bid in range(3):
+        df = spark.createDataFrame(
+            [(1, __import__("datetime").datetime(2024, 1, 1, bid), bid, float(bid))],
+            "user_id long, ts timestamp, event_id long, value double",
+        )
+        fn(df, bid)
+    before = sorted(os.listdir(root))
+    assert before == ["v0", "v1", "v2"]
+    deleted = sweep_snapshot_versions(root, keep=2)
+    assert deleted == [0]
+    assert sorted(os.listdir(root)) == ["v1", "v2"]
+    # the resolved snapshot still reads the newest state
+    assert read_snapshot(spark, root).collect()[0]["value"] == 2.0
