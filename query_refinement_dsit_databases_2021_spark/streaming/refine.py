@@ -114,7 +114,7 @@ def upsert_on_stream(
 
     from query_refinement_dsit_databases_2021_spark.operators.cdc import merge_upsert
 
-    def latest_version(spark):
+    def latest_version():
         if not os.path.isdir(snapshot_root):
             return None
         vs = sorted(
@@ -126,7 +126,7 @@ def upsert_on_stream(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         updates = batch_df.select(key, ts, tiebreak, value)
-        cur = latest_version(spark)
+        cur = latest_version()
         if cur is None:
             base = spark.createDataFrame(
                 [], f"{key} long, {ts} timestamp, {value} double"
