@@ -1228,11 +1228,82 @@ def _wl_outliers(spark, sf_dir):
     return embedding_outliers(_emb(spark, sf_dir)).orderBy("vec_id")
 
 
+def embedding_drift(emb: DataFrame) -> DataFrame:
+    """Per-dimension embedding drift between two corpus halves (here
+    split by ``vec_id`` parity; production splits by snapshot/date) —
+    the monitoring op that catches a silent encoder change or a data
+    mix shift before it poisons retrieval: a re-deployed embedding
+    model moves the centroid, and per-DIM shifts localize which
+    subspace moved.
+
+    Determinism: components quantize to integer mills, per-half sums
+    are exact int64, and the two means + their difference are one
+    identical IEEE expression per dim on both engines, floor-quantized
+    at 6 dp.
+
+    Plan: ONE posexplode + ONE map-combinable groupBy(dim) with
+    conditional sums — a single pass over the corpus producing
+    dim-sized output. Int64 headroom: |mills| <= 1e3 per component, so
+    Σ stays exact to ~9e15 rows per half.
+    Returns ``(dim, na, nb, mean_a, mean_b, shift)``.
+    """
+    qv = _quantize_mills(_as_double(F.col("embedding")))
+    is_a = (F.col("vec_id") % 2 == 0).alias("is_a")
+    ex = emb.select(is_a, F.posexplode(qv).alias("dim", "c"))
+    agg = ex.groupBy("dim").agg(
+        F.sum(F.when(F.col("is_a"), F.col("c"))).alias("sa"),
+        F.count(F.when(F.col("is_a"), F.lit(1))).alias("na"),
+        F.sum(F.when(~F.col("is_a"), F.col("c"))).alias("sb"),
+        F.count(F.when(~F.col("is_a"), F.lit(1))).alias("nb"),
+    )
+    mean_a = F.col("sa") / (F.lit(1000.0) * F.col("na"))
+    mean_b = F.col("sb") / (F.lit(1000.0) * F.col("nb"))
+
+    def _r6(x):
+        return F.floor(x * F.lit(1000000) + F.lit(0.5)) / F.lit(1000000.0)
+
+    return agg.select(
+        "dim",
+        "na",
+        "nb",
+        _r6(mean_a).alias("mean_a"),
+        _r6(mean_b).alias("mean_b"),
+        _r6(F.abs(mean_a - mean_b)).alias("shift"),
+    ).orderBy("dim")
+
+
+def oracle_embedding_drift() -> str:
+    return """
+WITH ex AS (
+  SELECT (vec_id % 2 = 0) AS is_a, CAST(i - 1 AS INTEGER) AS dim,
+         floor(embedding[i]::DOUBLE * 1000 + 0.5)::BIGINT AS c
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)),
+agg AS (
+  SELECT dim,
+         CAST(sum(CASE WHEN is_a THEN c END) AS BIGINT) AS sa,
+         CAST(count(CASE WHEN is_a THEN 1 END) AS BIGINT) AS na,
+         CAST(sum(CASE WHEN NOT is_a THEN c END) AS BIGINT) AS sb,
+         CAST(count(CASE WHEN NOT is_a THEN 1 END) AS BIGINT) AS nb
+  FROM ex GROUP BY dim)
+SELECT dim, na, nb,
+       floor(sa / (1000.0 * na) * 1000000 + 0.5) / 1000000.0 AS mean_a,
+       floor(sb / (1000.0 * nb) * 1000000 + 0.5) / 1000000.0 AS mean_b,
+       floor(abs(sa / (1000.0 * na) - sb / (1000.0 * nb)) * 1000000 + 0.5)
+         / 1000000.0 AS shift
+FROM agg ORDER BY dim"""
+
+
 def simsearch_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
     return [
         Workload("pipe_embed_outliers", _wl_outliers, oracle_embedding_outliers(), False),
+        Workload(
+            "pipe_embed_drift",
+            lambda spark, sf_dir: embedding_drift(_emb(spark, sf_dir)),
+            oracle_embedding_drift(),
+            False,
+        ),
         Workload("pipe_ann_cosine_topk", _wl_brute, oracle_cosine_topk(), True),
         Workload("pipe_ann_lsh_topk", _wl_lsh, oracle_lsh_ann_topk(), False),
         Workload("pipe_ann_ivf_topk", _wl_ivf, oracle_ivf_ann_topk(), False),

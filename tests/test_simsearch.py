@@ -250,3 +250,24 @@ def test_embedding_outliers_degenerate_corpus_is_empty(spark):
         [(i, [0.5, 0.5]) for i in range(10)], "vec_id long, embedding array<float>"
     )
     assert embedding_outliers(df).count() == 0
+
+
+def test_embedding_drift_detects_shifted_half(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
+        embedding_drift,
+    )
+
+    # even vec_ids centered at 0, odd ids shifted +0.5 on dim 1 only
+    rows = []
+    for i in range(40):
+        v = [0.1, 0.0, -0.1, 0.2]
+        if i % 2 == 1:
+            v = [v[0], v[1] + 0.5, v[2], v[3]]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["dim"]: r for r in embedding_drift(df).collect()}
+    assert len(out) == 4
+    assert out[1]["shift"] == 0.5
+    for d in (0, 2, 3):
+        assert out[d]["shift"] == 0.0
+    assert out[1]["na"] == 20 and out[1]["nb"] == 20
