@@ -184,3 +184,48 @@ def test_gate_window_schemas_are_scalar_only(spark):
             if any(b in t for b in banned):
                 offenders.append((name, f.name, t))
     assert not offenders, offenders
+
+
+def test_gate_sim_bit_identity_representatives(spark):
+    # guard the strict simulator itself (tools/gate_sim.py) and keep a
+    # bit-identity canary in the suite: one workload per major family,
+    # zero float tolerance. The full 153-workload strict pass is the
+    # tool's --all mode (BASELINE.md records 153/153 at two SFs).
+    import numpy as np
+    import pandas as pd
+
+    import tools.gate_sim as gs
+
+    reps = [
+        "cp_refined_tighten",
+        "sql_q1_pricing",
+        "pipe_text_quality",
+        "ts_ewma",  # DATE column: exercises the date normalization
+        "ops_corr_matrix",
+        "stream_windowed_rollup",
+    ]
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    for name in reps:
+        w = WORKLOADS[name]
+        sp = gs._canon(w.fn(spark, SF_DIR).toPandas())
+        du = gs._canon(con.execute(w.oracle).df())
+        assert list(sp.columns) == list(du.columns), name
+        assert len(sp) == len(du), name
+        for c in sp.columns:
+            assert gs._kind(sp[c].dtype) == gs._kind(du[c].dtype), (name, c)
+            a, b = sp[c].to_numpy(), du[c].to_numpy()
+            if gs._kind(sp[c].dtype) == "float":
+                af, bf = a.astype(float), b.astype(float)
+                assert ((a == b) | (np.isnan(af) & np.isnan(bf))).all(), (name, c)
+            else:
+                assert (pd.Series(a).astype(str) == pd.Series(b).astype(str)).all(), (
+                    name,
+                    c,
+                )
+    con.close()
