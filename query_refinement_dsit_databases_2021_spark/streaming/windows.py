@@ -235,6 +235,44 @@ def interval_join_outer(
     )
 
 
+def windowed_uniques(
+    events: DataFrame,
+    window: str = "6 hours",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Distinct users per tumbling window — the DAU/WAU-style rollup.
+    Streaming engines cannot run COUNT(DISTINCT) directly (distinct
+    aggregation needs unbounded per-group state); the standard shape
+    is dedup-then-count: watermarked ``dropDuplicates`` on
+    ``(window_start, user_id)`` (state bounded by the watermark)
+    feeding an ordinary windowed count. Batch input produces the same
+    rows eagerly, which is what the oracle checks.
+
+    Shuffle shape: the dedup and the count hash on the same
+    (window_start[, user]) keys — two map-combinable exchanges, state
+    bounded by uniques-per-window inside the watermark horizon.
+    Returns ``(window_start, n_users)``.
+    """
+    wstart = F.window(F.col("ts"), window).start
+    keyed = events.withWatermark("ts", watermark).select(
+        wstart.alias("window_start"), "user_id", "ts"
+    )
+    deduped = keyed.dropDuplicates(["window_start", "user_id"])
+    return deduped.groupBy("window_start").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+ORACLE_WINDOWED_UNIQUES = """
+SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1 ORDER BY 1"""
+
+
+def _wl_windowed_uniques(spark, sf_dir):
+    return windowed_uniques(_events(spark, sf_dir)).orderBy("window_start")
+
+
 def trending_counts(
     events: DataFrame,
     window: str = "10 minutes",
@@ -497,6 +535,12 @@ def streaming_workloads():
             False,
         ),
         Workload("stream_dedup_keys", _wl_dedup_keys, ORACLE_DEDUP_KEYS, False),
+        Workload(
+            "stream_windowed_uniques",
+            _wl_windowed_uniques,
+            ORACLE_WINDOWED_UNIQUES,
+            False,
+        ),
         Workload(
             "stream_trending_topk", _wl_trending_topk, ORACLE_TRENDING_TOPK, False
         ),

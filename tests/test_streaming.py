@@ -399,3 +399,25 @@ def test_sweep_snapshot_versions_keeps_newest(spark, tmp_path):
     assert sorted(os.listdir(root)) == ["v1", "v2"]
     # the resolved snapshot still reads the newest state
     assert read_snapshot(spark, root).collect()[0]["value"] == 2.0
+
+
+def test_windowed_uniques_matches_batch_distinct(spark, events_dir):
+    # dedup-then-count (the streaming COUNT DISTINCT shape): with a
+    # watermark covering the whole span no dedup state expires, so the
+    # final table equals batch count(distinct user) per window
+    stream = W.read_event_stream(spark, events_dir)
+    wu = W.windowed_uniques(stream, watermark="40 days")
+    W.run_to_memory_sink(wu, "wu", output_mode="complete")
+    got = sorted(
+        (r["window_start"], r["n_users"]) for r in spark.table("wu").collect()
+    )
+    batch = _batch_events(spark, events_dir)
+    expected = sorted(
+        (r["window_start"], r["n_users"])
+        for r in batch.groupBy(
+            F.window("ts", "6 hours").start.alias("window_start")
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .collect()
+    )
+    assert got == expected and len(got) > 0
