@@ -1096,6 +1096,100 @@ WHERE pn = {w} AND qn = {w} AND abs(qs - ps) >= {delta_c}
 ORDER BY event_id"""
 
 
+def linear_trend(
+    events: DataFrame,
+    ts: str = "ts",
+    key: str = "event_type",
+    value: str = "value",
+) -> DataFrame:
+    """Per-key linear trend (OLS fit of daily totals against the day
+    index) — the TSDB "is this series growing and how fast" primitive:
+    slope in value-units/day, intercept at the epoch-day origin of the
+    key's own first day, and r² for fit quality.
+
+    Closed form from exact sums: with x = day index (0-based per key)
+    and y = daily cents totals, slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²);
+    every Σ is an exact int64 (days are small ints, cents are exact),
+    so both engines evaluate identical IEEE arithmetic on identical
+    integers — the :func:`cross_correlation` discipline. Outputs are
+    floor-quantized at 6 dp. r² is guarded for degenerate cases
+    (single day, constant y) and those keys report NULL r².
+
+    Plan: ONE map-combinable daily agg + ONE per-key agg of the five
+    sums — no window sort, no join. Returns
+    ``(key, n_days, slope, intercept, r2)``.
+    """
+    cents = F.floor(F.col(value) * 100 + F.lit(0.5)).cast("long")
+    daily = events.groupBy(
+        F.datediff(F.to_date(ts), F.lit("1970-01-01")).alias("d"), F.col(key)
+    ).agg(F.sum(cents).alias("y"))
+    # 0-based day index per key keeps x small (exactness headroom) and
+    # makes the intercept the key's own series origin
+    x = (F.col("d") - F.min("d").over(Window.partitionBy(key))).cast("long")
+    staged = daily.select(key, x.alias("x"), "y")
+    agg = staged.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_days")
+    dx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    slope_c = cov / dx  # cents per day
+    intercept_c = (F.col("sy") - slope_c * F.col("sx")) / n.cast("double")
+
+    def _r6(c):
+        return F.floor(c * F.lit(1000000) + F.lit(0.5)) / F.lit(1000000.0)
+
+    r2 = F.when((dx > 0) & (dy > 0), _r6(cov * cov / (dx * dy)))
+    return agg.where(dx > 0).select(
+        key,
+        "n_days",
+        _r6(slope_c / F.lit(100.0)).alias("slope"),
+        _r6(intercept_c / F.lit(100.0)).alias("intercept"),
+        r2.alias("r2"),
+    ).orderBy(key)
+
+
+ORACLE_LINEAR_TREND = """
+WITH daily AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         event_type,
+         CAST(sum(floor(value * 100 + 0.5)::BIGINT) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+staged AS (
+  SELECT event_type,
+         CAST(d - min(d) OVER (PARTITION BY event_type) AS BIGINT) AS x, y
+  FROM daily),
+agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM staged GROUP BY event_type)
+SELECT event_type, n_days,
+       floor(CAST(n_days * sxy - sx * sy AS DOUBLE)
+             / CAST(n_days * sxx - sx * sx AS DOUBLE)
+             / 100.0 * 1000000 + 0.5) / 1000000.0 AS slope,
+       floor((sy - CAST(n_days * sxy - sx * sy AS DOUBLE)
+                   / CAST(n_days * sxx - sx * sx AS DOUBLE) * sx)
+             / CAST(n_days AS DOUBLE) / 100.0 * 1000000 + 0.5)
+         / 1000000.0 AS intercept,
+       CASE WHEN n_days * sxx - sx * sx > 0 AND n_days * syy - sy * sy > 0
+            THEN floor(CAST(n_days * sxy - sx * sy AS DOUBLE)
+                       * CAST(n_days * sxy - sx * sy AS DOUBLE)
+                       / (CAST(n_days * sxx - sx * sx AS DOUBLE)
+                          * CAST(n_days * syy - sy * sy AS DOUBLE))
+                       * 1000000 + 0.5) / 1000000.0 END AS r2
+FROM agg WHERE n_days * sxx - sx * sx > 0
+ORDER BY event_type"""
+
+
 def timeseries_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import (
         Workload,
@@ -1131,6 +1225,7 @@ def timeseries_workloads():
             _crosscorr_oracle(key_a="click", key_b="click"),
             lambda ev: cross_correlation(ev, key_a="click", key_b="click"),
         ),
+        _w("ts_linear_trend", ORACLE_LINEAR_TREND, linear_trend),
         _w("ts_anomaly_mad", _mad_oracle(), anomaly_mad),
         _w("ts_seasonal_anomaly", _seasonal_oracle(), seasonal_anomaly),
         _w("ts_level_shift", _level_shift_oracle(), level_shift),

@@ -385,3 +385,24 @@ def test_acf_lag_zero_is_one(spark):
     out = {r["lag"]: r["r"] for r in cross_correlation(df, key_a="a", key_b="a", max_lag=3).collect()}
     assert out[0] == 1.0
     assert all(-1.0 <= v <= 1.0 for v in out.values())
+
+
+def test_linear_trend_recovers_known_slope(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        linear_trend,
+    )
+
+    # key 'up': exactly 2.0/day growth (one event per day) -> slope 2,
+    # r2 = 1; key 'flat': constant -> slope 0, r2 NULL (dy = 0)
+    rows = []
+    for d in range(10):
+        rows.append((d, datetime(2024, 3, 1 + d, 12), 1, "up", 10.0 + 2.0 * d))
+        rows.append((100 + d, datetime(2024, 3, 1 + d, 12), 1, "flat", 7.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = {r["event_type"]: r for r in linear_trend(df).collect()}
+    up = out["up"]
+    assert (up["n_days"], up["slope"], up["intercept"], up["r2"]) == (10, 2.0, 10.0, 1.0)
+    flat = out["flat"]
+    assert (flat["slope"], flat["intercept"], flat["r2"]) == (0.0, 7.0, None)
