@@ -85,6 +85,47 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def payload_dedup(media: DataFrame) -> DataFrame:
+    """Content-addressable dedup of media PAYLOADS per modality: the
+    container header (dimensions, format metadata) is stripped before
+    hashing, so re-encoded copies of the same content — different
+    width/height metadata, same payload — dedup together, which
+    byte-level dedup of the full container cannot do.
+
+    Entirely JVM-side: regexp header strip + sha2 + one map-combinable
+    groupBy on (media_type, 32-byte digest) — the
+    :func:`dedup.exact_dedup` shuffle shape lifted onto the binary
+    column. Real codecs swap the header-strip expression for a decode
+    UDF; the dataflow is unchanged.
+
+    Returns ``(media_type, keep_id, n_copies)``.
+    """
+    payload = F.regexp_replace(
+        F.decode(F.col("content"), "utf-8"),
+        r"^FAKE\|[0-9]+\|[0-9]+\|",
+        "",
+    )
+    return (
+        media.select(
+            "doc_id",
+            "media_type",
+            F.sha2(payload, 256).alias("_k"),
+        )
+        .groupBy("media_type", "_k")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .select("media_type", "keep_id", "n_copies")
+    )
+
+
+ORACLE_MEDIA_PAYLOAD_DEDUP = """
+SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY doc_id % 3, text
+ORDER BY media_type, keep_id"""
+
+
 def extract_features(media: DataFrame, use_real_codecs: bool = False) -> DataFrame:
     """Decode + feature-extract over the binary column via
     ``mapInPandas``: per media row emits byte count, decoded
@@ -198,6 +239,13 @@ def _wl_media_features(spark, sf_dir):
     return extract_features(synthesize_media(spark.table("documents")))
 
 
+def _wl_media_dedup(spark, sf_dir):
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    return payload_dedup(synthesize_media(spark.table("documents")))
+
+
 def _wl_media_frames(spark, sf_dir):
     from query_refinement_dsit_databases_2021_spark.workloads import register_views
 
@@ -211,4 +259,10 @@ def multimodal_workloads():
     return [
         Workload("pipe_media_features", _wl_media_features, ORACLE_MEDIA_FEATURES, False),
         Workload("pipe_media_frames", _wl_media_frames, ORACLE_MEDIA_FRAMES, False),
+        Workload(
+            "pipe_media_payload_dedup",
+            _wl_media_dedup,
+            ORACLE_MEDIA_PAYLOAD_DEDUP,
+            False,
+        ),
     ]

@@ -58,3 +58,36 @@ def test_real_codec_path_is_stubbed(media):
 def test_bad_container_rejected():
     with pytest.raises(ValueError):
         multimodal.decode_media_fake(b"NOTFAKE|1|2|x")
+
+
+def test_payload_dedup_sees_through_headers(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.multimodal import (
+        payload_dedup,
+    )
+
+    # docs 0 and 3 share TEXT but get different container headers
+    # (w/h derive from doc_id) and the same modality (both % 3 == 0):
+    # byte-level dedup of the full container would keep both; payload
+    # dedup must collapse them
+    rows = [
+        (0, "same payload words"),
+        (3, "same payload words"),
+        (6, "a different payload"),
+        (1, "same payload words"),  # audio modality -> separate group
+    ]
+    from query_refinement_dsit_databases_2021_spark.operators.multimodal import (
+        synthesize_media,
+    )
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    media = synthesize_media(docs)
+    # containers genuinely differ byte-wise for 0 vs 3
+    c = {r["doc_id"]: bytes(r["content"]) for r in media.collect()}
+    assert c[0] != c[3]
+    out = {
+        (r["media_type"], r["keep_id"]): r["n_copies"]
+        for r in payload_dedup(media).collect()
+    }
+    assert out[("image", 0)] == 2  # 0 and 3 merged
+    assert out[("image", 6)] == 1
+    assert out[("audio", 1)] == 1
