@@ -335,6 +335,57 @@ def _wl_incr_rollup(spark, sf_dir):
     return incremental_rollup(base_agg, ev.where("event_id % 3 = 2"))
 
 
+def partition_manifest(
+    events: DataFrame, ts: str = "ts", value: str = "value"
+) -> DataFrame:
+    """Per-partition (per-day) integrity manifest — the backfill/
+    replication validator: row count, exact integer-cents value sum,
+    and an order-independent xor digest of per-row signatures. Two
+    replicas of a day match iff all three match; a silently dropped or
+    duplicated row flips the count AND the digest, a corrupted value
+    flips the sum AND the digest.
+
+    Row signature = ``(event_id * 1000003 + cents) % HASH_P`` — pure
+    int64 arithmetic, identical on both engines; xor is commutative so
+    the digest is partition-order-free. ONE map-combinable groupBy(day);
+    at 100 TB this is the per-partition companion of the corpus-level
+    :func:`textops.corpus_manifest`.
+
+    Returns ``(day, n, sum_cents, xor_sig)``.
+    """
+    from query_refinement_dsit_databases_2021_spark.operators.textops import HASH_P
+
+    cents = F.floor(F.col(value) * 100 + F.lit(0.5)).cast("long")
+    sig = (F.col("event_id") * 1000003 + cents) % HASH_P
+    return (
+        events.select(
+            F.to_date(ts).alias("day"), cents.alias("_c"), sig.alias("_s")
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_c").alias("sum_cents"),
+            F.expr("bit_xor(_s)").alias("xor_sig"),
+        )
+        .orderBy("day")
+    )
+
+
+def _wl_partition_manifest(spark, sf_dir):
+    return partition_manifest(_events(spark, sf_dir))
+
+
+def _oracle_partition_manifest() -> str:
+    from query_refinement_dsit_databases_2021_spark.operators.textops import HASH_P
+
+    return f"""
+SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(floor(value * 100 + 0.5)::BIGINT) AS BIGINT) AS sum_cents,
+       CAST(bit_xor((event_id * 1000003 + floor(value * 100 + 0.5)::BIGINT)
+                    % {HASH_P}) AS BIGINT) AS xor_sig
+FROM events GROUP BY 1 ORDER BY 1"""
+
+
 def cdc_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
@@ -343,4 +394,9 @@ def cdc_workloads():
         Workload("ops_scd2_history", _wl_scd2, ORACLE_SCD2),
         Workload("ops_incremental_rollup", _wl_incr_rollup, ORACLE_INCR_ROLLUP),
         Workload("ops_snapshot_diff", _wl_snapshot_diff, ORACLE_SNAPSHOT_DIFF),
+        Workload(
+            "ops_partition_manifest",
+            _wl_partition_manifest,
+            _oracle_partition_manifest(),
+        ),
     ]

@@ -87,3 +87,31 @@ def test_snapshot_diff_classifies_all_three(spark):
     got = {r["k"]: r["change"] for r in snapshot_diff(a, b).collect()}
     # 1 unchanged (dropped), 2 changed, 3 removed, 4 added
     assert got == {2: "changed", 3: "removed", 4: "added"}
+
+
+def test_partition_manifest_detects_tampering(spark):
+    from datetime import datetime
+
+    from query_refinement_dsit_databases_2021_spark.operators.cdc import (
+        partition_manifest,
+    )
+
+    rows = [
+        (1, datetime(2024, 3, 1, 10), 1, "a", 5.0),
+        (2, datetime(2024, 3, 1, 11), 1, "a", 7.5),
+        (3, datetime(2024, 3, 2, 10), 1, "a", 1.0),
+    ]
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    base = {r["day"]: r for r in partition_manifest(
+        spark.createDataFrame(rows, schema)).collect()}
+    # replica with one corrupted value on day 1: count matches, sum and
+    # digest must both flip; day 2 untouched
+    bad = [(1, datetime(2024, 3, 1, 10), 1, "a", 5.01)] + rows[1:]
+    tampered = {r["day"]: r for r in partition_manifest(
+        spark.createDataFrame(bad, schema)).collect()}
+    d1, t1 = base[list(base)[0]], tampered[list(tampered)[0]]
+    assert d1["n"] == t1["n"] == 2
+    assert d1["sum_cents"] != t1["sum_cents"]
+    assert d1["xor_sig"] != t1["xor_sig"]
+    d2 = sorted(base)[1]
+    assert base[d2] == tampered[d2]
