@@ -1018,11 +1018,12 @@ def level_shift(
     """Level-shift (changepoint) detection: at each point, compare the
     mean of the ``w`` observations strictly before it against the mean
     of the ``w`` starting at it; flag when the means differ by at least
-    ``delta``. The two-sided-window test is the SQL-expressible core of
-    CUSUM-style changepoint detectors (the sequential-reset recursion
-    is deliberately NOT reproduced — it is order-recursive and
-    per-row-stateful, the wrong shape for a scan-parallel engine; the
-    windowed contrast detects the same sustained shifts).
+    ``delta``. The two-sided-window test is the windowed-contrast
+    changepoint detector; the cumulative-sum alternative with its
+    max(0, ...) reset IS also scan-expressible — see
+    :func:`cusum_alerts` for the prefix-sum/running-min flattening —
+    and the two detect complementary shapes (sharp steps here,
+    slow sustained drifts there).
 
     Determinism: integer-cents window SUMS (order-free exact), the flag
     compare is ``|post_sum - pre_sum| >= delta_cents * w`` in int64,
@@ -1190,6 +1191,96 @@ FROM agg WHERE n_days * sxx - sx * sx > 0
 ORDER BY event_type"""
 
 
+def cusum_alerts(
+    events: DataFrame,
+    ts: str = "ts",
+    key: str = "event_type",
+    value: str = "value",
+    slack: float = 50.0,
+    h: float = 200.0,
+) -> DataFrame:
+    """One-sided CUSUM changepoint alerts, computed EXACTLY with scan
+    parallelism: the textbook recursion ``S_t = max(0, S_{t-1} + x_t -
+    target - slack)`` looks per-row-stateful, but max-plus algebra
+    flattens it — with ``P_t`` the prefix sum of the drifts,
+    ``S_t = P_t - min(0, min_{j<=t} P_j)``, i.e. a running sum minus a
+    running min, both ordinary window aggregates. (This also means the
+    sequential-reset argument in :func:`level_shift`'s docstring
+    applies only to detectors with data-dependent resets, not to CUSUM
+    itself.)
+
+    ``target`` is the per-key MEDIAN (robust; broadcast back like
+    :func:`anomaly_mad`); drifts are integer HALF-cents (the median of
+    ints is a multiple of 0.5, so 2x lifts everything to int64 —
+    exact, order-free prefix math on both engines). A row is an alert
+    when ``S_t >= h``; the reported statistic is the single exact
+    int/int division ``S_hc / 200``.
+
+    Plan: one tiny median agg broadcast back + ONE window sort per key
+    carrying both running aggregates. Returns flagged
+    ``(event_id, key, s)``.
+    """
+    slack_hc = int(round(slack * 200))
+    h_hc = int(round(h * 200))
+    c = F.floor(F.col(value) * 100 + F.lit(0.5))
+    base = events.select("event_id", key, F.col(ts).alias("_ts"), c.alias("_c"))
+    med = base.groupBy(key).agg(F.median("_c").alias("_med"))
+    j = base.join(F.broadcast(med), key)
+    d = (F.lit(2) * F.col("_c") - F.lit(2) * F.col("_med")).cast("long") - slack_hc
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = F.sum(d).over(w)
+    staged = j.select("event_id", key, "_ts", p.alias("_p"))
+    mn = F.min("_p").over(
+        Window.partitionBy(key)
+        .orderBy("_ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    s_hc = F.col("_p") - F.least(F.lit(0).cast("long"), mn)
+    return (
+        staged.select("event_id", key, s_hc.alias("_s"))
+        .where(F.col("_s") >= h_hc)
+        .select(
+            "event_id", key, (F.col("_s") / F.lit(200.0)).alias("s")
+        )
+    )
+
+
+def _cusum_oracle(
+    key: str = "event_type", slack: float = 50.0, h: float = 200.0
+) -> str:
+    slack_hc = int(round(slack * 200))
+    h_hc = int(round(h * 200))
+    return f"""
+WITH c AS (
+  SELECT event_id, {key}, ts, floor(value * 100 + 0.5) AS c FROM events),
+m AS (SELECT {key}, median(c) AS med FROM c GROUP BY 1),
+d AS (
+  SELECT c.event_id, c.{key}, c.ts,
+         CAST(2 * c.c - 2 * m.med AS BIGINT) - {slack_hc} AS d
+  FROM c JOIN m USING ({key})),
+p AS (
+  SELECT event_id, {key},
+         CAST(sum(d) OVER (PARTITION BY {key} ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS p,
+         ts
+  FROM d),
+s AS (
+  SELECT event_id, {key},
+         p - least(CAST(0 AS BIGINT),
+                   CAST(min(p) OVER (PARTITION BY {key} ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS BIGINT)) AS s_hc
+  FROM p)
+SELECT event_id, {key}, s_hc / 200.0 AS s
+FROM s WHERE s_hc >= {h_hc}
+ORDER BY event_id"""
+
+
 def timeseries_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import (
         Workload,
@@ -1226,6 +1317,7 @@ def timeseries_workloads():
             lambda ev: cross_correlation(ev, key_a="click", key_b="click"),
         ),
         _w("ts_linear_trend", ORACLE_LINEAR_TREND, linear_trend),
+        _w("ts_cusum", _cusum_oracle(), cusum_alerts),
         _w("ts_anomaly_mad", _mad_oracle(), anomaly_mad),
         _w("ts_seasonal_anomaly", _seasonal_oracle(), seasonal_anomaly),
         _w("ts_level_shift", _level_shift_oracle(), level_shift),

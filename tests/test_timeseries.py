@@ -406,3 +406,40 @@ def test_linear_trend_recovers_known_slope(spark):
     assert (up["n_days"], up["slope"], up["intercept"], up["r2"]) == (10, 2.0, 10.0, 1.0)
     flat = out["flat"]
     assert (flat["slope"], flat["intercept"], flat["r2"]) == (0.0, 7.0, None)
+
+
+def test_cusum_flattening_matches_sequential_reference(spark):
+    # the prefix-sum/running-min identity must equal the textbook
+    # sequential recursion S_t = max(0, S_{t-1} + d_t) exactly
+    import numpy as np
+
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        cusum_alerts,
+    )
+
+    from datetime import timedelta
+
+    t0 = datetime(2024, 3, 1)
+    rng = [(i, t0 + timedelta(minutes=i), 1, "a",
+            float(10 + (i * 37) % 23)) for i in range(120)]
+    # inject a sustained upward drift in the middle
+    rng = [
+        (i, t, u, k, v + (40.0 if 60 <= i < 90 else 0.0))
+        for (i, t, u, k, v) in rng
+    ]
+    df = spark.createDataFrame(
+        rng, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    slack, h = 15.0, 30.0
+    got = {r["event_id"]: r["s"] for r in cusum_alerts(df, slack=slack, h=h).collect()}
+    # sequential reference in half-cents
+    c = np.floor(np.array([v for *_ , v in rng]) * 100 + 0.5)
+    med = np.median(c)
+    want = {}
+    s = 0
+    for i, ci in enumerate(c):
+        d = int(2 * ci - 2 * med) - round(slack * 200)
+        s = max(0, s + d)
+        if s >= round(h * 200):
+            want[i] = s / 200.0
+    assert got == want and len(want) > 0
