@@ -177,6 +177,127 @@ def zorder_layout(
 
 # ---------------------------------------------------------------------------
 
+HILBERT_BITS = 8
+
+
+def hilbert_key_df(
+    df: DataFrame, x: str, y: str, bits: int = HILBERT_BITS, out: str = "hkey"
+) -> DataFrame:
+    """Hilbert-curve distance of ``(x, y)`` (low ``bits`` bits each) —
+    the space-filling clustering key with strictly better range
+    locality than the Morton key (:func:`zorder_key`): consecutive
+    Hilbert addresses are ALWAYS grid neighbors, so a file covering a
+    contiguous key range covers one connected region with no Z-shape
+    diagonal jumps, tightening min/max pruning on both dimensions.
+
+    The classic per-level transform (quadrant digit + conditional
+    reflect/swap) is unrolled into ``bits`` chained projections — each
+    level is constant-size integer CASE arithmetic referencing the
+    previous level's columns, so whole-stage codegen evaluates the
+    whole thing in one pass and the DuckDB oracle mirrors it as
+    chained CTEs. Pure integer ops, bit-exact on both engines.
+    """
+    mask = (1 << bits) - 1
+    cur = df.withColumn("_hx", F.col(x).cast("long").bitwiseAND(F.lit(mask)))
+    cur = cur.withColumn("_hy", F.col(y).cast("long").bitwiseAND(F.lit(mask)))
+    cur = cur.withColumn("_hd", F.lit(0).cast("long"))
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        rx = F.when(F.col("_hx").bitwiseAND(s) > 0, 1).otherwise(0)
+        ry = F.when(F.col("_hy").bitwiseAND(s) > 0, 1).otherwise(0)
+        cur = (
+            cur.withColumn("_rx", rx)
+            .withColumn("_ry", ry)
+            .withColumn(
+                "_hd",
+                F.col("_hd")
+                + F.lit(s) * F.lit(s)
+                * (F.lit(3) * F.col("_rx")).bitwiseXOR(F.col("_ry")),
+            )
+        )
+        # rotate/reflect the quadrant so the next level sees canonical
+        # orientation: when ry == 0 -> (maybe reflect) then swap x/y
+        nx = F.when(
+            F.col("_ry") == 0,
+            F.when(
+                F.col("_rx") == 1, F.lit(s - 1) - F.col("_hy")
+            ).otherwise(F.col("_hy")),
+        ).otherwise(F.col("_hx"))
+        ny = F.when(
+            F.col("_ry") == 0,
+            F.when(
+                F.col("_rx") == 1, F.lit(s - 1) - F.col("_hx")
+            ).otherwise(F.col("_hx")),
+        ).otherwise(F.col("_hy"))
+        cur = (
+            cur.withColumn("_nx", nx)
+            .withColumn("_ny", ny)
+            .withColumn("_hx", F.col("_nx"))
+            .withColumn("_hy", F.col("_ny"))
+        )
+    return cur.withColumn(out, F.col("_hd")).drop(
+        "_hx", "_hy", "_hd", "_rx", "_ry", "_nx", "_ny"
+    )
+
+
+def hilbert_oracle_sql(
+    source: str, keys: str, x: str, y: str, bits: int = HILBERT_BITS
+) -> str:
+    """Chained-CTE transliteration of :func:`hilbert_key_df` (same
+    per-level arithmetic, same orientation handling). ``source`` is a
+    FROM-able relation, ``keys`` the projected passthrough columns."""
+    mask = (1 << bits) - 1
+    parts = [
+        f"h{bits} AS (SELECT {keys}, CAST(({x}) & {mask} AS BIGINT) AS hx,"
+        f" CAST(({y}) & {mask} AS BIGINT) AS hy, CAST(0 AS BIGINT) AS hd"
+        f" FROM {source})"
+    ]
+    for level in range(bits - 1, -1, -1):
+        s = 1 << level
+        prev = f"h{level + 1}"
+        parts.append(
+            f"""h{level} AS (
+  SELECT {keys},
+         CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN {s - 1} - hy ELSE hy END
+              ELSE hx END AS hx,
+         CASE WHEN ry = 0 THEN CASE WHEN rx = 1 THEN {s - 1} - hx ELSE hx END
+              ELSE hy END AS hy,
+         hd + {s * s} * xor(3 * rx, ry) AS hd
+  FROM (SELECT {keys}, hx, hy, hd,
+               CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END AS rx,
+               CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END AS ry
+        FROM {prev}) t)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT {keys}, CAST(hd AS BIGINT) AS hkey FROM h0"
+    )
+
+
+def _wl_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    li = spark.table("lineitem").where(F.col("l_orderkey") < 2000)
+    return hilbert_key_df(
+        li.select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+        "l_partkey",
+        "l_suppkey",
+    ).select("l_orderkey", "l_linenumber", "hkey")
+
+
+ORACLE_HILBERT_KEY = (
+    hilbert_oracle_sql(
+        "(SELECT * FROM lineitem WHERE l_orderkey < 2000)",
+        "l_orderkey, l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+    )
+    + "\nORDER BY l_orderkey, l_linenumber"
+)
+
+
 def skew_profile(df: DataFrame, key: str, top_k: int = 20) -> DataFrame:
     """Join-key skew diagnostics: the measurement that decides whether
     a key needs :func:`salted_join` / AQE skew handling at all. Returns
@@ -473,6 +594,7 @@ def scale_workloads():
         Workload("ops_salted_join", _wl_salted_join, ORACLE_SALTED_JOIN),
         Workload("ops_salted_distinct", _wl_salted_distinct, ORACLE_SALTED_DISTINCT),
         Workload("ops_zorder_key", _wl_zorder_key, ORACLE_ZORDER_KEY),
+        Workload("ops_hilbert_key", _wl_hilbert_key, ORACLE_HILBERT_KEY),
         Workload("ops_skew_profile", _wl_skew_profile, ORACLE_SKEW_PROFILE),
         Workload("ops_column_stats", _wl_column_stats, ORACLE_COLUMN_STATS),
         Workload("ops_corr_matrix", _wl_corr_matrix, ORACLE_CORR_MATRIX),

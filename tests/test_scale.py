@@ -200,3 +200,72 @@ def test_corr_matrix_known_correlations(spark):
     assert out[("x", "y")] == 1.0
     assert out[("x", "z")] == -1.0
     assert out[("y", "z")] == -1.0
+
+
+def test_hilbert_key_matches_python_reference(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.scale import (
+        hilbert_key_df,
+    )
+
+    def ref(x, y, bits):
+        d = 0
+        s = 1 << (bits - 1)
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x long, y long"
+    )
+    got = {
+        (r["x"], r["y"]): r["hkey"]
+        for r in hilbert_key_df(grid, "x", "y", bits=4).collect()
+    }
+    for (x, y), h in got.items():
+        assert h == ref(x, y, 4), (x, y)
+    # bijective over the grid and consecutive addresses are neighbors
+    inv = {h: xy for xy, h in got.items()}
+    assert sorted(inv) == list(range(256))
+    for d in range(255):
+        (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_locality_beats_zorder(spark):
+    # the locality claim, measured: over all consecutive address pairs
+    # the Hilbert curve's grid distance is ALWAYS 1, while the Morton
+    # curve takes diagonal jumps (distance > 1) at quadrant boundaries
+    from query_refinement_dsit_databases_2021_spark.operators.scale import (
+        hilbert_key_df,
+        zorder_key,
+    )
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x long, y long"
+    )
+    h = {
+        r["hkey"]: (r["x"], r["y"])
+        for r in hilbert_key_df(grid, "x", "y", bits=4).collect()
+    }
+    z = {
+        r["zkey"]: (r["x"], r["y"])
+        for r in grid.select(
+            "x", "y", zorder_key(F.col("x"), F.col("y"), bits=4).alias("zkey")
+        ).collect()
+    }
+
+    def max_jump(m):
+        return max(
+            abs(m[d][0] - m[d + 1][0]) + abs(m[d][1] - m[d + 1][1])
+            for d in range(255)
+        )
+
+    assert max_jump(h) == 1
+    assert max_jump(z) > 1
