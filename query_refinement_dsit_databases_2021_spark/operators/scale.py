@@ -275,6 +275,18 @@ def hilbert_oracle_sql(
     )
 
 
+def hilbert_layout(
+    df: DataFrame, x: str, y: str, n_files: int, bits: int = HILBERT_BITS
+) -> DataFrame:
+    """Range-partition ``df`` by its Hilbert key into ``n_files`` write
+    tasks — :func:`zorder_layout` with the better curve: each output
+    file covers one CONNECTED (x, y) region (no Z-shape diagonal
+    jumps), so per-file min/max stats are tighter on both dimensions
+    at identical write cost."""
+    keyed = hilbert_key_df(df, x, y, bits, out="__h")
+    return keyed.repartitionByRange(n_files, "__h").drop("__h")
+
+
 def _wl_hilbert_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     from query_refinement_dsit_databases_2021_spark.workloads import register_views
 

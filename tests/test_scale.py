@@ -269,3 +269,33 @@ def test_hilbert_locality_beats_zorder(spark):
 
     assert max_jump(h) == 1
     assert max_jump(z) > 1
+
+
+def test_hilbert_layout_prunes_at_least_as_well_as_zorder(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.scale import (
+        hilbert_layout,
+        zorder_layout,
+    )
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    n_files = 16
+
+    def overlap_ratio(parts_df):
+        stats = (
+            parts_df.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .agg(F.min("y").alias("lo"), F.max("y").alias("hi"))
+            .collect()
+        )
+        assert 0 < len(stats) <= n_files
+        n = sum(1 for r in stats if r["lo"] <= 3 and r["hi"] >= 0)
+        return n / len(stats)
+
+    hil = overlap_ratio(hilbert_layout(grid, "x", "y", n_files, bits=6))
+    zed = overlap_ratio(zorder_layout(grid, "x", "y", n_files, bits=6))
+    # connected regions can only tighten the bounding boxes: the
+    # non-leading-dim probe must touch no more files than under Morton
+    assert hil <= zed
+    assert hil < 1.0
