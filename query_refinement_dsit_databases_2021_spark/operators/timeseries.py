@@ -1281,6 +1281,129 @@ FROM s WHERE s_hc >= {h_hc}
 ORDER BY event_id"""
 
 
+def detrended_anomaly(
+    events: DataFrame,
+    ts: str = "ts",
+    key: str = "event_type",
+    value: str = "value",
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Trend-adjusted anomaly detection on daily totals: fit the exact
+    per-key OLS trend (:func:`linear_trend`'s closed form), score each
+    day's residual against the residual distribution, flag
+    ``|z| >= threshold``. On a growing series a flat-baseline detector
+    (:func:`anomaly_zscore`, :func:`anomaly_mad`) flags the whole
+    recent half as "high"; detrending first asks the right question —
+    "is this day off ITS OWN trend line".
+
+    Determinism: the trend coefficients are the closed form over exact
+    int64 sums (unrounded internally — identical IEEE on identical
+    integers); each residual is ONE identical expression, immediately
+    floor-quantized to integer deci-cents, so the residual moment sums
+    are order-free int64 and the z compare happens on the 4-dp
+    floor-quantized value (the :func:`anomaly_zscore` contract).
+
+    Plan: daily agg → per-key five-sum agg (broadcast) → residual
+    projection → per-key residual moments (broadcast) → flag. Two
+    passes over the DAILY table (key-count-sized), one over events.
+    Returns flagged ``(key, x, day_total, z)``.
+    """
+    cents = F.floor(F.col(value) * 100 + F.lit(0.5)).cast("long")
+    daily = events.groupBy(
+        F.datediff(F.to_date(ts), F.lit("1970-01-01")).alias("d"), F.col(key)
+    ).agg(F.sum(cents).alias("y"))
+    x = (F.col("d") - F.min("d").over(Window.partitionBy(key))).cast("long")
+    staged = daily.select(key, x.alias("x"), "y")
+    tr = staged.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n")
+    dx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / dx
+    intercept = (F.col("sy") - slope * F.col("sx")) / n.cast("double")
+    j = staged.join(
+        F.broadcast(
+            tr.where(dx > 0).select(
+                key, slope.alias("_b"), intercept.alias("_a")
+            )
+        ),
+        key,
+    )
+    # residual in integer DECI-cents: one identical float expression,
+    # quantized before any cross-row sum
+    r = F.floor(
+        (F.col("y").cast("double") - (F.col("_a") + F.col("_b") * F.col("x")))
+        * F.lit(10)
+        + F.lit(0.5)
+    ).cast("long")
+    rs = j.select(key, "x", "y", r.alias("_r"))
+    mom = rs.groupBy(key).agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.avg("_r").alias("_mean"),
+        F.stddev_samp("_r").alias("_sd"),
+    )
+    scored = rs.join(F.broadcast(mom), key)
+    z = F.floor(
+        (F.col("_r") - F.col("_mean")) / F.col("_sd") * F.lit(1e4) + F.lit(0.5)
+    ) / F.lit(1e4)
+    return (
+        scored.where(F.col("_sd") > 0)
+        .select(
+            key,
+            "x",
+            (F.col("y") / F.lit(100.0)).alias("day_total"),
+            z.alias("z"),
+        )
+        .where(F.abs(F.col("z")) >= threshold)
+        .orderBy(key, "x")
+    )
+
+
+def _detrended_oracle(key: str = "event_type", threshold: float = 2.0) -> str:
+    return f"""
+WITH daily AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         {key},
+         CAST(sum(floor(value * 100 + 0.5)::BIGINT) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+staged AS (
+  SELECT {key}, CAST(d - min(d) OVER (PARTITION BY {key}) AS BIGINT) AS x, y
+  FROM daily),
+tr AS (
+  SELECT {key}, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM staged GROUP BY {key}),
+co AS (
+  SELECT {key},
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / CAST(n * sxx - sx * sx AS DOUBLE) AS b,
+         (sy - CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) * sx)
+           / CAST(n AS DOUBLE) AS a
+  FROM tr WHERE n * sxx - sx * sx > 0),
+rs AS (
+  SELECT s.{key}, s.x, s.y,
+         CAST(floor((CAST(s.y AS DOUBLE) - (co.a + co.b * s.x)) * 10 + 0.5)
+              AS BIGINT) AS r
+  FROM staged s JOIN co USING ({key})),
+mom AS (
+  SELECT {key}, avg(r) AS mean_r, stddev_samp(r) AS sd_r
+  FROM rs GROUP BY {key})
+SELECT rs.{key}, rs.x, rs.y / 100.0 AS day_total,
+       floor((rs.r - mom.mean_r) / mom.sd_r * 10000 + 0.5) / 10000.0 AS z
+FROM rs JOIN mom USING ({key})
+WHERE mom.sd_r > 0
+  AND abs(floor((rs.r - mom.mean_r) / mom.sd_r * 10000 + 0.5) / 10000.0)
+        >= {threshold}
+ORDER BY rs.{key}, rs.x"""
+
+
 def timeseries_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import (
         Workload,
@@ -1318,6 +1441,7 @@ def timeseries_workloads():
         ),
         _w("ts_linear_trend", ORACLE_LINEAR_TREND, linear_trend),
         _w("ts_cusum", _cusum_oracle(), cusum_alerts),
+        _w("ts_detrended_anomaly", _detrended_oracle(), detrended_anomaly),
         _w("ts_anomaly_mad", _mad_oracle(), anomaly_mad),
         _w("ts_seasonal_anomaly", _seasonal_oracle(), seasonal_anomaly),
         _w("ts_level_shift", _level_shift_oracle(), level_shift),
