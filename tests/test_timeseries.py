@@ -453,11 +453,6 @@ def test_detrended_anomaly_ignores_pure_trend(spark):
     # 30 days of clean 5.0/day growth with ONE day spiked far off the
     # line: a flat-baseline z-score would flag the whole recent half;
     # the detrended detector must flag exactly the spiked day
-    rows = []
-    for d in range(30):
-        v = 100.0 + 5.0 * d + (400.0 if d == 20 else 0.0)
-        rows.append((d, datetime(2024, 3, 1 + d % 28, 12 if d < 28 else 13), 1, "a", v))
-    # keep ts strictly increasing across the month boundary
     rows = [
         (i, datetime(2024, 3, 1, 0, 0) + __import__("datetime").timedelta(days=i),
          1, "a", 100.0 + 5.0 * i + (400.0 if i == 20 else 0.0))
