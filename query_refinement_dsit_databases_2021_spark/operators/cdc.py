@@ -386,6 +386,93 @@ SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n,
 FROM events GROUP BY 1 ORDER BY 1"""
 
 
+def fk_integrity(
+    checks: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Referential-integrity audit — the post-ingest data-quality gate
+    a lake runs before publishing a snapshot: for each (child, fk) →
+    (parent, pk) relation, count the child rows whose key has no
+    parent (orphans). Emits one row per relation so a single job
+    validates the whole schema.
+
+    ``checks`` is ``[(relation_name, child_df, fk_col, parent_df,
+    pk_col), ...]``. Orphans are counted with a LEFT ANTI join against
+    the parent's distinct keys — the shuffle carries only the key
+    columns, and AQE broadcasts the parent key set when it is small.
+    At 100 TB, pre-filter the child with a Bloom filter built from the
+    parent keys (or the parent's min/max when keys are dense) so the
+    anti-join only sees candidate orphans; counts are exact either way
+    because the Bloom filter admits false positives only.
+
+    Returns ``(relation, n_child, n_orphans)`` ordered by relation.
+    """
+    outs = []
+    for name, child, fk, parent, pk in checks:
+        keys = parent.select(F.col(pk).alias(fk)).distinct()
+        n_child = child.select(F.col(fk)).groupBy().agg(
+            F.count(F.lit(1)).alias("n_child")
+        )
+        n_orph = (
+            child.select(F.col(fk))
+            .join(keys, fk, "left_anti")
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        outs.append(
+            n_child.crossJoin(n_orph).select(
+                F.lit(name).alias("relation"), "n_child", "n_orphans"
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res.orderBy("relation")
+
+
+def _wl_fk_integrity(spark, sf_dir):
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    # simulate a partial snapshot: some parents dropped -> real orphans
+    orders_snap = spark.table("orders").where("o_orderkey % 97 != 0")
+    cust_snap = spark.table("customer").where("c_custkey % 53 != 0")
+    return fk_integrity(
+        [
+            (
+                "lineitem->orders",
+                spark.table("lineitem"),
+                "l_orderkey",
+                orders_snap,
+                "o_orderkey",
+            ),
+            (
+                "orders->customer",
+                spark.table("orders"),
+                "o_custkey",
+                cust_snap,
+                "c_custkey",
+            ),
+        ]
+    )
+
+
+ORACLE_FK_INTEGRITY = """
+SELECT 'lineitem->orders' AS relation,
+       (SELECT count(*) FROM lineitem) AS n_child,
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey
+                            AND o.o_orderkey % 97 != 0)) AS n_orphans
+UNION ALL
+SELECT 'orders->customer' AS relation,
+       (SELECT count(*) FROM orders) AS n_child,
+       (SELECT count(*) FROM orders r
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = r.o_custkey
+                            AND c.c_custkey % 53 != 0)) AS n_orphans
+ORDER BY relation"""
+
+
 def cdc_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
@@ -399,4 +486,5 @@ def cdc_workloads():
             _wl_partition_manifest,
             _oracle_partition_manifest(),
         ),
+        Workload("ops_fk_integrity", _wl_fk_integrity, ORACLE_FK_INTEGRITY),
     ]

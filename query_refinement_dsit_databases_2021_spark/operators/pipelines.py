@@ -839,6 +839,27 @@ def _wl_ngram_topk(spark, sf_dir):
     return textops.ngram_topk(_docs(spark, sf_dir))
 
 
+# skip-gram pair counts: pure integer counting over identically-split
+# tokens; (n DESC, w1, w2) is a total order so the LIMIT set is exact.
+# DuckDB range(a, b) is half-open -> range(1, len(ws)) = 1..len-1,
+# matching the Spark side's sequence(1, n-1) anchor positions
+ORACLE_COOC = f"""
+WITH tok AS (SELECT string_split(text, ' ') AS ws FROM documents),
+p AS (
+  SELECT least(ws[i], ws[i + d]) AS w1, greatest(ws[i], ws[i + d]) AS w2
+  FROM tok,
+       unnest(range(1, len(ws))) u(i),
+       unnest(range(1, {textops.COOC_WINDOW + 1})) v(d)
+  WHERE i + d <= len(ws))
+SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pairs
+FROM p GROUP BY w1, w2
+ORDER BY n_pairs DESC, w1, w2 LIMIT {textops.COOC_TOPK}"""
+
+
+def _wl_cooccurrence(spark, sf_dir):
+    return textops.cooccurrence_pairs(_docs(spark, sf_dir))
+
+
 # DuckDB regexp_replace needs the 'g' flag (Spark replaces globally by
 # default); the transform set is ASCII-only so both regex engines agree
 ORACLE_NORMALIZE = """
@@ -1158,6 +1179,7 @@ def pipeline_workloads():
         ("pipe_filter_boilerplate", _wl_boilerplate, ORACLE_BOILERPLATE, False),
         ("pipe_filter_gopher", _wl_gopher, ORACLE_GOPHER, False),
         ("pipe_ngram_topk", _wl_ngram_topk, ORACLE_NGRAM_TOPK, False),
+        ("pipe_cooccurrence_pairs", _wl_cooccurrence, ORACLE_COOC, False),
         ("pipe_text_normalize", _wl_normalize, ORACLE_NORMALIZE, False),
         ("pipe_tokenize_ids", _wl_tokenize, ORACLE_TOKENIZE, False),
         ("pipe_dataset_card", _wl_dataset_card, ORACLE_DATASET_CARD, False),

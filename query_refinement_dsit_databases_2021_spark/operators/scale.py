@@ -599,6 +599,91 @@ FROM lineitem WHERE l_orderkey < 2000
 ORDER BY l_orderkey, l_linenumber"""
 
 
+COMPACTION_TARGET_BYTES = 65_536
+
+
+def compaction_plan(
+    events: DataFrame, target_bytes: int = COMPACTION_TARGET_BYTES
+) -> DataFrame:
+    """Small-file compaction PLANNER — the metadata half of
+    :func:`sources.columnar.compact_small_files` (which executes a
+    plan): given the lake's file manifest, assign files to rewrite
+    groups of roughly ``target_bytes`` each, largest files first, so
+    one rewrite job turns N small files into ~``ceil(total/target)``
+    right-sized ones.
+
+    Files are simulated from ``events`` as one per ``(day,
+    event_type)`` partition with exact integer byte sizes
+    (``octet_length(props)`` payload + 32 B/row envelope — both
+    engines count UTF-8 bytes identically). The assignment rule is
+    next-fit over the size-descending file list: ``group =
+    floor(running_total_before_this_file / target_bytes)`` — one
+    window cumsum over a fully tie-broken order ``(bytes DESC, day,
+    event_type)``, deterministic on both engines.
+
+    Scale: the manifest is METADATA (one row per file — ~10^6 rows
+    for a 100 TB lake of 100 MB files), so the single-partition
+    cumsum window is fine; the data-plane rewrite that consumes this
+    plan shuffles on ``grp`` and writes each group with one task.
+    Returns ``(grp, n_files, total_bytes, max_file_bytes)``.
+    """
+    files = (
+        events.groupBy(
+            F.to_date("ts").alias("day"), F.col("event_type")
+        ).agg(
+            (
+                F.sum(F.octet_length("props"))
+                + 32 * F.count(F.lit(1))
+            ).alias("bytes")
+        )
+    )
+    w = Window.orderBy(F.desc("bytes"), "day", "event_type").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    planned = files.select(
+        "bytes",
+        F.floor(
+            F.coalesce(F.sum("bytes").over(w), F.lit(0)) / F.lit(target_bytes)
+        ).alias("grp"),
+    )
+    return (
+        planned.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").alias("total_bytes"),
+            F.max("bytes").alias("max_file_bytes"),
+        )
+        .orderBy("grp")
+    )
+
+
+def _wl_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    return compaction_plan(spark.table("events"))
+
+
+ORACLE_COMPACTION_PLAN = f"""
+WITH files AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         -- DuckDB strlen = UTF-8 BYTE length (= Spark octet_length);
+         -- its octet_length only binds to BLOB/BIT
+         CAST(sum(strlen(props)) + 32 * count(*) AS BIGINT) AS bytes
+  FROM events GROUP BY 1, 2),
+planned AS (
+  SELECT bytes,
+         CAST(floor(coalesce(sum(bytes) OVER (
+                 ORDER BY bytes DESC, day, event_type
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {COMPACTION_TARGET_BYTES}) AS BIGINT) AS grp
+  FROM files)
+SELECT grp, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+       CAST(max(bytes) AS BIGINT) AS max_file_bytes
+FROM planned GROUP BY grp ORDER BY grp"""
+
+
 def scale_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
@@ -610,4 +695,7 @@ def scale_workloads():
         Workload("ops_skew_profile", _wl_skew_profile, ORACLE_SKEW_PROFILE),
         Workload("ops_column_stats", _wl_column_stats, ORACLE_COLUMN_STATS),
         Workload("ops_corr_matrix", _wl_corr_matrix, ORACLE_CORR_MATRIX),
+        Workload(
+            "ops_compaction_plan", _wl_compaction_plan, ORACLE_COMPACTION_PLAN
+        ),
     ]

@@ -142,6 +142,59 @@ def ngram_topk(docs: DataFrame, k: int = SHINGLE_K, topk: int = 50) -> DataFrame
     )
 
 
+COOC_WINDOW = 3
+COOC_TOPK = 50
+
+
+def cooccurrence_pairs(
+    docs: DataFrame, window: int = COOC_WINDOW, topk: int = COOC_TOPK
+) -> DataFrame:
+    """Corpus-wide top-``topk`` co-occurring token pairs within a
+    ``window``-token skip-gram window — the word2vec/GloVe training-
+    pair generator and a collocation ("new york") detector. A pair is
+    counted once per (position i, offset d ≤ window) occurrence,
+    normalized to unordered ``(least, greatest)`` form.
+
+    Plan: pair generation is a PURE PROJECTION — nested array
+    ``transform`` over token positions (≤ n·window pairs per doc,
+    no self-join, no posting explosion-then-join), then ONE
+    map-combinable groupBy(pair) and a TakeOrderedAndProject top-k
+    with full (n DESC, w1, w2) tie-break. At 100 TB the shuffle
+    carries one row per DISTINCT pair per task (hot pairs combine
+    map-side); the standard vocabulary-cap/stopword-subsample knobs
+    compose in front as a filter on the token array.
+    """
+    base = docs.select(tokens(F.col("text")).alias("ws"))
+    n = F.size("ws")
+    ws = F.col("ws")
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.sequence(i + 1, F.least(i + window, n)),
+                lambda j: F.struct(
+                    F.least(
+                        F.element_at(ws, i), F.element_at(ws, j)
+                    ).alias("w1"),
+                    F.greatest(
+                        F.element_at(ws, i), F.element_at(ws, j)
+                    ).alias("w2"),
+                ),
+            ),
+        )
+    )
+    return (
+        base.select(F.explode(pairs).alias("p"))
+        .groupBy("p.w1", "p.w2")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "w1", "w2")
+        .limit(topk)
+    )
+
+
 def shingle_hashes(sh: DataFrame) -> DataFrame:
     """(doc_id, h): each shingle mapped to its 31-bit polynomial hash —
     no vocabulary pass, no shuffle, pure codegen arithmetic."""

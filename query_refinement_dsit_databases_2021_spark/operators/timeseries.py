@@ -1191,6 +1191,120 @@ FROM agg WHERE n_days * sxx - sx * sx > 0
 ORDER BY event_type"""
 
 
+def theil_sen(
+    events: DataFrame,
+    ts: str = "ts",
+    key: str = "event_type",
+    value: str = "value",
+) -> DataFrame:
+    """Per-key Theil–Sen robust trend over daily totals — the
+    outlier-resistant companion of :func:`linear_trend`: slope is the
+    MEDIAN of all pairwise slopes (y_j − y_i)/(x_j − x_i), so a few
+    wild days cannot drag the fit (OLS has breakdown point 0, Theil–Sen
+    ~29%); intercept is the median residual y − slope·x over the
+    key's days.
+
+    Determinism: every pairwise slope is ONE double division of exact
+    int64 deltas (cents / days) — identical IEEE on both engines — and
+    "median" is the LOWER median (the ⌈n/2⌉-th order statistic picked
+    by a fully tie-broken ``row_number``), never the interpolated
+    midpoint, so no (a+b)/2 vs a+(b−a)/2 ulp hazard exists. The slope
+    is floor-quantized at 6 dp *before* the residual pass so both
+    engines compute residuals from the same quantized coefficient.
+
+    Scale: the pair join is per-key quadratic BY DESIGN (that is the
+    estimator) but over the DAILY table — d days/key ⇒ d(d−1)/2
+    metadata-scale pairs (a year is ~66k pairs), partitioned by key;
+    events are touched once by the daily agg. For multi-year keys use
+    the repeated-median or sampled-pairs variants (same frame, fewer
+    pairs). Returns ``(key, n_days, n_pairs, slope, intercept)``.
+    """
+    cents = F.floor(F.col(value) * 100 + F.lit(0.5)).cast("long")
+    daily = events.groupBy(
+        F.datediff(F.to_date(ts), F.lit("1970-01-01")).alias("d"), F.col(key)
+    ).agg(F.sum(cents).alias("y"))
+    x = (F.col("d") - F.min("d").over(Window.partitionBy(key))).cast("long")
+    staged = daily.select(key, x.alias("x"), "y")
+    a = staged.select(key, F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = staged.select(key, F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slope_c = (F.col("yb") - F.col("ya")).cast("double") / (
+        F.col("xb") - F.col("xa")
+    ).cast("double")
+    pairs = (
+        a.join(b, key)
+        .where(F.col("xa") < F.col("xb"))
+        .select(key, slope_c.alias("_s"), "xa", "xb")
+    )
+    wk = Window.partitionBy(key)
+    ranked = pairs.select(
+        key,
+        "_s",
+        F.row_number().over(wk.orderBy("_s", "xa", "xb")).alias("_rn"),
+        F.count(F.lit(1)).over(wk).alias("n_pairs"),
+    )
+
+    def _r6(c):
+        return F.floor(c * F.lit(1000000) + F.lit(0.5)) / F.lit(1000000.0)
+
+    med = ranked.where(
+        F.col("_rn") == F.floor((F.col("n_pairs") + 1) / F.lit(2))
+    ).select(key, "n_pairs", _r6(F.col("_s") / F.lit(100.0)).alias("slope"))
+    resid = F.col("y") / F.lit(100.0) - F.col("slope") * F.col("x")
+    res = staged.join(F.broadcast(med), key).select(
+        key,
+        "n_pairs",
+        "slope",
+        resid.alias("_r"),
+        F.row_number().over(wk.orderBy(resid, "x")).alias("_rn"),
+        F.count(F.lit(1)).over(wk).alias("n_days"),
+    )
+    return (
+        res.where(F.col("_rn") == F.floor((F.col("n_days") + 1) / F.lit(2)))
+        .select(key, "n_days", "n_pairs", "slope", _r6(F.col("_r")).alias("intercept"))
+        .orderBy(key)
+    )
+
+
+ORACLE_THEIL_SEN = """
+WITH daily AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         event_type,
+         CAST(sum(floor(value * 100 + 0.5)::BIGINT) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+staged AS (
+  SELECT event_type,
+         CAST(d - min(d) OVER (PARTITION BY event_type) AS BIGINT) AS x, y
+  FROM daily),
+pairs AS (
+  SELECT a.event_type,
+         CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS s,
+         a.x AS xa, b.x AS xb
+  FROM staged a JOIN staged b USING (event_type)
+  WHERE a.x < b.x),
+ranked AS (
+  SELECT event_type, s,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY s, xa, xb) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS np
+  FROM pairs),
+med AS (
+  SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+         floor(s / 100.0 * 1000000 + 0.5) / 1000000.0 AS slope
+  FROM ranked WHERE rn = (np + 1) // 2),
+res AS (
+  SELECT st.event_type, med.n_pairs, med.slope,
+         st.y / 100.0 - med.slope * st.x AS r,
+         row_number() OVER (PARTITION BY st.event_type
+                            ORDER BY st.y / 100.0 - med.slope * st.x,
+                                     st.x) AS rn,
+         count(*) OVER (PARTITION BY st.event_type) AS nd
+  FROM staged st JOIN med USING (event_type))
+SELECT event_type, CAST(nd AS BIGINT) AS n_days, n_pairs, slope,
+       floor(r * 1000000 + 0.5) / 1000000.0 AS intercept
+FROM res WHERE rn = (nd + 1) // 2
+ORDER BY event_type"""
+
+
 def cusum_alerts(
     events: DataFrame,
     ts: str = "ts",
@@ -1440,6 +1554,7 @@ def timeseries_workloads():
             lambda ev: cross_correlation(ev, key_a="click", key_b="click"),
         ),
         _w("ts_linear_trend", ORACLE_LINEAR_TREND, linear_trend),
+        _w("ts_theil_sen", ORACLE_THEIL_SEN, theil_sen),
         _w("ts_cusum", _cusum_oracle(), cusum_alerts),
         _w("ts_detrended_anomaly", _detrended_oracle(), detrended_anomaly),
         _w("ts_anomaly_mad", _mad_oracle(), anomaly_mad),

@@ -115,3 +115,26 @@ def test_partition_manifest_detects_tampering(spark):
     assert d1["xor_sig"] != t1["xor_sig"]
     d2 = sorted(base)[1]
     assert base[d2] == tampered[d2]
+
+
+def test_fk_integrity_counts_orphans(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.cdc import (
+        fk_integrity,
+    )
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (3,), (3,), (4,), (5,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    clean_child = spark.createDataFrame([(1,), (2,)], "ck long")
+    got = {
+        r["relation"]: (r["n_child"], r["n_orphans"])
+        for r in fk_integrity(
+            [
+                ("child->parent", child, "fk", parent, "pk"),
+                ("clean->parent", clean_child, "ck", parent, "pk"),
+            ]
+        ).collect()
+    }
+    # keys 4 and 5 have no parent -> 2 orphan rows; dup key 3 is fine
+    assert got == {"child->parent": (6, 2), "clean->parent": (2, 0)}

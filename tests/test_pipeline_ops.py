@@ -647,3 +647,16 @@ def test_curation_chain_v3_composes(spark):
     assert sum(r["n_docs"] for r in out) >= 4
     assert all(r["lang"] == "en" for r in out)
     assert all(r["n_tokens"] > 0 for r in out)
+
+
+def test_cooccurrence_pairs_hand_counted(spark):
+    d = spark.createDataFrame(
+        [(1, "a b c a"), (2, "z")], "doc_id long, text string"
+    )
+    got = [
+        (r["w1"], r["w2"], r["n_pairs"])
+        for r in textops.cooccurrence_pairs(d, window=3).collect()
+    ]
+    # positions (1,2)ab (1,3)ac (1,4)aa (2,3)bc (2,4)ab (3,4)ac;
+    # single-token doc contributes nothing
+    assert got == [("a", "b", 2), ("a", "c", 2), ("a", "a", 1), ("b", "c", 1)]

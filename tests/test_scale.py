@@ -299,3 +299,46 @@ def test_hilbert_layout_prunes_at_least_as_well_as_zorder(spark):
     # non-leading-dim probe must touch no more files than under Morton
     assert hil <= zed
     assert hil < 1.0
+
+
+def test_compaction_plan_matches_python_next_fit(spark):
+    from datetime import datetime
+
+    from query_refinement_dsit_databases_2021_spark.operators.scale import (
+        compaction_plan,
+    )
+
+    # controlled file sizes: one "file" per (day, type), bytes =
+    # sum(len(props)) + 32 * rows; recompute the next-fit-decreasing
+    # plan in plain Python and require exact agreement
+    rows, eid = [], 0
+    sizes = {}
+    for day, typ, payloads in [
+        (1, "a", ["x" * 100, "y" * 60]),
+        (1, "b", ["x" * 300]),
+        (2, "a", ["x" * 10] * 5),
+        (2, "b", ["x" * 250, "y" * 5]),
+        (3, "a", ["x" * 40]),
+    ]:
+        for p in payloads:
+            rows.append((eid, datetime(2024, 3, day, 12), 1, typ, 1.0, p))
+            eid += 1
+        sizes[(day, typ)] = sum(len(p) for p in payloads) + 32 * len(payloads)
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    )
+    target = 300
+    got = [
+        (r["grp"], r["n_files"], r["total_bytes"], r["max_file_bytes"])
+        for r in compaction_plan(df, target_bytes=target).collect()
+    ]
+    order = sorted(sizes.items(), key=lambda kv: (-kv[1], kv[0]))
+    cum, expect = 0, {}
+    for (day, typ), b in order:
+        g = cum // target
+        n, tot, mx = expect.get(g, (0, 0, 0))
+        expect[g] = (n + 1, tot + b, max(mx, b))
+        cum += b
+    assert got == [(g, *expect[g]) for g in sorted(expect)]

@@ -464,3 +464,31 @@ def test_detrended_anomaly_ignores_pure_trend(spark):
     out = detrended_anomaly(df, threshold=2.0).collect()
     assert [r["x"] for r in out] == [20]
     assert out[0]["z"] > 2.0
+
+
+def test_theil_sen_resists_outlier_where_ols_breaks(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        linear_trend,
+        theil_sen,
+    )
+
+    # 'clean': exact y = 10 + 2d; 'robust': exact y = 5 + d except one
+    # wild final day -- Theil-Sen must report the uncontaminated slope
+    # EXACTLY while OLS is dragged far off it
+    rows = []
+    for d in range(10):
+        rows.append((d, datetime(2024, 3, 1 + d, 12), 1, "clean", 10.0 + 2.0 * d))
+        y = 5.0 + d if d < 9 else 1000.0
+        rows.append((100 + d, datetime(2024, 3, 1 + d, 12), 1, "robust", y))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    ts_out = {r["event_type"]: r for r in theil_sen(df).collect()}
+    clean = ts_out["clean"]
+    assert (clean["n_days"], clean["n_pairs"]) == (10, 45)
+    assert (clean["slope"], clean["intercept"]) == (2.0, 10.0)
+    robust = ts_out["robust"]
+    assert (robust["slope"], robust["intercept"]) == (1.0, 5.0)
+    ols = {r["event_type"]: r for r in linear_trend(df).collect()}
+    assert ols["robust"]["slope"] > 20  # the breakdown Theil-Sen avoids
