@@ -1,0 +1,229 @@
+"""Distributed graph algorithms over DataFrame edge lists.
+
+The reference engine has no graph surface (SURVEY §2: its only
+iterative structure is the BST refinement walk, reference:src/server.py
+`exploreBSTree`, which this repo subsumes with set-based evaluation).
+These operators cover the iterative/relational-graph workloads a
+training-data platform runs on entity graphs derived from its tables
+(supplier-customer trade graphs, co-purchase graphs, document link
+graphs):
+
+- **PageRank** as a fixed-iteration loop of join + groupBy rounds —
+  the canonical "iterative algorithm on Spark" shape. Each iteration
+  is one shuffle (contributions grouped by destination); the rank and
+  degree tables stay partitioned by node key so AQE reuses the
+  exchange. Ranks are **integer fixed-point** (1e9 units of mass,
+  integer `DIV`), which makes the result bit-identical across engines
+  and across partitionings: float PageRank sums contributions in
+  nondeterministic order, integer sums are associative-exact.
+- **Triangle counting** via the classic two-join enumeration over the
+  oriented (a < b) distinct edge set — each triangle counted exactly
+  once. The oriented edge list bounds the join fan-out by max
+  out-degree; at 100 TB the standard refinement is degree-ordering
+  (orient edges from low- to high-degree endpoint) which bounds
+  fan-out by arboricity instead; documented in SCALE.md.
+
+Both oracles are plain ANSI SQL: PageRank's fixed 5 iterations unroll
+into a CTE chain (no recursion needed — the iteration count is part of
+the operator contract), triangles into the same two joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# fixed-point PageRank constants: ranks carry 1e9 units per node of
+# initial mass; damping 0.85 applied as integer `* 85 DIV 100`.
+INIT_MASS = 1_000_000_000
+TELEPORT = 150_000_000  # floor(0.15 * INIT_MASS)
+PR_ITERATIONS = 5
+
+
+def pagerank(
+    edges: DataFrame, iterations: int = PR_ITERATIONS
+) -> DataFrame:
+    """Fixed-point PageRank over a directed edge list ``(src, dst)``.
+
+    Every node (source or destination) starts with ``INIT_MASS`` rank
+    units; each iteration a node keeps the teleport share
+    (``TELEPORT`` units) and receives ``(85 * r DIV 100) DIV outdeg``
+    from each in-neighbor. All arithmetic is int64 (`DIV` =
+    floor-division on non-negatives), so the result is exactly
+    reproducible regardless of partitioning or summation order —
+    which is what lets a 1000-executor run be byte-compared against a
+    single-node oracle. Dangling nodes keep receiving the teleport
+    share; their outgoing mass is dropped (documented contract).
+
+    One shuffle per iteration (groupBy dst); the edges/degree frames
+    are persisted by the caller if reused. Returns ``(node, rank)``.
+    """
+    edges = edges.select("src", "dst").distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.select("node", F.lit(INIT_MASS).cast("long").alias("rank"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(85 * rank DIV 100) DIV outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (F.lit(TELEPORT) + F.coalesce(F.col("c"), F.lit(0)))
+            .cast("long")
+            .alias("rank"),
+        )
+    return ranks
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact triangle participation counts over an undirected graph.
+
+    ``edges`` is any directed/duplicated edge list; it is first
+    canonicalized to the oriented distinct form ``a < b`` (self-loops
+    dropped), then triangles ``a < b < c`` are enumerated with two
+    equi-joins:  e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c).  Each triangle appears
+    exactly once. Returns per-node participation ``(node,
+    n_triangles)`` — the union of the three corner roles — so both the
+    global count (sum / 3) and the per-node clustering signal fall out
+    of one plan.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    corners = (
+        tri.select(F.col("x").alias("node"))
+        .union(tri.select(F.col("y").alias("node")))
+        .union(tri.select(F.col("z").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+# --- workloads -------------------------------------------------------
+
+_EDGES_SQL = """
+SELECT DISTINCT l.l_suppkey AS src, 100000 + o.o_custkey AS dst
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+def _trade_edges(spark: SparkSession) -> DataFrame:
+    """Supplier -> customer trade edges (namespaced so the two key
+    spaces cannot collide)."""
+    l = spark.table("lineitem").select("l_orderkey", "l_suppkey")
+    o = spark.table("orders").select("o_orderkey", "o_custkey")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.lit(100000) + F.col("o_custkey")).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def _wl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    ranks = pagerank(_trade_edges(spark), PR_ITERATIONS)
+    return ranks.orderBy(F.col("rank").desc(), F.col("node")).limit(20)
+
+
+def _pagerank_oracle(iterations: int = PR_ITERATIONS) -> str:
+    parts = [
+        f"WITH edges AS ({_EDGES_SQL}),",
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges),",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),",
+        f"r0 AS (SELECT node, CAST({INIT_MASS} AS BIGINT) AS rank FROM nodes)",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f""",
+c{k} AS (SELECT e.dst AS node,
+         CAST(SUM((85 * r.rank // 100) // d.outdeg) AS BIGINT) AS c
+         FROM edges e
+         JOIN r{k-1} r ON r.node = e.src
+         JOIN deg d ON d.src = e.src
+         GROUP BY e.dst),
+r{k} AS (SELECT n.node,
+         CAST({TELEPORT} + COALESCE(c.c, 0) AS BIGINT) AS rank
+         FROM nodes n LEFT JOIN c{k} c ON c.node = n.node)"""
+        )
+    parts.append(
+        f"""
+SELECT node, rank FROM r{iterations}
+ORDER BY rank DESC, node LIMIT 20"""
+    )
+    return "\n".join(parts)
+
+
+ORACLE_PAGERANK = _pagerank_oracle()
+
+
+def _wl_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    # supplier co-occurrence graph: two suppliers are adjacent when
+    # they supply lineitems of the same order
+    l = spark.table("lineitem").select("l_orderkey", "l_suppkey")
+    r = l.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    edges = (
+        l.join(r, (l.l_orderkey == r.o2) & (l.l_suppkey < r.s2))
+        .select(F.col("l_suppkey").alias("src"), F.col("s2").alias("dst"))
+    )
+    part = triangle_count(edges)
+    return part.orderBy(F.col("n_triangles").desc(), F.col("node")).limit(15)
+
+
+ORACLE_TRIANGLES = """
+WITH edges AS (
+  SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e3.b AS z
+  FROM edges e1
+  JOIN edges e2 ON e2.a = e1.b
+  JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY node
+ORDER BY n_triangles DESC, node LIMIT 15"""
+
+
+def graph_workloads():
+    from query_refinement_dsit_databases_2021_spark.workloads import Workload
+
+    return [
+        Workload("graph_pagerank", _wl_pagerank, ORACLE_PAGERANK),
+        Workload("graph_triangles", _wl_triangles, ORACLE_TRIANGLES),
+    ]

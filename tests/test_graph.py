@@ -1,0 +1,77 @@
+"""Graph operators vs sequential Python references on hand-built graphs."""
+
+import pytest
+
+from query_refinement_dsit_databases_2021_spark.operators.graph import (
+    INIT_MASS,
+    TELEPORT,
+    pagerank,
+    triangle_count,
+)
+
+# a small directed graph with a dangling node (4), a hub (1), and a
+# 2-cycle (2<->3)
+EDGES = [(1, 2), (1, 3), (1, 4), (2, 3), (3, 2), (5, 1)]
+
+
+def _pagerank_ref(edges, iterations):
+    """Sequential fixed-point reference in pure Python ints."""
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {n: INIT_MASS for n in nodes}
+    for _ in range(iterations):
+        contrib = {n: 0 for n in nodes}
+        for s, d in edges:
+            contrib[d] += (85 * rank[s] // 100) // outdeg[s]
+        rank = {n: TELEPORT + contrib[n] for n in nodes}
+    return rank
+
+
+@pytest.mark.parametrize("iterations", [1, 3, 5])
+def test_pagerank_matches_sequential_reference(spark, iterations):
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {r.node: r["rank"] for r in pagerank(df, iterations).collect()}
+    assert got == _pagerank_ref(EDGES, iterations)
+
+
+def test_pagerank_mass_bounds(spark):
+    # dangling node 4 never forwards mass; every node still holds at
+    # least the teleport share and the system never creates mass
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {r.node: r["rank"] for r in pagerank(df, 5).collect()}
+    assert all(v >= TELEPORT for v in got.values())
+    assert sum(got.values()) <= len(got) * INIT_MASS
+
+
+def test_triangles_exact_on_known_graph(spark):
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant
+    # edge 4-5 (no triangles) and a duplicated/reversed edge to prove
+    # canonicalization
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = k4 + [(4, 5), (2, 1), (3, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangles_brute_force_cross_check(spark):
+    # pseudo-random-ish but deterministic graph; brute-force O(n^3)
+    edges = [((i * 7) % 11, (i * 5 + 3) % 11) for i in range(40)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    und = {tuple(sorted(e)) for e in edges}
+    nodes = sorted({n for e in und for n in e})
+    ref = {}
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            for c in nodes:
+                if c <= b:
+                    continue
+                if (a, b) in und and (b, c) in und and (a, c) in und:
+                    for n in (a, b, c):
+                        ref[n] = ref.get(n, 0) + 1
+    assert got == ref

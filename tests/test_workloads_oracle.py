@@ -93,6 +93,7 @@ _FAMILY_EXEMPLARS = (
     "pipe_search_tfidf",      # search
     "ops_sessionize",         # sessions
     "ops_merge_upsert",       # cdc
+    "graph_pagerank",         # graph
 )
 
 
