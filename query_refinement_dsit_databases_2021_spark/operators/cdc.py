@@ -473,6 +473,88 @@ SELECT 'orders->customer' AS relation,
 ORDER BY relation"""
 
 
+SNAPSHOT_VERSION = 12
+
+
+def delta_log_replay(
+    adds: DataFrame, removes: DataFrame, version: int
+) -> DataFrame:
+    """Table-format transaction-log replay (the Delta/Iceberg
+    time-travel primitive): reconstruct the live file set AS OF
+    ``version`` from a log of add/remove file actions, without any
+    stored snapshot.
+
+    ``adds`` is ``(file_id, bytes, ver)``; ``removes`` is
+    ``(file_id, ver)``. A file is live at V iff it was added at or
+    before V and not removed at or before V. The replay is one LEFT
+    ANTI join of the version-filtered adds against the
+    version-filtered removes — the shuffle carries ``file_id`` only
+    (the manifest is metadata-scale: ~10^6 rows per 100 TB of 100 MB
+    files), and AQE broadcasts the remove set when it is small, so
+    time travel costs a metadata join, never a data pass.
+
+    Returns the per-add-version profile of the live snapshot
+    ``(ver, n_files, total_bytes)`` — the manifest a reader would
+    plan its scan from.
+    """
+    live = (
+        adds.where(F.col("ver") <= version)
+        .join(
+            removes.where(F.col("ver") <= version).select("file_id"),
+            "file_id",
+            "left_anti",
+        )
+    )
+    return (
+        live.groupBy("ver")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").alias("total_bytes"),
+        )
+        .orderBy("ver")
+    )
+
+
+def _wl_delta_log_replay(spark, sf_dir):
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    # simulate a transaction log from orders: every order adds a file
+    # at version o_orderkey % 16; fulfilled orders remove theirs again
+    # 1..5 versions later (possibly after the snapshot -> still live)
+    o = spark.table("orders")
+    adds = o.select(
+        F.col("o_orderkey").alias("file_id"),
+        F.floor("o_totalprice").cast("long").alias("bytes"),
+        (F.col("o_orderkey") % 16).alias("ver"),
+    )
+    removes = o.where("o_orderstatus = 'F'").select(
+        F.col("o_orderkey").alias("file_id"),
+        (F.col("o_orderkey") % 16 + 1 + F.col("o_orderkey") % 5).alias("ver"),
+    )
+    return delta_log_replay(adds, removes, SNAPSHOT_VERSION)
+
+
+ORACLE_DELTA_LOG_REPLAY = f"""
+WITH adds AS (
+  SELECT o_orderkey AS file_id,
+         CAST(floor(o_totalprice) AS BIGINT) AS bytes,
+         o_orderkey % 16 AS ver
+  FROM orders),
+removes AS (
+  SELECT o_orderkey AS file_id,
+         o_orderkey % 16 + 1 + o_orderkey % 5 AS ver
+  FROM orders WHERE o_orderstatus = 'F')
+SELECT ver, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(bytes) AS BIGINT) AS total_bytes
+FROM adds a
+WHERE a.ver <= {SNAPSHOT_VERSION}
+  AND NOT EXISTS (SELECT 1 FROM removes r
+                  WHERE r.file_id = a.file_id
+                    AND r.ver <= {SNAPSHOT_VERSION})
+GROUP BY ver ORDER BY ver"""
+
+
 def cdc_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
@@ -487,4 +569,7 @@ def cdc_workloads():
             _oracle_partition_manifest(),
         ),
         Workload("ops_fk_integrity", _wl_fk_integrity, ORACLE_FK_INTEGRITY),
+        Workload(
+            "ops_delta_log_replay", _wl_delta_log_replay, ORACLE_DELTA_LOG_REPLAY
+        ),
     ]

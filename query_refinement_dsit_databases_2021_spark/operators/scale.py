@@ -684,6 +684,101 @@ SELECT grp, CAST(count(*) AS BIGINT) AS n_files,
 FROM planned GROUP BY grp ORDER BY grp"""
 
 
+# Bloom pre-filter: portable two-hash filter over a shared bit space.
+# The hashes are plain int64 arithmetic (multiplicative mixing mod a
+# prime table size) so BOTH engines — and any engine — compute the
+# identical bit set; Spark's built-in bloom_filter_agg would be opaque
+# bytes, useless for a cross-engine contract.
+BLOOM_BITS = 16381  # prime < 2^14
+BLOOM_H1_MUL = 2_654_435_761  # Knuth multiplicative constant
+BLOOM_H2_MUL = 0x9E3779B1  # golden-ratio constant
+BLOOM_H2_ADD = 101_159
+
+
+def bloom_prefilter_stats(
+    build: DataFrame,
+    build_key: str,
+    probe: DataFrame,
+    probe_key: str,
+    bits: int = BLOOM_BITS,
+) -> DataFrame:
+    """Runtime-filter join reduction, measured: build a two-hash Bloom
+    filter from ``build``'s keys, pre-filter ``probe`` with it, and
+    report exactly how much of the probe side the filter admits vs the
+    true semi-join — the decision data for whether a runtime filter
+    pays at a given selectivity.
+
+    The filter's set-bit positions are two small DataFrames (distinct
+    ``h1`` / distinct ``h2`` over the build keys, ≤ ``bits`` rows
+    each); the probe "consults" the filter with two broadcast
+    LEFT SEMI joins — the same dataflow Spark's AQE runtime bloom
+    filter injects, but with an engine-portable hash so the oracle
+    reproduces it bit-for-bit. Hash values stay far inside int64
+    (key · 2654435761 ≤ 9.2e18 for keys ≤ 3.4e9; larger key spaces
+    pre-fold with a mod).
+
+    Returns one row: ``(n_probe, n_pass, n_true, n_false_pos)``.
+    False positives admitted by the filter are the cost of skipping
+    the full semi-join shuffle; a downstream exact join removes them,
+    so correctness never depends on the filter.
+    """
+    k = F.col(probe_key)
+    h1 = (k * F.lit(BLOOM_H1_MUL)) % F.lit(bits)
+    h2 = (k * F.lit(BLOOM_H2_MUL) + F.lit(BLOOM_H2_ADD)) % F.lit(bits)
+    bk = F.col(build_key)
+    bits1 = build.select(((bk * F.lit(BLOOM_H1_MUL)) % F.lit(bits)).alias("b1")).distinct()
+    bits2 = build.select(
+        ((bk * F.lit(BLOOM_H2_MUL) + F.lit(BLOOM_H2_ADD)) % F.lit(bits)).alias("b2")
+    ).distinct()
+    keys = build.select(bk.alias("__true_key")).distinct()
+    probed = (
+        probe.select(
+            k.alias("__k"), h1.alias("__h1"), h2.alias("__h2")
+        )
+        .join(F.broadcast(bits1.withColumn("__m1", F.lit(1))),
+              F.col("__h1") == F.col("b1"), "left")
+        .join(F.broadcast(bits2.withColumn("__m2", F.lit(1))),
+              F.col("__h2") == F.col("b2"), "left")
+        .join(F.broadcast(keys.withColumn("__mt", F.lit(1))),
+              F.col("__k") == F.col("__true_key"), "left")
+    )
+    passed = (F.col("__m1").isNotNull() & F.col("__m2").isNotNull()).cast("long")
+    true_hit = F.col("__mt").isNotNull().cast("long")
+    return probed.groupBy().agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum(passed).alias("n_pass"),
+        F.sum(true_hit).alias("n_true"),
+        F.sum(passed * (1 - true_hit)).alias("n_false_pos"),
+    )
+
+
+def _wl_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    build = spark.table("customer").where("c_acctbal >= 9000")
+    return bloom_prefilter_stats(build, "c_custkey", spark.table("orders"), "o_custkey")
+
+
+ORACLE_BLOOM_PREFILTER = f"""
+WITH build AS (SELECT c_custkey FROM customer WHERE c_acctbal >= 9000),
+b1 AS (SELECT DISTINCT (c_custkey * {BLOOM_H1_MUL}) % {BLOOM_BITS} AS b FROM build),
+b2 AS (SELECT DISTINCT (c_custkey * {BLOOM_H2_MUL} + {BLOOM_H2_ADD}) % {BLOOM_BITS} AS b FROM build),
+probed AS (
+  SELECT o_custkey,
+         CASE WHEN (o_custkey * {BLOOM_H1_MUL}) % {BLOOM_BITS} IN (SELECT b FROM b1)
+               AND (o_custkey * {BLOOM_H2_MUL} + {BLOOM_H2_ADD}) % {BLOOM_BITS} IN (SELECT b FROM b2)
+              THEN 1 ELSE 0 END AS pass,
+         CASE WHEN o_custkey IN (SELECT c_custkey FROM build)
+              THEN 1 ELSE 0 END AS hit
+  FROM orders)
+SELECT CAST(count(*) AS BIGINT) AS n_probe,
+       CAST(sum(pass) AS BIGINT) AS n_pass,
+       CAST(sum(hit) AS BIGINT) AS n_true,
+       CAST(sum(pass * (1 - hit)) AS BIGINT) AS n_false_pos
+FROM probed"""
+
+
 def scale_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
@@ -697,5 +792,8 @@ def scale_workloads():
         Workload("ops_corr_matrix", _wl_corr_matrix, ORACLE_CORR_MATRIX),
         Workload(
             "ops_compaction_plan", _wl_compaction_plan, ORACLE_COMPACTION_PLAN
+        ),
+        Workload(
+            "ops_bloom_prefilter", _wl_bloom_prefilter, ORACLE_BLOOM_PREFILTER
         ),
     ]

@@ -138,3 +138,35 @@ def test_fk_integrity_counts_orphans(spark):
     }
     # keys 4 and 5 have no parent -> 2 orphan rows; dup key 3 is fine
     assert got == {"child->parent": (6, 2), "clean->parent": (2, 0)}
+
+
+def test_delta_log_replay_hand_built_log(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.cdc import (
+        delta_log_replay,
+    )
+
+    adds = spark.createDataFrame(
+        # (file_id, bytes, add_ver)
+        [(1, 100, 0), (2, 200, 0), (3, 300, 1), (4, 400, 2), (5, 500, 9)],
+        "file_id long, bytes long, ver long",
+    )
+    removes = spark.createDataFrame(
+        # 2 removed inside the snapshot horizon, 3 removed after it,
+        # 6 is a remove with no matching add (compaction artifact)
+        [(2, 1), (3, 7), (6, 1)],
+        "file_id long, ver long",
+    )
+    # V=5: live = {1 (v0), 4 (v2)}; 2 removed@1, 3 removed@7>5 -> 3 IS
+    # live only if its remove is after V -> wait, remove@7 > 5 so live;
+    # 5 added@9 > 5 -> not yet added
+    got = {
+        r["ver"]: (r["n_files"], r["total_bytes"])
+        for r in delta_log_replay(adds, removes, 5).collect()
+    }
+    assert got == {0: (1, 100), 1: (1, 300), 2: (1, 400)}
+    # full replay at V=9: 5 appears, 3's remove (v7<=9) now applies
+    got9 = {
+        r["ver"]: (r["n_files"], r["total_bytes"])
+        for r in delta_log_replay(adds, removes, 9).collect()
+    }
+    assert got9 == {0: (1, 100), 2: (1, 400), 9: (1, 500)}

@@ -342,3 +342,37 @@ def test_compaction_plan_matches_python_next_fit(spark):
         expect[g] = (n + 1, tot + b, max(mx, b))
         cum += b
     assert got == [(g, *expect[g]) for g in sorted(expect)]
+
+
+def test_bloom_prefilter_matches_python_reference(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.scale import (
+        BLOOM_BITS,
+        BLOOM_H1_MUL,
+        BLOOM_H2_ADD,
+        BLOOM_H2_MUL,
+        bloom_prefilter_stats,
+    )
+
+    build_keys = [3, 17, 101, 4242]
+    probe_keys = [k * 13 + 5 for k in range(400)] + build_keys * 2
+    build = spark.createDataFrame([(k,) for k in build_keys], "k long")
+    probe = spark.createDataFrame([(k,) for k in probe_keys], "p long")
+    row = bloom_prefilter_stats(build, "k", probe, "p").collect()[0]
+
+    b1 = {(k * BLOOM_H1_MUL) % BLOOM_BITS for k in build_keys}
+    b2 = {(k * BLOOM_H2_MUL + BLOOM_H2_ADD) % BLOOM_BITS for k in build_keys}
+    n_pass = sum(
+        1
+        for k in probe_keys
+        if (k * BLOOM_H1_MUL) % BLOOM_BITS in b1
+        and (k * BLOOM_H2_MUL + BLOOM_H2_ADD) % BLOOM_BITS in b2
+    )
+    n_true = sum(1 for k in probe_keys if k in set(build_keys))
+    assert (row["n_probe"], row["n_pass"], row["n_true"], row["n_false_pos"]) == (
+        len(probe_keys),
+        n_pass,
+        n_true,
+        n_pass - n_true,
+    )
+    # the filter never rejects a true match (no false negatives)
+    assert row["n_pass"] >= row["n_true"]
