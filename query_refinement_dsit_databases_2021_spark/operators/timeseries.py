@@ -1518,6 +1518,104 @@ WHERE mom.sd_r > 0
 ORDER BY rs.{key}, rs.x"""
 
 
+def holt_linear(events: DataFrame, alpha10: int = 3, beta10: int = 2) -> DataFrame:
+    """Holt's linear (double exponential) smoothing per key — the
+    level+trend forecaster. Unlike EWMA (a linear recurrence this repo
+    flattens to a closed-form window), Holt's coupled level/trend
+    recursion with per-step integer quantization has no scan-parallel
+    closed form, so this is the canonical **strategy P** shape: the
+    per-key daily series is small (days, not events), the sequential
+    fit runs in an Arrow-batched ``applyInPandas`` kernel, and the
+    heavy work (the daily aggregation) stays JVM-side.
+
+    All arithmetic is integer cents with FLOOR division (Python
+    ``//``), smoothing weights ``alpha10/10`` and ``beta10/10``:
+
+        l_t = (alpha10·y_t + (10−alpha10)·(l+b)) // 10
+        b_t = (beta10·(l_t − l) + (10−beta10)·b) // 10
+
+    init l₀=y₀, b₀=y₁−y₀ (keys need ≥ 2 days). Integer state makes
+    the fit bit-identical to the oracle's recursive-CTE replay — the
+    floor-division idiom is pinned on both sides because DuckDB's
+    ``//`` truncates toward zero while Python floors.
+
+    Returns ``(key, n_days, level_cents, trend_cents,
+    forecast3_cents)`` with forecast3 = level + 3·trend.
+    """
+    import pandas as pd
+
+    daily = (
+        events.groupBy(
+            F.col("event_type").alias("key"), F.to_date("ts").alias("day")
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .alias("y")
+        )
+    )
+    a, b10 = int(alpha10), int(beta10)
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day")
+        ys = [int(v) for v in pdf["y"]]
+        key = pdf["key"].iloc[0]
+        if len(ys) < 2:
+            return pd.DataFrame(
+                columns=["key", "n_days", "level_cents", "trend_cents",
+                         "forecast3_cents"]
+            )
+        lvl, trd = ys[0], ys[1] - ys[0]
+        for y in ys[1:]:
+            lt = (a * y + (10 - a) * (lvl + trd)) // 10
+            trd = (b10 * (lt - lvl) + (10 - b10) * trd) // 10
+            lvl = lt
+        return pd.DataFrame(
+            [[key, len(ys), lvl, trd, lvl + 3 * trd]],
+            columns=["key", "n_days", "level_cents", "trend_cents",
+                     "forecast3_cents"],
+        )
+
+    schema = ("key string, n_days long, level_cents long, trend_cents long, "
+              "forecast3_cents long")
+    return daily.groupBy("key").applyInPandas(fit, schema).orderBy("key")
+
+
+def _holt_oracle(alpha10: int = 3, beta10: int = 2) -> str:
+    # FLOOR division on possibly-negative numerators: subtract the
+    # nonnegative pmod first so DuckDB's truncating `//` divides
+    # exactly (matching Python's `//`)
+    def fdiv10(x: str) -> str:
+        return f"(({x}) - ((({x}) % 10 + 10) % 10)) // 10"
+
+    a, b = int(alpha10), int(beta10)
+    l_expr = fdiv10(f"{a}*d.y + {10 - a}*(hw.l + hw.b)")
+    b_expr = fdiv10(f"{b}*(s.lt - s.l) + {10 - b}*s.b")
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT key, CAST(row_number() OVER (PARTITION BY key ORDER BY day) - 1
+              AS BIGINT) AS t, y
+  FROM (SELECT event_type AS key, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2)),
+hw(key, t, l, b) AS (
+  SELECT d0.key, CAST(0 AS BIGINT) AS t, d0.y AS l, d1.y - d0.y AS b
+  FROM daily d0 JOIN daily d1 ON d1.key = d0.key AND d1.t = 1
+  WHERE d0.t = 0
+  UNION ALL
+  SELECT s.key, s.t, s.lt AS l, CAST({b_expr} AS BIGINT) AS b FROM (
+    SELECT hw.key AS key, d.t AS t, hw.l AS l, hw.b AS b,
+           CAST({l_expr} AS BIGINT) AS lt
+    FROM hw JOIN daily d ON d.key = hw.key AND d.t = hw.t + 1) s),
+last AS (SELECT key, max(t) AS tmax FROM daily GROUP BY key
+         HAVING max(t) >= 1)
+SELECT hw.key AS key, CAST(la.tmax + 1 AS BIGINT) AS n_days,
+       CAST(hw.l AS BIGINT) AS level_cents,
+       CAST(hw.b AS BIGINT) AS trend_cents,
+       CAST(hw.l + 3 * hw.b AS BIGINT) AS forecast3_cents
+FROM hw JOIN last la ON la.key = hw.key AND hw.t = la.tmax
+ORDER BY key"""
+
+
 def timeseries_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import (
         Workload,
@@ -1560,4 +1658,5 @@ def timeseries_workloads():
         _w("ts_anomaly_mad", _mad_oracle(), anomaly_mad),
         _w("ts_seasonal_anomaly", _seasonal_oracle(), seasonal_anomaly),
         _w("ts_level_shift", _level_shift_oracle(), level_shift),
+        _w("ts_holt_linear", _holt_oracle(), holt_linear),
     ]

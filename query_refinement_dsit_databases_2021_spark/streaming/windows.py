@@ -519,6 +519,67 @@ def _wl_dedup_keys(spark, sf_dir):
     )
 
 
+def lateness_profile(events: DataFrame) -> DataFrame:
+    """Per-key event-time lateness audit — the observability query that
+    tunes ``withWatermark``: for each key, how far behind its own
+    event-time high-water-mark do events arrive?
+
+    Arrival order is the ``event_id`` sequence (the ingestion log's
+    offset); an event is LATE when its event time is behind the
+    maximum event time the key has already seen. Lateness is measured
+    in exact epoch-µs int64 arithmetic, aggregated per ``event_type``:
+    ``(event_type, n, n_late, max_late_us, sum_late_us)`` — pick the
+    watermark delay as the tail of ``max_late_us`` across types.
+
+    One window sort per key partition (user_id) ordered by arrival;
+    the running max carries a single int64. At 100 TB the sort
+    parallelism follows key cardinality exactly like
+    ``anomaly_zscore``; a global (un-keyed) watermark profile instead
+    aggregates these per-key marks — never a global sort.
+    """
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_late = events.select(
+        "event_type",
+        F.greatest(
+            F.lit(0), F.coalesce(F.max(us).over(w), F.lit(0)) - us
+        ).alias("late_us"),
+    )
+    return (
+        with_late.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("late_us") > 0).cast("long")).alias("n_late"),
+            F.max("late_us").alias("max_late_us"),
+            F.sum("late_us").alias("sum_late_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_LATENESS = """
+WITH marked AS (
+  SELECT event_type,
+         greatest(0, coalesce(max(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           - epoch_us(ts)) AS late_us
+  FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(max(late_us) AS BIGINT) AS max_late_us,
+       CAST(sum(late_us) AS BIGINT) AS sum_late_us
+FROM marked GROUP BY event_type ORDER BY event_type"""
+
+
+def _wl_lateness_profile(spark, sf_dir):
+    return lateness_profile(_events(spark, sf_dir))
+
+
 def streaming_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
@@ -546,6 +607,9 @@ def streaming_workloads():
         ),
         Workload(
             "stream_enrich_static", _wl_enrich_static, ORACLE_ENRICH_STATIC, False
+        ),
+        Workload(
+            "stream_lateness_profile", _wl_lateness_profile, ORACLE_LATENESS, False
         ),
     ]
 

@@ -492,3 +492,67 @@ def test_theil_sen_resists_outlier_where_ols_breaks(spark):
     assert (robust["slope"], robust["intercept"]) == (1.0, 5.0)
     ols = {r["event_type"]: r for r in linear_trend(df).collect()}
     assert ols["robust"]["slope"] > 20  # the breakdown Theil-Sen avoids
+
+
+def test_holt_linear_matches_sequential_reference(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        holt_linear,
+    )
+
+    # two keys: one rising, one FALLING (negative trend exercises the
+    # floor-division-on-negatives contract); one single-day key that
+    # must be dropped (needs >= 2 points)
+    rows = []
+    up = [10.0, 12.0, 15.0, 14.0, 20.0]
+    down = [50.0, 40.0, 28.0, 15.0]
+    for i, v in enumerate(up):
+        rows.append((datetime(2024, 3, 1 + i, 9), "up", v))
+    for i, v in enumerate(down):
+        rows.append((datetime(2024, 3, 1 + i, 9), "down", v))
+    rows.append((datetime(2024, 3, 1, 9), "lonely", 7.0))
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    got = {
+        r["key"]: (r["n_days"], r["level_cents"], r["trend_cents"],
+                   r["forecast3_cents"])
+        for r in holt_linear(df).collect()
+    }
+
+    def ref(vals, a=3, b=2):
+        ys = [round(v * 100) for v in vals]
+        lvl, trd = ys[0], ys[1] - ys[0]
+        for y in ys[1:]:
+            lt = (a * y + (10 - a) * (lvl + trd)) // 10
+            trd = (b * (lt - lvl) + (10 - b) * trd) // 10
+            lvl = lt
+        return (len(ys), lvl, trd, lvl + 3 * trd)
+
+    assert set(got) == {"up", "down"}
+    assert got["up"] == ref(up)
+    assert got["down"] == ref(down)
+    assert got["down"][2] < 0  # the negative-trend case really happened
+
+
+def test_lateness_profile_hand_built(spark):
+    from query_refinement_dsit_databases_2021_spark.streaming.windows import (
+        lateness_profile,
+    )
+
+    # user 1: arrival order 1,2,3 with event times 100s, 90s, 110s ->
+    # event 2 is 10s late; user 2: monotone -> never late
+    rows = [
+        (1, datetime(2024, 3, 1, 0, 1, 40), 1, "click", 0.0, "{}"),
+        (2, datetime(2024, 3, 1, 0, 1, 30), 1, "click", 0.0, "{}"),
+        (3, datetime(2024, 3, 1, 0, 1, 50), 1, "click", 0.0, "{}"),
+        (4, datetime(2024, 3, 1, 0, 0, 10), 2, "view", 0.0, "{}"),
+        (5, datetime(2024, 3, 1, 0, 0, 20), 2, "view", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string"
+    )
+    got = {
+        r["event_type"]: (r["n"], r["n_late"], r["max_late_us"], r["sum_late_us"])
+        for r in lateness_profile(df).collect()
+    }
+    assert got == {"click": (3, 1, 10_000_000, 10_000_000),
+                   "view": (2, 0, 0, 0)}
