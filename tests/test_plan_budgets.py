@@ -381,3 +381,61 @@ def test_round3b_operator_exchange_budgets(pdocs, pevents):
     ep = _plan(minhash_estimate_error(pdocs))
     assert "CartesianProduct" not in ep
     assert "BroadcastNestedLoopJoin" not in ep
+
+
+def test_round3c_operator_exchange_budgets(pevents, spark):
+    from query_refinement_dsit_databases_2021_spark.operators.cdc import (
+        delta_log_replay,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.graph import (
+        pagerank,
+        triangle_count,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.scale import (
+        bloom_prefilter_stats,
+    )
+    from query_refinement_dsit_databases_2021_spark.streaming.windows import (
+        lateness_profile,
+    )
+
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3) % 11) for i in range(40)], "src long, dst long"
+    )
+
+    # PageRank: join+agg rounds only — no cartesian/NLJ anywhere, and
+    # the per-iteration contribution agg is hash-partitioned (partial
+    # agg map-side); 5 iterations => bounded Exchange growth
+    pp = _plan(pagerank(edges, 2))
+    assert "CartesianProduct" not in pp
+    assert "BroadcastNestedLoopJoin" not in pp
+
+    # triangles: equi-joins over the oriented edge list only
+    tp = _plan(triangle_count(edges))
+    assert "CartesianProduct" not in tp
+    assert "BroadcastNestedLoopJoin" not in tp
+
+    # bloom prefilter: the probe side consults the filter via
+    # BROADCAST joins only — a sort-merge join here would mean the
+    # probe shuffled, defeating the operator's whole point
+    build = spark.createDataFrame([(k,) for k in (1, 5, 9)], "k long")
+    probe = spark.createDataFrame([(k,) for k in range(50)], "p long")
+    bp = _plan(bloom_prefilter_stats(build, "k", probe, "p"))
+    assert "SortMergeJoin" not in bp
+    assert bp.count("BroadcastHashJoin") == 3
+
+    # lateness: ONE window sort per key feeding ONE map-combinable agg
+    lp = _plan(lateness_profile(pevents))
+    assert lp.count("Window") == 1
+    assert lp.count("Exchange hashpartitioning") <= 2
+
+    # delta-log replay: one anti-join + one agg, metadata-scale
+    adds = spark.createDataFrame(
+        [(i, i * 10, i % 4) for i in range(30)], "file_id long, bytes long, ver long"
+    )
+    removes = spark.createDataFrame(
+        [(i, i % 4 + 1) for i in range(0, 30, 3)], "file_id long, ver long"
+    )
+    # budget: anti-join shuffles both (key-only) sides + the final agg
+    dp = _plan(delta_log_replay(adds, removes, 2))
+    assert "CartesianProduct" not in dp
+    assert dp.count("Exchange hashpartitioning") <= 3
