@@ -1616,6 +1616,138 @@ FROM hw JOIN last la ON la.key = hw.key AND hw.t = la.tmax
 ORDER BY key"""
 
 
+LTTB_K = 10
+
+
+def downsample_lttb(events: DataFrame, k: int = LTTB_K) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling per key — the
+    perceptual plot-downsampler (M4's sibling: M4 preserves min/max
+    envelopes, LTTB preserves visual shape). Like :func:`holt_linear`
+    the selection is sequential (each bucket's pick depends on the
+    previous pick), so it runs as a strategy-P Arrow kernel over the
+    day-sized per-key series while the daily aggregation stays
+    JVM-side.
+
+    Exactness: x = day index, y = integer cents; triangle areas are
+    compared via the cross-product form scaled by the next bucket's
+    point count (``|(px−ax)(sy−ay·n) − (py−ay)(sx−ax·n)|``) so no
+    division ever happens — pure int64, ties broken toward the
+    earlier point. First/last points are always kept; series with
+    ≤ k points pass through unchanged; the final interior bucket uses
+    the last point as its forward anchor (standard LTTB).
+
+    Returns ``(key, day, y_cents)`` of the selected points.
+    """
+    import pandas as pd
+
+    daily = (
+        events.groupBy(
+            F.col("event_type").alias("key"), F.to_date("ts").alias("day")
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .alias("y")
+        )
+    )
+    kk = int(k)
+
+    def pick(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        n = len(pdf)
+        ys = [int(v) for v in pdf["y"]]
+        if n <= kk:
+            return pdf[["key", "day", "y"]].rename(columns={"y": "y_cents"})
+        buckets: list[list[int]] = [[] for _ in range(kk - 2)]
+        for t in range(1, n - 1):
+            buckets[(t - 1) * (kk - 2) // (n - 2)].append(t)
+        sel = [0]
+        ax, ay = 0, ys[0]
+        for b in range(kk - 2):
+            if b < kk - 3:
+                nxt = buckets[b + 1]
+                sx = sum(nxt)
+                sy = sum(ys[t] for t in nxt)
+                cnt = len(nxt)
+            else:
+                sx, sy, cnt = n - 1, ys[n - 1], 1
+            best_t, best_a = -1, -1
+            for t in buckets[b]:
+                a2 = abs(
+                    (t - ax) * (sy - ay * cnt) - (ys[t] - ay) * (sx - ax * cnt)
+                )
+                if a2 > best_a:
+                    best_t, best_a = t, a2
+            sel.append(best_t)
+            ax, ay = best_t, ys[best_t]
+        sel.append(n - 1)
+        out = pdf.iloc[sel][["key", "day", "y"]].rename(columns={"y": "y_cents"})
+        return out
+
+    schema = "key string, day date, y_cents long"
+    return daily.groupBy("key").applyInPandas(pick, schema).orderBy("key", "day")
+
+
+def _lttb_oracle(k: int = LTTB_K) -> str:
+    kk = int(k)
+
+    def a2(px: str, py: str) -> str:
+        # area×2×cnt vs anchor s=(s.x, s.y) and forward point C sums
+        return (
+            f"abs(({px} - s.x) * (c.sy - s.y * c.cnt)"
+            f" - ({py} - s.y) * (c.sx - s.x * c.cnt))"
+        )
+
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT key, CAST(row_number() OVER (PARTITION BY key ORDER BY day) - 1
+              AS BIGINT) AS t, day, y
+  FROM (SELECT event_type AS key, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2)),
+nn AS (SELECT key, count(*) AS n FROM daily GROUP BY key),
+interior AS (
+  SELECT d.key, d.t, d.day, d.y,
+         (d.t - 1) * {kk - 2} // (nn.n - 2) AS b
+  FROM daily d JOIN nn ON nn.key = d.key
+  WHERE d.t >= 1 AND d.t <= nn.n - 2 AND nn.n > {kk}),
+avgs AS (
+  SELECT key, b, CAST(sum(t) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM interior GROUP BY key, b),
+lastp AS (
+  SELECT d.key, d.t AS sx, d.y AS sy, CAST(1 AS BIGINT) AS cnt
+  FROM daily d JOIN nn ON nn.key = d.key
+  WHERE d.t = nn.n - 1 AND nn.n > {kk}),
+canchor AS (
+  SELECT key, b - 1 AS b, sx, sy, cnt FROM avgs WHERE b >= 1
+  UNION ALL
+  SELECT key, CAST({kk - 3} AS BIGINT) AS b, sx, sy, cnt FROM lastp),
+sel(key, b, t, x, y) AS (
+  SELECT d.key, CAST(-1 AS BIGINT) AS b, d.t, d.t AS x, d.y
+  FROM daily d JOIN nn ON nn.key = d.key WHERE d.t = 0 AND nn.n > {kk}
+  UNION ALL
+  SELECT p.key, p.b, p.t, p.t AS x, p.y
+  FROM sel s
+  JOIN interior p ON p.key = s.key AND p.b = s.b + 1
+  JOIN canchor c ON c.key = p.key AND c.b = p.b
+  WHERE NOT EXISTS (
+    SELECT 1 FROM interior q
+    WHERE q.key = p.key AND q.b = p.b
+      AND ({a2('q.t', 'q.y')} > {a2('p.t', 'p.y')}
+           OR ({a2('q.t', 'q.y')} = {a2('p.t', 'p.y')} AND q.t < p.t))))
+SELECT key, day, y_cents FROM (
+  SELECT d.key, d.day, d.y AS y_cents
+  FROM daily d JOIN nn ON nn.key = d.key WHERE nn.n <= {kk}
+  UNION ALL
+  SELECT s.key, d.day, s.y AS y_cents
+  FROM sel s JOIN daily d ON d.key = s.key AND d.t = s.t
+  UNION ALL
+  SELECT d.key, d.day, d.y AS y_cents
+  FROM daily d JOIN nn ON nn.key = d.key
+  WHERE d.t = nn.n - 1 AND nn.n > {kk}
+) u ORDER BY key, day"""
+
+
 def timeseries_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import (
         Workload,
@@ -1659,4 +1791,5 @@ def timeseries_workloads():
         _w("ts_seasonal_anomaly", _seasonal_oracle(), seasonal_anomaly),
         _w("ts_level_shift", _level_shift_oracle(), level_shift),
         _w("ts_holt_linear", _holt_oracle(), holt_linear),
+        _w("ts_downsample_lttb", _lttb_oracle(), downsample_lttb),
     ]

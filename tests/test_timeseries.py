@@ -556,3 +556,55 @@ def test_lateness_profile_hand_built(spark):
     }
     assert got == {"click": (3, 1, 10_000_000, 10_000_000),
                    "view": (2, 0, 0, 0)}
+
+
+def test_lttb_selects_shape_extremes_and_passthrough(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        downsample_lttb,
+    )
+
+    # 30-day sawtooth with one huge spike at day 17: LTTB must keep
+    # the spike; first/last always kept; a short series passes through
+    from datetime import timedelta
+
+    rows = []
+    base = datetime(2024, 3, 1, 9)
+    for i in range(30):
+        v = 10.0 + (i % 5)
+        if i == 17:
+            v = 500.0
+        rows.append((base + timedelta(days=i), "long", v))
+    for i in range(4):
+        rows.append((base + timedelta(days=i), "short", float(i)))
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = downsample_lttb(df, k=8).collect()
+    long_days = [(r["day"] - base.date()).days for r in out if r["key"] == "long"]
+    short_days = [(r["day"] - base.date()).days for r in out if r["key"] == "short"]
+    assert len(long_days) == 8
+    assert long_days[0] == 0 and long_days[-1] == 29
+    assert 17 in long_days  # the spike survives downsampling
+    assert short_days == [0, 1, 2, 3]  # <= k passes through
+
+    # cross-check the full selection against an independent sequential
+    # reference (indexed arithmetic, no pandas)
+    ys = [1000 + (i % 5) * 100 if i != 17 else 50000 for i in range(30)]
+    k, n = 8, 30
+    buckets = [[] for _ in range(k - 2)]
+    for t in range(1, n - 1):
+        buckets[(t - 1) * (k - 2) // (n - 2)].append(t)
+    sel, ax, ay = [0], 0, ys[0]
+    for b in range(k - 2):
+        if b < k - 3:
+            nxt = buckets[b + 1]
+            sx, sy, cnt = sum(nxt), sum(ys[t] for t in nxt), len(nxt)
+        else:
+            sx, sy, cnt = n - 1, ys[n - 1], 1
+        best_t, best_a = -1, -1
+        for t in buckets[b]:
+            a2 = abs((t - ax) * (sy - ay * cnt) - (ys[t] - ay) * (sx - ax * cnt))
+            if a2 > best_a:
+                best_t, best_a = t, a2
+        sel.append(best_t)
+        ax, ay = best_t, ys[best_t]
+    sel.append(n - 1)
+    assert long_days == sel

@@ -118,6 +118,22 @@ NOTES = {
         "agg of exact int64 Pearson sums; float appears only in the "
         "final closed form."
     ),
+    "graph_pagerank": (
+        "Five join+agg rounds: every contribution agg is "
+        "hash-partitioned with a map-side partial sum; equi-joins only "
+        "(no NLJ/Cartesian); TakeOrderedAndProject for the final "
+        "top-20 — ranks never globally sorted."
+    ),
+    "ops_bloom_prefilter": (
+        "All three filter consultations are BroadcastHashJoins over "
+        "ONE probe scan — the probe side is never shuffled, which is "
+        "the operator's entire point (runtime-filter dataflow)."
+    ),
+    "ts_holt_linear": (
+        "JVM-side map-combinable daily agg -> ONE exchange into the "
+        "Arrow FlatMapGroupsInPandas kernel (strategy P); the "
+        "sequential fit only ever sees day-sized series."
+    ),
 }
 
 HEADER = """# PLANS — captured physical plans for representative workloads
