@@ -779,6 +779,173 @@ SELECT CAST(count(*) AS BIGINT) AS n_probe,
 FROM probed"""
 
 
+# layout advisor thresholds (documented contract, not tunables-by-magic)
+ADVISOR_PART_MIN_NDV = 2
+ADVISOR_PART_MAX_NDV = 1000
+ADVISOR_PART_MAX_TOP1_PPM = 500_000
+ADVISOR_BUCKET_MIN_NDV = 1000
+
+
+def layout_advisor(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ANALYZE → ADVISE: recommend a write layout (partition column,
+    bucket column + count, Z-order columns) for a table from one
+    stats pass over the candidate columns — the decision
+    `write_partitioned` / `write_bucketed` / `zorder_layout` then
+    execute.
+
+    Stats: the candidates are cast to string, unpivoted, and counted
+    with ONE shuffle on ``(col, value)`` (NULL counts as a value);
+    per-column NDV / row count / hottest-value share fall out of the
+    second, col-sized aggregation. Deterministic integer rules:
+
+    - **partition**: NDV in [{pmin}, {pmax}] and top-1 share ≤ 50%
+      (no mega-partition); highest NDV wins (ties: name) — most
+      selective pruning without small-file explosion.
+    - **bucket**: among the rest, NDV > {bmin}; highest NDV wins —
+      the join-key-shaped column. Bucket count: power-of-2 ladder on
+      ``ndv DIV 1024``, clamped to [8, 4096].
+    - **zorder**: top-2 remaining columns with NDV ≥ 2 — secondary
+      predicate columns worth min/max clustering.
+
+    Returns ``(role, column, ndv, top1_ppm, n_buckets)`` (n_buckets
+    NULL except for the bucket row), ordered by (role, column).
+    Shares are exact integer ppm (int64 ``DIV``).
+    """
+    vals = df.select(
+        *[F.col(c).cast("string").alias(c) for c in cols]
+    ).unpivot([], cols, "col", "val")
+    per_val = vals.groupBy("col", "val").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = per_val.groupBy("col").agg(
+        F.count(F.lit(1)).alias("ndv"),
+        F.sum("cnt").alias("n"),
+        F.max("cnt").alias("top1"),
+    )
+    stats = stats.select(
+        "col", "ndv",
+        F.expr("top1 * 1000000 DIV n").alias("top1_ppm"),
+    )
+    part_w = Window.orderBy(F.desc("ndv"), "col")
+    part = (
+        stats.where(
+            (F.col("ndv") >= ADVISOR_PART_MIN_NDV)
+            & (F.col("ndv") <= ADVISOR_PART_MAX_NDV)
+            & (F.col("top1_ppm") <= ADVISOR_PART_MAX_TOP1_PPM)
+        )
+        .withColumn("rn", F.row_number().over(part_w))
+        .where("rn = 1")
+        .select(F.lit("partition").alias("role"), "col", "ndv", "top1_ppm",
+                F.lit(None).cast("long").alias("n_buckets"))
+    )
+    rest = stats.join(part.select(F.col("col").alias("pc")),
+                      stats.col == F.col("pc"), "left_anti")
+    bucket = (
+        rest.where(F.col("ndv") > ADVISOR_BUCKET_MIN_NDV)
+        .withColumn("rn", F.row_number().over(part_w))
+        .where("rn = 1")
+        .select(
+            F.lit("bucket").alias("role"), "col", "ndv", "top1_ppm",
+            F.expr(
+                """CASE WHEN ndv DIV 1024 <= 8 THEN 8
+                        WHEN ndv DIV 1024 <= 16 THEN 16
+                        WHEN ndv DIV 1024 <= 32 THEN 32
+                        WHEN ndv DIV 1024 <= 64 THEN 64
+                        WHEN ndv DIV 1024 <= 128 THEN 128
+                        WHEN ndv DIV 1024 <= 256 THEN 256
+                        WHEN ndv DIV 1024 <= 512 THEN 512
+                        WHEN ndv DIV 1024 <= 1024 THEN 1024
+                        WHEN ndv DIV 1024 <= 2048 THEN 2048
+                        ELSE 4096 END"""
+            ).cast("long").alias("n_buckets"),
+        )
+    )
+    taken = part.select("col").union(bucket.select("col"))
+    zorder = (
+        stats.join(taken.withColumnRenamed("col", "tc"),
+                   stats.col == F.col("tc"), "left_anti")
+        .where(F.col("ndv") >= 2)
+        .withColumn("rn", F.row_number().over(part_w))
+        .where("rn <= 2")
+        .select(F.lit("zorder").alias("role"), "col", "ndv", "top1_ppm",
+                F.lit(None).cast("long").alias("n_buckets"))
+    )
+    return part.unionByName(bucket).unionByName(zorder).orderBy("role", "col")
+
+
+def _wl_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    orders = spark.table("orders").withColumn(
+        "o_ordermonth", F.substring(F.col("o_orderdate").cast("string"), 1, 7)
+    )
+    return layout_advisor(
+        orders,
+        ["o_ordermonth", "o_orderstatus", "o_orderpriority", "o_custkey"],
+    )
+
+
+ORACLE_LAYOUT_ADVISOR = f"""
+WITH vals AS (
+  SELECT col, val FROM (
+    SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS o_ordermonth,
+           CAST(o_orderstatus AS VARCHAR) AS o_orderstatus,
+           CAST(o_orderpriority AS VARCHAR) AS o_orderpriority,
+           CAST(o_custkey AS VARCHAR) AS o_custkey
+    FROM orders) t
+  UNPIVOT (val FOR col IN (o_ordermonth, o_orderstatus, o_orderpriority,
+                           o_custkey))),
+per_val AS (SELECT col, val, count(*) AS cnt FROM vals GROUP BY col, val),
+stats AS (
+  SELECT col, CAST(count(*) AS BIGINT) AS ndv,
+         CAST(max(cnt) * 1000000 // sum(cnt) AS BIGINT) AS top1_ppm
+  FROM per_val GROUP BY col),
+part AS (
+  SELECT 'partition' AS role, col, ndv, top1_ppm,
+         CAST(NULL AS BIGINT) AS n_buckets
+  FROM (SELECT *, row_number() OVER (ORDER BY ndv DESC, col) AS rn
+        FROM stats
+        WHERE ndv BETWEEN {ADVISOR_PART_MIN_NDV} AND {ADVISOR_PART_MAX_NDV}
+          AND top1_ppm <= {ADVISOR_PART_MAX_TOP1_PPM}) q
+  WHERE rn = 1),
+bucket AS (
+  SELECT 'bucket' AS role, col, ndv, top1_ppm,
+         CAST(CASE WHEN ndv // 1024 <= 8 THEN 8
+                   WHEN ndv // 1024 <= 16 THEN 16
+                   WHEN ndv // 1024 <= 32 THEN 32
+                   WHEN ndv // 1024 <= 64 THEN 64
+                   WHEN ndv // 1024 <= 128 THEN 128
+                   WHEN ndv // 1024 <= 256 THEN 256
+                   WHEN ndv // 1024 <= 512 THEN 512
+                   WHEN ndv // 1024 <= 1024 THEN 1024
+                   WHEN ndv // 1024 <= 2048 THEN 2048
+                   ELSE 4096 END AS BIGINT) AS n_buckets
+  FROM (SELECT *, row_number() OVER (ORDER BY ndv DESC, col) AS rn
+        FROM stats
+        WHERE ndv > {ADVISOR_BUCKET_MIN_NDV}
+          AND col NOT IN (SELECT col FROM part)) q
+  WHERE rn = 1),
+zorder AS (
+  SELECT 'zorder' AS role, col, ndv, top1_ppm,
+         CAST(NULL AS BIGINT) AS n_buckets
+  FROM (SELECT *, row_number() OVER (ORDER BY ndv DESC, col) AS rn
+        FROM stats
+        WHERE ndv >= 2
+          AND col NOT IN (SELECT col FROM part)
+          AND col NOT IN (SELECT col FROM bucket)) q
+  WHERE rn <= 2)
+SELECT role, col, ndv, top1_ppm, n_buckets FROM (
+  SELECT * FROM part UNION ALL
+  SELECT * FROM bucket UNION ALL
+  SELECT * FROM zorder) u
+ORDER BY role, col"""
+
+layout_advisor.__doc__ = layout_advisor.__doc__.format(
+    pmin=ADVISOR_PART_MIN_NDV,
+    pmax=ADVISOR_PART_MAX_NDV,
+    bmin=ADVISOR_BUCKET_MIN_NDV,
+)
+
+
 def scale_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
@@ -795,5 +962,8 @@ def scale_workloads():
         ),
         Workload(
             "ops_bloom_prefilter", _wl_bloom_prefilter, ORACLE_BLOOM_PREFILTER
+        ),
+        Workload(
+            "ops_layout_advisor", _wl_layout_advisor, ORACLE_LAYOUT_ADVISOR
         ),
     ]

@@ -376,3 +376,38 @@ def test_bloom_prefilter_matches_python_reference(spark):
     )
     # the filter never rejects a true match (no false negatives)
     assert row["n_pass"] >= row["n_true"]
+
+
+def test_layout_advisor_rules(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.scale import (
+        layout_advisor,
+    )
+
+    n = 5000
+    rows = [
+        (
+            i,                                  # id: unique -> bucket
+            f"m{i % 12:02d}",                   # month: ndv 12 -> partition
+            f"s{i % 3}",                        # status: ndv 3 -> zorder
+            f"f{i % 2}",                        # flag: ndv 2 -> misses top-2
+            "A" if i < 3000 else f"h{i % 9}",   # hot: ndv 10 but 60% skew
+        )
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, month string, status string, flag string, hot string"
+    )
+    got = {
+        r["role"] + ":" + r["col"]: (r["ndv"], r["top1_ppm"], r["n_buckets"])
+        for r in layout_advisor(
+            df, ["id", "month", "status", "flag", "hot"]
+        ).collect()
+    }
+    # partition: month (highest NDV inside [2,1000] and <=50% top share);
+    # hot is NDV-eligible but 600000 ppm skewed -> rejected
+    assert set(got) == {"partition:month", "bucket:id", "zorder:hot",
+                        "zorder:status"}
+    assert got["partition:month"][0] == 12
+    # bucket ladder: 5000 DIV 1024 = 4 <= 8 -> 8 buckets
+    assert got["bucket:id"] == (5000, 1000000 // 5000, 8)
+    assert got["zorder:hot"][1] == 600000
