@@ -220,10 +220,105 @@ FROM corners GROUP BY node
 ORDER BY n_triangles DESC, node LIMIT 15"""
 
 
+CC_BUCKET_US = 30_000_000  # 30 s co-activity window
+
+
+def coactivity_components(events: DataFrame) -> DataFrame:
+    """Connected components over the user co-activity graph (users
+    linked when active in the same 30 s bucket with the same event
+    type), summarized per component ``(cluster_id, n_nodes)``.
+    Delegates to the dedup family's :func:`dedup.neardup_components` —
+    min-label propagation with pointer jumping and a convergence
+    guarantee — because components are the same operator whether the
+    nodes are near-dup docs or users."""
+    from query_refinement_dsit_databases_2021_spark.operators import dedup
+
+    b = (
+        events.select(
+            "event_type",
+            F.expr(
+                f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {CC_BUCKET_US}"
+            ).alias("m"),
+            "user_id",
+        )
+        .distinct()
+    )
+    x, y = b.alias("x"), b.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.event_type") == F.col("y.event_type"))
+            & (F.col("x.m") == F.col("y.m"))
+            & (F.col("x.user_id") < F.col("y.user_id")),
+        )
+        .select(
+            F.col("x.user_id").alias("doc_a"), F.col("y.user_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    comp = dedup.neardup_components(pairs)
+    return (
+        comp.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("cluster_id")
+    )
+
+
+def _wl_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    return coactivity_components(spark.table("events"))
+
+
+def _oracle_components(rounds: int = 48) -> str:
+    parts = [
+        f"""b AS (SELECT DISTINCT event_type,
+            epoch_us(ts) // {CC_BUCKET_US} AS m, user_id FROM events)""",
+        """sp AS MATERIALIZED (
+  SELECT DISTINCT a.user_id AS doc_a, b2.user_id AS doc_b
+  FROM b a JOIN b b2 ON a.event_type = b2.event_type AND a.m = b2.m
+                    AND a.user_id < b2.user_id)""",
+        """edges AS MATERIALIZED (
+  SELECT doc_a AS a, doc_b AS b FROM sp
+  UNION ALL SELECT doc_b, doc_a FROM sp)""",
+        "l0 AS MATERIALIZED (SELECT DISTINCT a AS n, a AS l FROM edges)",
+    ]
+    for i in range(rounds):
+        # MATERIALIZED prevents DuckDB's default CTE inlining from
+        # exponentially expanding the per-round double reference
+        parts.append(
+            f"""l{i + 1} AS MATERIALIZED (
+  SELECT n, min(l) AS l FROM (
+    SELECT n, l FROM l{i}
+    UNION ALL
+    SELECT e.a AS n, x.l FROM edges e JOIN l{i} x ON x.n = e.b)
+  GROUP BY n)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+chg AS (SELECT count(*) AS c FROM l{rounds} a JOIN l{rounds - 1} b USING (n)
+        WHERE a.l <> b.l),
+lbl AS (SELECT n,
+               CASE WHEN (SELECT c FROM chg) > 0
+                    THEN error('components oracle unconverged at {rounds} rounds')
+                    ELSE l END AS cluster_id
+        FROM l{rounds})
+SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_nodes
+FROM lbl GROUP BY cluster_id ORDER BY cluster_id"""
+    )
+
+
+ORACLE_COMPONENTS = _oracle_components()
+
+
 def graph_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
     return [
         Workload("graph_pagerank", _wl_pagerank, ORACLE_PAGERANK),
         Workload("graph_triangles", _wl_triangles, ORACLE_TRIANGLES),
+        Workload("graph_components", _wl_components, ORACLE_COMPONENTS),
     ]

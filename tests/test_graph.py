@@ -75,3 +75,31 @@ def test_triangles_brute_force_cross_check(spark):
                     for n in (a, b, c):
                         ref[n] = ref.get(n, 0) + 1
     assert got == ref
+
+
+def test_components_coactivity_wiring(spark):
+    """The co-activity pair derivation + component summary: users in
+    the same 30s/type bucket link; distinct components stay apart;
+    edgeless users are not reported."""
+    from datetime import datetime, timedelta
+
+    from query_refinement_dsit_databases_2021_spark.operators.graph import (
+        coactivity_components,
+    )
+
+    base = datetime(2024, 3, 1, 12, 0, 0)
+    rows = []
+    # bucket A: users 1,2,3 same 30s window + type -> one component
+    for i, u in enumerate((1, 2, 3)):
+        rows.append((i, base + timedelta(seconds=i * 5), u, "click", 0.0, "{}"))
+    # bucket B: users 7,8 in a far window -> second component
+    for i, u in enumerate((7, 8)):
+        rows.append((10 + i, base + timedelta(hours=2, seconds=i), u, "view", 0.0, "{}"))
+    # user 9: alone in its bucket -> no edges, not reported
+    rows.append((20, base + timedelta(hours=5), 9, "click", 0.0, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string"
+    )
+    got = {r["cluster_id"]: r["n_nodes"] for r in coactivity_components(df).collect()}
+    assert got == {1: 3, 7: 2}
