@@ -1616,6 +1616,111 @@ FROM hw JOIN last la ON la.key = hw.key AND hw.t = la.tmax
 ORDER BY key"""
 
 
+BACKTEST_HORIZON = 7
+
+
+def forecast_backtest(
+    events: DataFrame,
+    horizon: int = BACKTEST_HORIZON,
+    alpha10: int = 3,
+    beta10: int = 2,
+) -> DataFrame:
+    """Holdout backtest of the Holt linear forecaster: per key, fit
+    :func:`holt_linear`'s integer recursion on all but the last
+    ``horizon`` days, forecast ``level + i·trend`` for the held-out
+    days, and report the absolute-error profile — the eval loop that
+    decides whether a forecaster is deployable, run as one job over
+    every key.
+
+    Same strategy-P shape and integer-cents exactness contract as the
+    fitter (keys need ≥ ``horizon + 2`` days; smaller keys are
+    dropped). Returns ``(key, n_train, n_test, sum_abs_err_cents,
+    mae_cents)`` with ``mae = sum DIV n_test`` (int64 floor).
+    """
+    import pandas as pd
+
+    daily = (
+        events.groupBy(
+            F.col("event_type").alias("key"), F.to_date("ts").alias("day")
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .alias("y")
+        )
+    )
+    a, b10, h = int(alpha10), int(beta10), int(horizon)
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        cols = ["key", "n_train", "n_test", "sum_abs_err_cents", "mae_cents"]
+        pdf = pdf.sort_values("day")
+        ys = [int(v) for v in pdf["y"]]
+        n = len(ys)
+        if n < h + 2:
+            return pd.DataFrame(columns=cols)
+        train = ys[: n - h]
+        lvl, trd = train[0], train[1] - train[0]
+        for y in train[1:]:
+            lt = (a * y + (10 - a) * (lvl + trd)) // 10
+            trd = (b10 * (lt - lvl) + (10 - b10) * trd) // 10
+            lvl = lt
+        sae = sum(
+            abs(lvl + (i + 1) * trd - ys[n - h + i]) for i in range(h)
+        )
+        return pd.DataFrame(
+            [[pdf["key"].iloc[0], len(train), h, sae, sae // h]], columns=cols
+        )
+
+    schema = ("key string, n_train long, n_test long, "
+              "sum_abs_err_cents long, mae_cents long")
+    return daily.groupBy("key").applyInPandas(fit, schema).orderBy("key")
+
+
+def _backtest_oracle(
+    horizon: int = BACKTEST_HORIZON, alpha10: int = 3, beta10: int = 2
+) -> str:
+    def fdiv10(x: str) -> str:
+        return f"(({x}) - ((({x}) % 10 + 10) % 10)) // 10"
+
+    a, b, h = int(alpha10), int(beta10), int(horizon)
+    l_expr = fdiv10(f"{a}*d.y + {10 - a}*(hw.l + hw.b)")
+    b_expr = fdiv10(f"{b}*(s.lt - s.l) + {10 - b}*s.b")
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT key, CAST(row_number() OVER (PARTITION BY key ORDER BY day) - 1
+              AS BIGINT) AS t, y
+  FROM (SELECT event_type AS key, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2)),
+nn AS (SELECT key, count(*) AS n FROM daily GROUP BY key
+       HAVING count(*) >= {h + 2}),
+train AS (SELECT d.key, d.t, d.y FROM daily d JOIN nn ON nn.key = d.key
+          WHERE d.t <= nn.n - {h} - 1),
+hw(key, t, l, b) AS (
+  SELECT d0.key, CAST(0 AS BIGINT) AS t, d0.y AS l, d1.y - d0.y AS b
+  FROM train d0 JOIN train d1 ON d1.key = d0.key AND d1.t = 1
+  WHERE d0.t = 0
+  UNION ALL
+  SELECT s.key, s.t, s.lt AS l, CAST({b_expr} AS BIGINT) AS b FROM (
+    SELECT hw.key AS key, d.t AS t, hw.l AS l, hw.b AS b,
+           CAST({l_expr} AS BIGINT) AS lt
+    FROM hw JOIN train d ON d.key = hw.key AND d.t = hw.t + 1) s),
+fitted AS (
+  SELECT hw.key, hw.l, hw.b
+  FROM hw JOIN nn ON nn.key = hw.key
+  WHERE hw.t = nn.n - {h} - 1),
+err AS (
+  SELECT f.key, abs(f.l + (d.t - (nn.n - {h} - 1)) * f.b - d.y) AS ae
+  FROM fitted f
+  JOIN nn ON nn.key = f.key
+  JOIN daily d ON d.key = f.key AND d.t >= nn.n - {h})
+SELECT e.key, CAST(nn.n - {h} AS BIGINT) AS n_train,
+       CAST({h} AS BIGINT) AS n_test,
+       CAST(sum(e.ae) AS BIGINT) AS sum_abs_err_cents,
+       CAST(sum(e.ae) // {h} AS BIGINT) AS mae_cents
+FROM err e JOIN nn ON nn.key = e.key
+GROUP BY e.key, nn.n ORDER BY e.key"""
+
+
 LTTB_K = 10
 
 
@@ -1792,4 +1897,5 @@ def timeseries_workloads():
         _w("ts_level_shift", _level_shift_oracle(), level_shift),
         _w("ts_holt_linear", _holt_oracle(), holt_linear),
         _w("ts_downsample_lttb", _lttb_oracle(), downsample_lttb),
+        _w("ts_forecast_backtest", _backtest_oracle(), forecast_backtest),
     ]

@@ -608,3 +608,32 @@ def test_lttb_selects_shape_extremes_and_passthrough(spark):
         ax, ay = best_t, ys[best_t]
     sel.append(n - 1)
     assert long_days == sel
+
+
+def test_forecast_backtest_matches_manual_holdout(spark):
+    from datetime import timedelta
+
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        forecast_backtest,
+    )
+
+    base = datetime(2024, 3, 1, 9)
+    vals = [10.0, 12.0, 11.0, 15.0, 14.0, 18.0, 17.0, 20.0, 19.0, 23.0,
+            22.0, 25.0]
+    rows = [(base + timedelta(days=i), "k", v) for i, v in enumerate(vals)]
+    rows += [(base + timedelta(days=i), "tiny", 5.0) for i in range(4)]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = forecast_backtest(df, horizon=3).collect()
+    got = {r["key"]: (r["n_train"], r["n_test"], r["sum_abs_err_cents"],
+                      r["mae_cents"]) for r in out}
+    assert "tiny" not in got  # < horizon+2 days -> dropped
+
+    ys = [round(v * 100) for v in vals]
+    train = ys[:-3]
+    lvl, trd = train[0], train[1] - train[0]
+    for y in train[1:]:
+        lt = (3 * y + 7 * (lvl + trd)) // 10
+        trd = (2 * (lt - lvl) + 8 * trd) // 10
+        lvl = lt
+    sae = sum(abs(lvl + (i + 1) * trd - ys[-3 + i]) for i in range(3))
+    assert got["k"] == (9, 3, sae, sae // 3)
