@@ -115,6 +115,112 @@ GROUP BY user_id, session_id
 ORDER BY user_id, session_id"""
 
 
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def session_funnel(
+    events: DataFrame,
+    stages: tuple[str, str, str] = FUNNEL_STAGES,
+    gap_seconds: int = GAP_SECONDS,
+) -> DataFrame:
+    """Ordered three-stage funnel over gap-sessions: a session
+    "reaches" stage 2 only with a stage-2 event at-or-after its first
+    stage-1 event, and stage 3 only at-or-after that stage-2 event —
+    the product-analytics conversion query, exact on microsecond
+    int64s.
+
+    Plan shape: the sessionize window exchange (hash by user) is
+    reused by three chained min-over-session windows (the stage-k
+    anchor is a window result consumed by the stage-k+1 window — same
+    partitioning, no new shuffle) and the final per-session groupBy.
+    Returns ONE row: ``(n_sessions, reached_1, reached_2,
+    reached_3)``.
+    """
+    s1, s2, s3 = stages
+    s = sessionize(events, gap_seconds)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id", "session_id")
+    df = s.withColumn(
+        "v1", F.min(F.when(F.col("event_type") == s1, us)).over(w)
+    )
+    df = df.withColumn(
+        "v2",
+        F.min(
+            F.when((F.col("event_type") == s2) & (us >= F.col("v1")), us)
+        ).over(w),
+    )
+    df = df.withColumn(
+        "v3",
+        F.min(
+            F.when((F.col("event_type") == s3) & (us >= F.col("v2")), us)
+        ).over(w),
+    )
+    per_sess = df.groupBy("user_id", "session_id").agg(
+        F.max("v1").alias("v1"), F.max("v2").alias("v2"), F.max("v3").alias("v3")
+    )
+    return per_sess.groupBy().agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.col("v1").isNotNull().cast("long")).alias("reached_1"),
+        F.sum(F.col("v2").isNotNull().cast("long")).alias("reached_2"),
+        F.sum(F.col("v3").isNotNull().cast("long")).alias("reached_3"),
+    )
+
+
+def oracle_session_funnel(
+    stages: tuple[str, str, str] = FUNNEL_STAGES,
+    gap_seconds: int = GAP_SECONDS,
+) -> str:
+    s1, s2, s3 = stages
+    gap_us = int(gap_seconds) * 1_000_000
+    return f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+numbered AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(sum(new_session) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_id
+  FROM flagged),
+w1 AS (
+  SELECT *, min(CASE WHEN event_type = '{s1}' THEN epoch_us(ts) END)
+         OVER (PARTITION BY user_id, session_id) AS v1
+  FROM numbered),
+w2 AS (
+  SELECT *, min(CASE WHEN event_type = '{s2}' AND epoch_us(ts) >= v1
+                     THEN epoch_us(ts) END)
+         OVER (PARTITION BY user_id, session_id) AS v2
+  FROM w1),
+w3 AS (
+  SELECT *, min(CASE WHEN event_type = '{s3}' AND epoch_us(ts) >= v2
+                     THEN epoch_us(ts) END)
+         OVER (PARTITION BY user_id, session_id) AS v3
+  FROM w2),
+per_sess AS (
+  SELECT user_id, session_id, max(v1) AS v1, max(v2) AS v2, max(v3) AS v3
+  FROM w3 GROUP BY user_id, session_id)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN v1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS reached_1,
+       CAST(sum(CASE WHEN v2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS reached_2,
+       CAST(sum(CASE WHEN v3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS reached_3
+FROM per_sess"""
+
+
+def _wl_funnel(spark, sf_dir):
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    return session_funnel(spark.table("events"))
+
+
 def _wl_sessionize(spark, sf_dir):
     from query_refinement_dsit_databases_2021_spark.workloads import register_views
 
@@ -129,4 +235,5 @@ def sessions_workloads():
         Workload(
             "ops_sessionize", _wl_sessionize, oracle_session_stats(), True
         ),
+        Workload("ops_session_funnel", _wl_funnel, oracle_session_funnel()),
     ]

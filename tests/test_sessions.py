@@ -147,3 +147,39 @@ def test_sessionize_properties(spark, offsets, gap):
         else:
             assert s_cur == s_prev + 1
             assert d > gap  # (3)
+
+
+def test_session_funnel_ordering_and_gaps(spark):
+    from datetime import datetime, timedelta
+
+    from query_refinement_dsit_databases_2021_spark.operators.sessions import (
+        session_funnel,
+    )
+
+    base = datetime(2024, 3, 1, 12)
+    s = timedelta(seconds=1)
+    rows = [
+        # u1: full ordered funnel in one session
+        (1, base, 1, "view", 0.0, "{}"),
+        (2, base + 10 * s, 1, "click", 0.0, "{}"),
+        (3, base + 20 * s, 1, "purchase", 0.0, "{}"),
+        # u2: click BEFORE the first view -> stage 2 not reached
+        (4, base, 2, "click", 0.0, "{}"),
+        (5, base + 10 * s, 2, "view", 0.0, "{}"),
+        # u3: purchase before the qualifying click -> stage 3 not reached
+        (6, base, 3, "view", 0.0, "{}"),
+        (7, base + 5 * s, 3, "purchase", 0.0, "{}"),
+        (8, base + 10 * s, 3, "click", 0.0, "{}"),
+        # u4: two sessions (9h gap > the 8h default): view-only, then
+        # view+click
+        (9, base, 4, "view", 0.0, "{}"),
+        (10, base + timedelta(hours=9), 4, "view", 0.0, "{}"),
+        (11, base + timedelta(hours=9) + 5 * s, 4, "click", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string"
+    )
+    r = session_funnel(df).collect()[0]
+    assert (r["n_sessions"], r["reached_1"], r["reached_2"], r["reached_3"]) \
+        == (5, 5, 3, 1)
