@@ -221,11 +221,70 @@ def _wl_range_bucket(spark, sf_dir):
     )
 
 
+def _wl_asof_forward(spark, sf_dir):
+    """Forward as-of: each error's NEXT purchase by the same user —
+    the error-to-conversion recovery lag. Exercises the operator's
+    ``direction="forward"`` leg (only backward was gated before).
+    The oracle uses an explicit fully-tie-broken row_number window
+    rather than DuckDB's ASOF JOIN, per the repo's deterministic
+    argmax convention (ASOF's pick between equal timestamps is
+    engine-defined)."""
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    ev = spark.table("events").withColumn("ts", F.col("ts").cast("timestamp"))
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    joined = asof_join(
+        errors,
+        purchases,
+        ts="ts",
+        by=["user_id"],
+        value_cols=["purchase_id", "ts"],
+        direction="forward",
+        tie_break="purchase_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("purchase_id_matched").alias("purchase_id"),
+        (F.unix_micros(F.col("ts_matched")) - F.unix_micros(F.col("ts")))
+        .alias("lag_us"),
+    )
+
+
+ASOF_FORWARD_ORACLE = """
+WITH errors AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts FROM events
+  WHERE event_type = 'error'),
+purchases AS (
+  SELECT user_id, epoch_us(ts) AS ts, event_id AS purchase_id FROM events
+  WHERE event_type = 'purchase'),
+ranked AS (
+  SELECT e.event_id, e.user_id, p.purchase_id, p.ts - e.ts AS lag_us,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY p.ts, p.purchase_id) AS rn
+  FROM errors e JOIN purchases p
+    ON p.user_id = e.user_id AND p.ts >= e.ts)
+SELECT e.event_id, e.user_id, r.purchase_id, r.lag_us
+FROM errors e LEFT JOIN ranked r
+  ON r.event_id = e.event_id AND r.rn = 1
+ORDER BY e.event_id"""
+
+
 def asof_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
     return [
         Workload("ops_asof_join", _wl_asof, ASOF_ORACLE, headline=False),
+        Workload(
+            "ops_asof_forward", _wl_asof_forward, ASOF_FORWARD_ORACLE,
+            headline=False,
+        ),
         Workload(
             "ops_range_bucket_join", _wl_range_bucket, RANGE_ORACLE, headline=False
         ),
