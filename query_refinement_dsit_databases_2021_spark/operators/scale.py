@@ -871,6 +871,119 @@ def layout_advisor(df: DataFrame, cols: list[str]) -> DataFrame:
     return part.unionByName(bucket).unionByName(zorder).orderBy("role", "col")
 
 
+CMS_W = 1024  # count-min width (buckets per hash row)
+CMS_HASHES = (
+    (2_654_435_761, 0),
+    (2_246_822_519, 101_159),
+    (3_266_489_917, 9_876_543),
+)
+
+
+def countmin_estimate(
+    stream: DataFrame, key: str, queries_df: DataFrame, qkey: str
+) -> DataFrame:
+    """Count-Min sketch with engine-portable hashes, certified by
+    replay: build the d×w counter array from ``stream`` (one shuffle
+    on ``(row, bucket)`` after a 3-row explode), then estimate each
+    query key's frequency as ``min`` over rows — the classic
+    heavy-hitter sketch, here with multiplicative mod-prime hashes so
+    the oracle can rebuild the identical array in SQL.
+
+    CMS guarantees estimate ≥ truth (overestimate only); joining the
+    exact counts alongside exposes the error the sketch actually made
+    at this (d, w) — the attestation pattern
+    (`dedup.minhash_estimate_error`) applied to frequency sketching.
+
+    Returns ``(key, est, ...)`` — one row per query key with the CMS
+    estimate; join truth downstream.
+    """
+    rows = []
+    for i, (mul, add) in enumerate(CMS_HASHES):
+        rows.append(
+            stream.select(
+                F.lit(i).alias("row"),
+                ((F.col(key) * F.lit(mul) + F.lit(add)) % F.lit(CMS_W)).alias(
+                    "bucket"
+                ),
+            )
+        )
+    cells = rows[0]
+    for r in rows[1:]:
+        cells = cells.unionByName(r)
+    counters = cells.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    q = queries_df
+    for i, (mul, add) in enumerate(CMS_HASHES):
+        probe = counters.where(F.col("row") == i).select(
+            F.col("bucket").alias(f"b{i}"), F.col("cnt").alias(f"c{i}")
+        )
+        q = q.join(
+            F.broadcast(probe),
+            ((F.col(qkey) * F.lit(mul) + F.lit(add)) % F.lit(CMS_W))
+            == F.col(f"b{i}"),
+            "left",
+        ).drop(f"b{i}")
+    return q.select(
+        *queries_df.columns,
+        F.least(
+            *[F.coalesce(F.col(f"c{i}"), F.lit(0)) for i in range(len(CMS_HASHES))]
+        ).alias("est"),
+    )
+
+
+def _wl_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    orders = spark.table("orders")
+    truth = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), "o_custkey")
+        .limit(10)
+    )
+    est = countmin_estimate(orders, "o_custkey", truth, "o_custkey")
+    return est.select(
+        "o_custkey",
+        "true_cnt",
+        "est",
+        (F.col("est") - F.col("true_cnt")).alias("overcount"),
+    ).orderBy(F.desc("true_cnt"), "o_custkey")
+
+
+def _cms_oracle() -> str:
+    cell_selects = " UNION ALL ".join(
+        f"SELECT {i} AS row, (o_custkey * {mul} + {add}) % {CMS_W} AS bucket "
+        f"FROM orders"
+        for i, (mul, add) in enumerate(CMS_HASHES)
+    )
+    probes = []
+    for i, (mul, add) in enumerate(CMS_HASHES):
+        probes.append(
+            f"""coalesce((SELECT cnt FROM counters c
+         WHERE c.row = {i}
+           AND c.bucket = (t.o_custkey * {mul} + {add}) % {CMS_W}), 0)"""
+        )
+    least = f"least({', '.join(probes)})"
+    return f"""
+WITH cells AS ({cell_selects}),
+counters AS MATERIALIZED (
+  SELECT row, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY row, bucket),
+truth AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS true_cnt
+  FROM orders GROUP BY o_custkey
+  ORDER BY true_cnt DESC, o_custkey LIMIT 10)
+SELECT t.o_custkey, t.true_cnt,
+       CAST({least} AS BIGINT) AS est,
+       CAST({least} - t.true_cnt AS BIGINT) AS overcount
+FROM truth t ORDER BY t.true_cnt DESC, t.o_custkey"""
+
+
+ORACLE_COUNTMIN = _cms_oracle()
+
+
 def _wl_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from query_refinement_dsit_databases_2021_spark.workloads import register_views
 
@@ -966,4 +1079,5 @@ def scale_workloads():
         Workload(
             "ops_layout_advisor", _wl_layout_advisor, ORACLE_LAYOUT_ADVISOR
         ),
+        Workload("ops_countmin_est", _wl_countmin, ORACLE_COUNTMIN),
     ]

@@ -411,3 +411,34 @@ def test_layout_advisor_rules(spark):
     # bucket ladder: 5000 DIV 1024 = 4 <= 8 -> 8 buckets
     assert got["bucket:id"] == (5000, 1000000 // 5000, 8)
     assert got["zorder:hot"][1] == 600000
+
+
+def test_countmin_overestimates_only_and_matches_reference(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.scale import (
+        CMS_HASHES,
+        CMS_W,
+        countmin_estimate,
+    )
+
+    # skewed stream: key 7 hot, long tail; force collisions by keeping
+    # keys spread over a range larger than any single bucket row
+    keys = [7] * 500 + [k for k in range(1000, 1400) for _ in range(2)]
+    stream = spark.createDataFrame([(k,) for k in keys], "k long")
+    queries = spark.createDataFrame(
+        [(7, 500), (1001, 2), (999999, 0)], "k long, truth long"
+    )
+    got = {r["k"]: (r["truth"], r["est"]) for r in
+           countmin_estimate(stream, "k", queries, "k").collect()}
+
+    from collections import Counter
+    counters = [Counter() for _ in CMS_HASHES]
+    for k in keys:
+        for i, (mul, add) in enumerate(CMS_HASHES):
+            counters[i][(k * mul + add) % CMS_W] += 1
+    for k, (truth, est) in got.items():
+        ref = min(
+            counters[i][(k * mul + add) % CMS_W]
+            for i, (mul, add) in enumerate(CMS_HASHES)
+        )
+        assert est == ref          # bit-exact vs the Python replay
+        assert est >= truth        # CMS never undercounts
