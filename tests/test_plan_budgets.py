@@ -439,3 +439,34 @@ def test_round3c_operator_exchange_budgets(pevents, spark):
     dp = _plan(delta_log_replay(adds, removes, 2))
     assert "CartesianProduct" not in dp
     assert dp.count("Exchange hashpartitioning") <= 3
+
+
+def test_round3d_operator_exchange_budgets(pevents, spark):
+    from query_refinement_dsit_databases_2021_spark.operators.scale import (
+        countmin_estimate,
+        layout_advisor,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.sessions import (
+        session_funnel,
+    )
+
+    # funnel: the sessionize exchange is the ONLY hash exchange — all
+    # three stage windows and the per-session agg reuse it; the final
+    # 1-row agg adds its single-partition exchange
+    fp = _plan(session_funnel(pevents))
+    assert fp.count("Exchange hashpartitioning") <= 2
+    assert "SortMergeJoin" not in fp and "CartesianProduct" not in fp
+
+    # advisor: ONE data-sized shuffle on (col, value); the rank
+    # windows run over the candidate-count-sized stats frame
+    ap = _plan(layout_advisor(pevents, ["event_type", "user_id"]))
+    assert "CartesianProduct" not in ap
+
+    # count-min: counter build is map-combinable (partial agg before
+    # the one (row,bucket) exchange); probes are broadcast — the
+    # stream is never sort-merge joined
+    stream = spark.createDataFrame([(k % 9,) for k in range(100)], "k long")
+    queries = spark.createDataFrame([(1,), (2,)], "k long")
+    cp = _plan(countmin_estimate(stream, "k", queries, "k"))
+    assert "SortMergeJoin" not in cp
+    assert cp.count("BroadcastHashJoin") == 3
