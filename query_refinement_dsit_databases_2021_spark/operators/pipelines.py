@@ -357,6 +357,10 @@ def _wl_bpe_tokens(spark, sf_dir):
     return textops.bpe_token_stats(_docs(spark, sf_dir))
 
 
+def _wl_bpe_train(spark, sf_dir):
+    return textops.bpe_train(_docs(spark, sf_dir))
+
+
 # Clusters from the SimHash pair graph: the oracle recomputes the same
 # pairs (ORACLE_SIMHASH as a subquery), then takes the exact transitive
 # closure with a recursive CTE and labels each component by its min
@@ -1185,6 +1189,7 @@ def pipeline_workloads():
         ("pipe_dataset_card", _wl_dataset_card, ORACLE_DATASET_CARD, False),
         ("pipe_curation_chain", _wl_curation, _oracle_curation(), False),
         ("pipe_text_bpe_tokens", _wl_bpe_tokens, ORACLE_BPE_TOKENS, False),
+        ("pipe_bpe_train", _wl_bpe_train, textops.ORACLE_BPE_TRAIN, False),
         ("pipe_decontaminate", _wl_decontaminate, ORACLE_DECON, False),
         ("pipe_scrub_pii", _wl_scrub_pii, ORACLE_SCRUB, False),
         ("pipe_corpus_manifest", _wl_manifest, ORACLE_MANIFEST, False),

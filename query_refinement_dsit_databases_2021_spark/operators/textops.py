@@ -770,3 +770,123 @@ def tokenize_ids(
     vocab = F.create_map(*entries)
     ids = F.transform(tokens(F.col("text")), lambda w: F.coalesce(vocab[w], F.lit(0)))
     return docs.select("doc_id", ids.alias("ids"))
+
+
+BPE_ROUNDS = 3
+
+
+def bpe_train(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
+    """Train ``rounds`` BPE merges over the corpus — the first steps of
+    real tokenizer training (Sennrich et al. 2016), run as dataflow:
+
+    1. word vocabulary: ONE groupBy over the exploded corpus (the only
+       corpus-sized shuffle; every later step is vocabulary-sized);
+    2. each word becomes a space-separated symbol string with sentinel
+       spaces (`` a b c ``);
+    3. per round: adjacent-pair counts weighted by word frequency
+       (posexplode + map-combinable groupBy), the argmax pair (fully
+       tie-broken: count DESC, pair lexicographic) — ONE tiny row to
+       the driver — and a ``replace(' a b ', ' ab ')`` projection that
+       applies the merge greedily left-to-right (string ``replace`` is
+       non-overlapping left-to-right on both engines, which IS the BPE
+       merge order).
+
+    The driver holds only the ``rounds`` argmax rows; the vocabulary
+    never leaves the cluster. Returns the merge table
+    ``(round, pair_a, pair_b, merged, cnt)`` — the artifact a
+    tokenizer ships. The oracle replays the identical rounds as an
+    unrolled CTE chain.
+    """
+    spark = docs.sparkSession
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.concat(
+                F.lit(" "),
+                F.array_join(F.split(F.col("word"), ""), " "),
+                F.lit(" "),
+            ).alias("w"),
+            "cnt",
+        )
+    )
+    merges = []
+    for r in range(1, int(rounds) + 1):
+        arr = F.split(F.trim(F.col("w")), " ")
+        n = F.size(arr)
+        idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        pairs = (
+            vocab.select(arr.alias("arr"), idx.alias("idx"), "cnt")
+            .select(F.explode("idx").alias("i"), "arr", "cnt")
+            .select(
+                F.element_at("arr", F.col("i")).alias("pa"),
+                F.element_at("arr", F.col("i") + 1).alias("pb"),
+                "cnt",
+            )
+            .groupBy("pa", "pb")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        top = pairs.orderBy(F.desc("c"), "pa", "pb").limit(1).collect()
+        if not top:
+            break
+        pa, pb, c = top[0]["pa"], top[0]["pb"], int(top[0]["c"])
+        merges.append((r, pa, pb, pa + pb, c))
+        vocab = vocab.select(
+            F.expr(
+                "replace(w, ' ' || {pa} || ' ' || {pb} || ' ', "
+                "' ' || {pa} || {pb} || ' ')".format(
+                    pa=_sql_str(pa), pb=_sql_str(pb)
+                )
+            ).alias("w"),
+            "cnt",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "round long, pair_a string, pair_b string, merged string, cnt long"
+    )
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
+    parts = [
+        """words AS (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+  WHERE w <> '' GROUP BY w)""",
+        """v0 AS MATERIALIZED (
+  SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS w, cnt
+  FROM words)""",
+    ]
+    for r in range(1, int(rounds) + 1):
+        parts.append(
+            f"""p{r} AS (
+  SELECT arr[i] AS pa, arr[i + 1] AS pb, CAST(sum(cnt) AS BIGINT) AS c
+  FROM (SELECT string_split(trim(w), ' ') AS arr, cnt FROM v{r - 1}) t,
+       unnest(range(1, len(arr))) u(i)
+  GROUP BY 1, 2),
+m{r} AS MATERIALIZED (SELECT pa, pb, c FROM p{r}
+       ORDER BY c DESC, pa, pb LIMIT 1),
+v{r} AS MATERIALIZED (
+  SELECT replace(v.w, ' ' || m.pa || ' ' || m.pb || ' ',
+                 ' ' || m.pa || m.pb || ' ') AS w, v.cnt
+  FROM v{r - 1} v, m{r} m)"""
+        )
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, pa AS pair_a, pb AS pair_b, "
+        f"pa || pb AS merged, c AS cnt FROM m{r}"
+        for r in range(1, int(rounds) + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT * FROM (\n{finals}\n) u ORDER BY round"
+    )
+
+
+ORACLE_BPE_TRAIN = _bpe_oracle()

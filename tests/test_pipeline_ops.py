@@ -660,3 +660,59 @@ def test_cooccurrence_pairs_hand_counted(spark):
     # positions (1,2)ab (1,3)ac (1,4)aa (2,3)bc (2,4)ab (3,4)ac;
     # single-token doc contributes nothing
     assert got == [("a", "b", 2), ("a", "c", 2), ("a", "a", 1), ("b", "c", 1)]
+
+
+def test_bpe_train_matches_python_reference(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low lower lower newest newest newest"),
+            (2, "wider wider aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa"),
+        ],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["round"], r["pair_a"], r["pair_b"], r["merged"], r["cnt"])
+        for r in bpe_train(docs, rounds=4).collect()
+    ]
+
+    # independent sequential reference: dict-of-symbol-tuples BPE with
+    # greedy left-to-right merge application
+    from collections import Counter
+    words = Counter()
+    for _, text in [(1, "low low low lower lower newest newest newest"),
+                    (2, "wider wider aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa")]:
+        for w in text.split(" "):
+            if w:
+                words[w] += 1
+    vocab = {tuple(w): c for w, c in words.items()}
+    expect = []
+    for r in range(1, 5):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        (pa, pb), c = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        expect.append((r, pa, pb, pa + pb, c))
+        merged_vocab = {}
+        for syms, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == pa and syms[i + 1] == pb:
+                    out.append(pa + pb)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            merged_vocab[tuple(out)] = merged_vocab.get(tuple(out), 0) + cnt
+        vocab = merged_vocab
+    assert got == expect
+    # the 'aaa' block guarantees the (a,a) merge fires and its greedy
+    # left-to-right application ('aaa' -> ['aa','a'], not ['a','aa'])
+    # is what both the operator and the reference produced
+    assert any(m[1] == m[2] == "a" for m in got)
