@@ -134,6 +134,16 @@ NOTES = {
         "Arrow FlatMapGroupsInPandas kernel (strategy P); the "
         "sequential fit only ever sees day-sized series."
     ),
+    "ops_session_funnel": (
+        "ONE hash exchange (sessionize by user) reused by the gap "
+        "window, all three chained stage-anchor windows, and the "
+        "per-session agg — the whole funnel on a single shuffle."
+    ),
+    "ops_countmin_est": (
+        "Counter build = partial count before the one (row,bucket) "
+        "exchange; all three probes are BroadcastHashJoins — the "
+        "query side never shuffles."
+    ),
 }
 
 HEADER = """# PLANS — captured physical plans for representative workloads
