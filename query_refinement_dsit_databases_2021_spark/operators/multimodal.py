@@ -253,10 +253,99 @@ def _wl_media_frames(spark, sf_dir):
     return frame_sample(synthesize_media(spark.table("documents")))
 
 
+SHARD_TARGET_BYTES = 32_768
+
+
+def shard_pack(media: DataFrame, target_bytes: int = SHARD_TARGET_BYTES) -> DataFrame:
+    """WebDataset-style shard packing plan: assign media items to
+    size-bounded training shards per modality (largest-first next-fit
+    over the byte sizes — the compaction-planner rule lifted onto the
+    binary column) and emit the per-shard manifest a dataloader
+    consumes: ``(media_type, shard, n_items, total_bytes, min_doc,
+    max_doc, xor_sig)``.
+
+    The xor signature over ``(doc_id·1000003 + bytes) % HASH_P`` is
+    order-free, so a rewritten shard can be re-verified without
+    re-reading payloads. The cumsum window partitions by modality; at
+    100 TB sub-partition the window key (modality, date) so no single
+    ordering exceeds a task — shard ids then nest per sub-partition
+    (SCALE.md). Only sizes flow through the shuffle, never payload
+    bytes.
+    """
+    from pyspark.sql import Window
+
+    sized = media.select(
+        "media_type",
+        "doc_id",
+        F.octet_length("content").cast("long").alias("bytes"),
+    )
+    w = (
+        Window.partitionBy("media_type")
+        .orderBy(F.desc("bytes"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = sized.select(
+        "media_type",
+        "doc_id",
+        "bytes",
+        F.floor(
+            F.coalesce(F.sum("bytes").over(w), F.lit(0)) / F.lit(int(target_bytes))
+        ).alias("shard"),
+    )
+    sig = (F.col("doc_id") * 1000003 + F.col("bytes")) % F.lit(HASH_P)
+    return (
+        planned.groupBy("media_type", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("bytes").alias("total_bytes"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.expr(f"bit_xor(CAST((doc_id * 1000003 + bytes) % {HASH_P} AS BIGINT))")
+            .alias("xor_sig"),
+        )
+        .orderBy("media_type", "shard")
+    )
+
+
+def _wl_shard_pack(spark, sf_dir):
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    return shard_pack(synthesize_media(spark.table("documents")))
+
+
+ORACLE_SHARD_PACK = f"""
+WITH sized AS (
+  SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         doc_id,
+         CAST(strlen('FAKE|' || (doc_id % 240 + 16) || '|'
+                     || ((doc_id * 7) % 240 + 16) || '|' || text)
+              AS BIGINT) AS bytes
+  FROM documents),
+planned AS (
+  SELECT media_type, doc_id, bytes,
+         CAST(floor(coalesce(sum(bytes) OVER (
+                 PARTITION BY media_type
+                 ORDER BY bytes DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / {SHARD_TARGET_BYTES}) AS BIGINT) AS shard
+  FROM sized)
+SELECT media_type, shard, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc,
+       CAST(bit_xor((doc_id * 1000003 + bytes) % {HASH_P}) AS BIGINT) AS xor_sig
+FROM planned GROUP BY media_type, shard
+ORDER BY media_type, shard"""
+
+
 def multimodal_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
     return [
+        Workload("pipe_media_shard_pack", _wl_shard_pack, ORACLE_SHARD_PACK, False),
         Workload("pipe_media_features", _wl_media_features, ORACLE_MEDIA_FEATURES, False),
         Workload("pipe_media_frames", _wl_media_frames, ORACLE_MEDIA_FRAMES, False),
         Workload(

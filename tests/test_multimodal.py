@@ -91,3 +91,37 @@ def test_payload_dedup_sees_through_headers(spark):
     assert out[("image", 0)] == 2  # 0 and 3 merged
     assert out[("image", 6)] == 1
     assert out[("audio", 1)] == 1
+
+
+def test_shard_pack_next_fit_and_signature(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.multimodal import (
+        HASH_P,
+        shard_pack,
+    )
+
+    # one modality, known sizes: content of b bytes -> next-fit groups
+    # at target 100: sizes desc [60, 50, 40, 30] -> cumsum-before
+    # 0,60,110,150 -> shards 0,0,1,1
+    rows = [
+        (1, "image", b"x" * 60),
+        (2, "image", b"y" * 50),
+        (3, "image", b"z" * 40),
+        (4, "image", b"w" * 30),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media_type string, content binary"
+    )
+    got = {
+        (r["media_type"], r["shard"]): (
+            r["n_items"], r["total_bytes"], r["min_doc"], r["max_doc"],
+            r["xor_sig"],
+        )
+        for r in shard_pack(df, target_bytes=100).collect()
+    }
+    sig = lambda pairs: __import__("functools").reduce(
+        lambda a, b: a ^ b, [(d * 1000003 + n) % HASH_P for d, n in pairs]
+    )
+    assert got == {
+        ("image", 0): (2, 110, 1, 2, sig([(1, 60), (2, 50)])),
+        ("image", 1): (2, 70, 3, 4, sig([(3, 40), (4, 30)])),
+    }
