@@ -555,6 +555,84 @@ WHERE a.ver <= {SNAPSHOT_VERSION}
 GROUP BY ver ORDER BY ver"""
 
 
+WAP_MAX_GROWTH_QUARTERS = 4  # quarantine if delta * 4 > n_prod (>25%)
+
+
+def wap_gate(staging: DataFrame, prod: DataFrame) -> DataFrame:
+    """Write-Audit-Publish gate: before promoting a staging snapshot
+    over prod, audit each day partition and emit a verdict —
+    ``publish`` when the partition only grew within bounds,
+    ``quarantine`` when rows disappeared (a correct snapshot never
+    loses history) or growth exceeds 25% (upstream duplication /
+    backfill gone wrong). The audit is two map-combinable day rollups
+    and a day-keyed outer join — metadata-scale output, one pass per
+    side; integer cross-multiplication (``delta · 4 > n_prod``) keeps
+    the threshold exact.
+
+    Returns ``(day, n_prod, n_stage, delta, verdict)`` per day
+    present on either side.
+    """
+    sd = staging.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_stage")
+    )
+    pd_ = prod.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_prod")
+    )
+    j = pd_.join(sd, "day", "full_outer").select(
+        "day",
+        F.coalesce("n_prod", F.lit(0)).alias("n_prod"),
+        F.coalesce("n_stage", F.lit(0)).alias("n_stage"),
+    )
+    delta = F.col("n_stage") - F.col("n_prod")
+    verdict = F.when(
+        (delta < 0)
+        | (delta * WAP_MAX_GROWTH_QUARTERS > F.col("n_prod")),
+        F.lit("quarantine"),
+    ).otherwise(F.lit("publish"))
+    return j.select(
+        "day", "n_prod", "n_stage", delta.alias("delta"), verdict.alias("verdict")
+    ).orderBy("day")
+
+
+def _wl_wap_gate(spark, sf_dir):
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    ev = spark.table("events")
+    # prod = last snapshot (missing the ~5% of rows staging adds);
+    # staging additionally CORRUPTS its earliest day (drops half) so
+    # the quarantine branch provably fires
+    min_day = ev.select(F.min(F.to_date("ts")).alias("d"))
+    prod = ev.where("event_id % 19 != 0")
+    staging = ev.join(F.broadcast(min_day), how="cross").where(
+        ~((F.to_date("ts") == F.col("d")) & (F.col("event_id") % 2 == 0))
+    )
+    return wap_gate(staging, prod)
+
+
+ORACLE_WAP_GATE = f"""
+WITH min_day AS (SELECT min(CAST(ts AS DATE)) AS d FROM events),
+prod AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS n_prod
+  FROM events WHERE event_id % 19 != 0 GROUP BY 1),
+staging AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS n_stage
+  FROM events, min_day
+  WHERE NOT (CAST(ts AS DATE) = min_day.d AND event_id % 2 = 0)
+  GROUP BY 1),
+j AS (
+  SELECT coalesce(p.day, s.day) AS day,
+         CAST(coalesce(p.n_prod, 0) AS BIGINT) AS n_prod,
+         CAST(coalesce(s.n_stage, 0) AS BIGINT) AS n_stage
+  FROM prod p FULL OUTER JOIN staging s ON s.day = p.day)
+SELECT day, n_prod, n_stage,
+       CAST(n_stage - n_prod AS BIGINT) AS delta,
+       CASE WHEN n_stage - n_prod < 0
+              OR (n_stage - n_prod) * {WAP_MAX_GROWTH_QUARTERS} > n_prod
+            THEN 'quarantine' ELSE 'publish' END AS verdict
+FROM j ORDER BY day"""
+
+
 def cdc_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
@@ -572,4 +650,5 @@ def cdc_workloads():
         Workload(
             "ops_delta_log_replay", _wl_delta_log_replay, ORACLE_DELTA_LOG_REPLAY
         ),
+        Workload("ops_wap_gate", _wl_wap_gate, ORACLE_WAP_GATE),
     ]

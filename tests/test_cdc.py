@@ -170,3 +170,32 @@ def test_delta_log_replay_hand_built_log(spark):
         for r in delta_log_replay(adds, removes, 9).collect()
     }
     assert got9 == {0: (1, 100), 2: (1, 400), 9: (1, 500)}
+
+
+def test_wap_gate_verdicts(spark):
+    from datetime import datetime
+
+    from query_refinement_dsit_databases_2021_spark.operators.cdc import wap_gate
+
+    def ev(day, n, start=0):
+        return [(start + i, datetime(2024, 3, day, 10)) for i in range(n)]
+
+    schema = "event_id long, ts timestamp"
+    # day 1: prod 10 -> stage 12 (+20%, within 25%) => publish
+    # day 2: prod 10 -> stage 8 (rows lost) => quarantine
+    # day 3: prod 10 -> stage 14 (+40%) => quarantine
+    # day 4: stage-only day (prod 0, any growth > 25% of 0) => quarantine
+    prod = spark.createDataFrame(
+        ev(1, 10) + ev(2, 10, 100) + ev(3, 10, 200), schema
+    )
+    stage = spark.createDataFrame(
+        ev(1, 12) + ev(2, 8, 100) + ev(3, 14, 200) + ev(4, 3, 300), schema
+    )
+    got = {str(r["day"]): (r["delta"], r["verdict"])
+           for r in wap_gate(stage, prod).collect()}
+    assert got == {
+        "2024-03-01": (2, "publish"),
+        "2024-03-02": (-2, "quarantine"),
+        "2024-03-03": (4, "quarantine"),
+        "2024-03-04": (3, "quarantine"),
+    }
