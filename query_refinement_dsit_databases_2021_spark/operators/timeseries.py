@@ -1853,6 +1853,60 @@ SELECT key, day, y_cents FROM (
 ) u ORDER BY key, day"""
 
 
+def sax_symbols(events: DataFrame, alphabet: str = "abcd") -> DataFrame:
+    """Quantile-SAX symbolization: each key's daily series becomes a
+    short symbol string (one char per day, alphabet = within-key
+    value quartiles via ``ntile``) — the symbolic fingerprint used
+    for motif discovery, symbolic indexing, and cheap series
+    similarity. This is the QUANTILE variant (classic SAX cuts a
+    z-normalized Gaussian; quantile cuts need no float normalization,
+    so the string is integer-deterministic and engine-exact).
+
+    Two windows per key partition (value-order ntile, day-order
+    string agg) on one exchange. Returns ``(key, n_days, sax)``.
+    """
+    k = len(alphabet)
+    daily = (
+        events.groupBy(
+            F.col("event_type").alias("key"), F.to_date("ts").alias("day")
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .alias("y")
+        )
+    )
+    w = Window.partitionBy("key").orderBy("y", "day")
+    sym = daily.select(
+        "key",
+        "day",
+        F.expr(f"substring('{alphabet}', ntile({k}) OVER "
+               f"(PARTITION BY key ORDER BY y, day), 1)").alias("s"),
+    )
+    return (
+        sym.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.expr("listagg(s, '') WITHIN GROUP (ORDER BY day)").alias("sax"),
+        )
+        .orderBy("key")
+    )
+
+
+ORACLE_SAX = """
+WITH daily AS (
+  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+sym AS (
+  SELECT key, day,
+         substring('abcd', ntile(4) OVER (PARTITION BY key ORDER BY y, day), 1)
+           AS s
+  FROM daily)
+SELECT key, CAST(count(*) AS BIGINT) AS n_days,
+       string_agg(s, '' ORDER BY day) AS sax
+FROM sym GROUP BY key ORDER BY key"""
+
+
 def timeseries_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import (
         Workload,
@@ -1898,4 +1952,5 @@ def timeseries_workloads():
         _w("ts_holt_linear", _holt_oracle(), holt_linear),
         _w("ts_downsample_lttb", _lttb_oracle(), downsample_lttb),
         _w("ts_forecast_backtest", _backtest_oracle(), forecast_backtest),
+        _w("ts_sax_symbols", ORACLE_SAX, sax_symbols),
     ]

@@ -637,3 +637,22 @@ def test_forecast_backtest_matches_manual_holdout(spark):
         lvl = lt
     sae = sum(abs(lvl + (i + 1) * trd - ys[-3 + i]) for i in range(3))
     assert got["k"] == (9, 3, sae, sae // 3)
+
+
+def test_sax_symbols_quartile_mapping(spark):
+    from datetime import timedelta
+
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        sax_symbols,
+    )
+
+    base = datetime(2024, 3, 1, 9)
+    # 8 days with values 1..8 -> quartiles ab ab cd cd in VALUE order;
+    # day order equals value order here, so sax = 'aabbccdd'
+    rows = [(base + timedelta(days=i), "inc", float(i + 1)) for i in range(8)]
+    # and a series where day order differs from value order:
+    # days 0..3 values 4,3,2,1 -> symbols by value rank: d c b a
+    rows += [(base + timedelta(days=i), "dec", float(4 - i)) for i in range(4)]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    got = {r["key"]: (r["n_days"], r["sax"]) for r in sax_symbols(df).collect()}
+    assert got == {"inc": (8, "aabbccdd"), "dec": (4, "dcba")}
