@@ -470,3 +470,34 @@ def test_round3d_operator_exchange_budgets(pevents, spark):
     cp = _plan(countmin_estimate(stream, "k", queries, "k"))
     assert "SortMergeJoin" not in cp
     assert cp.count("BroadcastHashJoin") == 3
+
+
+def test_round3e_operator_exchange_budgets(pevents, spark):
+    from query_refinement_dsit_databases_2021_spark.operators.cdc import wap_gate
+    from query_refinement_dsit_databases_2021_spark.operators.multimodal import (
+        shard_pack,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        sax_symbols,
+    )
+
+    # WAP gate: two day rollups + one day-keyed join + final sort —
+    # metadata-scale; no NLJ
+    wp = _plan(wap_gate(pevents, pevents.where("event_id % 2 = 0")))
+    assert "CartesianProduct" not in wp
+    assert "BroadcastNestedLoopJoin" not in wp
+
+    # shard pack: sizes-only projection into a per-modality window +
+    # one agg — payload bytes never reach an exchange
+    media = spark.createDataFrame(
+        [(i, "image", bytearray(b"x" * (10 + i))) for i in range(20)],
+        "doc_id long, media_type string, content binary",
+    )
+    sp = _plan(shard_pack(media))
+    assert sp.count("Window") == 1
+    # the window input projects only (media_type, doc_id, bytes)
+    assert "octet_length" in sp and "content" not in sp.split("Window")[1][:400]
+
+    # SAX: both windows and the agg ride the same per-key partitioning
+    xp = _plan(sax_symbols(pevents))
+    assert xp.count("Exchange hashpartitioning") <= 2
