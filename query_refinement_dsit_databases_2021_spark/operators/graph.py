@@ -314,6 +314,116 @@ FROM lbl GROUP BY cluster_id ORDER BY cluster_id"""
 ORACLE_COMPONENTS = _oracle_components()
 
 
+def bfs_distances(
+    edges: DataFrame, sources: DataFrame, max_iters: int = 50
+) -> DataFrame:
+    """Unweighted shortest-path distances (BFS levels) from a source
+    set over an undirected edge list — min-plus label propagation:
+    each round every node takes ``min(own dist, neighbor dist + 1)``,
+    run until a fixpoint round changes nothing (the distance sum is
+    monotone non-increasing once a node is reached, and the reached
+    set only grows, so ``(count, sum)`` stabilizing IS convergence).
+    Rounds = graph diameter; each costs one equi-join + one groupBy.
+    ``localCheckpoint`` truncates the iterative lineage exactly as in
+    :func:`dedup.neardup_components`.
+
+    ``edges``: ``(src, dst)`` (canonicalized to undirected here);
+    ``sources``: ``(node)`` at distance 0. Returns ``(node, dist)``
+    for every REACHED node; unreached nodes are absent by contract.
+    """
+    und = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    dist = sources.select(
+        F.col("node"), F.lit(0).cast("long").alias("dist")
+    ).localCheckpoint()
+    prev = (dist.count(), 0)
+    for _ in range(max_iters + 1):
+        stepped = (
+            und.join(dist, und.src == dist.node)
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+            .unionByName(dist.select("node", "dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        agg = stepped.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
+        ).first()
+        cur = (agg["n"], agg["s"])
+        dist = stepped
+        if cur == prev:
+            return dist
+        prev = cur
+    raise RuntimeError(f"bfs_distances did not converge in {max_iters} rounds")
+
+
+def _wl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS level histogram over the supplier co-occurrence graph from
+    its minimum-id supplier — ``(dist, n_nodes)``."""
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    l = spark.table("lineitem").select("l_orderkey", "l_suppkey")
+    r = l.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    edges = l.join(r, (l.l_orderkey == r.o2) & (l.l_suppkey < r.s2)).select(
+        F.col("l_suppkey").alias("src"), F.col("s2").alias("dst")
+    )
+    src = edges.select(F.least("src", "dst").alias("node")).agg(
+        F.min("node").alias("node")
+    )
+    dist = bfs_distances(edges, src)
+    return (
+        dist.groupBy("dist")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("dist")
+    )
+
+
+def _bfs_oracle(rounds: int = 24) -> str:
+    parts = [
+        """sp AS MATERIALIZED (
+  SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey)""",
+        """edges AS MATERIALIZED (
+  SELECT a, b FROM sp UNION ALL SELECT b, a FROM sp)""",
+        """d0 AS MATERIALIZED (
+  SELECT min(least(a, b)) AS n, CAST(0 AS BIGINT) AS d FROM sp)""",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""d{i + 1} AS MATERIALIZED (
+  SELECT n, min(d) AS d FROM (
+    SELECT n, d FROM d{i}
+    UNION ALL
+    SELECT e.b AS n, x.d + 1 AS d FROM edges e JOIN d{i} x ON x.n = e.a)
+  GROUP BY n)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+chg AS (SELECT (SELECT count(*) FROM d{rounds}) -
+               (SELECT count(*) FROM d{rounds - 1}) AS c),
+fin AS (SELECT n,
+               CASE WHEN (SELECT c FROM chg) > 0
+                    THEN error('bfs oracle unconverged at {rounds} rounds')
+                    ELSE d END AS d
+        FROM d{rounds})
+SELECT d AS dist, CAST(count(*) AS BIGINT) AS n_nodes
+FROM fin GROUP BY d ORDER BY dist"""
+    )
+
+
+ORACLE_BFS = _bfs_oracle()
+
+
 def graph_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
@@ -321,4 +431,5 @@ def graph_workloads():
         Workload("graph_pagerank", _wl_pagerank, ORACLE_PAGERANK),
         Workload("graph_triangles", _wl_triangles, ORACLE_TRIANGLES),
         Workload("graph_components", _wl_components, ORACLE_COMPONENTS),
+        Workload("graph_bfs_levels", _wl_bfs, ORACLE_BFS),
     ]

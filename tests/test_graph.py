@@ -103,3 +103,23 @@ def test_components_coactivity_wiring(spark):
     )
     got = {r["cluster_id"]: r["n_nodes"] for r in coactivity_components(df).collect()}
     assert got == {1: 3, 7: 2}
+
+
+def test_bfs_levels_path_graph_and_unreached(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    # path 1-2-3-4-5 plus a separate component {8,9}: from source 1,
+    # levels are exact path distances and 8/9 are absent
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (8, 9)], "src long, dst long"
+    )
+    src = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, src).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+    # multi-source: min distance to EITHER source; a cycle shortcut
+    src2 = spark.createDataFrame([(1,), (5,)], "node long")
+    got2 = {r["node"]: r["dist"] for r in bfs_distances(edges, src2).collect()}
+    assert got2 == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}
