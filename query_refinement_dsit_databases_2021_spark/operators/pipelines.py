@@ -361,6 +361,89 @@ def _wl_bpe_train(spark, sf_dir):
     return textops.bpe_train(_docs(spark, sf_dir))
 
 
+ASSEMBLY_MIN_CHARS = 200
+
+
+def example_assembly(
+    docs: DataFrame, embeddings: DataFrame, media: DataFrame
+) -> DataFrame:
+    """Final training-example assembly: join the three modalities a
+    multimodal training pipeline ships together — text (quality-gated
+    documents), the embedding column, and the media payload — and
+    emit the per-(lang, source) shard manifest: example counts, char /
+    media-byte totals, embedding-dimension total, and an order-free
+    xor signature over the example ids (re-verifiable without
+    re-reading any payload).
+
+    Plan shape: docs filter pushes to the scan; the embeddings join
+    carries only ``(vec_id, dim)`` (the vectors themselves never
+    shuffle); media joins by doc_id with only ``(doc_id, bytes)``
+    projected — at 100 TB every join ships key+scalar columns, never
+    text/array/binary payloads. Examples missing an embedding or
+    media are dropped (inner joins): an example is only an example
+    when all modalities are present.
+    """
+    from query_refinement_dsit_databases_2021_spark.operators.textops import HASH_P
+
+    d = docs.where(F.col("n_chars") >= ASSEMBLY_MIN_CHARS).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    e = embeddings.select(
+        F.col("vec_id").alias("doc_id"), F.size("embedding").alias("dim")
+    )
+    m = media.select("doc_id", F.octet_length("content").alias("media_bytes"))
+    ex = d.join(e, "doc_id").join(m, "doc_id")
+    return (
+        ex.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_examples"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("dim").alias("sum_dims"),
+            F.sum("media_bytes").alias("sum_media_bytes"),
+            F.expr(f"bit_xor(CAST((doc_id * 1000003 + n_chars) % {HASH_P} AS BIGINT))")
+            .alias("xor_sig"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def _wl_example_assembly(spark, sf_dir):
+    from query_refinement_dsit_databases_2021_spark.operators.multimodal import (
+        synthesize_media,
+    )
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    return example_assembly(
+        docs, spark.table("embeddings"), synthesize_media(docs)
+    )
+
+
+ORACLE_ASSEMBLY = f"""
+WITH d AS (
+  SELECT doc_id, lang, source, n_chars FROM documents
+  WHERE n_chars >= {{min_chars}}),
+e AS (SELECT vec_id AS doc_id, len(embedding) AS dim FROM embeddings),
+m AS (
+  SELECT doc_id,
+         CAST(strlen('FAKE|' || (doc_id % 240 + 16) || '|'
+                     || ((doc_id * 7) % 240 + 16) || '|' || text)
+              AS BIGINT) AS media_bytes
+  FROM documents),
+ex AS (SELECT d.*, e.dim, m.media_bytes
+       FROM d JOIN e USING (doc_id) JOIN m USING (doc_id))
+SELECT lang, source, CAST(count(*) AS BIGINT) AS n_examples,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(sum(dim) AS BIGINT) AS sum_dims,
+       CAST(sum(media_bytes) AS BIGINT) AS sum_media_bytes,
+       CAST(bit_xor((doc_id * 1000003 + n_chars) % {textops.HASH_P}) AS BIGINT)
+         AS xor_sig
+FROM ex GROUP BY lang, source ORDER BY lang, source""".format(
+    min_chars=ASSEMBLY_MIN_CHARS
+)
+
+
 # Clusters from the SimHash pair graph: the oracle recomputes the same
 # pairs (ORACLE_SIMHASH as a subquery), then takes the exact transitive
 # closure with a recursive CTE and labels each component by its min
@@ -1190,6 +1273,7 @@ def pipeline_workloads():
         ("pipe_curation_chain", _wl_curation, _oracle_curation(), False),
         ("pipe_text_bpe_tokens", _wl_bpe_tokens, ORACLE_BPE_TOKENS, False),
         ("pipe_bpe_train", _wl_bpe_train, textops.ORACLE_BPE_TRAIN, False),
+        ("pipe_example_assembly", _wl_example_assembly, ORACLE_ASSEMBLY, False),
         ("pipe_decontaminate", _wl_decontaminate, ORACLE_DECON, False),
         ("pipe_scrub_pii", _wl_scrub_pii, ORACLE_SCRUB, False),
         ("pipe_corpus_manifest", _wl_manifest, ORACLE_MANIFEST, False),

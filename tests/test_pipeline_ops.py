@@ -716,3 +716,41 @@ def test_bpe_train_matches_python_reference(spark):
     # left-to-right application ('aaa' -> ['aa','a'], not ['a','aa'])
     # is what both the operator and the reference produced
     assert any(m[1] == m[2] == "a" for m in got)
+
+
+def test_example_assembly_requires_all_modalities(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.pipelines import (
+        example_assembly,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.textops import HASH_P
+
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "s0", 300),   # complete -> kept
+            (2, "en", "s0", 300),   # no embedding -> dropped
+            (3, "en", "s0", 100),   # below char gate -> dropped
+            (4, "de", "s1", 500),   # complete -> kept
+            (5, "en", "s0", 400),   # no media -> dropped
+        ],
+        "doc_id long, lang string, source string, n_chars long",
+    )
+    emb = spark.createDataFrame(
+        [(1, [0.1] * 4), (3, [0.1] * 4), (4, [0.2] * 8), (5, [0.3] * 4)],
+        "vec_id long, embedding array<float>",
+    )
+    media = spark.createDataFrame(
+        [(1, bytearray(b"x" * 11)), (2, bytearray(b"y" * 5)),
+         (3, bytearray(b"z" * 7)), (4, bytearray(b"w" * 13))],
+        "doc_id long, content binary",
+    )
+    got = {
+        (r["lang"], r["source"]): (
+            r["n_examples"], r["sum_chars"], r["sum_dims"],
+            r["sum_media_bytes"], r["xor_sig"],
+        )
+        for r in example_assembly(docs, emb, media).collect()
+    }
+    assert got == {
+        ("en", "s0"): (1, 300, 4, 11, (1 * 1000003 + 300) % HASH_P),
+        ("de", "s1"): (1, 500, 8, 13, (4 * 1000003 + 500) % HASH_P),
+    }
