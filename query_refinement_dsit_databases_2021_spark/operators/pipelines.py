@@ -361,6 +361,10 @@ def _wl_bpe_train(spark, sf_dir):
     return textops.bpe_train(_docs(spark, sf_dir))
 
 
+def _wl_bpe_apply(spark, sf_dir):
+    return textops.bpe_apply(_docs(spark, sf_dir))
+
+
 ASSEMBLY_MIN_CHARS = 200
 
 
@@ -1273,6 +1277,7 @@ def pipeline_workloads():
         ("pipe_curation_chain", _wl_curation, _oracle_curation(), False),
         ("pipe_text_bpe_tokens", _wl_bpe_tokens, ORACLE_BPE_TOKENS, False),
         ("pipe_bpe_train", _wl_bpe_train, textops.ORACLE_BPE_TRAIN, False),
+        ("pipe_bpe_apply", _wl_bpe_apply, textops.ORACLE_BPE_APPLY, False),
         ("pipe_example_assembly", _wl_example_assembly, ORACLE_ASSEMBLY, False),
         ("pipe_decontaminate", _wl_decontaminate, ORACLE_DECON, False),
         ("pipe_scrub_pii", _wl_scrub_pii, ORACLE_SCRUB, False),

@@ -890,3 +890,127 @@ v{r} AS MATERIALIZED (
 
 
 ORACLE_BPE_TRAIN = _bpe_oracle()
+
+
+def bpe_apply(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
+    """Tokenize with the merges :func:`bpe_train` learns — the apply
+    side of the pair. The merge rounds run on the (word, symbols)
+    VOCABULARY exactly as in training (same argmax, same greedy
+    replace), then each document's BPE token count is the sum of its
+    words' final symbol counts — one join of the exploded corpus
+    against the |vocab|-sized token-count table, so application costs
+    one corpus pass no matter how many merges.
+
+    Returns ``(doc_id, n_words, n_bpe_tokens)`` for ``doc_id < 100``
+    (ordered) — the compression diagnostic a tokenizer rollout checks
+    (n_bpe_tokens shrinks as merges land; never below n_words).
+    """
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = words.select(
+        "word",
+        F.concat(
+            F.lit(" "),
+            F.array_join(F.split(F.col("word"), ""), " "),
+            F.lit(" "),
+        ).alias("w"),
+        "cnt",
+    )
+    for _ in range(int(rounds)):
+        arr = F.split(F.trim(F.col("w")), " ")
+        n = F.size(arr)
+        idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        pairs = (
+            vocab.select(arr.alias("arr"), idx.alias("idx"), "cnt")
+            .select(F.explode("idx").alias("i"), "arr", "cnt")
+            .select(
+                F.element_at("arr", F.col("i")).alias("pa"),
+                F.element_at("arr", F.col("i") + 1).alias("pb"),
+                "cnt",
+            )
+            .groupBy("pa", "pb")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        top = pairs.orderBy(F.desc("c"), "pa", "pb").limit(1).collect()
+        if not top:
+            break
+        pa, pb = top[0]["pa"], top[0]["pb"]
+        vocab = vocab.select(
+            "word",
+            F.expr(
+                "replace(w, ' ' || {pa} || ' ' || {pb} || ' ', "
+                "' ' || {pa} || {pb} || ' ')".format(
+                    pa=_sql_str(pa), pb=_sql_str(pb)
+                )
+            ).alias("w"),
+            "cnt",
+        ).localCheckpoint()
+    word_tokens = vocab.select(
+        "word", F.size(F.split(F.trim("w"), " ")).cast("long").alias("n_tok")
+    )
+    ex = (
+        docs.where(F.col("doc_id") < 100)
+        .select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+        .where(F.length("word") > 0)
+    )
+    return (
+        ex.join(word_tokens, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_apply_oracle(rounds: int = BPE_ROUNDS) -> str:
+    parts = [
+        """words AS (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+  WHERE w <> '' GROUP BY w)""",
+        """v0 AS MATERIALIZED (
+  SELECT word,
+         ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS w, cnt
+  FROM words)""",
+    ]
+    for r in range(1, int(rounds) + 1):
+        parts.append(
+            f"""p{r} AS (
+  SELECT arr[i] AS pa, arr[i + 1] AS pb, CAST(sum(cnt) AS BIGINT) AS c
+  FROM (SELECT string_split(trim(w), ' ') AS arr, cnt FROM v{r - 1}) t,
+       unnest(range(1, len(arr))) u(i)
+  GROUP BY 1, 2),
+m{r} AS MATERIALIZED (SELECT pa, pb FROM p{r}
+       ORDER BY c DESC, pa, pb LIMIT 1),
+v{r} AS MATERIALIZED (
+  SELECT v.word,
+         replace(v.w, ' ' || m.pa || ' ' || m.pb || ' ',
+                 ' ' || m.pa || m.pb || ' ') AS w, v.cnt
+  FROM v{r - 1} v, m{r} m)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+wt AS (SELECT word, CAST(len(string_split(trim(w), ' ')) AS BIGINT) AS n_tok
+       FROM v{int(rounds)}),
+ex AS (SELECT doc_id, w AS word FROM (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         FROM documents WHERE doc_id < 100) t
+       WHERE w <> '')
+SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(wt.n_tok) AS BIGINT) AS n_bpe_tokens
+FROM ex JOIN wt USING (word)
+GROUP BY ex.doc_id ORDER BY ex.doc_id"""
+    )
+
+
+ORACLE_BPE_APPLY = _bpe_apply_oracle()

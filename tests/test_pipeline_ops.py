@@ -754,3 +754,28 @@ def test_example_assembly_requires_all_modalities(spark):
         ("en", "s0"): (1, 300, 4, 11, (1 * 1000003 + 300) % HASH_P),
         ("de", "s1"): (1, 500, 8, 13, (4 * 1000003 + 500) % HASH_P),
     }
+
+
+def test_bpe_apply_compression_invariants(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        bpe_apply,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low lower"), (2, "newest low"), (150, "ignored doc")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+           for r in bpe_apply(docs, rounds=2).collect()}
+    assert set(got) == {1, 2}  # doc_id >= 100 excluded
+    for n_words, n_tok in got.values():
+        # merges only ever shrink symbol counts, never below one
+        # token per word; before any merge a word is len(word) chars
+        assert n_tok >= n_words
+    # 'low' appears 3x corpus-wide -> (l,o) then (lo,w) are the top
+    # merges; after 2 rounds 'low' is ONE token, so doc 1 = low low
+    # lower -> 1 + 1 + len('lower' after merges: 'low e r' -> 3)
+    assert got[1] == (3, 1 + 1 + 3)
+    # 'newest' contains neither (l,o) nor (lo,w): stays 6 chars;
+    # plus 'low' as one token -> 7
+    assert got[2] == (2, 6 + 1)
