@@ -57,6 +57,11 @@ def main() -> int:
     p.add_argument(
         "--all", action="store_true", help="check the full registry, not just the gate"
     )
+    p.add_argument(
+        "--names",
+        default=None,
+        help="comma-separated workload names to check (overrides --all/gate)",
+    )
     args = p.parse_args()
 
     import duckdb
@@ -76,7 +81,10 @@ def main() -> int:
             f"read_parquet('{args.sf_dir}/{t}.parquet')"
         )
     ws = workloads()
-    names = list(ws) if args.all else [n for n in DRIVER_PRIORITY]
+    if args.names:
+        names = [n.strip() for n in args.names.split(",") if n.strip()]
+    else:
+        names = list(ws) if args.all else [n for n in DRIVER_PRIORITY]
     failures = []
     for i, name in enumerate(names):
         w = ws[name]

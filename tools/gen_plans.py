@@ -144,6 +144,17 @@ NOTES = {
         "exchange; all three probes are BroadcastHashJoins — the "
         "query side never shuffles."
     ),
+    "pipe_bpe_train": (
+        "ONE corpus-sized shuffle (word vocabulary); each merge round "
+        "is vocabulary-sized — pair explode, map-combinable count, "
+        "TakeOrderedAndProject argmax, then a pure replace() "
+        "projection over the checkpointed vocab."
+    ),
+    "pipe_example_assembly": (
+        "Quality filter pushed to the docs scan; embeddings join "
+        "ships (vec_id, dim) and media join (doc_id, bytes) — "
+        "payloads never reach an exchange; one final groupBy."
+    ),
 }
 
 HEADER = """# PLANS — captured physical plans for representative workloads
