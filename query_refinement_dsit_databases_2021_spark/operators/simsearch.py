@@ -1095,6 +1095,85 @@ SELECT q_id, vec_id, rank, cos_sim FROM (
 WHERE rank <= {k}"""
 
 
+def hard_negative_topk(
+    emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector the k most cosine-similar corpus vectors whose ``label``
+    DIFFERS from the query's — the near-miss examples a retrieval /
+    embedding trainer pairs against each positive (the reference has
+    no embedding surface; this is the training-data-pipeline
+    extension over the same `embeddings` table as :func:`cosine_topk`).
+
+    Semantics: similarity ranking identical to :func:`cosine_topk`
+    (6-dp cosine, ties broken by vec_id asc); the label inequality
+    replaces the self-exclusion (a vector shares its own label, so
+    self never qualifies). NULL-labeled rows drop out on both sides
+    (``!=`` is NULL) — same contract in Spark and the oracle.
+
+    Plan: broadcast queries × ONE corpus scan; the label predicate
+    evaluates inside the NLJ's generated code, so disqualified pairs
+    are never materialized. At 100 TB the same composition runs over
+    :func:`lsh_ann_topk`'s bucketed candidates instead of the full
+    scan — bucket-join, label filter, exact rescore — documented in
+    SCALE.md; this exact form is the correctness yardstick.
+
+    Returns ``(q_id, vec_id, rank, cos_sim)``.
+    """
+    v = _as_double(F.col("embedding"))
+    base = emb.select(
+        "vec_id",
+        "label",
+        v.alias("v"),
+        F.sqrt(_fold_sum(F.transform(v, lambda x: x * x))).alias("nrm"),
+    )
+    q = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cos = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6)
+    scored = (
+        F.broadcast(q)
+        .crossJoin(base)
+        .where(F.col("label") != F.col("q_label"))
+        .select("q_id", "vec_id", cos.alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", F.col("rank").cast("long").alias("rank"), "cos_sim")
+    )
+
+
+def oracle_hard_negative_topk(
+    n_queries: int = N_QUERIES, k: int = TOP_K, dim: int = DIM
+) -> str:
+    return f"""
+WITH base AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                             x -> x * x)),
+              (acc, x) -> acc + x)) AS nrm
+  FROM embeddings),
+q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn
+      FROM base WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q_id, vec_id,
+         round({_sql_dot("qv", "v", dim)} / (qn * nrm), 6) AS cos_sim
+  FROM q CROSS JOIN base WHERE label <> q_label)
+SELECT q_id, vec_id, rank, cos_sim FROM (
+  SELECT q_id, vec_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+             ORDER BY cos_sim DESC, vec_id ASC)::BIGINT AS rank
+  FROM scored)
+WHERE rank <= {k}"""
+
+
 def _emb(spark, sf_dir):
     from query_refinement_dsit_databases_2021_spark.workloads import register_views
 
@@ -1305,6 +1384,12 @@ def simsearch_workloads():
             False,
         ),
         Workload("pipe_ann_cosine_topk", _wl_brute, oracle_cosine_topk(), True),
+        Workload(
+            "pipe_ann_hard_negatives",
+            lambda spark, sf_dir: hard_negative_topk(_emb(spark, sf_dir)),
+            oracle_hard_negative_topk(),
+            False,
+        ),
         Workload("pipe_ann_lsh_topk", _wl_lsh, oracle_lsh_ann_topk(), False),
         Workload("pipe_ann_ivf_topk", _wl_ivf, oracle_ivf_ann_topk(), False),
         Workload("pipe_ann_recall", _wl_ann_recall, oracle_ann_recall(), False),

@@ -271,3 +271,43 @@ def test_embedding_drift_detects_shifted_half(spark):
     for d in (0, 2, 3):
         assert out[d]["shift"] == 0.0
     assert out[1]["na"] == 20 and out[1]["nb"] == 20
+
+
+def test_hard_negatives_excludes_same_label(tiny):
+    # query 0 has label 0; ids 1 and 3 share it, so only id 2
+    # (label 1, orthogonal) qualifies as a hard negative
+    rows = simsearch.hard_negative_topk(tiny, n_queries=1, k=3).collect()
+    assert [(r["q_id"], r["vec_id"], r["rank"], r["cos_sim"]) for r in rows] == [
+        (0, 2, 1, 0.0)
+    ]
+
+
+def test_hard_negatives_ranking_matches_brute_on_cross_label(spark):
+    # labels alternate by parity: hard negatives of q are exactly the
+    # opposite-parity rows of the brute-force ranking, in order
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)], i % 2) for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    brute = simsearch.cosine_topk(df, n_queries=2, k=29).collect()
+    hard = simsearch.hard_negative_topk(df, n_queries=2, k=5).collect()
+    for q in (0, 1):
+        expect = [
+            r["vec_id"]
+            for r in sorted(
+                (r for r in brute if r["q_id"] == q and r["vec_id"] % 2 != q % 2),
+                key=lambda r: r["rank"],
+            )
+        ][:5]
+        got = [
+            r["vec_id"]
+            for r in sorted(
+                (r for r in hard if r["q_id"] == q), key=lambda r: r["rank"]
+            )
+        ]
+        assert got == expect
