@@ -633,6 +633,101 @@ SELECT day, n_prod, n_stage,
 FROM j ORDER BY day"""
 
 
+# Declarative data-quality expectations over lineitem. Each condition
+# is written in the SQL subset both engines share (BETWEEN / IN /
+# IS NOT NULL / TIMESTAMP literals), so ONE list generates the Spark
+# aggregation AND the DuckDB oracle — the suite cannot drift from its
+# own certification. A row VIOLATES a check when the condition is not
+# TRUE (NULL counts as a violation: `NOT coalesce(cond, FALSE)`).
+DQ_EXPECTATIONS: tuple[tuple[str, str], ...] = (
+    ("discount_range", "l_discount BETWEEN 0 AND 0.1"),
+    (
+        "keys_not_null",
+        "l_orderkey IS NOT NULL AND l_partkey IS NOT NULL"
+        " AND l_suppkey IS NOT NULL",
+    ),
+    ("linestatus_domain", "l_linestatus IN ('F', 'O')"),
+    ("price_positive", "l_extendedprice > 0"),
+    ("qty_range", "l_quantity BETWEEN 1 AND 50"),
+    ("returnflag_domain", "l_returnflag IN ('A', 'N', 'R')"),
+    (
+        "shipdate_bounds",
+        "l_shipdate >= TIMESTAMP '1992-01-01 00:00:00'"
+        " AND l_shipdate < TIMESTAMP '1999-01-01 00:00:00'",
+    ),
+    ("tax_range", "l_tax BETWEEN 0 AND 0.08"),
+)
+
+
+def dq_expectations(
+    df: DataFrame, expectations: tuple[tuple[str, str], ...] = DQ_EXPECTATIONS
+) -> DataFrame:
+    """Expectation-suite data-quality audit (the Great-Expectations /
+    dbt-test shape as a single dataflow): evaluate every declared
+    check over one table scan and emit the tall report ``(check_name,
+    n_violations, n_checked)``.
+
+    Plan: ONE map-combinable aggregate — each check is a conditional
+    sum fused into the same whole-stage-codegen pass, so N checks
+    cost one scan regardless of N; ``stack`` reshapes the 1-row wide
+    result to the tall report (rows = checks, not data). At 100 TB
+    this is the shape that matters: the naive one-query-per-check
+    audit scans the table N times. Per-partition verdicts compose by
+    addition, so the suite also runs incrementally per ingest batch
+    (the `wap_gate` pattern) with the same definitions.
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_checked")] + [
+        F.sum(
+            F.expr(f"CASE WHEN NOT coalesce({cond}, FALSE) THEN 1 ELSE 0 END")
+        )
+        .cast("long")
+        .alias(name)
+        for name, cond in expectations
+    ]
+    one = df.agg(*aggs)
+    stacked = ", ".join(f"'{n}', {n}" for n, _ in expectations)
+    return (
+        one.selectExpr(
+            f"stack({len(expectations)}, {stacked})"
+            " AS (check_name, n_violations)",
+            "n_checked",
+        )
+        .orderBy("check_name")
+    )
+
+
+def _oracle_dq_expectations(
+    expectations: tuple[tuple[str, str], ...] = DQ_EXPECTATIONS,
+) -> str:
+    sums = ",\n         ".join(
+        f"CAST(sum(CASE WHEN NOT coalesce({cond}, FALSE) THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS {name}"
+        for name, cond in expectations
+    )
+    rows = "\nUNION ALL ".join(
+        f"SELECT '{name}' AS check_name, {name} AS n_violations, n_checked"
+        f" FROM agg"
+        for name, _ in expectations
+    )
+    return f"""
+WITH agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_checked,
+         {sums}
+  FROM lineitem)
+{rows}
+ORDER BY check_name"""
+
+
+ORACLE_DQ_EXPECTATIONS = _oracle_dq_expectations()
+
+
+def _wl_dq_expectations(spark, sf_dir):
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    return dq_expectations(spark.table("lineitem"))
+
+
 def cdc_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
@@ -651,4 +746,7 @@ def cdc_workloads():
             "ops_delta_log_replay", _wl_delta_log_replay, ORACLE_DELTA_LOG_REPLAY
         ),
         Workload("ops_wap_gate", _wl_wap_gate, ORACLE_WAP_GATE),
+        Workload(
+            "ops_dq_expectations", _wl_dq_expectations, ORACLE_DQ_EXPECTATIONS
+        ),
     ]

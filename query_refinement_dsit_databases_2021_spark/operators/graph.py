@@ -424,6 +424,109 @@ FROM fin GROUP BY d ORDER BY dist"""
 ORACLE_BFS = _bfs_oracle()
 
 
+def link_prediction(edges: DataFrame, k: int = 20) -> DataFrame:
+    """Link prediction by common-neighbor count + Jaccard coefficient:
+    for every NON-adjacent pair sharing >= 1 neighbor, score
+    ``cn = |N(a) ∩ N(b)|`` and ``jacc_ppm = floor(1e6 * cn /
+    (deg(a) + deg(b) - cn))`` — the classic unsupervised
+    link-prediction baselines (Liben-Nowell & Kleinberg 2003),
+    all-integer so the ranking is bit-identical across engines and
+    partitionings.
+
+    Plan: wedge enumeration — one self-join of the bidirectional
+    adjacency list on the center node (cost Σ_c deg(c)², the standard
+    bound), ONE map-combinable groupBy(a,b) for cn, a left-anti join
+    against the existing edge set, two degree joins, and a global
+    top-k (TakeOrderedAndProject). At 100 TB the refinement is the
+    same as triangles: orient wedges from low- to high-degree
+    endpoints (bounds work by arboricity) and/or cap the hub degree
+    with a documented stop-list — hubs contribute wedges
+    quadratically but their Jaccard is near-zero anyway.
+
+    Returns ``(node_a, node_b, cn, jacc_ppm)``, top-k by
+    (cn desc, node_a, node_b).
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("n"), F.col("b").alias("nb")).unionByName(
+        und.select(F.col("b").alias("n"), F.col("a").alias("nb"))
+    )
+    w1 = adj.select(F.col("n").alias("c"), F.col("nb").alias("a"))
+    w2 = adj.select(F.col("n").alias("c"), F.col("nb").alias("b"))
+    cn = (
+        w1.join(w2, (w1.c == w2.c) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    non_edges = cn.join(und, ["a", "b"], "left_anti")
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    return (
+        non_edges.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").alias("node_a"),
+            F.col("b").alias("node_b"),
+            F.col("cn").cast("long").alias("cn"),
+            F.expr("CAST((1000000 * cn) DIV (da + db - cn) AS BIGINT)").alias(
+                "jacc_ppm"
+            ),
+        )
+        .orderBy(F.desc("cn"), "node_a", "node_b")
+        .limit(k)
+    )
+
+
+LINK_PRED_MIN_QTY = 45  # bulk co-purchases only: keeps the graph
+# sparse at every SF (the full co-occurrence graph is near-complete on
+# this synthetic data, which would leave zero non-adjacent pairs)
+
+
+def _wl_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sell candidates: parts that share bulk-order neighbors
+    but are never bulk-ordered together."""
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    li = spark.table("lineitem").where(
+        F.col("l_quantity") >= LINK_PRED_MIN_QTY
+    ).select("l_orderkey", "l_partkey")
+    r = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2"))
+    edges = li.join(r, (li.l_orderkey == r.o2) & (li.l_partkey < r.p2)).select(
+        F.col("l_partkey").alias("src"), F.col("p2").alias("dst")
+    )
+    return link_prediction(edges)
+
+
+ORACLE_LINK_PREDICTION = f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE l_quantity >= {LINK_PRED_MIN_QTY}),
+sp AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+adj AS (SELECT a AS n, b AS nb FROM sp UNION ALL SELECT b, a FROM sp),
+cn AS (
+  SELECT w1.nb AS a, w2.nb AS b, CAST(count(*) AS BIGINT) AS cn
+  FROM adj w1 JOIN adj w2 ON w1.n = w2.n AND w1.nb < w2.nb
+  GROUP BY w1.nb, w2.nb),
+ne AS (
+  SELECT cn.* FROM cn
+  WHERE NOT EXISTS (SELECT 1 FROM sp WHERE sp.a = cn.a AND sp.b = cn.b)),
+deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY n)
+SELECT ne.a AS node_a, ne.b AS node_b, ne.cn AS cn,
+       CAST((1000000 * ne.cn) // (da.d + db.d - ne.cn) AS BIGINT) AS jacc_ppm
+FROM ne JOIN deg da ON da.n = ne.a JOIN deg db ON db.n = ne.b
+ORDER BY cn DESC, node_a, node_b LIMIT 20"""
+
+
 def graph_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
@@ -432,4 +535,7 @@ def graph_workloads():
         Workload("graph_triangles", _wl_triangles, ORACLE_TRIANGLES),
         Workload("graph_components", _wl_components, ORACLE_COMPONENTS),
         Workload("graph_bfs_levels", _wl_bfs, ORACLE_BFS),
+        Workload(
+            "graph_link_prediction", _wl_link_prediction, ORACLE_LINK_PREDICTION
+        ),
     ]

@@ -214,6 +214,87 @@ SELECT CAST(count(*) AS BIGINT) AS n_sessions,
 FROM per_sess"""
 
 
+WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-seen week
+    (epoch-week, ``epoch_us DIV WEEK_US`` — an arbitrary but
+    engine-identical boundary), then for each (cohort_week,
+    week_offset) the count of cohort members active that week and the
+    retention rate in ppm. The standard growth-analytics readout, and
+    for a training platform the user-activity drift monitor.
+
+    All-integer: weeks are int64 floor-divisions of epoch-µs, activity
+    is a distinct (user, week) set so ``count(*)`` IS distinct users,
+    and the rate is ``(1e6 * n) DIV size`` on positives (floor ==
+    truncate on both engines).
+
+    Plan: ONE distinct over (user, week) — map-combinable; cohort =
+    min-week per user reuses the user partitioning; the offset groupBy
+    is output-sized (weeks²/2 rows); cohort sizes broadcast back. At
+    100 TB the distinct is the only corpus-scale shuffle and it
+    partial-aggregates; everything downstream is triangle-sized.
+
+    Returns ``(cohort_week, week_offset, n_active, cohort_size,
+    retention_ppm)`` ordered by (cohort_week, week_offset).
+    """
+    wk = F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {WEEK_US}")
+    uw = events.select(F.col("user_id"), wk.alias("week")).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    ret = (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        ret.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.expr("(1000000 * n_active) DIV cohort_size").alias(
+                "retention_ppm"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+ORACLE_RETENTION = f"""
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {WEEK_US} AS week FROM events),
+cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id),
+sizes AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM cohort GROUP BY cohort_week),
+ret AS (
+  SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM uw JOIN cohort c USING (user_id)
+  GROUP BY c.cohort_week, uw.week - c.cohort_week)
+SELECT ret.cohort_week, ret.week_offset, ret.n_active, s.cohort_size,
+       CAST((1000000 * ret.n_active) // s.cohort_size AS BIGINT)
+         AS retention_ppm
+FROM ret JOIN sizes s USING (cohort_week)
+ORDER BY cohort_week, week_offset"""
+
+
+def _wl_retention(spark, sf_dir):
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    return retention_cohorts(spark.table("events"))
+
+
 def _wl_funnel(spark, sf_dir):
     from query_refinement_dsit_databases_2021_spark.workloads import register_views
 
@@ -236,4 +317,5 @@ def sessions_workloads():
             "ops_sessionize", _wl_sessionize, oracle_session_stats(), True
         ),
         Workload("ops_session_funnel", _wl_funnel, oracle_session_funnel()),
+        Workload("ops_retention_cohorts", _wl_retention, ORACLE_RETENTION),
     ]

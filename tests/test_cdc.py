@@ -199,3 +199,37 @@ def test_wap_gate_verdicts(spark):
         "2024-03-03": (4, "quarantine"),
         "2024-03-04": (3, "quarantine"),
     }
+
+
+def test_dq_expectations_counts_planted_violations(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.cdc import (
+        dq_expectations,
+    )
+
+    rows = [
+        # clean row
+        (1, 1, 1, 10.0, 100.0, 0.05, 0.04, "A", "F", "1995-06-01 00:00:00"),
+        # qty out of range + tax out of range
+        (2, 1, 1, 99.0, 100.0, 0.05, 0.5, "N", "O", "1995-06-01 00:00:00"),
+        # NULL discount (violation by NOT coalesce) + bad flag domain
+        (3, 1, 1, 10.0, 100.0, None, 0.04, "X", "F", "1995-06-01 00:00:00"),
+        # NULL key + non-positive price + date out of bounds
+        (None, 1, 1, 10.0, 0.0, 0.05, 0.04, "A", "F", "2005-06-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double,"
+        " l_extendedprice double, l_discount double, l_tax double,"
+        " l_returnflag string, l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    out = {r["check_name"]: (r["n_violations"], r["n_checked"]) for r in dq_expectations(df).collect()}
+    assert out == {
+        "discount_range": (1, 4),
+        "keys_not_null": (1, 4),
+        "linestatus_domain": (0, 4),
+        "price_positive": (1, 4),
+        "qty_range": (1, 4),
+        "returnflag_domain": (1, 4),
+        "shipdate_bounds": (1, 4),
+        "tax_range": (1, 4),
+    }

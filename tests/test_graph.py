@@ -123,3 +123,37 @@ def test_bfs_levels_path_graph_and_unreached(spark):
     src2 = spark.createDataFrame([(1,), (5,)], "node long")
     got2 = {r["node"]: r["dist"] for r in bfs_distances(edges, src2).collect()}
     assert got2 == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}
+
+
+def test_link_prediction_hand_graph(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.graph import (
+        link_prediction,
+    )
+
+    # path 1-2-3 plus 2-4: non-adjacent pairs through center 2 are
+    # (1,3), (1,4), (3,4), each with cn=1; degrees 1,3,1,1
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (2, 4)], "src long, dst long"
+    )
+    rows = {
+        (r["node_a"], r["node_b"]): (r["cn"], r["jacc_ppm"])
+        for r in link_prediction(edges).collect()
+    }
+    # jaccard = 1 / (1 + 1 - 1) = 1.0 for all three pairs
+    assert rows == {
+        (1, 3): (1, 1000000),
+        (1, 4): (1, 1000000),
+        (3, 4): (1, 1000000),
+    }
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.graph import (
+        link_prediction,
+    )
+
+    # triangle 1-2-3: every pair is adjacent -> no predictions
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "src long, dst long"
+    )
+    assert link_prediction(edges).count() == 0

@@ -183,3 +183,49 @@ def test_session_funnel_ordering_and_gaps(spark):
     r = session_funnel(df).collect()[0]
     assert (r["n_sessions"], r["reached_1"], r["reached_2"], r["reached_3"]) \
         == (5, 5, 3, 1)
+
+
+def test_retention_cohorts_hand_case(spark):
+    from datetime import datetime
+
+    from query_refinement_dsit_databases_2021_spark.operators.sessions import (
+        retention_cohorts,
+    )
+
+    # week boundaries are epoch-week (1970-01-01 was a Thursday); pick
+    # timestamps far enough apart that week arithmetic is unambiguous
+    def t(day):
+        return datetime(2024, 1, day)
+
+    rows = [
+        # user 1: weeks w, w+1, w+2; user 2: w only; user 3: w+1, w+2
+        (1, 1, t(4), "click", 0.0, ""),
+        (2, 1, t(11), "click", 0.0, ""),
+        (3, 1, t(18), "click", 0.0, ""),
+        (4, 2, t(4), "click", 0.0, ""),
+        (5, 3, t(11), "click", 0.0, ""),
+        (6, 3, t(18), "click", 0.0, ""),
+        (7, 3, t(18), "view", 0.0, ""),  # same week dup must not double-count
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " value double, props string",
+    )
+    out = {
+        (r["cohort_week"] - 2818, r["week_offset"]): (
+            r["n_active"],
+            r["cohort_size"],
+            r["retention_ppm"],
+        )
+        for r in retention_cohorts(df).collect()
+    }
+    # cohort A (users 1, 2): offsets 0 (both), 1 (user 1), 2 (user 1)
+    # cohort B (user 3): offsets 0, 1
+    assert out == {
+        (0, 0): (2, 2, 1000000),
+        (0, 1): (1, 2, 500000),
+        (0, 2): (1, 2, 500000),
+        (1, 0): (1, 1, 1000000),
+        (1, 1): (1, 1, 1000000),
+    }
