@@ -626,6 +626,64 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    threshold_ppm: int = 500_000,
+    max_posting: int | None = None,
+) -> DataFrame:
+    """Shingle-set CONTAINMENT near-dup detection: ``cont =
+    |A∩B| / min(|A|, |B|)`` — the sub-document-duplication score.
+    Jaccard misses a short document wholly embedded in a long one
+    (the union term swamps the intersection); containment is the
+    standard fix (Broder's resemblance vs containment split), and for
+    training data it is the signal for quote-heavy or wrapper pages.
+
+    All-integer: ``cont_ppm = (1e6 * c) DIV least(na, nb)`` on
+    positive int64s (floor == truncate on both engines), thresholded
+    in ppm — no float reaches the filter.
+
+    Plan: identical inverted-index self-join shape (and stop-shingle
+    ``max_posting`` cap, window strategy) as
+    :func:`ngram_jaccard_pairs` — the cap bounds pair work by cap² per
+    shingle; capped runs UNDER-estimate (intersections lose capped
+    shingles, sizes keep them), same documented contract. Returns
+    ``(doc_a, doc_b, inter_size, cont_ppm)`` with doc_a < doc_b.
+    """
+    sh = shingles(docs).persist()
+    if max_posting is not None:
+        w = Window.partitionBy("s")
+        joined_sh = (
+            sh.withColumn("_df", F.count("*").over(w))
+            .where(F.col("_df") <= max_posting)
+            .drop("_df")
+        )
+    else:
+        joined_sh = sh
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sa = joined_sh.select(F.col("doc_id").alias("doc_a"), "s")
+    sb = joined_sh.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    inter = (
+        sa.join(sb, (sa["s"] == sb["s_b"]) & (sa["doc_a"] < sb["doc_b"]))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("c").cast("long").alias("inter_size"),
+            F.expr("(1000000 * c) DIV least(na, nb)")
+            .cast("long")
+            .alias("cont_ppm"),
+        )
+        .where(F.col("cont_ppm") >= threshold_ppm)
+    )
+
+
 def decontaminate(
     docs: DataFrame, eval_docs: DataFrame, k: int = 5, min_hits: int = 1
 ) -> DataFrame:

@@ -314,6 +314,30 @@ def _wl_jaccard_exact(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
 
 
+ORACLE_CONTAINMENT = f"""
+WITH {SQL_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+keep AS (SELECT s FROM sh GROUP BY s
+         HAVING count(*) <= {JACCARD_MAX_POSTING}),
+shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, CAST(c AS BIGINT) AS inter_size,
+       CAST((1000000 * c) // least(na.n, nb.n) AS BIGINT) AS cont_ppm
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE (1000000 * c) // least(na.n, nb.n) >= 500000"""
+
+
+def _wl_containment(spark, sf_dir):
+    return dedup.ngram_containment_pairs(
+        _docs(spark, sf_dir), max_posting=JACCARD_MAX_POSTING
+    )
+
+
 def _wl_quality(spark, sf_dir):
     return textops.quality_columns(_docs(spark, sf_dir))
 
@@ -1250,6 +1274,7 @@ def pipeline_workloads():
         ("pipe_dedup_simhash", _wl_simhash, ORACLE_SIMHASH, False),
         ("pipe_dedup_ngram_jaccard", _wl_jaccard, ORACLE_JACCARD_CAPPED, True),
         ("pipe_dedup_ngram_jaccard_exact", _wl_jaccard_exact, ORACLE_JACCARD, False),
+        ("pipe_dedup_containment", _wl_containment, ORACLE_CONTAINMENT, False),
         ("pipe_dedup_clusters", _wl_clusters, ORACLE_CLUSTERS, False),
         ("pipe_cluster_reps", _wl_cluster_reps, ORACLE_CLUSTER_REPS, False),
         ("pipe_minhash_est_error", _wl_minhash_est, ORACLE_MINHASH_EST, False),

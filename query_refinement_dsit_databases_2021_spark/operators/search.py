@@ -305,6 +305,212 @@ def _wl_bm25(spark, sf_dir):
     return bm25_topk(_docs(spark, sf_dir), spark)
 
 
+PRF_FEEDBACK_DOCS = 3  # R: top docs assumed relevant
+PRF_EXPANSION_TERMS = 2  # E: expansion terms added per query
+PRF_ORIG_WEIGHT = 2  # Rocchio alpha/beta ratio in integer form
+
+
+def prf_expanded_topk(
+    docs: DataFrame,
+    spark: SparkSession,
+    k: int = TOP_K,
+    r: int = PRF_FEEDBACK_DOCS,
+    e: int = PRF_EXPANSION_TERMS,
+    w_orig: int = PRF_ORIG_WEIGHT,
+) -> DataFrame:
+    """Pseudo-relevance-feedback retrieval (Rocchio query expansion,
+    integer-exact): run the TF-IDF search, assume its top ``r`` docs
+    per query are relevant, pick the ``e`` highest ``tf_fb * idf``
+    terms from those docs that are NOT already in the query, and
+    re-search with the expanded query — original terms weighted
+    ``w_orig``, expansion terms 1.
+
+    Everything stays in the module's int64 contract (``(N*SCALE) div
+    df`` idf, integer products, ties broken by term/doc_id asc), so
+    both passes are bit-reproducible across engines and partitionings.
+
+    Plan: four pruned corpus passes, none vocabulary-scale — (1) the
+    base search's term-filtered postings; (2) feedback-doc tokens via
+    a broadcast join of the r×|queries|-row feedback set; (3) postings
+    for the candidate terms via a broadcast semi-join (candidates are
+    data-dependent, so `isin` literals can't prune — the semi-join
+    does the same job plan-side); (4) nothing — the final pass REUSES
+    (1) ∪ (3) postings (`union().distinct()` dedupes terms that are
+    original for one query and expansion for another). At 100 TB each
+    pass is the `query_postings` shape: filter-before-shuffle,
+    O(matching tokens).
+
+    Returns ``(query_id, doc_id, score, rank)`` with rank 1..k by
+    (score desc, doc_id asc).
+    """
+    all_terms = sorted({t for _, ts in SEARCH_QUERIES for t in ts})
+    n_df = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    fb = tfidf_topk(docs, spark, k=r).select("query_id", "doc_id")
+    # candidate expansion terms: token counts over the feedback docs
+    fbtok = (
+        docs.join(F.broadcast(fb), "doc_id")
+        .select("query_id", F.explode(tokens(F.col("text"))).alias("term"))
+    )
+    cand = (
+        fbtok.groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf_fb"))
+        .join(_query_df(spark), ["query_id", "term"], "left_anti")
+    )
+    # corpus postings for candidate terms (semi-join replaces isin)
+    cand_terms = cand.select("term").distinct()
+    post_cand = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .join(F.broadcast(cand_terms), "term", "leftsemi")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf_cand = (
+        post_cand.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "term",
+            F.expr(f"(n_docs * {SCALE}) div df").cast("long").alias("idf_scaled"),
+        )
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.desc(F.col("tf_fb") * F.col("idf_scaled")), F.asc("term")
+    )
+    expq = (
+        cand.join(idf_cand, "term")
+        .withColumn("trk", F.row_number().over(wt))
+        .where(F.col("trk") <= e)
+        .select("query_id", "term", F.lit(1).cast("long").alias("w"))
+    )
+    fullq = _query_df(spark).select(
+        "query_id", "term", F.lit(w_orig).cast("long").alias("w")
+    ).unionByName(expq)
+    # final postings: base-term postings ∪ candidate postings restricted
+    # to chosen expansion terms; distinct() dedupes shared terms
+    post_all = (
+        query_postings(docs, all_terms)
+        .select("doc_id", "term", "tf")
+        .unionByName(
+            post_cand.join(
+                F.broadcast(expq.select("term").distinct()), "term", "leftsemi"
+            ).select("doc_id", "term", "tf")
+        )
+        .distinct()
+    )
+    idf_all = (
+        post_all.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "term",
+            F.expr(f"(n_docs * {SCALE}) div df").cast("long").alias("idf_scaled"),
+        )
+    )
+    scored = (
+        post_all.join(F.broadcast(fullq), "term")
+        .join(F.broadcast(idf_all), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(F.col("w") * F.col("tf") * F.col("idf_scaled")).alias("score")
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", F.col("rank").cast("int"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def oracle_prf_topk(
+    k: int = TOP_K,
+    r: int = PRF_FEEDBACK_DOCS,
+    e: int = PRF_EXPANSION_TERMS,
+    w_orig: int = PRF_ORIG_WEIGHT,
+) -> str:
+    return f"""
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+post0 AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM documents, unnest(string_split(text, ' ')) t(term)
+  WHERE t.term IN ({_sql_terms()})
+  GROUP BY doc_id, t.term),
+dft0 AS (SELECT term, count(*) AS df FROM post0 GROUP BY term),
+idf0 AS (SELECT term, CAST((n.n_docs * {SCALE}) // df AS BIGINT) AS idf_scaled
+         FROM dft0, n),
+scored0 AS (
+  SELECT q.query_id, p.doc_id,
+         CAST(sum(p.tf * i.idf_scaled) AS BIGINT) AS score
+  FROM post0 p
+  JOIN {_sql_queries()} ON p.term = q.term
+  JOIN idf0 i ON p.term = i.term
+  GROUP BY q.query_id, p.doc_id),
+fb AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, doc_id) AS rnk
+    FROM scored0)
+  WHERE rnk <= {r}),
+fbtok AS (
+  SELECT f.query_id, t.term
+  FROM fb f JOIN documents d ON d.doc_id = f.doc_id,
+       unnest(string_split(d.text, ' ')) t(term)),
+cand AS (
+  SELECT query_id, term, CAST(count(*) AS BIGINT) AS tf_fb
+  FROM fbtok c GROUP BY query_id, term),
+cand2 AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM {_sql_queries()}
+                    WHERE q.query_id = c.query_id AND q.term = c.term)),
+postc AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM documents, unnest(string_split(text, ' ')) t(term)
+  WHERE t.term IN (SELECT DISTINCT term FROM cand2)
+  GROUP BY doc_id, t.term),
+dftc AS (SELECT term, count(*) AS df FROM postc GROUP BY term),
+idfc AS (SELECT term, CAST((n.n_docs * {SCALE}) // df AS BIGINT) AS idf_scaled
+         FROM dftc, n),
+expq AS (
+  SELECT query_id, term, CAST(1 AS BIGINT) AS w FROM (
+    SELECT c.query_id, c.term,
+           row_number() OVER (PARTITION BY c.query_id
+                ORDER BY c.tf_fb * i.idf_scaled DESC, c.term) AS trk
+    FROM cand2 c JOIN idfc i ON i.term = c.term)
+  WHERE trk <= {e}),
+fullq AS (
+  SELECT query_id, term, CAST({w_orig} AS BIGINT) AS w FROM {_sql_queries()}
+  UNION ALL SELECT query_id, term, w FROM expq),
+postu AS (
+  SELECT doc_id, term, tf FROM post0
+  UNION
+  SELECT doc_id, term, tf FROM postc
+  WHERE term IN (SELECT DISTINCT term FROM expq)),
+dftu AS (SELECT term, count(*) AS df FROM postu GROUP BY term),
+idfu AS (SELECT term, CAST((n.n_docs * {SCALE}) // df AS BIGINT) AS idf_scaled
+         FROM dftu, n),
+scoredf AS (
+  SELECT fq.query_id, p.doc_id,
+         CAST(sum(fq.w * p.tf * i.idf_scaled) AS BIGINT) AS score
+  FROM postu p
+  JOIN fullq fq ON fq.term = p.term
+  JOIN idfu i ON i.term = p.term
+  GROUP BY fq.query_id, p.doc_id)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT query_id, doc_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, doc_id) AS INT) AS rank
+  FROM scoredf)
+WHERE rank <= {k} ORDER BY query_id, rank"""
+
+
+def _wl_prf(spark, sf_dir):
+    from query_refinement_dsit_databases_2021_spark.operators.pipelines import _docs
+
+    return prf_expanded_topk(_docs(spark, sf_dir), spark)
+
+
 def search_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
@@ -314,6 +520,7 @@ def search_workloads():
         Workload(
             "pipe_search_phrase", _wl_phrase, oracle_phrase_search(), False
         ),
+        Workload("pipe_search_prf", _wl_prf, oracle_prf_topk(), False),
     ]
 
 

@@ -779,3 +779,34 @@ def test_bpe_apply_compression_invariants(spark):
     # 'newest' contains neither (l,o) nor (lo,w): stays 6 chars;
     # plus 'low' as one token -> 7
     assert got[2] == (2, 6 + 1)
+
+
+def test_containment_catches_embedded_doc(spark):
+    from query_refinement_dsit_databases_2021_spark.operators import dedup
+
+    short = "w1 w2 w3 w4 w5 w6 w7"
+    long = short + " x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12 x13"
+    docs = spark.createDataFrame(
+        [(1, long), (2, short)], "doc_id long, text string"
+    )
+    # short has 5 distinct 3-shingles, all present in long (18 shingles):
+    # jaccard = 5/18 < 0.5 would miss the pair; containment = 5/5 = 1.0
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert jac == []
+    rows = dedup.ngram_containment_pairs(docs).collect()
+    assert [(r["doc_a"], r["doc_b"], r["inter_size"], r["cont_ppm"]) for r in rows] == [
+        (1, 2, 5, 1_000_000)
+    ]
+
+
+def test_containment_cap_underestimates(spark):
+    from query_refinement_dsit_databases_2021_spark.operators import dedup
+
+    # the shared shingle block appears in 3 docs; with max_posting=2
+    # those postings drop and the pair disappears (documented contract)
+    t = "a b c d e"
+    docs = spark.createDataFrame(
+        [(1, t), (2, t), (3, t)], "doc_id long, text string"
+    )
+    assert dedup.ngram_containment_pairs(docs).count() == 3
+    assert dedup.ngram_containment_pairs(docs, max_posting=2).count() == 0

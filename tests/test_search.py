@@ -214,3 +214,27 @@ def test_bucketed_postings_zero_exchange(corpus, spark):
         assert got == {"spark": 3, "join": 4}
     finally:
         spark.sql("DROP TABLE IF EXISTS t_postings")
+
+
+def test_prf_expands_and_reweights(spark, monkeypatch):
+    from query_refinement_dsit_databases_2021_spark.operators import search
+
+    monkeypatch.setattr(search, "SEARCH_QUERIES", ((0, ("apple",)),))
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana banana cherry"),
+            (3, "apple banana"),
+            (4, "dog dog dog"),
+        ],
+        "doc_id long, text string",
+    )
+    out = search.prf_expanded_topk(docs, spark, k=5, r=1, e=1, w_orig=2)
+    rows = [(r["doc_id"], r["score"], r["rank"]) for r in out.collect()]
+    # feedback doc is d1; expansion term is 'banana'
+    # idf(apple) = (4*1e6)//2 = 2_000_000; idf(banana) = (4*1e6)//3 = 1_333_333
+    assert rows == [
+        (1, 2 * 2 * 2_000_000 + 1 * 1_333_333, 1),
+        (3, 2 * 1 * 2_000_000 + 1 * 1_333_333, 2),
+        (2, 1 * 2 * 1_333_333, 3),
+    ]
