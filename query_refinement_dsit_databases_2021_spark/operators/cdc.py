@@ -555,6 +555,81 @@ WHERE a.ver <= {SNAPSHOT_VERSION}
 GROUP BY ver ORDER BY ver"""
 
 
+VACUUM_RETENTION_VERSIONS = 4  # tombstones younger than this stay
+
+
+def vacuum_plan(
+    adds: DataFrame,
+    removes: DataFrame,
+    version: int,
+    retention: int = VACUUM_RETENTION_VERSIONS,
+) -> DataFrame:
+    """Vacuum planning over the same transaction log
+    :func:`delta_log_replay` replays: a physical file is reclaimable
+    once its REMOVE tombstone is older than the retention horizon
+    (``remove.ver <= version - retention``) — younger tombstones must
+    stay so time travel within the retention window still resolves
+    (the Delta/Iceberg VACUUM contract). Reports what a vacuum at
+    ``version`` would delete, grouped by tombstone version.
+
+    Plan: one metadata-scale equi-join (version-filtered removes ×
+    adds on file_id, both manifest-sized) and an output-sized groupBy
+    — planning a 100 TB vacuum never touches data files, only the
+    log. The deletion itself is an out-of-band storage op driven by
+    this plan's file list.
+
+    Returns ``(removed_ver, n_files, reclaim_bytes)``.
+    """
+    cutoff = version - retention
+    vac = (
+        removes.where(F.col("ver") <= cutoff)
+        .select("file_id", F.col("ver").alias("removed_ver"))
+        .join(adds.select("file_id", "bytes"), "file_id")
+    )
+    return (
+        vac.groupBy("removed_ver")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").alias("reclaim_bytes"),
+        )
+        .orderBy("removed_ver")
+    )
+
+
+def _wl_vacuum_plan(spark, sf_dir):
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    # same simulated transaction log as ops_delta_log_replay
+    o = spark.table("orders")
+    adds = o.select(
+        F.col("o_orderkey").alias("file_id"),
+        F.floor("o_totalprice").cast("long").alias("bytes"),
+        (F.col("o_orderkey") % 16).alias("ver"),
+    )
+    removes = o.where("o_orderstatus = 'F'").select(
+        F.col("o_orderkey").alias("file_id"),
+        (F.col("o_orderkey") % 16 + 1 + F.col("o_orderkey") % 5).alias("ver"),
+    )
+    return vacuum_plan(adds, removes, SNAPSHOT_VERSION)
+
+
+ORACLE_VACUUM_PLAN = f"""
+WITH adds AS (
+  SELECT o_orderkey AS file_id,
+         CAST(floor(o_totalprice) AS BIGINT) AS bytes
+  FROM orders),
+removes AS (
+  SELECT o_orderkey AS file_id,
+         o_orderkey % 16 + 1 + o_orderkey % 5 AS ver
+  FROM orders WHERE o_orderstatus = 'F')
+SELECT r.ver AS removed_ver, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(a.bytes) AS BIGINT) AS reclaim_bytes
+FROM removes r JOIN adds a USING (file_id)
+WHERE r.ver <= {SNAPSHOT_VERSION - VACUUM_RETENTION_VERSIONS}
+GROUP BY r.ver ORDER BY removed_ver"""
+
+
 WAP_MAX_GROWTH_QUARTERS = 4  # quarantine if delta * 4 > n_prod (>25%)
 
 
@@ -749,4 +824,5 @@ def cdc_workloads():
         Workload(
             "ops_dq_expectations", _wl_dq_expectations, ORACLE_DQ_EXPECTATIONS
         ),
+        Workload("ops_vacuum_plan", _wl_vacuum_plan, ORACLE_VACUUM_PLAN),
     ]

@@ -314,6 +314,105 @@ def _wl_jaccard_exact(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir))
 
 
+def split_leakage_audit(docs, max_posting: int = JACCARD_MAX_POSTING):
+    """Train/val/test leakage audit: for each non-train split, how
+    many documents share at least one rare shingle with a TRAIN
+    document — the contamination check run before any held-out split
+    is trusted (near-dup leakage silently inflates eval scores). Uses
+    the standing :func:`sampling.hash_split` assignment, so the audit
+    measures the splits the pipeline actually ships.
+
+    Plan: shingles once, stop-shingle cap in the window form (shared
+    shingles above ``max_posting`` docs are boilerplate, not leakage
+    evidence — and the cap bounds the semi-join the same way it
+    bounds the Jaccard self-join); train shingle set is a distinct
+    projection; each non-train doc is flagged by ONE left-semi join.
+    All counts integer, rate in ppm. Returns ``(split, n_docs,
+    n_leaky, leak_ppm)`` for the non-train splits.
+    """
+    from pyspark.sql import Window
+    from query_refinement_dsit_databases_2021_spark.operators.sampling import (
+        hash_split,
+    )
+
+    sp = hash_split(docs.select("doc_id"), key="doc_id").select(
+        "doc_id", "split"
+    )
+    sh = textops.shingles(docs)
+    w = Window.partitionBy("s")
+    shc = (
+        sh.withColumn("_df", F.count("*").over(w))
+        .where(F.col("_df") <= max_posting)
+        .drop("_df")
+    )
+    labeled = shc.join(sp, "doc_id")
+    train_sh = (
+        labeled.where(F.col("split") == "train").select("s").distinct()
+    )
+    leaky = (
+        labeled.where(F.col("split") != "train")
+        .join(train_sh, "s", "leftsemi")
+        .select("doc_id", "split")
+        .distinct()
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_leaky"))
+    )
+    totals = (
+        sp.where(F.col("split") != "train")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return (
+        totals.join(leaky, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            F.coalesce("n_leaky", F.lit(0)).cast("long").alias("n_leaky"),
+            F.expr(
+                "(1000000 * coalesce(n_leaky, 0)) DIV n_docs"
+            ).alias("leak_ppm"),
+        )
+        .orderBy("split")
+    )
+
+
+def _oracle_split_leakage() -> str:
+    from query_refinement_dsit_databases_2021_spark.operators.sampling import (
+        sql_bucket,
+    )
+
+    bucket = sql_bucket("CAST(doc_id AS VARCHAR)", "split")
+    return f"""
+WITH {SQL_SHINGLES},
+sp AS (
+  SELECT doc_id, CASE WHEN h < 8000 THEN 'train'
+                      WHEN h < 9000 THEN 'val'
+                      ELSE 'test' END AS split
+  FROM (SELECT doc_id, {bucket} AS h FROM documents) t),
+keep AS (SELECT s FROM sh GROUP BY s
+         HAVING count(*) <= {JACCARD_MAX_POSTING}),
+shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+tr AS (SELECT DISTINCT shc.s FROM shc JOIN sp USING (doc_id)
+       WHERE sp.split = 'train'),
+leaky AS (
+  SELECT sp.split, CAST(count(*) AS BIGINT) AS n_leaky FROM (
+    SELECT DISTINCT shc.doc_id FROM shc JOIN sp USING (doc_id)
+    WHERE sp.split <> 'train' AND shc.s IN (SELECT s FROM tr)) l
+  JOIN sp ON sp.doc_id = l.doc_id GROUP BY sp.split),
+tot AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs
+        FROM sp WHERE split <> 'train' GROUP BY split)
+SELECT tot.split, tot.n_docs,
+       CAST(COALESCE(lk.n_leaky, 0) AS BIGINT) AS n_leaky,
+       CAST((1000000 * COALESCE(lk.n_leaky, 0)) // tot.n_docs AS BIGINT)
+         AS leak_ppm
+FROM tot LEFT JOIN leaky lk USING (split)
+ORDER BY split"""
+
+
+def _wl_split_leakage(spark, sf_dir):
+    return split_leakage_audit(_docs(spark, sf_dir))
+
+
 ORACLE_CONTAINMENT = f"""
 WITH {SQL_SHINGLES},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -1275,6 +1374,7 @@ def pipeline_workloads():
         ("pipe_dedup_ngram_jaccard", _wl_jaccard, ORACLE_JACCARD_CAPPED, True),
         ("pipe_dedup_ngram_jaccard_exact", _wl_jaccard_exact, ORACLE_JACCARD, False),
         ("pipe_dedup_containment", _wl_containment, ORACLE_CONTAINMENT, False),
+        ("pipe_split_leakage", _wl_split_leakage, _oracle_split_leakage(), False),
         ("pipe_dedup_clusters", _wl_clusters, ORACLE_CLUSTERS, False),
         ("pipe_cluster_reps", _wl_cluster_reps, ORACLE_CLUSTER_REPS, False),
         ("pipe_minhash_est_error", _wl_minhash_est, ORACLE_MINHASH_EST, False),

@@ -1853,6 +1853,104 @@ SELECT key, day, y_cents FROM (
 ) u ORDER BY key, day"""
 
 
+def seasonal_strength(events: DataFrame) -> DataFrame:
+    """Strength of the hour-of-day seasonality per key, as the ANOVA
+    variance-explained ratio (eta²): ``SS_between(hour) / SS_total``
+    over integer-cent values — 0 = no daily pattern, →1 = value
+    determined by hour alone. The quantitative companion to
+    :func:`seasonal_anomaly` (which flags rows against the hourly
+    baseline but never says how seasonal the key IS), and the
+    diagnostic that decides whether a forecast needs a seasonal term
+    at all.
+
+    Exactness: per-(key, hour) count/sum/sum-of-squares are exact
+    int64 moments of cent-quantized values; the between-group term
+    uses per-hour ``(S_h²) DIV n_h`` — integer floor-division (one
+    deterministic unit of slack per hour, identical on both engines)
+    so the 24-term sum never becomes an order-dependent float sum.
+    Only the final ratio is float: one identical IEEE division of
+    exactly-summed int64s, floor-quantized at 6 dp. ``peak_hour`` is
+    the deterministic argmax of the integer hourly mean (mills, hod
+    tiebreak). Int64 headroom: ``n·Σcents²`` — fine to ~10⁶ rows/key
+    at cents ≤ 5·10⁴; pre-scale cents→dimes past that.
+
+    Plan: ONE map-combinable groupBy(key, hour) over the scan (24
+    rows/key), then key-level re-aggregation and a 24-row window for
+    the argmax — everything after the first shuffle is output-sized.
+
+    Returns ``(key, n, seasonal_strength, peak_hour)`` by key.
+    """
+    c = events.select(
+        F.col("event_type").alias("key"),
+        F.expr(
+            "(unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000) % 24"
+        ).alias("hod"),
+        F.expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    hf = c.groupBy("key", "hod").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum("cents").alias("s_h"),
+        F.sum(F.col("cents") * F.col("cents")).alias("q_h"),
+    )
+    kf = hf.groupBy("key").agg(
+        F.sum("n_h").alias("n"),
+        F.sum("s_h").alias("s"),
+        F.sum("q_h").alias("q"),
+        F.sum(F.expr("(s_h * s_h) DIV n_h")).alias("t"),
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.desc(F.expr("(1000 * s_h) DIV n_h")), F.asc("hod")
+    )
+    peak = (
+        hf.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") == 1)
+        .select("key", F.col("hod").alias("peak_hour"))
+    )
+    num = F.col("n") * F.col("t") - F.col("s") * F.col("s")
+    den = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    strength = F.when(
+        den > 0,
+        F.floor(num / den.cast("double") * F.lit(1000000) + F.lit(0.5))
+        / F.lit(1000000.0),
+    )
+    return (
+        kf.join(peak, "key")
+        .select("key", "n", strength.alias("seasonal_strength"), "peak_hour")
+        .orderBy("key")
+    )
+
+
+ORACLE_SEASONAL_STRENGTH = """
+WITH c AS (
+  SELECT event_type AS key,
+         (epoch_us(ts) // 3600000000) % 24 AS hod,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+hf AS (
+  SELECT key, hod, CAST(count(*) AS BIGINT) AS n_h,
+         CAST(sum(cents) AS BIGINT) AS s_h,
+         CAST(sum(cents * cents) AS BIGINT) AS q_h
+  FROM c GROUP BY key, hod),
+kf AS (
+  SELECT key, CAST(sum(n_h) AS BIGINT) AS n, CAST(sum(s_h) AS BIGINT) AS s,
+         CAST(sum(q_h) AS BIGINT) AS q,
+         CAST(sum((s_h * s_h) // n_h) AS BIGINT) AS t
+  FROM hf GROUP BY key),
+peak AS (
+  SELECT key, hod AS peak_hour FROM (
+    SELECT key, hod, row_number() OVER (PARTITION BY key
+           ORDER BY (1000 * s_h) // n_h DESC, hod) AS r
+    FROM hf)
+  WHERE r = 1)
+SELECT kf.key, kf.n,
+       CASE WHEN kf.n * kf.q - kf.s * kf.s > 0
+            THEN floor((kf.n * kf.t - kf.s * kf.s)
+                 / CAST(kf.n * kf.q - kf.s * kf.s AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000.0 END AS seasonal_strength,
+       peak.peak_hour
+FROM kf JOIN peak USING (key) ORDER BY key"""
+
+
 def sax_symbols(events: DataFrame, alphabet: str = "abcd") -> DataFrame:
     """Quantile-SAX symbolization: each key's daily series becomes a
     short symbol string (one char per day, alphabet = within-key
@@ -1953,4 +2051,5 @@ def timeseries_workloads():
         _w("ts_downsample_lttb", _lttb_oracle(), downsample_lttb),
         _w("ts_forecast_backtest", _backtest_oracle(), forecast_backtest),
         _w("ts_sax_symbols", ORACLE_SAX, sax_symbols),
+        _w("ts_seasonal_strength", ORACLE_SEASONAL_STRENGTH, seasonal_strength),
     ]

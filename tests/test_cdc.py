@@ -233,3 +233,25 @@ def test_dq_expectations_counts_planted_violations(spark):
         "shipdate_bounds": (1, 4),
         "tax_range": (1, 4),
     }
+
+
+def test_vacuum_plan_respects_retention(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.cdc import (
+        vacuum_plan,
+    )
+
+    adds = spark.createDataFrame(
+        [(1, 100, 0), (2, 200, 0), (3, 300, 1), (4, 400, 2)],
+        "file_id long, bytes long, ver long",
+    )
+    removes = spark.createDataFrame(
+        # file 1 removed long ago (vacuumable), file 3 inside retention
+        # (kept), file 4 removed after the snapshot version (kept)
+        [(1, 2), (3, 9), (4, 12)],
+        "file_id long, ver long",
+    )
+    rows = [
+        (r["removed_ver"], r["n_files"], r["reclaim_bytes"])
+        for r in vacuum_plan(adds, removes, version=10, retention=4).collect()
+    ]
+    assert rows == [(2, 1, 100)]

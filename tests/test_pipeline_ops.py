@@ -810,3 +810,33 @@ def test_containment_cap_underestimates(spark):
     )
     assert dedup.ngram_containment_pairs(docs).count() == 3
     assert dedup.ngram_containment_pairs(docs, max_posting=2).count() == 0
+
+
+def test_split_leakage_flags_crosssplit_neardup(spark):
+    from query_refinement_dsit_databases_2021_spark.operators import pipelines
+    from query_refinement_dsit_databases_2021_spark.operators.sampling import (
+        hash_split,
+    )
+
+    # find doc_ids landing in train vs val under the standing hash
+    # split, then plant an exact shared passage across the boundary
+    ids = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    assign = {r["doc_id"]: r["split"] for r in hash_split(ids, key="doc_id").collect()}
+    train_id = next(i for i in sorted(assign) if assign[i] == "train")
+    val_id = next(i for i in sorted(assign) if assign[i] == "val")
+    val_clean = next(
+        i for i in sorted(assign) if assign[i] == "val" and i != val_id
+    )
+    shared = "the exact same leaked passage of text here"
+    docs = spark.createDataFrame(
+        [
+            (train_id, "prefix words " + shared),
+            (val_id, shared + " suffix words"),
+            (val_clean, "completely different content with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["split"]: (r["n_docs"], r["n_leaky"]) for r in pipelines.split_leakage_audit(docs).collect()}
+    assert out["val"] == (2, 1)

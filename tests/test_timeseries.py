@@ -656,3 +656,33 @@ def test_sax_symbols_quartile_mapping(spark):
     df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
     got = {r["key"]: (r["n_days"], r["sax"]) for r in sax_symbols(df).collect()}
     assert got == {"inc": (8, "aabbccdd"), "dec": (4, "dcba")}
+
+
+def test_seasonal_strength_pure_and_flat(spark):
+    from datetime import datetime, timedelta
+
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        seasonal_strength,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(3):
+        for hod in range(24):
+            ts = base + timedelta(days=day, hours=hod)
+            # "pure": value fully determined by hour -> strength 1.0
+            rows.append((eid, ts, 1, "pure", float(hod), "")); eid += 1
+            # "flat": constant -> zero total variance -> NULL strength
+            rows.append((eid, ts, 1, "flat", 7.0, "")); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r["key"]: r for r in seasonal_strength(df).collect()}
+    assert out["pure"]["seasonal_strength"] == 1.0
+    assert out["pure"]["peak_hour"] == 23
+    assert out["pure"]["n"] == 72
+    assert out["flat"]["seasonal_strength"] is None
+    assert out["flat"]["peak_hour"] == 0
