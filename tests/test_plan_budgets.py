@@ -501,3 +501,88 @@ def test_round3e_operator_exchange_budgets(pevents, spark):
     # SAX: both windows and the agg ride the same per-key partitioning
     xp = _plan(sax_symbols(pevents))
     assert xp.count("Exchange hashpartitioning") <= 2
+
+
+def test_round3f_operator_exchange_budgets(pdocs, pevents, spark):
+    from query_refinement_dsit_databases_2021_spark.operators.cdc import (
+        dq_expectations,
+        vacuum_plan,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.graph import (
+        link_prediction,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.sessions import (
+        retention_cohorts,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
+        hard_negative_topk,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        seasonal_strength,
+    )
+
+    # hard negatives: broadcast queries x ONE corpus scan — the label
+    # filter rides the NLJ, nothing is sort-merge joined
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0], i % 2) for i in range(20)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    hp = _plan(hard_negative_topk(emb, n_queries=2, k=3))
+    assert "SortMergeJoin" not in hp
+    assert hp.count("BroadcastNestedLoopJoin") == 1
+
+    # DQ suite: one scan, conditional sums fused map-side — the only
+    # exchange is the final single-partition gather
+    edges_free = _plan(
+        dq_expectations(
+            pdocs.selectExpr(
+                "doc_id AS l_orderkey", "doc_id AS l_partkey",
+                "doc_id AS l_suppkey", "2.0 AS l_quantity",
+                "1.0 AS l_extendedprice", "0.05 AS l_discount",
+                "0.04 AS l_tax", "'A' AS l_returnflag",
+                "'F' AS l_linestatus",
+                "TIMESTAMP '1995-01-01 00:00:00' AS l_shipdate",
+            )
+        )
+    )
+    assert edges_free.count("Exchange hashpartitioning") == 0
+
+    # link prediction: equi-joins only — wedge join, anti join, degree
+    # joins; never a cartesian/NLJ pair enumeration
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "src long, dst long"
+    )
+    lp = _plan(link_prediction(edges))
+    assert "CartesianProduct" not in lp
+    assert "BroadcastNestedLoopJoin" not in lp
+
+    # retention: cohort sizes come back via broadcast, never SMJ on
+    # the triangle
+    rp = _plan(retention_cohorts(pevents))
+    assert "CartesianProduct" not in rp
+    assert "BroadcastHashJoin" in rp
+
+    # seasonal strength: (key,hour) agg + key re-agg + 24-row argmax
+    # window — bounded exchange count, no joins beyond the tiny peak
+    sp2 = _plan(seasonal_strength(pevents))
+    assert sp2.count("Exchange hashpartitioning") <= 4
+    assert "CartesianProduct" not in sp2
+
+    # containment: same capped self-join shape as jaccard — equi-join
+    # on the shingle, no NLJ
+    cp = _plan(ngram_containment_pairs(pdocs, max_posting=64))
+    assert "CartesianProduct" not in cp
+    assert "BroadcastNestedLoopJoin" not in cp
+
+    # vacuum: one metadata equi-join
+    adds = spark.createDataFrame(
+        [(i, 10, 0) for i in range(10)], "file_id long, bytes long, ver long"
+    )
+    removes = spark.createDataFrame(
+        [(i, 1) for i in range(5)], "file_id long, ver long"
+    )
+    vp = _plan(vacuum_plan(adds, removes, version=10))
+    assert "CartesianProduct" not in vp and "BroadcastNestedLoopJoin" not in vp

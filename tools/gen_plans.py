@@ -155,6 +155,18 @@ NOTES = {
         "ships (vec_id, dim) and media join (doc_id, bytes) — "
         "payloads never reach an exchange; one final groupBy."
     ),
+    "graph_link_prediction": (
+        "Wedge enumeration is an EQUI self-join of the adjacency "
+        "list on the center node (Σ deg² bound, never all-pairs); "
+        "cn groupBy partial-aggregates; anti-join + two degree "
+        "joins; TakeOrderedAndProject top-k."
+    ),
+    "pipe_search_prf": (
+        "Both retrieval passes keep the filter-before-shuffle "
+        "postings shape; feedback docs and candidate terms travel "
+        "as broadcasts (the data-dependent term set prunes via a "
+        "broadcast semi-join where isin literals can't)."
+    ),
 }
 
 HEADER = """# PLANS — captured physical plans for representative workloads
