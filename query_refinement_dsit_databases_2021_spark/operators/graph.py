@@ -424,6 +424,128 @@ FROM fin GROUP BY d ORDER BY dist"""
 ORACLE_BFS = _bfs_oracle()
 
 
+def personalized_pagerank(
+    edges: DataFrame, seeds: DataFrame, iterations: int = PR_ITERATIONS
+) -> DataFrame:
+    """Personalized PageRank: identical integer fixed-point loop to
+    :func:`pagerank`, but ALL teleport mass returns to the ``seeds``
+    set — ranks then measure proximity TO the seeds, the
+    related-items/recommendation primitive (random walk with restart).
+    Seeds start with ``INIT_MASS``, everything else 0; each iteration
+    a seed receives the fixed ``TELEPORT`` units, non-seeds only
+    in-neighbor mass. Same exactness argument as pagerank: every
+    quantity is int64, so summation order and partitioning cannot
+    change a single unit.
+
+    One shuffle per iteration (groupBy dst) + a broadcast of the
+    (tiny) seed set into the rank projection. Returns ``(node,
+    rank)``.
+    """
+    edges = edges.select("src", "dst").distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    seed_flag = F.broadcast(
+        seeds.select(F.col("node"), F.lit(True).alias("_seed"))
+    )
+    ranks = nodes.join(seed_flag, "node", "left").select(
+        "node",
+        F.when(F.col("_seed"), F.lit(INIT_MASS))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("rank"),
+    )
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(85 * rank DIV 100) DIV outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .join(seed_flag, "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(F.col("_seed"), F.lit(TELEPORT)).otherwise(F.lit(0))
+                    + F.coalesce(F.col("c"), F.lit(0))
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+        )
+    return ranks
+
+
+PPR_N_SEEDS = 2
+
+
+def _wl_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    edges = _trade_edges(spark)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.orderBy("node").limit(PPR_N_SEEDS)
+    ranks = personalized_pagerank(edges, seeds, PR_ITERATIONS)
+    return (
+        ranks.where(F.col("rank") > 0)
+        .orderBy(F.col("rank").desc(), F.col("node"))
+        .limit(20)
+    )
+
+
+def _ppr_oracle(iterations: int = PR_ITERATIONS) -> str:
+    parts = [
+        f"WITH edges AS ({_EDGES_SQL}),",
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges),",
+        f"seeds AS (SELECT node FROM nodes ORDER BY node LIMIT {PPR_N_SEEDS}),",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),",
+        f"""r0 AS (SELECT n.node,
+         CAST(CASE WHEN s.node IS NOT NULL THEN {INIT_MASS} ELSE 0 END
+              AS BIGINT) AS rank
+         FROM nodes n LEFT JOIN seeds s ON s.node = n.node)""",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f""",
+c{k} AS (SELECT e.dst AS node,
+         CAST(SUM((85 * r.rank // 100) // d.outdeg) AS BIGINT) AS c
+         FROM edges e
+         JOIN r{k-1} r ON r.node = e.src
+         JOIN deg d ON d.src = e.src
+         GROUP BY e.dst),
+r{k} AS (SELECT n.node,
+         CAST(CASE WHEN s.node IS NOT NULL THEN {TELEPORT} ELSE 0 END
+              + COALESCE(c.c, 0) AS BIGINT) AS rank
+         FROM nodes n
+         LEFT JOIN c{k} c ON c.node = n.node
+         LEFT JOIN seeds s ON s.node = n.node)"""
+        )
+    parts.append(
+        f"""
+SELECT node, rank FROM r{iterations} WHERE rank > 0
+ORDER BY rank DESC, node LIMIT 20"""
+    )
+    return "\n".join(parts)
+
+
+ORACLE_PPR = _ppr_oracle()
+
+
 def link_prediction(edges: DataFrame, k: int = 20) -> DataFrame:
     """Link prediction by common-neighbor count + Jaccard coefficient:
     for every NON-adjacent pair sharing >= 1 neighbor, score
@@ -538,4 +660,5 @@ def graph_workloads():
         Workload(
             "graph_link_prediction", _wl_link_prediction, ORACLE_LINK_PREDICTION
         ),
+        Workload("graph_personalized_pagerank", _wl_ppr, ORACLE_PPR),
     ]

@@ -580,6 +580,63 @@ def _wl_lateness_profile(spark, sf_dir):
     return lateness_profile(_events(spark, sf_dir))
 
 
+CDC_BATCH_WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def cdc_apply_fold(events: DataFrame) -> DataFrame:
+    """Streaming CDC apply: the state evolution a ``foreachBatch``
+    merge sink produces — micro-batches are consecutive EVENT-TIME
+    weeks, each applied into the running snapshot with
+    :func:`cdc.merge_upsert` (the same function a production
+    ``writeStream.foreachBatch(lambda b, _: merge_upsert(state, b))``
+    sink calls per trigger). Because the week partition is a global
+    time order, a later batch's rows are strictly newer per key, so
+    the fold's "updates replace base" rule composes to exactly
+    latest-per-key overall — the exactly-once merge invariant
+    ``apply(batches) ≡ recompute(all)`` that the one-shot DuckDB
+    oracle certifies externally.
+
+    Plan per batch: one window over the (small) batch + one left-anti
+    join against the state keyed on user_id — with the state table
+    bucketed by key the anti join is exchange-free on its side
+    (cdc.merge_upsert docstring); ``localCheckpoint`` truncates the
+    fold lineage exactly as the iterative graph ops do. The distinct
+    week list is a bounded plan-time collect (one row per micro-batch
+    boundary, ~weeks of history — never data-sized).
+
+    Returns the final snapshot ``(user_id, ts, value)`` by user_id.
+    """
+    from query_refinement_dsit_databases_2021_spark.operators.cdc import (
+        merge_upsert,
+    )
+
+    wk = F.expr(
+        f"unix_micros(CAST(ts AS TIMESTAMP)) DIV {CDC_BATCH_WEEK_US}"
+    )
+    ev = events.select("user_id", "ts", "value", "event_id", wk.alias("_wk"))
+    weeks = sorted(r["_wk"] for r in ev.select("_wk").distinct().collect())
+    state = ev.select("user_id", "ts", "value").limit(0)
+    for w_ in weeks:
+        batch = ev.where(F.col("_wk") == w_).select(
+            "user_id", "ts", "value", "event_id"
+        )
+        state = merge_upsert(state, batch).localCheckpoint()
+    return state.orderBy("user_id")
+
+
+ORACLE_CDC_APPLY = """
+SELECT user_id, ts, value FROM (
+  SELECT user_id, ts, value,
+         row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) t
+WHERE rn = 1 ORDER BY user_id"""
+
+
+def _wl_cdc_apply(spark, sf_dir):
+    return cdc_apply_fold(_events(spark, sf_dir))
+
+
 def streaming_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
@@ -611,6 +668,7 @@ def streaming_workloads():
         Workload(
             "stream_lateness_profile", _wl_lateness_profile, ORACLE_LATENESS, False
         ),
+        Workload("stream_cdc_apply", _wl_cdc_apply, ORACLE_CDC_APPLY, False),
     ]
 
 

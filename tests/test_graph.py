@@ -157,3 +157,38 @@ def test_link_prediction_excludes_existing_edges(spark):
         [(1, 2), (2, 3), (1, 3)], "src long, dst long"
     )
     assert link_prediction(edges).count() == 0
+
+
+def _ppr_ref(edges, seeds, iterations):
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {n: (INIT_MASS if n in seeds else 0) for n in nodes}
+    for _ in range(iterations):
+        contrib = {n: 0 for n in nodes}
+        for s, d in edges:
+            contrib[d] += (85 * rank[s] // 100) // outdeg[s]
+        rank = {
+            n: (TELEPORT if n in seeds else 0) + contrib[n] for n in nodes
+        }
+    return rank
+
+
+@pytest.mark.parametrize("iterations", [1, 3, 5])
+def test_personalized_pagerank_matches_reference(spark, iterations):
+    from query_refinement_dsit_databases_2021_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {
+        r.node: r["rank"]
+        for r in personalized_pagerank(df, seeds, iterations).collect()
+    }
+    assert got == _ppr_ref(EDGES, {1}, iterations)
+    # mass concentrates around the seed's out-neighborhood: the node
+    # 5 -> 1 edge gives 5 nothing back (teleport only returns to seed 1)
+    assert got[5] == 0

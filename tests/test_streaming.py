@@ -421,3 +421,37 @@ def test_windowed_uniques_matches_batch_distinct(spark, events_dir):
         .collect()
     )
     assert got == expected and len(got) > 0
+
+
+def test_cdc_apply_fold_equals_one_shot_latest(spark):
+    from datetime import datetime, timedelta
+
+    from query_refinement_dsit_databases_2021_spark.streaming.windows import (
+        cdc_apply_fold,
+    )
+
+    # three weeks of updates, arrival order scrambled WITHIN each week
+    # (the fold only relies on cross-week time ordering)
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for wk in range(3):
+        for d in (5, 1, 3):  # scrambled within-week days
+            for user in (1, 2):
+                rows.append(
+                    (eid, base + timedelta(weeks=wk, days=d), user,
+                     "u", float(wk * 100 + d), "")
+                )
+                eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        r["user_id"]: (r["ts"], r["value"])
+        for r in cdc_apply_fold(df).collect()
+    }
+    # one-shot latest per key: week 2, day 5
+    expect_ts = base + timedelta(weeks=2, days=5)
+    assert got == {1: (expect_ts, 205.0), 2: (expect_ts, 205.0)}
