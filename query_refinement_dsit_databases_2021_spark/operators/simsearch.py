@@ -1095,6 +1095,324 @@ SELECT q_id, vec_id, rank, cos_sim FROM (
 WHERE rank <= {k}"""
 
 
+def _ndcg_discounts(k: int) -> list[int]:
+    """Integer micro-unit DCG discounts 1/log2(i+1), i = 1..k —
+    computed ONCE in Python and inlined as literals into both the
+    Spark plan and the DuckDB oracle, so no engine ever evaluates a
+    log."""
+    import math
+
+    return [int(math.floor(1e6 / math.log2(i + 1) + 0.5)) for i in range(1, k + 1)]
+
+
+def ann_ndcg(
+    emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
+) -> DataFrame:
+    """NDCG@k attestation of each approximate index against the exact
+    brute-force ranking — the GRADED companion to :func:`ann_recall`
+    (recall says how many true neighbors an index returns; NDCG says
+    whether it returns the best ones FIRST). Relevance of a returned
+    doc is ``k+1-exact_rank`` (0 if outside the exact top-k);
+    position discounts are the literal integer table
+    ``_ndcg_discounts`` so the whole metric is int64:
+    ``ndcg_ppm = (1e6 · Σ rel_i·D_i) DIV Σ ideal_i·D_i`` per query,
+    averaged by integer division. Bit-stable across engines — a
+    ranking regression in either index moves an integer.
+
+    Plan: exact and approximate lists are k·n_queries rows; all joins
+    and aggregations are attestation-sized. Returns ``(method,
+    avg_ndcg_ppm, min_ndcg_ppm)``.
+    """
+    disc = _ndcg_discounts(k)
+    idcg = sum((k - i) * d for i, d in enumerate(disc))  # rel k, k-1, ...
+    exact = cosine_topk(emb, n_queries, k).select(
+        "q_id", "vec_id", (F.lit(k + 1) - F.col("rank")).alias("rel")
+    )
+    qs = exact.select("q_id").distinct()
+    disc_arr = F.array(*[F.lit(d) for d in disc])
+    outs = []
+    for method, fn in (("ivf", ivf_ann_topk), ("lsh", lsh_ann_topk)):
+        ap = fn(emb).select("q_id", "vec_id", "rank")
+        dcg = (
+            ap.join(exact, ["q_id", "vec_id"], "left")
+            .select(
+                "q_id",
+                (
+                    F.coalesce("rel", F.lit(0))
+                    * F.element_at(disc_arr, F.col("rank").cast("int"))
+                ).alias("g"),
+            )
+            .groupBy("q_id")
+            .agg(F.sum("g").alias("dcg"))
+        )
+        per_q = qs.join(dcg, "q_id", "left").select(
+            F.expr(f"(1000000 * coalesce(dcg, 0)) DIV {idcg}").alias("ndcg_ppm")
+        )
+        outs.append(
+            per_q.agg(
+                F.lit(method).alias("method"),
+                F.expr(f"CAST(sum(ndcg_ppm) DIV {n_queries} AS BIGINT)").alias(
+                    "avg_ndcg_ppm"
+                ),
+                F.min("ndcg_ppm").cast("long").alias("min_ndcg_ppm"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("method")
+
+
+def oracle_ann_ndcg(n_queries: int = N_QUERIES, k: int = TOP_K) -> str:
+    disc = _ndcg_discounts(k)
+    idcg = sum((k - i) * d for i, d in enumerate(disc))
+    disc_case = " ".join(
+        f"WHEN {i + 1} THEN {d}" for i, d in enumerate(disc)
+    )
+    method_sqls = []
+    for method, approx in (
+        ("ivf", "ivf_ranked"),
+        ("lsh", "lsh_ranked"),
+    ):
+        method_sqls.append(
+            f"""
+SELECT '{method}' AS method,
+       CAST(sum(ndcg_ppm) // {n_queries} AS BIGINT) AS avg_ndcg_ppm,
+       CAST(min(ndcg_ppm) AS BIGINT) AS min_ndcg_ppm
+FROM (
+  SELECT q.q_id,
+         (1000000 * COALESCE(d.dcg, 0)) // {idcg} AS ndcg_ppm
+  FROM (SELECT DISTINCT q_id FROM exact) q
+  LEFT JOIN (
+    SELECT a.q_id,
+           CAST(sum(COALESCE(e.rel, 0) *
+                CASE a.rank {disc_case} END) AS BIGINT) AS dcg
+    FROM {approx} a
+    LEFT JOIN exact e ON e.q_id = a.q_id AND e.vec_id = a.vec_id
+    GROUP BY a.q_id) d ON d.q_id = q.q_id)"""
+        )
+    union = " UNION ALL ".join(method_sqls)
+    # exact / approx ranked lists inlined from the existing oracles
+    return f"""
+WITH exact_base AS ({oracle_cosine_topk(n_queries, k)}),
+exact AS (SELECT q_id, vec_id, {k + 1} - rank AS rel FROM exact_base),
+ivf_base AS ({oracle_ivf_ann_topk(n_queries, k)}),
+ivf_ranked AS (SELECT q_id, vec_id, rank FROM ivf_base),
+lsh_base AS ({oracle_lsh_ann_topk(n_queries, k)}),
+lsh_ranked AS (SELECT q_id, vec_id, rank FROM lsh_base)
+SELECT * FROM ({union}) ORDER BY method"""
+
+
+MMR_CANDIDATES = 10
+MMR_LAM_NUM = 7  # lambda = 0.7 as the integer pair (7, 3)
+MMR_LAM_REST = 3
+
+
+def mmr_topk(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    c: int = MMR_CANDIDATES,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: greedy diversified
+    top-k. Round t picks the candidate maximizing ``λ·rel(c) − (1−λ)·
+    max_{s∈selected} sim(c, s)`` — relevance traded against redundancy
+    with what is already picked (Carbonell & Goldstein 1998), the
+    standard result-diversification step after any ANN/lexical
+    retrieval.
+
+    Integer contract: relevance and pair similarities are 6-dp
+    cosines lifted to integer micro-units (``floor(x·1e6 + 0.5)``),
+    λ = 0.7 applied as the integer pair (7, 3) — every MMR score is
+    int64, so the greedy argmax (ties: vec_id asc) is bit-stable
+    across engines and partitionings. The DuckDB oracle unrolls the
+    same k greedy rounds as a CTE chain.
+
+    Plan: ONE corpus scan feeds the brute top-c candidate lists
+    (broadcast queries, same shape as :func:`cosine_topk`); candidate
+    PAIR similarities and all k greedy rounds run on
+    candidate-count-sized frames (≤ n_queries·c rows) — the iterative
+    part never touches the corpus again. At 100 TB swap the candidate
+    stage for the bucketed ANN path; the MMR tail is unchanged.
+
+    Returns ``(q_id, vec_id, pick, mmr_score)`` — pick = selection
+    order 1..k.
+    """
+    base = _with_norm(emb)
+    cand = _brute_topk(base, n_queries, c, "cos_sim").select(
+        "q_id",
+        "vec_id",
+        F.floor(F.col("cos_sim") * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("rel"),
+    )
+    cv = cand.join(
+        base.select("vec_id", "v", "nrm"), "vec_id"
+    ).select("q_id", "vec_id", "v", "nrm")
+    a = cv.select(
+        F.col("q_id"), F.col("vec_id").alias("va"),
+        F.col("v").alias("xa"), F.col("nrm").alias("na"),
+    )
+    b = cv.select(
+        F.col("q_id").alias("qb"), F.col("vec_id").alias("vb"),
+        F.col("v").alias("xb"), F.col("nrm").alias("nb"),
+    )
+    sim = (
+        a.join(b, (a.q_id == b.qb) & (a.va != b.vb))
+        .select(
+            "q_id",
+            "va",
+            "vb",
+            F.floor(
+                F.round(
+                    _dot(F.col("xa"), F.col("xb"))
+                    / (F.col("na") * F.col("nb")),
+                    6,
+                )
+                * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("sim"),
+        )
+        .persist()
+    )
+    cand = cand.persist()
+    selected = None  # (q_id, vec_id, pick, mmr_score)
+    for t in range(1, k + 1):
+        if selected is None:
+            maxsim = cand.select(
+                "q_id", "vec_id", F.lit(0).cast("long").alias("ms")
+            )
+            remaining = cand
+        else:
+            remaining = cand.join(
+                selected.select("q_id", "vec_id"), ["q_id", "vec_id"], "left_anti"
+            )
+            sel_b = selected.select(
+                F.col("q_id").alias("qs"), F.col("vec_id").alias("vs")
+            )
+            sims_to_sel = sim.join(
+                sel_b, (sim.q_id == sel_b.qs) & (sim.vb == sel_b.vs)
+            ).select(sim.q_id.alias("q_id"), F.col("va").alias("vec_id"), "sim")
+            maxsim = (
+                remaining.select("q_id", "vec_id")
+                .join(sims_to_sel, ["q_id", "vec_id"], "left")
+                .groupBy("q_id", "vec_id")
+                .agg(F.coalesce(F.max("sim"), F.lit(0)).alias("ms"))
+            )
+        scored = remaining.join(maxsim, ["q_id", "vec_id"]).select(
+            "q_id",
+            "vec_id",
+            (
+                F.lit(MMR_LAM_NUM) * F.col("rel")
+                - F.lit(MMR_LAM_REST) * F.col("ms")
+            ).alias("mmr_score"),
+        )
+        w = Window.partitionBy("q_id").orderBy(
+            F.desc("mmr_score"), F.asc("vec_id")
+        )
+        pick = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(
+                "q_id",
+                "vec_id",
+                F.lit(t).cast("long").alias("pick"),
+                "mmr_score",
+            )
+        )
+        selected = (
+            pick if selected is None else selected.unionByName(pick)
+        ).localCheckpoint()
+    return selected.orderBy("q_id", "pick")
+
+
+def oracle_mmr_topk(
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    c: int = MMR_CANDIDATES,
+    dim: int = DIM,
+) -> str:
+    parts = [
+        f"""WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                             x -> x * x)),
+              (acc, x) -> acc + x)) AS nrm
+  FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM base
+      WHERE vec_id < {n_queries}),
+cand AS (
+  SELECT q_id, vec_id,
+         CAST(floor(cos_sim * 1e6 + 0.5) AS BIGINT) AS rel
+  FROM (
+    SELECT q_id, vec_id, cos_sim,
+           row_number() OVER (PARTITION BY q_id
+               ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+    FROM (
+      SELECT q_id, vec_id,
+             round({_sql_dot("qv", "v", dim)} / (qn * nrm), 6) AS cos_sim
+      FROM q CROSS JOIN base WHERE vec_id <> q_id))
+  WHERE rnk <= {c}),
+cv AS (SELECT c.q_id, c.vec_id, b.v, b.nrm FROM cand c
+       JOIN base b USING (vec_id)),
+sim AS (
+  SELECT a.q_id, a.vec_id AS va, b.vec_id AS vb,
+         CAST(floor(round({_sql_dot("a.v", "b.v", dim)} / (a.nrm * b.nrm), 6)
+              * 1e6 + 0.5) AS BIGINT) AS sim
+  FROM cv a JOIN cv b ON a.q_id = b.q_id AND a.vec_id <> b.vec_id)"""
+    ]
+    sel_union = None
+    for t in range(1, k + 1):
+        if t == 1:
+            parts.append(
+                f""",
+p1 AS (
+  SELECT q_id, vec_id, CAST(1 AS BIGINT) AS pick,
+         CAST({MMR_LAM_NUM} AS BIGINT) * rel AS mmr_score
+  FROM (SELECT q_id, vec_id, rel,
+               row_number() OVER (PARTITION BY q_id
+                   ORDER BY {MMR_LAM_NUM} * rel DESC, vec_id ASC) AS rn
+        FROM cand) WHERE rn = 1)"""
+            )
+            sel_union = "SELECT q_id, vec_id FROM p1"
+        else:
+            parts.append(
+                f""",
+s{t} AS ({sel_union}),
+m{t} AS (
+  SELECT c.q_id, c.vec_id,
+         CAST(COALESCE((SELECT max(s.sim) FROM sim s
+                        JOIN s{t} sel ON sel.q_id = s.q_id
+                                     AND sel.vec_id = s.vb
+                        WHERE s.q_id = c.q_id AND s.va = c.vec_id), 0)
+              AS BIGINT) AS ms
+  FROM cand c
+  WHERE NOT EXISTS (SELECT 1 FROM s{t} sl
+                    WHERE sl.q_id = c.q_id AND sl.vec_id = c.vec_id)),
+p{t} AS (
+  SELECT q_id, vec_id, CAST({t} AS BIGINT) AS pick, mmr_score
+  FROM (SELECT m.q_id, m.vec_id,
+               {MMR_LAM_NUM} * c.rel - {MMR_LAM_REST} * m.ms AS mmr_score,
+               row_number() OVER (PARTITION BY m.q_id
+                   ORDER BY {MMR_LAM_NUM} * c.rel - {MMR_LAM_REST} * m.ms DESC,
+                            m.vec_id ASC) AS rn
+        FROM m{t} m JOIN cand c ON c.q_id = m.q_id AND c.vec_id = m.vec_id)
+  WHERE rn = 1)"""
+            )
+            sel_union += f" UNION ALL SELECT q_id, vec_id FROM p{t}"
+    selects = " UNION ALL ".join(
+        f"SELECT q_id, vec_id, pick, CAST(mmr_score AS BIGINT) AS mmr_score"
+        f" FROM p{t}"
+        for t in range(1, k + 1)
+    )
+    parts.append(f"\n{selects}\nORDER BY q_id, pick")
+    return "".join(parts)
+
+
 def hard_negative_topk(
     emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
 ) -> DataFrame:
@@ -1388,6 +1706,18 @@ def simsearch_workloads():
             "pipe_ann_hard_negatives",
             lambda spark, sf_dir: hard_negative_topk(_emb(spark, sf_dir)),
             oracle_hard_negative_topk(),
+            False,
+        ),
+        Workload(
+            "pipe_ann_mmr",
+            lambda spark, sf_dir: mmr_topk(_emb(spark, sf_dir)),
+            oracle_mmr_topk(),
+            False,
+        ),
+        Workload(
+            "pipe_ann_ndcg",
+            lambda spark, sf_dir: ann_ndcg(_emb(spark, sf_dir)),
+            oracle_ann_ndcg(),
             False,
         ),
         Workload("pipe_ann_lsh_topk", _wl_lsh, oracle_lsh_ann_topk(), False),

@@ -311,3 +311,71 @@ def test_hard_negatives_ranking_matches_brute_on_cross_label(spark):
             )
         ]
         assert got == expect
+
+
+def test_mmr_prefers_diversity_over_redundancy(spark):
+    # query q=0 along e0; candidates: two near-duplicates highly
+    # aligned with q, and one moderately relevant orthogonal vector.
+    # Plain top-2 picks the two near-dups; MMR's second pick must be
+    # the diverse one.
+    def v(vals):
+        out = [0.0] * 64
+        for i, x in vals:
+            out[i] = x
+        return out
+
+    rows = [
+        (0, v([(0, 0.8), (2, 0.6)]), 0),           # the query spans e0+e2
+        (1, v([(0, 1.0)]), 0),                     # rel 0.8
+        (2, v([(0, 1.0), (1, 0.01)]), 0),          # near-dup of 1 (sim ~1)
+        (3, v([(2, 1.0)]), 0),                     # rel 0.6, ORTHOGONAL to 1
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = simsearch.mmr_topk(emb, n_queries=1, k=2, c=3)
+    picks = [r["vec_id"] for r in out.orderBy("pick").collect()]
+    assert picks[0] == 1  # most relevant first
+    assert picks[1] == 3  # diversity beats the redundant near-dup
+
+    brute = simsearch.cosine_topk(emb, n_queries=1, k=2).collect()
+    assert [r["vec_id"] for r in sorted(brute, key=lambda r: r["rank"])] == [1, 2]
+
+
+def test_mmr_first_pick_is_relevance_argmax(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)], 0) for i in range(25)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    mmr = simsearch.mmr_topk(emb, n_queries=2, k=3)
+    brute = simsearch.cosine_topk(emb, n_queries=2, k=1).collect()
+    top1 = {r["q_id"]: r["vec_id"] for r in brute}
+    first = {
+        r["q_id"]: r["vec_id"]
+        for r in mmr.where("pick = 1").collect()
+    }
+    assert first == top1
+
+
+def test_ndcg_perfect_and_partial(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
+        _ndcg_discounts,
+        ann_ndcg,
+    )
+
+    # on the real sf0.001 embeddings both indexes should land between
+    # 0 and 1e6, and a perfect index (exact == approx) would be 1e6;
+    # sanity: avg >= min, both within [0, 1e6]
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    out = {r["method"]: r for r in ann_ndcg(emb).collect()}
+    for m in ("ivf", "lsh"):
+        assert 0 <= out[m]["min_ndcg_ppm"] <= out[m]["avg_ndcg_ppm"] <= 1_000_000
+
+    # discounts are monotone decreasing literals starting at 1e6
+    d = _ndcg_discounts(5)
+    assert d[0] == 1_000_000 and d == sorted(d, reverse=True)
