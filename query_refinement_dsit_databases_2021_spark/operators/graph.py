@@ -649,6 +649,119 @@ FROM ne JOIN deg da ON da.n = ne.a JOIN deg db ON db.n = ne.b
 ORDER BY cn DESC, node_a, node_b LIMIT 20"""
 
 
+KCORE_K = 3
+
+
+def kcore(
+    edges: DataFrame, k: int = KCORE_K, max_iters: int = 50
+) -> DataFrame:
+    """K-core decomposition by iterative peeling: repeatedly remove
+    nodes with degree < k among the survivors until a fixpoint — what
+    remains is the maximal subgraph where every node keeps >= k
+    neighbors (the dense-backbone extractor: spam/influencer
+    filtering, community seeding; Seidman 1983). Rounds needed = the
+    peel depth, typically ~log of the degree spread.
+
+    Per round: two semi-joins restrict the adjacency list to
+    survivors (both endpoints), one map-combinable groupBy recomputes
+    degrees, an integer filter keeps deg >= k; ``localCheckpoint``
+    truncates the loop lineage. Convergence is the survivor COUNT
+    stabilizing — valid because the alive set only shrinks. All
+    integers; the peeled set is unique regardless of removal order
+    (standard k-core property), so partitioning cannot change it.
+
+    Returns ``(node, core_degree)`` for the k-core members — degrees
+    measured inside the core.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("n"), F.col("b").alias("nb")).unionByName(
+        und.select(F.col("b").alias("n"), F.col("a").alias("nb"))
+    ).localCheckpoint()
+    alive = adj.select("n").distinct().localCheckpoint()
+    prev = alive.count()
+    for _ in range(max_iters):
+        deg = (
+            adj.join(alive, "n", "leftsemi")
+            .join(alive.select(F.col("n").alias("nb")), "nb", "leftsemi")
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        alive = deg.where(F.col("d") >= k).select("n").localCheckpoint()
+        cur = alive.count()
+        if cur == prev:
+            return (
+                deg.where(F.col("d") >= k)
+                .select(
+                    F.col("n").alias("node"),
+                    F.col("d").cast("long").alias("core_degree"),
+                )
+                .orderBy("node")
+            )
+        prev = cur
+    raise RuntimeError(f"kcore did not converge in {max_iters} peel rounds")
+
+
+def _wl_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    li = spark.table("lineitem").where(
+        F.col("l_quantity") >= LINK_PRED_MIN_QTY
+    ).select("l_orderkey", "l_partkey")
+    r = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2"))
+    edges = li.join(r, (li.l_orderkey == r.o2) & (li.l_partkey < r.p2)).select(
+        F.col("l_partkey").alias("src"), F.col("p2").alias("dst")
+    )
+    return kcore(edges)
+
+
+def _kcore_oracle(k: int = KCORE_K, rounds: int = 16) -> str:
+    parts = [
+        f"""sp AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_quantity >= {LINK_PRED_MIN_QTY}
+    AND b.l_quantity >= {LINK_PRED_MIN_QTY})""",
+        """edges AS MATERIALIZED (
+  SELECT a, b FROM sp UNION ALL SELECT b, a FROM sp)""",
+        "a0 AS MATERIALIZED (SELECT DISTINCT a AS n FROM edges)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""a{i + 1} AS MATERIALIZED (
+  SELECT n FROM (
+    SELECT e.a AS n, count(*) AS d
+    FROM edges e JOIN a{i} x ON x.n = e.a JOIN a{i} y ON y.n = e.b
+    GROUP BY e.a)
+  WHERE d >= {k})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+chg AS (SELECT (SELECT count(*) FROM a{rounds - 1}) -
+               (SELECT count(*) FROM a{rounds}) AS c)
+SELECT e.a AS node,
+       CASE WHEN (SELECT c FROM chg) > 0
+            THEN error('kcore oracle unconverged at {rounds} rounds')
+            ELSE CAST(count(*) AS BIGINT) END AS core_degree
+FROM edges e
+JOIN a{rounds} x ON x.n = e.a
+JOIN a{rounds} y ON y.n = e.b
+GROUP BY e.a ORDER BY node"""
+    )
+
+
+ORACLE_KCORE = _kcore_oracle()
+
+
 def graph_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
@@ -661,4 +774,5 @@ def graph_workloads():
             "graph_link_prediction", _wl_link_prediction, ORACLE_LINK_PREDICTION
         ),
         Workload("graph_personalized_pagerank", _wl_ppr, ORACLE_PPR),
+        Workload("graph_kcore", _wl_kcore, ORACLE_KCORE),
     ]

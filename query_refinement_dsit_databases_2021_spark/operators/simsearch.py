@@ -1095,6 +1095,115 @@ SELECT q_id, vec_id, rank, cos_sim FROM (
 WHERE rank <= {k}"""
 
 
+PCA_ROUNDS = 4
+PCA_MILLS = 1000
+
+
+def power_iteration_pc1(
+    emb: DataFrame, rounds: int = PCA_ROUNDS
+) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding matrix by
+    power iteration — ``v ← normalize(Xᵀ X v)`` — the dimension-
+    reduction / drift-axis primitive (e.g. the "dominant direction"
+    removal step in common-component embedding post-processing).
+
+    Determinism: components quantize to integer mills; each round the
+    per-row projection ``s_i = x_i·v`` and the per-dim accumulation
+    ``w_d = Σ_i x_{i,d}·s_i`` are exact int64 sums (associative, so
+    partitioning is irrelevant); ONLY the normalization is float — a
+    fixed-order left fold over the 64 dims (`aggregate` ↔
+    `list_reduce`, bit-identical) followed by the floor-mills
+    re-quantization. The iterate is therefore exactly reproducible —
+    including the sign, which matters because PC1 is only defined up
+    to ±. Int64 headroom: ``rows · max_mills² · dim`` ≈ 10⁹ rows at
+    |x| ≤ 1.
+
+    Plan per round: two corpus-shaped map-combinable aggregations
+    (per-row dot via broadcast of the 1-row v; per-dim accumulate) —
+    the classic "matrix-free matvec" shape; the 64-value iterate
+    travels as a broadcast literal array, exactly like the k-means
+    centroid literals. Returns ``(dim, loading_mills)``.
+    """
+    ex = emb.select(
+        "vec_id",
+        F.posexplode(_quantize_mills(_as_double(F.col("embedding")))).alias(
+            "dim", "c"
+        ),
+    ).persist()
+    spark = emb.sparkSession
+    v = spark.range(1).select(
+        F.array(*[F.lit(PCA_MILLS).cast("long") for _ in range(DIM)]).alias("v")
+    )
+    norm_fold = (
+        "sqrt(aggregate(wl, CAST(0 AS DOUBLE),"
+        " (a, y) -> a + CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))"
+    )
+    for _ in range(rounds):
+        s = (
+            ex.crossJoin(F.broadcast(v))
+            .select(
+                "vec_id",
+                (
+                    F.col("c")
+                    * F.element_at(F.col("v"), F.col("dim") + 1)
+                ).alias("p"),
+            )
+            .groupBy("vec_id")
+            .agg(F.sum("p").alias("s"))
+        )
+        w = (
+            ex.join(s, "vec_id")
+            .groupBy("dim")
+            .agg(F.sum(F.col("c") * F.col("s")).alias("w"))
+        )
+        warr = w.agg(
+            F.array_sort(F.collect_list(F.struct("dim", "w"))).alias("pairs")
+        ).select(F.expr("transform(pairs, p -> p.w)").alias("wl"))
+        v = warr.selectExpr(
+            f"transform(wl, x -> CAST(floor(x / {norm_fold}"
+            f" * {PCA_MILLS} + 0.5) AS BIGINT)) AS v"
+        ).localCheckpoint()
+    return v.select(F.posexplode("v").alias("dim", "loading_mills")).orderBy(
+        "dim"
+    )
+
+
+def oracle_power_pca(rounds: int = PCA_ROUNDS, dim: int = DIM) -> str:
+    v0 = "[" + ", ".join(str(PCA_MILLS) for _ in range(dim)) + "]::BIGINT[]"
+    parts = [
+        f"""e AS (
+  SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+         floor(embedding[i]::DOUBLE * 1000 + 0.5)::BIGINT AS c
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)),
+v0 AS (SELECT {v0} AS v)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"""s{t} AS (
+  SELECT e.vec_id, CAST(sum(e.c * vv.v[e.dim + 1]) AS BIGINT) AS s
+  FROM e, v{t - 1} vv GROUP BY e.vec_id),
+w{t} AS (
+  SELECT e.dim, CAST(sum(e.c * s{t}.s) AS BIGINT) AS w
+  FROM e JOIN s{t} USING (vec_id) GROUP BY e.dim),
+wa{t} AS (SELECT list(w ORDER BY dim) AS wl FROM w{t}),
+v{t} AS (
+  SELECT list_transform(wl, x -> floor(x / sqrt(
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             list_transform(wl, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))),
+             (a, z) -> a + z))
+         * {PCA_MILLS} + 0.5)::BIGINT) AS v
+  FROM wa{t})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT CAST(i - 1 AS INTEGER) AS dim, v[i] AS loading_mills
+FROM v{rounds}, unnest(range(1, {dim + 1})) u(i)
+ORDER BY dim"""
+    )
+
+
 def _ndcg_discounts(k: int) -> list[int]:
     """Integer micro-unit DCG discounts 1/log2(i+1), i = 1..k —
     computed ONCE in Python and inlined as literals into both the
@@ -1718,6 +1827,12 @@ def simsearch_workloads():
             "pipe_ann_ndcg",
             lambda spark, sf_dir: ann_ndcg(_emb(spark, sf_dir)),
             oracle_ann_ndcg(),
+            False,
+        ),
+        Workload(
+            "pipe_embed_power_pca",
+            lambda spark, sf_dir: power_iteration_pc1(_emb(spark, sf_dir)),
+            oracle_power_pca(),
             False,
         ),
         Workload("pipe_ann_lsh_topk", _wl_lsh, oracle_lsh_ann_topk(), False),

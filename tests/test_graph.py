@@ -192,3 +192,27 @@ def test_personalized_pagerank_matches_reference(spark, iterations):
     # mass concentrates around the seed's out-neighborhood: the node
     # 5 -> 1 edge gives 5 nothing back (teleport only returns to seed 1)
     assert got[5] == 0
+
+
+def test_kcore_peels_tail_and_keeps_clique(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.graph import kcore
+
+    # K4 clique on {1,2,3,4} plus a pendant path 4-5-6: the path peels
+    # away over two rounds; the clique survives as the 3-core with
+    # within-core degree 3
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(
+        k4 + [(4, 5), (5, 6)], "src long, dst long"
+    )
+    got = {r["node"]: r["core_degree"] for r in kcore(edges, k=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_empty_when_graph_too_sparse(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.graph import kcore
+
+    # a path has no 3-core at all
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    assert kcore(edges, k=3).count() == 0

@@ -379,3 +379,23 @@ def test_ndcg_perfect_and_partial(spark):
     # discounts are monotone decreasing literals starting at 1e6
     d = _ndcg_discounts(5)
     assert d[0] == 1_000_000 and d == sorted(d, reverse=True)
+
+
+def test_power_pca_finds_dominant_direction(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
+        power_iteration_pc1,
+    )
+
+    # corpus dominated by +-e7 with small noise on e3: PC1 must align
+    # with dim 7 (loading ~ +-1000 mills) and be near-zero elsewhere
+    rows = []
+    for i in range(50):
+        v = [0.0] * 64
+        v[7] = 1.0 if i % 2 == 0 else -1.0
+        v[3] = 0.05
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["dim"]: r["loading_mills"] for r in power_iteration_pc1(emb).collect()}
+    assert len(out) == 64
+    assert abs(out[7]) >= 990
+    assert all(abs(out[d]) <= 60 for d in out if d != 7)
