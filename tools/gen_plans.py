@@ -167,6 +167,23 @@ NOTES = {
         "as broadcasts (the data-dependent term set prunes via a "
         "broadcast semi-join where isin literals can't)."
     ),
+    "pipe_ann_hard_negatives": (
+        "Broadcast queries × ONE corpus scan; the label inequality "
+        "evaluates inside the NLJ's generated code so disqualified "
+        "pairs never materialize."
+    ),
+    "ops_dq_expectations": (
+        "Every check is a conditional sum fused into one "
+        "whole-stage-codegen scan; the only exchange is the final "
+        "single-partition gather, then stack reshapes to the tall "
+        "report."
+    ),
+    "ops_retention_cohorts": (
+        "ONE corpus-scale distinct on (user, week) with partial "
+        "aggregation; cohort min-week reuses the user hash; the "
+        "offset rollup is triangle-sized and cohort sizes return "
+        "via BroadcastHashJoin."
+    ),
 }
 
 HEADER = """# PLANS — captured physical plans for representative workloads
