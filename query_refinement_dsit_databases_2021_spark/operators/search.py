@@ -305,6 +305,104 @@ def _wl_bm25(spark, sf_dir):
     return bm25_topk(_docs(spark, sf_dir), spark)
 
 
+KEYWORDS_PER_DOC = 3
+
+
+def keyword_extract(
+    docs: DataFrame, k: int = KEYWORDS_PER_DOC
+) -> DataFrame:
+    """Per-document keyword extraction: the k highest ``tf·idf`` terms
+    of each document, rendered as an ordered ``|``-joined string — the
+    doc-tagging / faceting step of a corpus curation pipeline (and the
+    cheap classical baseline any embedding-based tagger is judged
+    against).
+
+    Integer contract: same ``(N·SCALE) div df`` idf as
+    :func:`tfidf_topk`; per-term scores are int64 products; ties break
+    (score desc, term asc); the keyword string is aggregated in rank
+    order on both engines (struct-sort + array_join ↔ ``string_agg …
+    ORDER BY``) so even the rendering is bit-stable.
+
+    Plan: this is the FULL-vocabulary variant (every term is a
+    candidate, unlike the query-pruned search path): one explode →
+    groupBy (doc, term), a map-combinable df(term) agg joined back
+    broadcast-ish, a per-doc top-k window, and a per-doc string agg —
+    two corpus-token-scale shuffles total. At 100 TB the df table is
+    the standing vocabulary artifact (build once per snapshot,
+    broadcast-join it), exactly the `full_postings` amortization
+    note.
+
+    Returns ``(doc_id, keywords, top_score)`` ordered by doc_id.
+    """
+    n_df = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    post = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .where(F.length("term") > 0)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        post.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "term",
+            F.expr(f"(n_docs * {SCALE}) div df").cast("long").alias("idf_scaled"),
+        )
+    )
+    scored = post.join(idf, "term").select(
+        "doc_id", "term", (F.col("tf") * F.col("idf_scaled")).alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    top = scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= k
+    )
+    return (
+        top.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(rnk, term))), x -> x.term)"),
+                "|",
+            ).alias("keywords"),
+            F.max("score").cast("long").alias("top_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def oracle_keyword_extract(k: int = KEYWORDS_PER_DOC) -> str:
+    return f"""
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+post AS (
+  SELECT doc_id, t.term, count(*) AS tf
+  FROM documents, unnest(string_split(text, ' ')) t(term)
+  WHERE len(t.term) > 0
+  GROUP BY doc_id, t.term),
+idf AS (
+  SELECT term, CAST((n.n_docs * {SCALE}) // df AS BIGINT) AS idf_scaled
+  FROM (SELECT term, count(*) AS df FROM post GROUP BY term) d, n),
+scored AS (
+  SELECT p.doc_id, p.term,
+         CAST(p.tf * i.idf_scaled AS BIGINT) AS score
+  FROM post p JOIN idf i USING (term)),
+top AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, term ASC) AS rnk
+  FROM scored)
+SELECT doc_id,
+       string_agg(term, '|' ORDER BY rnk) AS keywords,
+       CAST(max(score) AS BIGINT) AS top_score
+FROM top WHERE rnk <= {k}
+GROUP BY doc_id ORDER BY doc_id"""
+
+
+def _wl_keywords(spark, sf_dir):
+    from query_refinement_dsit_databases_2021_spark.operators.pipelines import _docs
+
+    return keyword_extract(_docs(spark, sf_dir))
+
+
 PRF_FEEDBACK_DOCS = 3  # R: top docs assumed relevant
 PRF_EXPANSION_TERMS = 2  # E: expansion terms added per query
 PRF_ORIG_WEIGHT = 2  # Rocchio alpha/beta ratio in integer form
@@ -521,6 +619,9 @@ def search_workloads():
             "pipe_search_phrase", _wl_phrase, oracle_phrase_search(), False
         ),
         Workload("pipe_search_prf", _wl_prf, oracle_prf_topk(), False),
+        Workload(
+            "pipe_doc_keywords", _wl_keywords, oracle_keyword_extract(), False
+        ),
     ]
 
 

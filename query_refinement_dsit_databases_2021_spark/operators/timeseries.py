@@ -1616,6 +1616,147 @@ FROM hw JOIN last la ON la.key = hw.key AND hw.t = la.tmax
 ORDER BY key"""
 
 
+HW_PERIOD = 24
+
+
+def holt_winters(
+    events: DataFrame,
+    alpha10: int = 3,
+    beta10: int = 2,
+    gamma10: int = 2,
+    period: int = HW_PERIOD,
+) -> DataFrame:
+    """Additive Holt-Winters (triple exponential) smoothing per key
+    over the hourly series — :func:`holt_linear` plus a seasonal
+    component with period ``period`` observed buckets. Same
+    **strategy P** shape: hourly aggregation stays JVM-side, the
+    sequential fit (which has no scan-parallel closed form) runs in an
+    Arrow-batched ``applyInPandas`` kernel over the per-key
+    bucket-count-sized series.
+
+    Integer-cents recursion, weights ``*/10``, Python floor division
+    (the oracle uses the pmod-subtract idiom so DuckDB's truncating
+    ``//`` matches):
+
+        l_t = (α(y_t − s_{t−m}) + (10−α)(l+b)) // 10
+        b_t = (β(l_t − l) + (10−β)b) // 10
+        s_t = (γ(y_t − l − b) + (10−γ)s_{t−m}) // 10   [l, b pre-update]
+
+    init: l₀ = Σ₁ⁿᵐ y // m, b₀ = (Σ₂ⁿᵈᵐ − Σ₁ˢᵗᵐ) // m², s_j = y_j − l₀
+    for the first season; keys need ≥ 2·period observed buckets. The
+    index is over OBSERVED buckets (gaps collapse — same contract as
+    holt_linear's day index). The DuckDB oracle replays the identical
+    recursion as a recursive CTE whose state row carries the
+    period-length seasonal list, updating one slot per step.
+
+    Returns ``(key, n_hours, level_cents, trend_cents, fc1_cents)``
+    where fc1 = l + b + s[next phase].
+    """
+    import pandas as pd
+
+    hourly = (
+        events.groupBy(
+            F.col("event_type").alias("key"),
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000"
+            ).alias("h"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .alias("y")
+        )
+    )
+    a, b10, g, m = int(alpha10), int(beta10), int(gamma10), int(period)
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("h")
+        ys = [int(v) for v in pdf["y"]]
+        key = pdf["key"].iloc[0]
+        if len(ys) < 2 * m:
+            return pd.DataFrame(
+                columns=["key", "n_hours", "level_cents", "trend_cents",
+                         "fc1_cents"]
+            )
+        s1, s2 = sum(ys[:m]), sum(ys[m : 2 * m])
+        lvl = s1 // m
+        trd = (s2 - s1) // (m * m)
+        sl = [y - lvl for y in ys[:m]]
+        for t in range(m, len(ys)):
+            p = t % m
+            sm = sl[p]
+            lt = (a * (ys[t] - sm) + (10 - a) * (lvl + trd)) // 10
+            bt = (b10 * (lt - lvl) + (10 - b10) * trd) // 10
+            st = (g * (ys[t] - lvl - trd) + (10 - g) * sm) // 10
+            lvl, trd = lt, bt
+            sl[p] = st
+        fc1 = lvl + trd + sl[len(ys) % m]
+        return pd.DataFrame(
+            [[key, len(ys), lvl, trd, fc1]],
+            columns=["key", "n_hours", "level_cents", "trend_cents",
+                     "fc1_cents"],
+        )
+
+    schema = ("key string, n_hours long, level_cents long, trend_cents long, "
+              "fc1_cents long")
+    return hourly.groupBy("key").applyInPandas(fit, schema).orderBy("key")
+
+
+def _holt_winters_oracle(
+    alpha10: int = 3, beta10: int = 2, gamma10: int = 2, period: int = HW_PERIOD
+) -> str:
+    def fdiv(x: str, k: int) -> str:
+        return f"(({x}) - ((({x}) % {k} + {k}) % {k})) // {k}"
+
+    a, b, g, m = int(alpha10), int(beta10), int(gamma10), int(period)
+    l_expr = fdiv(f"{a}*(s.y - s.sm) + {10 - a}*(s.l + s.b)", 10)
+    b_expr = fdiv(f"{b}*(s2.lt - s2.l) + {10 - b}*s2.b", 10)
+    s_expr = fdiv(f"{g}*(s2.y - s2.l - s2.b) + {10 - g}*s2.sm", 10)
+    return f"""
+WITH RECURSIVE hourly AS (
+  SELECT key, CAST(row_number() OVER (PARTITION BY key ORDER BY h) - 1
+              AS BIGINT) AS t, y
+  FROM (SELECT event_type AS key, epoch_us(ts) // 3600000000 AS h,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2)),
+agg AS (
+  SELECT key, list(y ORDER BY t) AS yl, CAST(count(*) AS BIGINT) AS n
+  FROM hourly GROUP BY key HAVING count(*) >= {2 * m}),
+init AS (
+  SELECT key,
+         CAST({m - 1} AS BIGINT) AS t,
+         CAST({fdiv("list_reduce(list_prepend(CAST(0 AS BIGINT), yl[1:" + str(m) + "]), (acc, x) -> acc + x)", m)} AS BIGINT) AS l0,
+         CAST({fdiv("list_reduce(list_prepend(CAST(0 AS BIGINT), yl[" + str(m + 1) + ":" + str(2 * m) + "]), (acc, x) -> acc + x) - list_reduce(list_prepend(CAST(0 AS BIGINT), yl[1:" + str(m) + "]), (acc, x) -> acc + x)", m * m)} AS BIGINT) AS b0,
+         yl
+  FROM agg),
+hw(key, t, l, b, sl) AS (
+  SELECT key, t, l0 AS l, b0 AS b,
+         list_transform(range(1, {m + 1}), i -> yl[i] - l0) AS sl
+  FROM init
+  UNION ALL
+  SELECT s2.key, s2.t, s2.lt AS l, CAST({b_expr} AS BIGINT) AS b,
+         list_transform(range(1, {m + 1}),
+             i -> CASE WHEN i = s2.p + 1
+                       THEN CAST({s_expr} AS BIGINT)
+                       ELSE s2.sl[CAST(i AS INTEGER)] END) AS sl
+  FROM (
+    SELECT s.*, CAST({l_expr} AS BIGINT) AS lt FROM (
+      SELECT hw.key AS key, d.t AS t, d.y AS y, hw.l AS l, hw.b AS b,
+             hw.sl AS sl, CAST(d.t % {m} AS INTEGER) AS p,
+             hw.sl[CAST(d.t % {m} AS INTEGER) + 1] AS sm
+      FROM hw JOIN hourly d ON d.key = hw.key AND d.t = hw.t + 1) s) s2),
+last AS (SELECT key, n FROM agg)
+SELECT hw.key AS key, la.n AS n_hours,
+       CAST(hw.l AS BIGINT) AS level_cents,
+       CAST(hw.b AS BIGINT) AS trend_cents,
+       CAST(hw.l + hw.b + hw.sl[CAST(la.n % {m} AS INTEGER) + 1] AS BIGINT)
+         AS fc1_cents
+FROM hw JOIN last la ON la.key = hw.key AND hw.t = la.n - 1
+ORDER BY key"""
+
+
+ORACLE_HOLT_WINTERS = _holt_winters_oracle()
+
+
 BACKTEST_HORIZON = 7
 
 
@@ -2052,4 +2193,5 @@ def timeseries_workloads():
         _w("ts_forecast_backtest", _backtest_oracle(), forecast_backtest),
         _w("ts_sax_symbols", ORACLE_SAX, sax_symbols),
         _w("ts_seasonal_strength", ORACLE_SEASONAL_STRENGTH, seasonal_strength),
+        _w("ts_holt_winters", ORACLE_HOLT_WINTERS, holt_winters),
     ]

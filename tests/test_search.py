@@ -238,3 +238,27 @@ def test_prf_expands_and_reweights(spark, monkeypatch):
         (3, 2 * 1 * 2_000_000 + 1 * 1_333_333, 2),
         (2, 1 * 2 * 1_333_333, 3),
     ]
+
+
+def test_keyword_extract_rare_terms_win(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.search import (
+        keyword_extract,
+    )
+
+    # 'common' appears in every doc (idf bottom); each doc's unique
+    # terms must outrank it, in tf-then-term order
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare1 rare1 unique1"),
+            (2, "common rare2 unique2 unique2 unique2"),
+            (3, "common filler"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["keywords"] for r in keyword_extract(docs, k=2).collect()}
+    # doc 1: rare1 tf=2 idf=3e6 -> 6e6; unique1 3e6; common 1e6
+    assert out[1] == "rare1|unique1"
+    # doc 2: unique2 tf=3 -> 9e6; rare2 3e6
+    assert out[2] == "unique2|rare2"
+    # doc 3: filler 3e6 beats common 1e6
+    assert out[3] == "filler|common"

@@ -686,3 +686,54 @@ def test_seasonal_strength_pure_and_flat(spark):
     assert out["pure"]["n"] == 72
     assert out["flat"]["seasonal_strength"] is None
     assert out["flat"]["peak_hour"] == 0
+
+
+def test_holt_winters_tracks_pure_seasonal_series(spark):
+    from datetime import datetime, timedelta
+
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        holt_winters,
+    )
+
+    # a perfectly periodic hourly series (period 24, zero trend): after
+    # convergence the forecast for the next hour must equal that
+    # hour-of-day's value and the trend must stay ~0
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(6):
+        for hod in range(24):
+            rows.append(
+                (eid, base + timedelta(days=day, hours=hod), 1, "p",
+                 float(10 + hod), "")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    r = holt_winters(df).collect()[0]
+    assert r["n_hours"] == 144
+    # next index is 144 -> phase 0 -> hour-of-day 0 -> value 10.00
+    assert abs(r["fc1_cents"] - 1000) <= 30
+    assert abs(r["trend_cents"]) <= 5
+
+
+def test_holt_winters_needs_two_seasons(spark):
+    from datetime import datetime, timedelta
+
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        holt_winters,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(hours=i), 1, "p", 5.0, "") for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    assert holt_winters(df).count() == 0  # 30 < 2*24 observed buckets
