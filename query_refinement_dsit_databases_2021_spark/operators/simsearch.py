@@ -1095,6 +1095,129 @@ SELECT q_id, vec_id, rank, cos_sim FROM (
 WHERE rank <= {k}"""
 
 
+def contrastive_pairs(
+    emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
+) -> DataFrame:
+    """Contrastive training-pair assembly: for each anchor (query
+    vector), its best SAME-label neighbor (the positive) paired with
+    each of its top-k different-label neighbors (the hard negatives
+    from :func:`hard_negative_topk`), with the positive-negative
+    margin — the (anchor, positive, negative) triplets a contrastive /
+    triplet-loss trainer consumes, margin included so curriculum
+    filtering (keep hardest triplets: smallest margins) is a WHERE
+    clause downstream.
+
+    Determinism: both cosines are the family's 6-dp contract; the
+    margin is floor-quantized from their difference (identical IEEE
+    operands on both engines). Anchors with no same-label neighbor
+    drop (no positive exists).
+
+    Plan: ONE broadcast-queries × corpus scan scores everything; the
+    positive is a rank-1 window over the same-label slice, negatives
+    the existing hard-negative ranking over the different-label slice
+    — one NLJ feeds both (the label predicate splits plan-side, so
+    the corpus is never scanned twice). Returns ``(q_id, pos_id,
+    neg_id, neg_rank, pos_cos, neg_cos, margin)``.
+    """
+    v = _as_double(F.col("embedding"))
+    base = emb.select(
+        "vec_id",
+        "label",
+        v.alias("v"),
+        F.sqrt(_fold_sum(F.transform(v, lambda x: x * x))).alias("nrm"),
+    )
+    q = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cos = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6)
+    scored = (
+        F.broadcast(q)
+        .crossJoin(base)
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            (F.col("label") == F.col("q_label")).alias("same"),
+            cos.alias("cos_sim"),
+        )
+    )
+    wp = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    pos = (
+        scored.where(F.col("same"))
+        .withColumn("_rn", F.row_number().over(wp))
+        .where(F.col("_rn") == 1)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("pos_id"),
+            F.col("cos_sim").alias("pos_cos"),
+        )
+    )
+    neg = (
+        scored.where(~F.col("same"))
+        .withColumn("neg_rank", F.row_number().over(wp))
+        .where(F.col("neg_rank") <= k)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neg_id"),
+            F.col("neg_rank").cast("long").alias("neg_rank"),
+            F.col("cos_sim").alias("neg_cos"),
+        )
+    )
+    margin = (
+        F.floor((F.col("pos_cos") - F.col("neg_cos")) * 1e6 + F.lit(0.5))
+        / F.lit(1000000.0)
+    )
+    return (
+        pos.join(neg, "q_id")
+        .select(
+            "q_id", "pos_id", "neg_id", "neg_rank", "pos_cos", "neg_cos",
+            margin.alias("margin"),
+        )
+        .orderBy("q_id", "neg_rank")
+    )
+
+
+def oracle_contrastive_pairs(
+    n_queries: int = N_QUERIES, k: int = TOP_K, dim: int = DIM
+) -> str:
+    return f"""
+WITH base AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+              list_transform(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                             x -> x * x)),
+              (acc, x) -> acc + x)) AS nrm
+  FROM embeddings),
+q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, nrm AS qn
+      FROM base WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q_id, vec_id, (label = q_label) AS same,
+         round({_sql_dot("qv", "v", dim)} / (qn * nrm), 6) AS cos_sim
+  FROM q CROSS JOIN base WHERE vec_id <> q_id),
+pos AS (
+  SELECT q_id, vec_id AS pos_id, cos_sim AS pos_cos FROM (
+    SELECT q_id, vec_id, cos_sim,
+           row_number() OVER (PARTITION BY q_id
+               ORDER BY cos_sim DESC, vec_id ASC) AS rn
+    FROM scored WHERE same)
+  WHERE rn = 1),
+neg AS (
+  SELECT q_id, vec_id AS neg_id, neg_rank, cos_sim AS neg_cos FROM (
+    SELECT q_id, vec_id, cos_sim,
+           CAST(row_number() OVER (PARTITION BY q_id
+               ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS neg_rank
+    FROM scored WHERE NOT same)
+  WHERE neg_rank <= {k})
+SELECT p.q_id, p.pos_id, n.neg_id, n.neg_rank, p.pos_cos, n.neg_cos,
+       floor((p.pos_cos - n.neg_cos) * 1e6 + 0.5) / 1000000.0 AS margin
+FROM pos p JOIN neg n USING (q_id)
+ORDER BY q_id, neg_rank"""
+
+
 PCA_ROUNDS = 4
 PCA_MILLS = 1000
 
@@ -1833,6 +1956,12 @@ def simsearch_workloads():
             "pipe_embed_power_pca",
             lambda spark, sf_dir: power_iteration_pc1(_emb(spark, sf_dir)),
             oracle_power_pca(),
+            False,
+        ),
+        Workload(
+            "pipe_contrastive_pairs",
+            lambda spark, sf_dir: contrastive_pairs(_emb(spark, sf_dir)),
+            oracle_contrastive_pairs(),
             False,
         ),
         Workload("pipe_ann_lsh_topk", _wl_lsh, oracle_lsh_ann_topk(), False),

@@ -399,3 +399,18 @@ def test_power_pca_finds_dominant_direction(spark):
     assert len(out) == 64
     assert abs(out[7]) >= 990
     assert all(abs(out[d]) <= 60 for d in out if d != 7)
+
+
+def test_contrastive_pairs_structure(tiny):
+    from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
+        contrastive_pairs,
+    )
+
+    # anchor 0 (label 0): positive = best same-label neighbor (vec 1,
+    # colinear, cos 1.0); negatives = the single label-1 vector (vec 2)
+    rows = contrastive_pairs(tiny, n_queries=1, k=3).collect()
+    assert [
+        (r["q_id"], r["pos_id"], r["neg_id"], r["neg_rank"], r["pos_cos"],
+         r["neg_cos"], r["margin"])
+        for r in rows
+    ] == [(0, 1, 2, 1, 1.0, 0.0, 1.0)]
