@@ -626,6 +626,90 @@ def ngram_jaccard_pairs(
     )
 
 
+WINNOW_W = 4  # winnowing window (guarantee: any match >= w+k-1 tokens
+# shares a fingerprint)
+WINNOW_MIN_SHARED = 2
+WINNOW_MAX_POSTING = 64
+_WINNOW_PACK = 2_147_483_648  # 2^31: hash and position both fit 31 bits
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int | None = None,
+    w: int = WINNOW_W,
+    min_shared: int = WINNOW_MIN_SHARED,
+    max_posting: int = WINNOW_MAX_POSTING,
+) -> DataFrame:
+    """Winnowing fingerprint near-dup detection (Schleimer/Wilkerson/
+    Aiken 2003, the MOSS algorithm): hash every positional k-gram,
+    slide a w-window over the hash sequence, keep each window's
+    minimum (rightmost on ties) — the selected fingerprints GUARANTEE
+    that any shared run of >= w+k-1 tokens surfaces, a positional
+    robustness property MinHash's whole-document sketch does not give.
+    Pairs sharing >= ``min_shared`` distinct fingerprint hashes are
+    reported.
+
+    Determinism: the window argmin is ONE integer min over the packed
+    key ``h·2³¹ + (2³¹−1−pos)`` (both fit 31 bits) — min key ⇔
+    (min h, then max pos) — the same expression on both engines, no
+    struct/argmin dialect differences. Everything downstream is the
+    capped inverted-index shape of :func:`ngram_jaccard_pairs`.
+
+    Plan: one posexplode + ONE per-doc window pass (frame = w
+    following rows, same (doc, pos) ordering the explode already
+    has), distinct fingerprints, stop-fingerprint cap, equi self-join.
+    Returns ``(doc_a, doc_b, n_shared)``, doc_a < doc_b, ordered.
+    """
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        SHINGLE_K,
+        gram_array,
+        rolling_hash,
+        tokens,
+    )
+
+    kk = int(k if k is not None else SHINGLE_K)
+    base = docs.select(
+        "doc_id",
+        F.posexplode(gram_array(tokens(F.col("text")), kk)).alias("pos", "g"),
+    )
+    hp = base.select(
+        "doc_id",
+        "pos",
+        (
+            rolling_hash(F.col("g")) * F.lit(_WINNOW_PACK)
+            + (F.lit(_WINNOW_PACK - 1) - F.col("pos"))
+        ).alias("pk"),
+    )
+    win = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    cnt = Window.partitionBy("doc_id")
+    sel = (
+        hp.withColumn("_n", F.count("*").over(cnt))
+        .withColumn("_m", F.min("pk").over(win))
+        .where(F.col("pos") <= F.col("_n") - w)
+        .select(
+            "doc_id", F.expr(f"_m DIV {_WINNOW_PACK}").alias("h")
+        )
+        .distinct()
+    )
+    wdf = Window.partitionBy("h")
+    capped = (
+        sel.withColumn("_df", F.count("*").over(wdf))
+        .where(F.col("_df") <= max_posting)
+        .drop("_df")
+    )
+    a = capped.select(F.col("doc_id").alias("doc_a"), "h")
+    b = capped.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
+    return (
+        a.join(b, (a.h == b.hb) & (a.doc_a < b.doc_b))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def ngram_containment_pairs(
     docs: DataFrame,
     threshold_ppm: int = 500_000,

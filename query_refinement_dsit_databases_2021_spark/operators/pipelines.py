@@ -413,6 +413,39 @@ def _wl_split_leakage(spark, sf_dir):
     return split_leakage_audit(_docs(spark, sf_dir))
 
 
+_WINNOW_PACK_SQL = dedup._WINNOW_PACK
+ORACLE_WINNOW = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         CAST({_sql_rolling_hash(_SHINGLE_EXPR)} AS BIGINT)
+           * {_WINNOW_PACK_SQL}
+           + ({_WINNOW_PACK_SQL - 1} - CAST(i - 1 AS BIGINT)) AS pk
+  FROM tok, unnest(range(1, greatest(len(ws) - {SHINGLE_K - 2}, 1))) u(i)),
+sel AS (
+  SELECT DISTINCT doc_id, m // {_WINNOW_PACK_SQL} AS h FROM (
+    SELECT doc_id, pos,
+           count(*) OVER (PARTITION BY doc_id) AS n,
+           min(pk) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND {dedup.WINNOW_W - 1} FOLLOWING)
+             AS m
+    FROM g) t
+  WHERE pos <= n - {dedup.WINNOW_W}),
+keep AS (SELECT h FROM sel GROUP BY h
+         HAVING count(*) <= {dedup.WINNOW_MAX_POSTING}),
+sc AS (SELECT s.doc_id, s.h FROM sel s JOIN keep USING (h))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM sc a JOIN sc b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {dedup.WINNOW_MIN_SHARED}
+ORDER BY doc_a, doc_b"""
+
+
+def _wl_winnow(spark, sf_dir):
+    return dedup.winnow_pairs(_docs(spark, sf_dir))
+
+
 ORACLE_CONTAINMENT = f"""
 WITH {SQL_SHINGLES},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -1375,6 +1408,7 @@ def pipeline_workloads():
         ("pipe_dedup_ngram_jaccard_exact", _wl_jaccard_exact, ORACLE_JACCARD, False),
         ("pipe_dedup_containment", _wl_containment, ORACLE_CONTAINMENT, False),
         ("pipe_split_leakage", _wl_split_leakage, _oracle_split_leakage(), False),
+        ("pipe_dedup_winnowing", _wl_winnow, ORACLE_WINNOW, False),
         ("pipe_dedup_clusters", _wl_clusters, ORACLE_CLUSTERS, False),
         ("pipe_cluster_reps", _wl_cluster_reps, ORACLE_CLUSTER_REPS, False),
         ("pipe_minhash_est_error", _wl_minhash_est, ORACLE_MINHASH_EST, False),

@@ -840,3 +840,36 @@ def test_split_leakage_flags_crosssplit_neardup(spark):
     )
     out = {r["split"]: (r["n_docs"], r["n_leaky"]) for r in pipelines.split_leakage_audit(docs).collect()}
     assert out["val"] == (2, 1)
+
+
+def test_winnowing_guarantee_and_miss(spark):
+    from query_refinement_dsit_databases_2021_spark.operators import dedup
+
+    # docs sharing a long run (>= w+k-1 = 6 tokens) MUST share
+    # fingerprints (the winnowing guarantee); unrelated docs share none
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words " + shared + " tail one"),
+            (2, shared + " completely different ending here"),
+            (3, "nothing in common with the others at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in dedup.winnow_pairs(docs, min_shared=1).collect()
+    }
+    assert (1, 2) in rows and rows[(1, 2)] >= 1
+    assert all(3 not in pair for pair in rows)
+
+
+def test_winnowing_short_docs_produce_nothing(spark):
+    from query_refinement_dsit_databases_2021_spark.operators import dedup
+
+    # fewer than k+w-1 tokens -> no full window -> no fingerprints
+    docs = spark.createDataFrame(
+        [(1, "just four tiny words"), (2, "just four tiny words")],
+        "doc_id long, text string",
+    )
+    assert dedup.winnow_pairs(docs, min_shared=1).count() == 0
