@@ -1616,6 +1616,91 @@ FROM hw JOIN last la ON la.key = hw.key AND hw.t = la.tmax
 ORDER BY key"""
 
 
+def holt_residuals(
+    events: DataFrame, alpha10: int = 3, beta10: int = 2
+) -> DataFrame:
+    """One-step-ahead residual diagnostics for :func:`holt_linear`:
+    for every day t >= 1, the forecast the model held BEFORE seeing
+    y_t (``fc_t = l_{t-1} + b_{t-1}``) and the error ``y_t − fc_t`` —
+    the per-step trace a forecaster's health check reads (bias drift,
+    variance bursts), where :func:`forecast_backtest` only scores a
+    single holdout. Same strategy-P Arrow kernel and integer-cents
+    recursion as the fitter; the oracle simply re-joins the recursive
+    CTE's state at t−1 onto the observation at t. (t = 1 is always a
+    zero residual: the init sets b₀ = y₁ − y₀.)
+
+    Returns ``(key, t, y_cents, fc_cents, resid_cents)`` ordered by
+    (key, t); keys need >= 2 days.
+    """
+    import pandas as pd
+
+    daily = (
+        events.groupBy(
+            F.col("event_type").alias("key"), F.to_date("ts").alias("day")
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .alias("y")
+        )
+    )
+    a, b10 = int(alpha10), int(beta10)
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day")
+        ys = [int(v) for v in pdf["y"]]
+        key = pdf["key"].iloc[0]
+        cols = ["key", "t", "y_cents", "fc_cents", "resid_cents"]
+        if len(ys) < 2:
+            return pd.DataFrame(columns=cols)
+        lvl, trd = ys[0], ys[1] - ys[0]
+        rows = []
+        for t, y in enumerate(ys[1:], start=1):
+            fc = lvl + trd
+            rows.append([key, t, y, fc, y - fc])
+            lt = (a * y + (10 - a) * (lvl + trd)) // 10
+            trd = (b10 * (lt - lvl) + (10 - b10) * trd) // 10
+            lvl = lt
+        return pd.DataFrame(rows, columns=cols)
+
+    schema = (
+        "key string, t long, y_cents long, fc_cents long, resid_cents long"
+    )
+    return daily.groupBy("key").applyInPandas(fit, schema).orderBy("key", "t")
+
+
+def _holt_residuals_oracle(alpha10: int = 3, beta10: int = 2) -> str:
+    def fdiv10(x: str) -> str:
+        return f"(({x}) - ((({x}) % 10 + 10) % 10)) // 10"
+
+    a, b = int(alpha10), int(beta10)
+    l_expr = fdiv10(f"{a}*d.y + {10 - a}*(hw.l + hw.b)")
+    b_expr = fdiv10(f"{b}*(s.lt - s.l) + {10 - b}*s.b")
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT key, CAST(row_number() OVER (PARTITION BY key ORDER BY day) - 1
+              AS BIGINT) AS t, y
+  FROM (SELECT event_type AS key, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2)),
+hw(key, t, l, b) AS (
+  SELECT d0.key, CAST(0 AS BIGINT) AS t, d0.y AS l, d1.y - d0.y AS b
+  FROM daily d0 JOIN daily d1 ON d1.key = d0.key AND d1.t = 1
+  WHERE d0.t = 0
+  UNION ALL
+  SELECT s.key, s.t, s.lt AS l, CAST({b_expr} AS BIGINT) AS b FROM (
+    SELECT hw.key AS key, d.t AS t, hw.l AS l, hw.b AS b,
+           CAST({l_expr} AS BIGINT) AS lt
+    FROM hw JOIN daily d ON d.key = hw.key AND d.t = hw.t + 1) s)
+SELECT hw.key AS key, d.t AS t, d.y AS y_cents,
+       CAST(hw.l + hw.b AS BIGINT) AS fc_cents,
+       CAST(d.y - (hw.l + hw.b) AS BIGINT) AS resid_cents
+FROM hw JOIN daily d ON d.key = hw.key AND d.t = hw.t + 1
+ORDER BY key, t"""
+
+
+ORACLE_HOLT_RESIDUALS = _holt_residuals_oracle()
+
+
 HW_PERIOD = 24
 
 
@@ -2194,4 +2279,5 @@ def timeseries_workloads():
         _w("ts_sax_symbols", ORACLE_SAX, sax_symbols),
         _w("ts_seasonal_strength", ORACLE_SEASONAL_STRENGTH, seasonal_strength),
         _w("ts_holt_winters", ORACLE_HOLT_WINTERS, holt_winters),
+        _w("ts_holt_residuals", ORACLE_HOLT_RESIDUALS, holt_residuals),
     ]

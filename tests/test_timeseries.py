@@ -737,3 +737,42 @@ def test_holt_winters_needs_two_seasons(spark):
         " value double, props string",
     )
     assert holt_winters(df).count() == 0  # 30 < 2*24 observed buckets
+
+
+def test_holt_residuals_trace_properties(spark):
+    from datetime import datetime, timedelta
+
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        holt_linear,
+        holt_residuals,
+    )
+
+    base = datetime(2024, 1, 1)
+    vals = [10.0, 12.0, 9.0, 15.0, 11.0, 14.0, 13.0, 16.0]
+    rows = [
+        (i, base + timedelta(days=i), 1, "k", v, "")
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    trace = holt_residuals(df).collect()
+    assert [r["t"] for r in trace] == list(range(1, len(vals)))
+    # t=1 residual is structurally zero (init peeks at y1)
+    assert trace[0]["resid_cents"] == 0
+    # identity: resid = y - fc on every row
+    assert all(
+        r["resid_cents"] == r["y_cents"] - r["fc_cents"] for r in trace
+    )
+    # sequential python replay of the shared recursion gives the same
+    # final state the fitter reports
+    fit = holt_linear(df).collect()[0]
+    ys = [int(v * 100) for v in vals]
+    lvl, trd = ys[0], ys[1] - ys[0]
+    for y in ys[1:]:
+        lt = (3 * y + 7 * (lvl + trd)) // 10
+        trd = (2 * (lt - lvl) + 8 * trd) // 10
+        lvl = lt
+    assert (fit["level_cents"], fit["trend_cents"]) == (lvl, trd)
