@@ -1170,8 +1170,10 @@ def contrastive_pairs(
         F.floor((F.col("pos_cos") - F.col("neg_cos")) * 1e6 + F.lit(0.5))
         / F.lit(1000000.0)
     )
+    # pos is <= n_queries rows by construction — broadcast it so the
+    # final assembly never sort-merges
     return (
-        pos.join(neg, "q_id")
+        neg.join(F.broadcast(pos), "q_id")
         .select(
             "q_id", "pos_id", "neg_id", "neg_rank", "pos_cos", "neg_cos",
             margin.alias("margin"),

@@ -586,3 +586,54 @@ def test_round3f_operator_exchange_budgets(pdocs, pevents, spark):
     )
     vp = _plan(vacuum_plan(adds, removes, version=10))
     assert "CartesianProduct" not in vp and "BroadcastNestedLoopJoin" not in vp
+
+
+def test_round3g_operator_exchange_budgets(pdocs, pevents, spark):
+    from query_refinement_dsit_databases_2021_spark.operators.dedup import (
+        winnow_pairs,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.search import (
+        keyword_extract,
+        prf_expanded_topk,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
+        contrastive_pairs,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        holt_winters,
+        seasonal_strength,
+    )
+
+    # winnowing: window + capped equi self-join — never a cartesian
+    wp = _plan(winnow_pairs(pdocs, min_shared=1))
+    assert "CartesianProduct" not in wp
+    assert "BroadcastNestedLoopJoin" not in wp
+
+    # keywords: full-vocabulary path still equi-joins only; the
+    # n_docs 1-row aggregate arrives by broadcast, not a driver count
+    kp = _plan(keyword_extract(pdocs))
+    assert "CartesianProduct" not in kp
+    assert "BroadcastNestedLoopJoin" in kp or "BroadcastHashJoin" in kp
+
+    # PRF: both passes equi/broadcast joins; candidate terms prune via
+    # a broadcast semi-join (LeftSemi), never a shuffled semi
+    pp = _plan(prf_expanded_topk(pdocs, spark))
+    assert "CartesianProduct" not in pp
+    assert "LeftSemi" in pp
+
+    # contrastive pairs: exactly ONE corpus NLJ feeds both the
+    # positive and negative slices
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5], i % 2) for i in range(20)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    cp = _plan(contrastive_pairs(emb, n_queries=2, k=3))
+    assert cp.count("BroadcastNestedLoopJoin") <= 2  # scored reused per slice
+    assert "SortMergeJoin" not in cp
+
+    # strategy-P kernels: exactly one ArrowEvalPython-free
+    # FlatMapGroupsInPandas over the bucket agg
+    hw = _plan(holt_winters(pevents))
+    assert hw.count("FlatMapGroupsInPandas") == 1
+    ss = _plan(seasonal_strength(pevents))
+    assert "FlatMapGroupsInPandas" not in ss  # pure JVM, no Python

@@ -184,6 +184,17 @@ NOTES = {
         "offset rollup is triangle-sized and cohort sizes return "
         "via BroadcastHashJoin."
     ),
+    "pipe_dedup_winnowing": (
+        "One posexplode feeds the w-following window frame on its "
+        "own (doc, pos) order; fingerprints distinct, stop-cap "
+        "window, equi self-join — no NLJ anywhere."
+    ),
+    "pipe_contrastive_pairs": (
+        "ONE broadcast-queries NLJ scores the corpus; positive and "
+        "negative slices split on the label predicate plan-side; "
+        "the n_queries-row positive table broadcasts into the final "
+        "assembly."
+    ),
 }
 
 HEADER = """# PLANS — captured physical plans for representative workloads
