@@ -310,6 +310,98 @@ ORACLE_HILBERT_KEY = (
 )
 
 
+DRIFT_BUCKET = 50  # value-histogram bucket width
+DRIFT_SPLIT_DAY = 15  # first half = day-of-month < 15
+
+
+def distribution_drift(events: DataFrame) -> DataFrame:
+    """Distribution-drift monitor: per key, the total-variation
+    distance between the value histogram of the first half of the
+    month and the second — the ML-ops check that catches a silent
+    upstream change (new client version, schema default flip) before
+    it poisons training data. TV = ½·Σ_buckets |p_i − q_i| ∈ [0, 1];
+    unlike PSI/KL it needs NO logarithm, so it is exactly computable
+    in integers: with half-sizes N, M and bucket counts n_i, m_i,
+
+        tv_ppm = (1e6 · Σ|n_i·M − m_i·N|) DIV (2·N·M)
+
+    — every term int64 (headroom N·M·2e6 ⇒ halves up to ~10⁹ rows
+    before pre-scaling). Keys with an empty half are dropped (drift
+    vs nothing is undefined).
+
+    Plan: ONE map-combinable groupBy(key, bucket) with conditional
+    half-sums over the scan; half totals re-aggregate from the same
+    frame; everything after the first shuffle is histogram-sized.
+
+    Returns ``(key, n_a, n_b, tv_ppm)`` ordered by key.
+    """
+    half_a = F.expr("day(CAST(ts AS TIMESTAMP))") < DRIFT_SPLIT_DAY
+    b = events.select(
+        F.col("event_type").alias("key"),
+        F.expr(
+            f"CAST(floor(value * 100 + 0.5) AS BIGINT) DIV {DRIFT_BUCKET * 100}"
+        ).alias("bucket"),
+        half_a.alias("is_a"),
+    )
+    hist = b.groupBy("key", "bucket").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("n"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).alias("m"),
+    )
+    tot = hist.groupBy("key").agg(
+        F.sum("n").alias("n_a"), F.sum("m").alias("n_b")
+    )
+    return (
+        hist.join(tot, "key")
+        .where((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .groupBy("key", "n_a", "n_b")
+        .agg(
+            F.sum(
+                F.abs(F.col("n") * F.col("n_b") - F.col("m") * F.col("n_a"))
+            ).alias("num")
+        )
+        .select(
+            "key",
+            "n_a",
+            "n_b",
+            F.expr("(1000000 * num) DIV (2 * n_a * n_b)")
+            .cast("long")
+            .alias("tv_ppm"),
+        )
+        .orderBy("key")
+    )
+
+
+ORACLE_DRIFT = f"""
+WITH b AS (
+  SELECT event_type AS key,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) // {DRIFT_BUCKET * 100}
+           AS bucket,
+         (day(ts) < {DRIFT_SPLIT_DAY}) AS is_a
+  FROM events),
+hist AS (
+  SELECT key, bucket,
+         CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS m
+  FROM b GROUP BY key, bucket),
+tot AS (
+  SELECT key, CAST(sum(n) AS BIGINT) AS n_a, CAST(sum(m) AS BIGINT) AS n_b
+  FROM hist GROUP BY key)
+SELECT h.key, t.n_a, t.n_b,
+       CAST((1000000 * sum(abs(h.n * t.n_b - h.m * t.n_a)))
+            // (2 * t.n_a * t.n_b) AS BIGINT) AS tv_ppm
+FROM hist h JOIN tot t USING (key)
+WHERE t.n_a > 0 AND t.n_b > 0
+GROUP BY h.key, t.n_a, t.n_b
+ORDER BY key"""
+
+
+def _wl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    return distribution_drift(spark.table("events"))
+
+
 def skew_profile(df: DataFrame, key: str, top_k: int = 20) -> DataFrame:
     """Join-key skew diagnostics: the measurement that decides whether
     a key needs :func:`salted_join` / AQE skew handling at all. Returns
@@ -1080,4 +1172,5 @@ def scale_workloads():
             "ops_layout_advisor", _wl_layout_advisor, ORACLE_LAYOUT_ADVISOR
         ),
         Workload("ops_countmin_est", _wl_countmin, ORACLE_COUNTMIN),
+        Workload("ops_distribution_drift", _wl_drift, ORACLE_DRIFT),
     ]

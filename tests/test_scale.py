@@ -442,3 +442,30 @@ def test_countmin_overestimates_only_and_matches_reference(spark):
         )
         assert est == ref          # bit-exact vs the Python replay
         assert est >= truth        # CMS never undercounts
+
+
+def test_distribution_drift_detects_shifted_half(spark):
+    from datetime import datetime
+
+    from query_refinement_dsit_databases_2021_spark.operators.scale import (
+        distribution_drift,
+    )
+
+    rows = []
+    eid = 0
+    # key "stable": identical histograms both halves -> tv = 0
+    # key "shifted": values move from bucket 0 to bucket 2 -> tv = 1e6
+    for day in (1, 20):
+        for i in range(10):
+            rows.append((eid, datetime(2024, 1, day, 1, i), 1, "stable", 10.0, "")); eid += 1
+            v = 10.0 if day == 1 else 110.0
+            rows.append((eid, datetime(2024, 1, day, 2, i), 1, "shifted", v, "")); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r["key"]: r for r in distribution_drift(df).collect()}
+    assert out["stable"]["tv_ppm"] == 0
+    assert out["shifted"]["tv_ppm"] == 1_000_000
+    assert out["stable"]["n_a"] == out["stable"]["n_b"] == 10
