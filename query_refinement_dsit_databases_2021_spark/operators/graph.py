@@ -649,6 +649,102 @@ FROM ne JOIN deg da ON da.n = ne.a JOIN deg db ON db.n = ne.b
 ORDER BY cn DESC, node_a, node_b LIMIT 20"""
 
 
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of end-point degrees over all (bidirectional) edges —
+    positive = hubs link hubs (social nets), negative = hub-and-spoke
+    (tech/infrastructure). The one-number structural fingerprint a
+    graph-health dashboard tracks across snapshots.
+
+    Exactness: the five Pearson moments (Σx, Σy, Σxy, Σx², Σy², n)
+    are exact int64 sums over integer degrees; the closed form is ONE
+    identical IEEE expression on both engines, floor-quantized at 6
+    dp (the cross_correlation contract). Int64 headroom:
+    edges·max_deg² — pre-scale past ~10⁹ edge-ends at deg ≤ 10⁴.
+
+    Plan: one degree groupBy + two broadcast-ish joins of the degree
+    table onto the edge list + ONE map-combinable moment aggregate.
+    Returns one row ``(n_ends, assortativity)``.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("n"), F.col("b").alias("nb")).unionByName(
+        und.select(F.col("b").alias("n"), F.col("a").alias("nb"))
+    )
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    dx = deg.select(F.col("n"), F.col("d").alias("x"))
+    dy = deg.select(F.col("n").alias("nb"), F.col("d").alias("y"))
+    m = (
+        adj.join(dx, "n")
+        .join(dy, "nb")
+        .agg(
+            F.count(F.lit(1)).alias("n_ends"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+        )
+    )
+    num = F.col("n_ends") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n_ends") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n_ends") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.when(
+        (vx > 0) & (vy > 0),
+        F.floor(
+            num / F.sqrt(vx.cast("double") * vy.cast("double")) * F.lit(1000000)
+            + F.lit(0.5)
+        )
+        / F.lit(1000000.0),
+    )
+    return m.select("n_ends", r.alias("assortativity"))
+
+
+def _wl_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    li = spark.table("lineitem").where(
+        F.col("l_quantity") >= LINK_PRED_MIN_QTY
+    ).select("l_orderkey", "l_partkey")
+    r = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2"))
+    edges = li.join(r, (li.l_orderkey == r.o2) & (li.l_partkey < r.p2)).select(
+        F.col("l_partkey").alias("src"), F.col("p2").alias("dst")
+    )
+    return degree_assortativity(edges)
+
+
+ORACLE_ASSORTATIVITY = f"""
+WITH sp AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_quantity >= {LINK_PRED_MIN_QTY}
+    AND b.l_quantity >= {LINK_PRED_MIN_QTY}),
+adj AS (SELECT a AS n, b AS nb FROM sp UNION ALL SELECT b, a FROM sp),
+deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY n),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_ends,
+         CAST(sum(dx.d) AS BIGINT) AS sx,
+         CAST(sum(dy.d) AS BIGINT) AS sy,
+         CAST(sum(dx.d * dy.d) AS BIGINT) AS sxy,
+         CAST(sum(dx.d * dx.d) AS BIGINT) AS sxx,
+         CAST(sum(dy.d * dy.d) AS BIGINT) AS syy
+  FROM adj JOIN deg dx ON dx.n = adj.n JOIN deg dy ON dy.n = adj.nb)
+SELECT n_ends,
+       CASE WHEN n_ends * sxx - sx * sx > 0 AND n_ends * syy - sy * sy > 0
+            THEN floor((n_ends * sxy - sx * sy)
+                 / sqrt(CAST(n_ends * sxx - sx * sx AS DOUBLE)
+                        * CAST(n_ends * syy - sy * sy AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000.0 END AS assortativity
+FROM m"""
+
+
 KCORE_K = 3
 
 
@@ -775,4 +871,7 @@ def graph_workloads():
         ),
         Workload("graph_personalized_pagerank", _wl_ppr, ORACLE_PPR),
         Workload("graph_kcore", _wl_kcore, ORACLE_KCORE),
+        Workload(
+            "graph_assortativity", _wl_assortativity, ORACLE_ASSORTATIVITY
+        ),
     ]

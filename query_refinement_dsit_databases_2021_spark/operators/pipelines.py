@@ -470,6 +470,45 @@ def _wl_containment(spark, sf_dir):
     )
 
 
+CONSENSUS_MIN_VOTES = 2
+
+ORACLE_CONSENSUS = f"""
+WITH votes AS (
+  SELECT doc_a, doc_b FROM ({ORACLE_MINHASH}) m
+  UNION ALL SELECT doc_a, doc_b FROM ({ORACLE_SIMHASH}) s
+  UNION ALL SELECT doc_a, doc_b FROM ({ORACLE_CONTAINMENT}) c)
+SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_methods
+FROM votes GROUP BY doc_a, doc_b
+HAVING count(*) >= {CONSENSUS_MIN_VOTES}
+ORDER BY doc_a, doc_b"""
+
+
+def _wl_dedup_consensus(spark, sf_dir):
+    """Ensemble near-dup detection: a pair counts when >= 2 of the
+    three registered detectors (MinHash-LSH, SimHash hamming<=3,
+    shingle containment) flag it — the standard vote that suppresses
+    each method's solo false positives (SimHash's loose 16-bit bands
+    over-flag by ~500x here; the consensus keeps only pairs a second,
+    independent signal confirms). Pure composition of already-
+    oracle-checked operators; ONE plan, three branches over the same
+    docs scan.
+    """
+    docs = _docs(spark, sf_dir)
+    mh = dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    sh = dedup.simhash_pairs(docs).select("doc_a", "doc_b")
+    ct = dedup.ngram_containment_pairs(
+        docs, max_posting=JACCARD_MAX_POSTING
+    ).select("doc_a", "doc_b")
+    return (
+        mh.unionByName(sh)
+        .unionByName(ct)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_methods"))
+        .where(F.col("n_methods") >= CONSENSUS_MIN_VOTES)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def _wl_quality(spark, sf_dir):
     return textops.quality_columns(_docs(spark, sf_dir))
 
@@ -1409,6 +1448,7 @@ def pipeline_workloads():
         ("pipe_dedup_containment", _wl_containment, ORACLE_CONTAINMENT, False),
         ("pipe_split_leakage", _wl_split_leakage, _oracle_split_leakage(), False),
         ("pipe_dedup_winnowing", _wl_winnow, ORACLE_WINNOW, False),
+        ("pipe_dedup_consensus", _wl_dedup_consensus, ORACLE_CONSENSUS, False),
         ("pipe_dedup_clusters", _wl_clusters, ORACLE_CLUSTERS, False),
         ("pipe_cluster_reps", _wl_cluster_reps, ORACLE_CLUSTER_REPS, False),
         ("pipe_minhash_est_error", _wl_minhash_est, ORACLE_MINHASH_EST, False),

@@ -216,3 +216,24 @@ def test_kcore_empty_when_graph_too_sparse(spark):
         [(1, 2), (2, 3), (3, 4)], "src long, dst long"
     )
     assert kcore(edges, k=3).count() == 0
+
+
+def test_assortativity_star_is_negative_path_cycle_flat(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.graph import (
+        degree_assortativity,
+    )
+
+    # a star is maximally disassortative: r = -1
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    r = degree_assortativity(star).collect()[0]
+    assert r["n_ends"] == 10
+    assert r["assortativity"] == -1.0
+
+    # a cycle is degree-regular: zero variance -> NULL (undefined)
+    cyc = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "src long, dst long"
+    )
+    r2 = degree_assortativity(cyc).collect()[0]
+    assert r2["assortativity"] is None

@@ -873,3 +873,26 @@ def test_winnowing_short_docs_produce_nothing(spark):
         "doc_id long, text string",
     )
     assert dedup.winnow_pairs(docs, min_shared=1).count() == 0
+
+
+def test_consensus_requires_two_methods(spark):
+    # exact duplicates are flagged by every detector -> consensus hit;
+    # unrelated docs never reach 2 votes
+    t = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+         "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    docs = spark.createDataFrame(
+        [(1, t), (2, t), (3, "totally different text with other words here "
+                             "and nothing shared at all among these tokens")],
+        "doc_id long, text string",
+    )
+    from query_refinement_dsit_databases_2021_spark.operators import dedup
+    from pyspark.sql import functions as F
+    mh = dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    sh = dedup.simhash_pairs(docs).select("doc_a", "doc_b")
+    ct = dedup.ngram_containment_pairs(docs, max_posting=64).select("doc_a", "doc_b")
+    votes = (mh.unionByName(sh).unionByName(ct)
+             .groupBy("doc_a", "doc_b").agg(F.count(F.lit(1)).alias("n"))
+             .where("n >= 2").collect())
+    got = {(r["doc_a"], r["doc_b"]): r["n"] for r in votes}
+    assert got.get((1, 2), 0) >= 2
+    assert all(3 not in k for k in got)
