@@ -1249,6 +1249,19 @@ def power_iteration_pc1(
     travels as a broadcast literal array, exactly like the k-means
     centroid literals. Returns ``(dim, loading_mills)``.
     """
+    ex, v = _pc1_iterate(emb, rounds)
+    ex.unpersist()
+    return v.select(F.posexplode("v").alias("dim", "loading_mills")).orderBy(
+        "dim"
+    )
+
+
+def _pc1_iterate(emb: DataFrame, rounds: int = PCA_ROUNDS):
+    """Shared power-iteration core: returns the persisted exploded
+    mills-component frame and the 1-row iterate ``v`` (length-DIM
+    int64 array) after ``rounds`` — consumed by
+    :func:`power_iteration_pc1` (loadings) and :func:`pc1_projections`
+    (per-vector transform)."""
     ex = emb.select(
         "vec_id",
         F.posexplode(_quantize_mills(_as_double(F.col("embedding")))).alias(
@@ -1288,9 +1301,62 @@ def power_iteration_pc1(
             f"transform(wl, x -> CAST(floor(x / {norm_fold}"
             f" * {PCA_MILLS} + 0.5) AS BIGINT)) AS v"
         ).localCheckpoint()
-    return v.select(F.posexplode("v").alias("dim", "loading_mills")).orderBy(
-        "dim"
+    return ex, v
+
+
+def pc1_projections(emb: DataFrame, rounds: int = PCA_ROUNDS) -> DataFrame:
+    """Common-component projection: each vector's integer-mills
+    coefficient along the fitted PC1 — the scalar the
+    "all-but-the-top" embedding post-processing (Arora/Mu et al.)
+    subtracts to remove the dominant shared direction before
+    similarity search. ``proj_mills = (1000·(x·v)) DIV (v·v)`` on
+    mills-int operands — all int64 (both engines' integer division
+    TRUNCATES on negatives, verified, so anti-aligned vectors agree
+    too).
+
+    Plan: the shared power-iteration core (two map-combinable aggs
+    per round) plus ONE final map-only pass: the fitted v broadcasts
+    into a per-row dot — the transform costs one corpus scan however
+    many vectors. Returns ``(vec_id, proj_mills)`` ordered.
+    """
+    ex, v = _pc1_iterate(emb, rounds)
+    out = (
+        ex.crossJoin(F.broadcast(v))
+        .select(
+            "vec_id",
+            (F.col("c") * F.element_at(F.col("v"), F.col("dim") + 1)).alias("p"),
+            F.expr("aggregate(v, CAST(0 AS BIGINT), (a, y) -> a + y * y)").alias(
+                "vv"
+            ),
+        )
+        .groupBy("vec_id", "vv")
+        .agg(F.sum("p").alias("xv"))
+        .select(
+            "vec_id",
+            F.expr("CAST((1000 * xv) DIV vv AS BIGINT)").alias("proj_mills"),
+        )
+        .orderBy("vec_id")
     )
+    ex.unpersist()
+    return out
+
+
+def oracle_pc1_projections(rounds: int = PCA_ROUNDS, dim: int = DIM) -> str:
+    base = oracle_power_pca(rounds, dim)
+    # reuse the full CTE chain, swap the final SELECT for the
+    # projection pass
+    head = base[: base.rindex("\nSELECT")]
+    return f"""{head}
+SELECT e.vec_id,
+       CAST((1000 * sum(e.c * vv.v[e.dim + 1]))
+            // list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(vv.v, y -> y * y)), (a, z) -> a + z)
+            AS BIGINT) AS proj_mills
+FROM e, v{rounds} vv
+GROUP BY e.vec_id,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(vv.v, y -> y * y)), (a, z) -> a + z)
+ORDER BY vec_id"""
 
 
 def oracle_power_pca(rounds: int = PCA_ROUNDS, dim: int = DIM) -> str:
@@ -1964,6 +2030,12 @@ def simsearch_workloads():
             "pipe_contrastive_pairs",
             lambda spark, sf_dir: contrastive_pairs(_emb(spark, sf_dir)),
             oracle_contrastive_pairs(),
+            False,
+        ),
+        Workload(
+            "pipe_embed_pc1_projection",
+            lambda spark, sf_dir: pc1_projections(_emb(spark, sf_dir)),
+            oracle_pc1_projections(),
             False,
         ),
         Workload("pipe_ann_lsh_topk", _wl_lsh, oracle_lsh_ann_topk(), False),

@@ -414,3 +414,24 @@ def test_contrastive_pairs_structure(tiny):
          r["neg_cos"], r["margin"])
         for r in rows
     ] == [(0, 1, 2, 1, 1.0, 0.0, 1.0)]
+
+
+def test_pc1_projection_separates_aligned_and_orthogonal(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
+        pc1_projections,
+    )
+
+    rows = []
+    for i in range(40):
+        vv = [0.0] * 64
+        vv[5] = 1.0 if i % 2 == 0 else -1.0  # dominant +-e5 axis
+        rows.append((i, vv))
+    vv = [0.0] * 64
+    vv[9] = 1.0  # orthogonal outlier
+    rows.append((40, vv))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r["proj_mills"] for r in pc1_projections(emb).collect()}
+    # aligned vectors project to ~+-1000 mills; the orthogonal one ~0
+    assert abs(abs(out[0]) - 1000) <= 20
+    assert out[0] == -out[1] or abs(out[0] + out[1]) <= 40  # sign split
+    assert abs(out[40]) <= 20
