@@ -470,6 +470,61 @@ def _wl_containment(spark, sf_dir):
     )
 
 
+def _wl_dedup_pr(spark, sf_dir):
+    """Precision/recall attestation of the MinHash-LSH detector
+    against exact shingle-Jaccard >= 0.5 ground truth — the
+    (tp, fp, fn, precision, recall) scorecard that turns "we dedupe
+    with MinHash" into a measured claim, next to
+    `pipe_minhash_est_error`'s per-pair error profile. All counts
+    int64; rates integer ppm (0 when the denominator is 0).
+    """
+    docs = _docs(spark, sf_dir)
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    cand = dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    tp = cand.join(exact, ["doc_a", "doc_b"], "leftsemi")
+    counts = (
+        tp.agg(F.count(F.lit(1)).alias("tp"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_cand")))
+        .crossJoin(exact.agg(F.count(F.lit(1)).alias("n_exact")))
+    )
+    return counts.select(
+        "tp",
+        (F.col("n_cand") - F.col("tp")).alias("fp"),
+        (F.col("n_exact") - F.col("tp")).alias("fn"),
+        F.expr(
+            "CASE WHEN n_cand > 0 THEN (1000000 * tp) DIV n_cand"
+            " ELSE 0 END"
+        ).cast("long").alias("precision_ppm"),
+        F.expr(
+            "CASE WHEN n_exact > 0 THEN (1000000 * tp) DIV n_exact"
+            " ELSE 0 END"
+        ).cast("long").alias("recall_ppm"),
+    )
+
+
+def _oracle_dedup_pr() -> str:
+    return f"""
+WITH exact AS (SELECT doc_a, doc_b FROM ({ORACLE_JACCARD}) x),
+cand AS (SELECT doc_a, doc_b FROM ({ORACLE_MINHASH}) m),
+c AS (
+  SELECT
+    (SELECT count(*) FROM cand WHERE EXISTS
+       (SELECT 1 FROM exact e WHERE e.doc_a = cand.doc_a
+                                AND e.doc_b = cand.doc_b)) AS tp,
+    (SELECT count(*) FROM cand) AS n_cand,
+    (SELECT count(*) FROM exact) AS n_exact)
+SELECT CAST(tp AS BIGINT) AS tp,
+       CAST(n_cand - tp AS BIGINT) AS fp,
+       CAST(n_exact - tp AS BIGINT) AS fn,
+       CAST(CASE WHEN n_cand > 0 THEN (1000000 * tp) // n_cand
+                 ELSE 0 END AS BIGINT) AS precision_ppm,
+       CAST(CASE WHEN n_exact > 0 THEN (1000000 * tp) // n_exact
+                 ELSE 0 END AS BIGINT) AS recall_ppm
+FROM c"""
+
+
 CONSENSUS_MIN_VOTES = 2
 
 ORACLE_CONSENSUS = f"""
@@ -1449,6 +1504,7 @@ def pipeline_workloads():
         ("pipe_split_leakage", _wl_split_leakage, _oracle_split_leakage(), False),
         ("pipe_dedup_winnowing", _wl_winnow, ORACLE_WINNOW, False),
         ("pipe_dedup_consensus", _wl_dedup_consensus, ORACLE_CONSENSUS, False),
+        ("pipe_dedup_pr_attestation", _wl_dedup_pr, _oracle_dedup_pr(), False),
         ("pipe_dedup_clusters", _wl_clusters, ORACLE_CLUSTERS, False),
         ("pipe_cluster_reps", _wl_cluster_reps, ORACLE_CLUSTER_REPS, False),
         ("pipe_minhash_est_error", _wl_minhash_est, ORACLE_MINHASH_EST, False),

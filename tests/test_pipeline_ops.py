@@ -896,3 +896,22 @@ def test_consensus_requires_two_methods(spark):
     got = {(r["doc_a"], r["doc_b"]): r["n"] for r in votes}
     assert got.get((1, 2), 0) >= 2
     assert all(3 not in k for k in got)
+
+
+def test_dedup_pr_attestation_hand_corpus(spark):
+    from pyspark.sql import functions as F
+
+    from query_refinement_dsit_databases_2021_spark.operators import dedup
+
+    t = ("one two three four five six seven eight nine ten eleven "
+         "twelve thirteen fourteen fifteen")
+    docs = spark.createDataFrame(
+        [(1, t), (2, t), (3, "other words entirely unrelated to the rest "
+                             "of this corpus in every possible way")],
+        "doc_id long, text string",
+    )
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    cand = dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    tp = cand.join(exact, ["doc_a", "doc_b"], "leftsemi").count()
+    # the exact duplicate pair is both ground truth and candidate
+    assert tp == 1 and exact.count() == 1 and cand.count() == 1
