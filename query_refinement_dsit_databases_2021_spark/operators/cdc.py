@@ -555,6 +555,82 @@ WHERE a.ver <= {SNAPSHOT_VERSION}
 GROUP BY ver ORDER BY ver"""
 
 
+MV_DELTA_MOD = 17  # orders with o_orderkey % 17 == 0 arrive "late"
+
+
+def mv_join_delta(
+    base_orders: DataFrame, delta_orders: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Incremental maintenance of a JOIN view: the standing
+    materialized view ``revenue by (mktsegment, month)`` =
+    orders ⋈ customer rollup, maintained under a late-arriving orders
+    batch by joining ONLY the delta against the dimension and folding
+    the delta-aggregate into the standing aggregate —
+    ``MV(base) ⊕ agg(Δ ⋈ dim) ≡ MV(base ∪ Δ)``, the ΔA⋈B leg of
+    classic incremental view maintenance (the no-join leg is
+    :func:`incremental_rollup`). Revenue is exact integer cents so ⊕
+    is a true monoid merge.
+
+    Plan: the standing view is group-count-sized; the maintenance job
+    touches |Δ| rows + one broadcast dim join + a view-sized merge —
+    never the petabyte history. The oracle recomputes the view FROM
+    SCRATCH over base ∪ Δ; equality IS the maintenance invariant.
+
+    Returns ``(mktsegment, month, n_orders, revenue_cents)``.
+    """
+
+    def view(orders: DataFrame) -> DataFrame:
+        j = orders.join(
+            F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        return j.groupBy(
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.expr("month(CAST(o_orderdate AS TIMESTAMP))").alias("month"),
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("revenue_cents"),
+        )
+
+    merged = view(base_orders).unionByName(view(delta_orders))
+    return (
+        merged.groupBy("mktsegment", "month")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("revenue_cents").alias("revenue_cents"),
+        )
+        .orderBy("mktsegment", "month")
+    )
+
+
+def _wl_mv_join_delta(spark, sf_dir):
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    o = spark.table("orders")
+    return mv_join_delta(
+        o.where(f"o_orderkey % {MV_DELTA_MOD} != 0"),
+        o.where(f"o_orderkey % {MV_DELTA_MOD} = 0"),
+        spark.table("customer"),
+    )
+
+
+# the oracle is the FULL recompute over base ∪ delta = all orders —
+# a genuinely different computation path whose equality is the
+# incremental-maintenance invariant
+ORACLE_MV_JOIN_DELTA = """
+SELECT c.c_mktsegment AS mktsegment,
+       month(o.o_orderdate) AS month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment, month(o.o_orderdate)
+ORDER BY mktsegment, month"""
+
+
 VACUUM_RETENTION_VERSIONS = 4  # tombstones younger than this stay
 
 
@@ -825,4 +901,7 @@ def cdc_workloads():
             "ops_dq_expectations", _wl_dq_expectations, ORACLE_DQ_EXPECTATIONS
         ),
         Workload("ops_vacuum_plan", _wl_vacuum_plan, ORACLE_VACUUM_PLAN),
+        Workload(
+            "ops_mv_join_delta", _wl_mv_join_delta, ORACLE_MV_JOIN_DELTA
+        ),
     ]

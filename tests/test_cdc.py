@@ -255,3 +255,42 @@ def test_vacuum_plan_respects_retention(spark):
         for r in vacuum_plan(adds, removes, version=10, retention=4).collect()
     ]
     assert rows == [(2, 1, 100)]
+
+
+def test_mv_join_delta_equals_recompute_any_split(spark):
+    from datetime import datetime
+
+    from query_refinement_dsit_databases_2021_spark.operators.cdc import (
+        mv_join_delta,
+    )
+
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "O", 100.50, datetime(2024, 1, 5), "1-URGENT"),
+            (2, 11, "F", 200.25, datetime(2024, 1, 9), "2-HIGH"),
+            (3, 10, "O", 50.00, datetime(2024, 2, 1), "3-MEDIUM"),
+            (4, 12, "F", 75.10, datetime(2024, 2, 2), "1-URGENT"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    customer = spark.createDataFrame(
+        [(10, "BUILDING"), (11, "AUTOMOBILE"), (12, "BUILDING")],
+        "c_custkey long, c_mktsegment string",
+    )
+
+    def key(df):
+        return sorted(
+            (r["mktsegment"], r["month"], r["n_orders"], r["revenue_cents"])
+            for r in df.collect()
+        )
+
+    full = key(mv_join_delta(orders, orders.limit(0), customer))
+    # ANY base/delta split folds to the same view
+    for pred in ("o_orderkey <= 2", "o_orderkey % 2 = 0", "false"):
+        got = key(
+            mv_join_delta(
+                orders.where(f"NOT ({pred})"), orders.where(pred), customer
+            )
+        )
+        assert got == full, pred
