@@ -2079,6 +2079,49 @@ SELECT key, day, y_cents FROM (
 ) u ORDER BY key, day"""
 
 
+ANOMALY_CONSENSUS_VOTES = 2
+
+
+def anomaly_consensus(events: DataFrame) -> DataFrame:
+    """Ensemble anomaly detection: an event counts as anomalous when
+    >= 2 of the three registered detectors flag it — the trailing
+    z-score (:func:`anomaly_zscore`), the robust MAD rule
+    (:func:`anomaly_mad`), and the hour-of-day seasonal baseline
+    (:func:`seasonal_anomaly`). Each detector has a blind spot (the
+    z-score chases trends, MAD ignores seasonality, the seasonal rule
+    misses within-slot bursts); the vote keeps only events two
+    independent lenses agree on — the same ensemble rule as the dedup
+    consensus, applied to monitoring.
+
+    Pure composition of already-oracle-checked detectors: three
+    branches over the same scan, one vote groupBy. Returns
+    ``(event_id, event_type, n_methods)`` ordered by event_id.
+    """
+    z = anomaly_zscore(events).select("event_id", "event_type")
+    m = anomaly_mad(events).select("event_id", "event_type")
+    s = seasonal_anomaly(events).select("event_id", "event_type")
+    return (
+        z.unionByName(m)
+        .unionByName(s)
+        .groupBy("event_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_methods"))
+        .where(F.col("n_methods") >= ANOMALY_CONSENSUS_VOTES)
+        .orderBy("event_id")
+    )
+
+
+def _anomaly_consensus_oracle() -> str:
+    return f"""
+WITH votes AS (
+  SELECT event_id, event_type FROM ({_anomaly_oracle()}) z
+  UNION ALL SELECT event_id, event_type FROM ({_mad_oracle()}) m
+  UNION ALL SELECT event_id, event_type FROM ({_seasonal_oracle()}) s)
+SELECT event_id, event_type, CAST(count(*) AS BIGINT) AS n_methods
+FROM votes GROUP BY event_id, event_type
+HAVING count(*) >= {ANOMALY_CONSENSUS_VOTES}
+ORDER BY event_id"""
+
+
 def seasonal_strength(events: DataFrame) -> DataFrame:
     """Strength of the hour-of-day seasonality per key, as the ANOVA
     variance-explained ratio (eta²): ``SS_between(hour) / SS_total``
@@ -2280,4 +2323,5 @@ def timeseries_workloads():
         _w("ts_seasonal_strength", ORACLE_SEASONAL_STRENGTH, seasonal_strength),
         _w("ts_holt_winters", ORACLE_HOLT_WINTERS, holt_winters),
         _w("ts_holt_residuals", ORACLE_HOLT_RESIDUALS, holt_residuals),
+        _w("ts_anomaly_consensus", _anomaly_consensus_oracle(), anomaly_consensus),
     ]

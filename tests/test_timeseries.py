@@ -776,3 +776,25 @@ def test_holt_residuals_trace_properties(spark):
         trd = (2 * (lt - lvl) + 8 * trd) // 10
         lvl = lt
     assert (fit["level_cents"], fit["trend_cents"]) == (lvl, trd)
+
+
+def test_anomaly_consensus_subset_of_each_method(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        anomaly_consensus,
+        anomaly_mad,
+        anomaly_zscore,
+        seasonal_anomaly,
+    )
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    ev = spark.table("events")
+    cons = {r["event_id"]: r["n_methods"] for r in anomaly_consensus(ev).collect()}
+    assert cons, "consensus should flag something on the real corpus"
+    assert all(2 <= v <= 3 for v in cons.values())
+    sets = [
+        {r["event_id"] for r in fn(ev).collect()}
+        for fn in (anomaly_zscore, anomaly_mad, seasonal_anomaly)
+    ]
+    for eid, votes in cons.items():
+        assert sum(eid in s for s in sets) == votes
