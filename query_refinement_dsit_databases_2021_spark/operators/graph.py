@@ -649,6 +649,87 @@ FROM ne JOIN deg da ON da.n = ne.a JOIN deg db ON db.n = ne.b
 ORDER BY cn DESC, node_a, node_b LIMIT 20"""
 
 
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """Global clustering coefficient: ``3·triangles / wedges`` — the
+    fraction of open two-paths that close, the second one-number
+    structural fingerprint next to :func:`degree_assortativity`.
+    Triangle count reuses :func:`triangle_count`'s oriented two-join;
+    the wedge count is the closed form ``Σ_c deg(c)·(deg(c)−1)/2``
+    over the degree table (never enumerated). All integers; the
+    coefficient is ppm by int64 division.
+
+    Returns one row ``(n_wedges, n_triangles, clustering_ppm)``.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("n")).unionByName(
+        und.select(F.col("b").alias("n"))
+    )
+    wedges = (
+        adj.groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(
+            F.sum(F.expr("d * (d - 1) DIV 2")).cast("long").alias("n_wedges")
+        )
+    )
+    # coalesce: a triangle-free graph yields an EMPTY corner frame, so
+    # the sum is NULL, not 0
+    tri = triangle_count(und.select(F.col("a").alias("src"), F.col("b").alias("dst"))).agg(
+        F.expr("CAST(coalesce(sum(n_triangles), 0) DIV 3 AS BIGINT)").alias(
+            "n_triangles"
+        )
+    )
+    return wedges.crossJoin(tri).select(
+        "n_wedges",
+        "n_triangles",
+        F.expr(
+            "CASE WHEN n_wedges > 0 THEN (1000000 * 3 * n_triangles)"
+            " DIV n_wedges ELSE 0 END"
+        ).cast("long").alias("clustering_ppm"),
+    )
+
+
+def _wl_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    li = spark.table("lineitem").where(
+        F.col("l_quantity") >= LINK_PRED_MIN_QTY
+    ).select("l_orderkey", "l_partkey")
+    r = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2"))
+    edges = li.join(r, (li.l_orderkey == r.o2) & (li.l_partkey < r.p2)).select(
+        F.col("l_partkey").alias("src"), F.col("p2").alias("dst")
+    )
+    return clustering_coefficient(edges)
+
+
+ORACLE_CLUSTERING = f"""
+WITH sp AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_quantity >= {LINK_PRED_MIN_QTY}
+    AND b.l_quantity >= {LINK_PRED_MIN_QTY}),
+deg AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT a AS n FROM sp UNION ALL SELECT b FROM sp) t GROUP BY n),
+w AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM sp e1 JOIN sp e2 ON e2.a = e1.b
+  JOIN sp e3 ON e3.a = e1.a AND e3.b = e2.b)
+SELECT w.n_wedges, tri.n_triangles,
+       CAST(CASE WHEN w.n_wedges > 0
+                 THEN (1000000 * 3 * tri.n_triangles) // w.n_wedges
+                 ELSE 0 END AS BIGINT) AS clustering_ppm
+FROM w, tri"""
+
+
 def degree_assortativity(edges: DataFrame) -> DataFrame:
     """Degree assortativity coefficient (Newman 2002): the Pearson
     correlation of end-point degrees over all (bidirectional) edges —
@@ -874,4 +955,5 @@ def graph_workloads():
         Workload(
             "graph_assortativity", _wl_assortativity, ORACLE_ASSORTATIVITY
         ),
+        Workload("graph_clustering_coeff", _wl_clustering, ORACLE_CLUSTERING),
     ]

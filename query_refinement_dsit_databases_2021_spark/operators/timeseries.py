@@ -1947,6 +1947,142 @@ FROM err e JOIN nn ON nn.key = e.key
 GROUP BY e.key, nn.n ORDER BY e.key"""
 
 
+def forecast_model_select(
+    events: DataFrame,
+    horizon: int = BACKTEST_HORIZON,
+    alpha10: int = 3,
+    beta10: int = 2,
+) -> DataFrame:
+    """Forecaster model selection as dataflow: per key, the holdout
+    MAE of three candidate forecasters — last-value naive, seasonal
+    naive (weekly, ŷ_t = y_{t−7}), and the Holt linear fit — plus the
+    deterministic winner (min MAE; ties resolved by the fixed CASE
+    order holt < naive < snaive, which is also alphabetical). The
+    backtest loop that picks WHICH forecaster serves each series,
+    where :func:`forecast_backtest` scores only one.
+
+    Same strategy-P Arrow-kernel shape and integer-cents exactness as
+    the other sequential fits; keys need ≥ horizon + 7 observed days
+    (the seasonal naive must reach 7 back from every test day).
+
+    Returns ``(key, n_train, mae_naive, mae_snaive, mae_holt,
+    winner)`` — MAEs in cents, ``sum|err| DIV horizon``.
+    """
+    import pandas as pd
+
+    daily = (
+        events.groupBy(
+            F.col("event_type").alias("key"), F.to_date("ts").alias("day")
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .alias("y")
+        )
+    )
+    a, b10, h = int(alpha10), int(beta10), int(horizon)
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day")
+        ys = [int(v) for v in pdf["y"]]
+        key = pdf["key"].iloc[0]
+        cols = ["key", "n_train", "mae_naive", "mae_snaive", "mae_holt",
+                "winner"]
+        if len(ys) < h + 7:
+            return pd.DataFrame(columns=cols)
+        train, test = ys[:-h], ys[-h:]
+        n_tr = len(train)
+        lvl, trd = train[0], train[1] - train[0]
+        for y in train[1:]:
+            lt = (a * y + (10 - a) * (lvl + trd)) // 10
+            trd = (b10 * (lt - lvl) + (10 - b10) * trd) // 10
+            lvl = lt
+        mae_h = sum(
+            abs(test[i] - (lvl + (i + 1) * trd)) for i in range(h)
+        ) // h
+        mae_n = sum(abs(test[i] - train[-1]) for i in range(h)) // h
+        mae_s = sum(
+            abs(ys[n_tr + i] - ys[n_tr + i - 7]) for i in range(h)
+        ) // h
+        if mae_h <= mae_n and mae_h <= mae_s:
+            win = "holt"
+        elif mae_n <= mae_s:
+            win = "naive"
+        else:
+            win = "snaive"
+        return pd.DataFrame(
+            [[key, n_tr, mae_n, mae_s, mae_h, win]], columns=cols
+        )
+
+    schema = ("key string, n_train long, mae_naive long, mae_snaive long,"
+              " mae_holt long, winner string")
+    return daily.groupBy("key").applyInPandas(fit, schema).orderBy("key")
+
+
+def _model_select_oracle(
+    horizon: int = BACKTEST_HORIZON, alpha10: int = 3, beta10: int = 2
+) -> str:
+    def fdiv10(x: str) -> str:
+        return f"(({x}) - ((({x}) % 10 + 10) % 10)) // 10"
+
+    a, b, h = int(alpha10), int(beta10), int(horizon)
+    l_expr = fdiv10(f"{a}*d.y + {10 - a}*(hw.l + hw.b)")
+    b_expr = fdiv10(f"{b}*(s.lt - s.l) + {10 - b}*s.b")
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT key, CAST(row_number() OVER (PARTITION BY key ORDER BY day) - 1
+              AS BIGINT) AS t, y
+  FROM (SELECT event_type AS key, CAST(ts AS DATE) AS day,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2)),
+nn AS (SELECT key, count(*) AS n FROM daily GROUP BY key
+       HAVING count(*) >= {h + 7}),
+train AS (SELECT d.key, d.t, d.y FROM daily d JOIN nn ON nn.key = d.key
+          WHERE d.t <= nn.n - {h} - 1),
+hw(key, t, l, b) AS (
+  SELECT d0.key, CAST(0 AS BIGINT) AS t, d0.y AS l, d1.y - d0.y AS b
+  FROM train d0 JOIN train d1 ON d1.key = d0.key AND d1.t = 1
+  WHERE d0.t = 0
+  UNION ALL
+  SELECT s.key, s.t, s.lt AS l, CAST({b_expr} AS BIGINT) AS b FROM (
+    SELECT hw.key AS key, d.t AS t, hw.l AS l, hw.b AS b,
+           CAST({l_expr} AS BIGINT) AS lt
+    FROM hw JOIN train d ON d.key = hw.key AND d.t = hw.t + 1) s),
+fitted AS (
+  SELECT hw.key, hw.l, hw.b
+  FROM hw JOIN nn ON nn.key = hw.key
+  WHERE hw.t = nn.n - {h} - 1),
+lastv AS (
+  SELECT tr.key, tr.y AS yl FROM train tr JOIN nn ON nn.key = tr.key
+  WHERE tr.t = nn.n - {h} - 1),
+err AS (
+  SELECT d.key,
+         abs(d.y - lv.yl) AS ae_n,
+         abs(d.y - d7.y) AS ae_s,
+         abs(d.y - (f.l + (d.t - (nn.n - {h} - 1)) * f.b)) AS ae_h
+  FROM daily d
+  JOIN nn ON nn.key = d.key AND d.t >= nn.n - {h}
+  JOIN lastv lv ON lv.key = d.key
+  JOIN fitted f ON f.key = d.key
+  JOIN daily d7 ON d7.key = d.key AND d7.t = d.t - 7),
+mae AS (
+  SELECT key,
+         CAST(sum(ae_n) // {h} AS BIGINT) AS mae_naive,
+         CAST(sum(ae_s) // {h} AS BIGINT) AS mae_snaive,
+         CAST(sum(ae_h) // {h} AS BIGINT) AS mae_holt
+  FROM err GROUP BY key)
+SELECT m.key, CAST(nn.n - {h} AS BIGINT) AS n_train,
+       m.mae_naive, m.mae_snaive, m.mae_holt,
+       CASE WHEN m.mae_holt <= m.mae_naive AND m.mae_holt <= m.mae_snaive
+            THEN 'holt'
+            WHEN m.mae_naive <= m.mae_snaive THEN 'naive'
+            ELSE 'snaive' END AS winner
+FROM mae m JOIN nn ON nn.key = m.key
+ORDER BY m.key"""
+
+
+ORACLE_MODEL_SELECT = _model_select_oracle()
+
+
 LTTB_K = 10
 
 
@@ -2324,4 +2460,5 @@ def timeseries_workloads():
         _w("ts_holt_winters", ORACLE_HOLT_WINTERS, holt_winters),
         _w("ts_holt_residuals", ORACLE_HOLT_RESIDUALS, holt_residuals),
         _w("ts_anomaly_consensus", _anomaly_consensus_oracle(), anomaly_consensus),
+        _w("ts_forecast_model_select", ORACLE_MODEL_SELECT, forecast_model_select),
     ]

@@ -237,3 +237,23 @@ def test_assortativity_star_is_negative_path_cycle_flat(spark):
     )
     r2 = degree_assortativity(cyc).collect()[0]
     assert r2["assortativity"] is None
+
+
+def test_clustering_coefficient_known_graphs(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    # K4: 4 triangles, wedges = 4 * C(3,2) = 12 -> 3*4/12 = 1.0
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)],
+        "src long, dst long",
+    )
+    r = clustering_coefficient(k4).collect()[0]
+    assert (r["n_wedges"], r["n_triangles"], r["clustering_ppm"]) == (12, 4, 1_000_000)
+
+    # star: many wedges, zero triangles
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], "src long, dst long")
+    r2 = clustering_coefficient(star).collect()[0]
+    assert (r2["n_triangles"], r2["clustering_ppm"]) == (0, 0)
+    assert r2["n_wedges"] == 10

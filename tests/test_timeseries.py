@@ -798,3 +798,31 @@ def test_anomaly_consensus_subset_of_each_method(spark):
     ]
     for eid, votes in cons.items():
         assert sum(eid in s for s in sets) == votes
+
+
+def test_model_select_prefers_right_forecaster(spark):
+    from datetime import datetime, timedelta
+
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        forecast_model_select,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # key "trend": clean linear ramp -> holt should win
+    # key "weekly": strong period-7 pattern, no trend -> snaive wins
+    for d in range(28):
+        rows.append((eid, base + timedelta(days=d), 1, "trend",
+                     float(10 + 5 * d), "")); eid += 1
+        rows.append((eid, base + timedelta(days=d), 1, "weekly",
+                     float(100 if d % 7 == 0 else 10), "")); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r["key"]: r for r in forecast_model_select(df).collect()}
+    assert out["trend"]["winner"] == "holt"
+    assert out["trend"]["mae_holt"] <= out["trend"]["mae_naive"]
+    assert out["weekly"]["winner"] == "snaive"
+    assert out["weekly"]["mae_snaive"] == 0
