@@ -470,6 +470,117 @@ def _wl_containment(spark, sf_dir):
     )
 
 
+def _wl_curation_v4(spark, sf_dir):
+    """Curation chain v4 — the session's dataset-assembly ops composed
+    end to end: Gopher quality gate → containment dedup (drop any doc
+    >= 50% contained in a lower-id survivor — the sub-document-dup
+    rule Jaccard chains miss) → hash split → per-split manifest with
+    the train-leakage count. Every stage is an already-oracle-checked
+    operator; the chain's oracle recomposes their SQL, so the
+    composition itself is what gets certified. Returns ``(split,
+    n_docs, n_tokens, n_leaky)``.
+    """
+    from query_refinement_dsit_databases_2021_spark.operators.sampling import (
+        hash_split,
+    )
+
+    docs = _docs(spark, sf_dir)
+    keep = (
+        textops.gopher_rules(docs).where(F.col("keep") == 1).select("doc_id")
+    )
+    kept = docs.join(keep, "doc_id").persist()
+    pairs = dedup.ngram_containment_pairs(
+        kept, max_posting=JACCARD_MAX_POSTING
+    )
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    deduped = kept.join(drop, "doc_id", "left_anti").persist()
+    sp = hash_split(deduped.select("doc_id"), key="doc_id").select(
+        "doc_id", "split"
+    )
+    counts = (
+        deduped.select(
+            "doc_id",
+            F.size(textops.tokens(F.col("text"))).cast("long").alias("nt"),
+        )
+        .join(sp, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+        )
+    )
+    leak = split_leakage_audit(deduped).select("split", "n_leaky")
+    return (
+        counts.join(leak, "split", "left")
+        .select(
+            "split",
+            "n_docs",
+            "n_tokens",
+            F.coalesce("n_leaky", F.lit(0)).cast("long").alias("n_leaky"),
+        )
+        .orderBy("split")
+    )
+
+
+def _oracle_curation_v4() -> str:
+    from query_refinement_dsit_databases_2021_spark.operators.sampling import (
+        sql_bucket,
+    )
+
+    bucket = sql_bucket("CAST(doc_id AS VARCHAR)", "split")
+    return f"""
+WITH g AS (SELECT doc_id FROM ({ORACLE_GOPHER}) gx WHERE keep = 1),
+d AS (SELECT doc_id, text FROM documents JOIN g USING (doc_id)),
+tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d),
+sh AS (
+  SELECT DISTINCT doc_id, {_SHINGLE_EXPR} AS s
+  FROM tok, unnest(range(1, greatest(len(ws) - {SHINGLE_K - 2}, 1))) u(i)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+keepsh AS (SELECT s FROM sh GROUP BY s
+           HAVING count(*) <= {JACCARD_MAX_POSTING}),
+shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN keepsh USING (s)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+drop_ids AS (
+  SELECT DISTINCT i.doc_b AS doc_id
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nb ON nb.doc_id = i.doc_b
+  WHERE (1000000 * i.c) // least(na.n, nb.n) >= 500000),
+dd AS (SELECT d.* FROM d
+       WHERE NOT EXISTS (SELECT 1 FROM drop_ids x
+                         WHERE x.doc_id = d.doc_id)),
+sp AS (
+  SELECT doc_id, CASE WHEN h < 8000 THEN 'train'
+                      WHEN h < 9000 THEN 'val'
+                      ELSE 'test' END AS split
+  FROM (SELECT doc_id, {bucket} AS h FROM dd) t),
+counts AS (
+  SELECT sp.split, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(dd.text, ' '))) AS BIGINT) AS n_tokens
+  FROM dd JOIN sp USING (doc_id) GROUP BY sp.split),
+tok2 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM dd),
+sh2 AS (
+  SELECT DISTINCT doc_id, {_SHINGLE_EXPR} AS s
+  FROM tok2, unnest(range(1, greatest(len(ws) - {SHINGLE_K - 2}, 1))) u(i)),
+keep2 AS (SELECT s FROM sh2 GROUP BY s
+          HAVING count(*) <= {JACCARD_MAX_POSTING}),
+shc2 AS (SELECT sh2.doc_id, sh2.s FROM sh2 JOIN keep2 USING (s)),
+tr AS (SELECT DISTINCT shc2.s FROM shc2 JOIN sp USING (doc_id)
+       WHERE sp.split = 'train'),
+leaky AS (
+  SELECT sp.split, CAST(count(*) AS BIGINT) AS n_leaky FROM (
+    SELECT DISTINCT shc2.doc_id FROM shc2 JOIN sp USING (doc_id)
+    WHERE sp.split <> 'train' AND shc2.s IN (SELECT s FROM tr)) l
+  JOIN sp ON sp.doc_id = l.doc_id GROUP BY sp.split)
+SELECT c.split, c.n_docs, c.n_tokens,
+       CAST(COALESCE(lk.n_leaky, 0) AS BIGINT) AS n_leaky
+FROM counts c LEFT JOIN leaky lk USING (split)
+ORDER BY c.split"""
+
+
 def _wl_dedup_pr(spark, sf_dir):
     """Precision/recall attestation of the MinHash-LSH detector
     against exact shingle-Jaccard >= 0.5 ground truth — the
@@ -1505,6 +1616,7 @@ def pipeline_workloads():
         ("pipe_dedup_winnowing", _wl_winnow, ORACLE_WINNOW, False),
         ("pipe_dedup_consensus", _wl_dedup_consensus, ORACLE_CONSENSUS, False),
         ("pipe_dedup_pr_attestation", _wl_dedup_pr, _oracle_dedup_pr(), False),
+        ("pipe_curation_chain_v4", _wl_curation_v4, _oracle_curation_v4(), False),
         ("pipe_dedup_clusters", _wl_clusters, ORACLE_CLUSTERS, False),
         ("pipe_cluster_reps", _wl_cluster_reps, ORACLE_CLUSTER_REPS, False),
         ("pipe_minhash_est_error", _wl_minhash_est, ORACLE_MINHASH_EST, False),

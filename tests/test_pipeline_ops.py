@@ -915,3 +915,18 @@ def test_dedup_pr_attestation_hand_corpus(spark):
     tp = cand.join(exact, ["doc_a", "doc_b"], "leftsemi").count()
     # the exact duplicate pair is both ground truth and candidate
     assert tp == 1 and exact.count() == 1 and cand.count() == 1
+
+
+def test_curation_v4_stages_monotone(spark):
+    from query_refinement_dsit_databases_2021_spark.operators import pipelines
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    rows = {r["split"]: r for r in pipelines._wl_curation_v4(spark, "/root/testdata/sf0.001").collect()}
+    total_kept = sum(r["n_docs"] for r in rows.values())
+    n_all = spark.table("documents").count()
+    assert 0 < total_kept <= n_all  # gate + dedup only remove
+    for r in rows.values():
+        assert r["n_tokens"] >= r["n_docs"]  # every doc has >= 1 token
+        assert 0 <= r["n_leaky"] <= r["n_docs"]
+    assert rows["train"]["n_leaky"] == 0  # leakage defined vs train
