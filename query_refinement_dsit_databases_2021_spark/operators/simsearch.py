@@ -1503,6 +1503,76 @@ lsh_ranked AS (SELECT q_id, vec_id, rank FROM lsh_base)
 SELECT * FROM ({union}) ORDER BY method"""
 
 
+def ann_mrr(
+    emb: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
+) -> DataFrame:
+    """Mean Reciprocal Rank attestation — the third leg of the IR
+    metric set next to recall@k (:func:`ann_recall`) and NDCG@k
+    (:func:`ann_ndcg`): per query, 1/rank of the FIRST returned doc
+    that is a true top-k neighbor (0 if none) — the metric for
+    "did the right answer come first", the one a RAG router reads.
+    Integer ppm: ``rr_ppm = 1e6 DIV first_hit_rank``; the mean is an
+    integer division by n_queries.
+
+    Attestation-sized joins only. Returns ``(method, mrr_ppm,
+    n_miss)`` — n_miss = queries with no true neighbor in the
+    returned list.
+    """
+    exact = cosine_topk(emb, n_queries, k).select("q_id", "vec_id")
+    qs = exact.select("q_id").distinct()
+    outs = []
+    for method, fn in (("ivf", ivf_ann_topk), ("lsh", lsh_ann_topk)):
+        ap = fn(emb).select("q_id", "vec_id", "rank")
+        first = (
+            ap.join(exact, ["q_id", "vec_id"], "leftsemi")
+            .groupBy("q_id")
+            .agg(F.min("rank").alias("fr"))
+        )
+        per_q = qs.join(first, "q_id", "left").select(
+            F.expr(
+                "CASE WHEN fr IS NULL THEN 0 ELSE 1000000 DIV fr END"
+            ).alias("rr_ppm"),
+            F.col("fr").isNull().cast("long").alias("miss"),
+        )
+        outs.append(
+            per_q.agg(
+                F.lit(method).alias("method"),
+                F.expr(f"CAST(sum(rr_ppm) DIV {n_queries} AS BIGINT)").alias(
+                    "mrr_ppm"
+                ),
+                F.sum("miss").cast("long").alias("n_miss"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("method")
+
+
+def oracle_ann_mrr(n_queries: int = N_QUERIES, k: int = TOP_K) -> str:
+    def per_method(method: str, approx_sql: str) -> str:
+        return f"""
+SELECT '{method}' AS method,
+       CAST(sum(rr_ppm) // {n_queries} AS BIGINT) AS mrr_ppm,
+       CAST(sum(miss) AS BIGINT) AS n_miss
+FROM (
+  SELECT CASE WHEN f.fr IS NULL THEN 0 ELSE 1000000 // f.fr END AS rr_ppm,
+         CASE WHEN f.fr IS NULL THEN 1 ELSE 0 END AS miss
+  FROM (SELECT DISTINCT q_id FROM ({oracle_cosine_topk(n_queries, k)}) e0) qs
+  LEFT JOIN (
+    SELECT a.q_id, min(a.rank) AS fr
+    FROM ({approx_sql}) a
+    JOIN ({oracle_cosine_topk(n_queries, k)}) e USING (q_id, vec_id)
+    GROUP BY a.q_id) f USING (q_id))"""
+
+    return (
+        per_method("ivf", oracle_ivf_ann_topk())
+        + "\nUNION ALL\n"
+        + per_method("lsh", oracle_lsh_ann_topk())
+        + "\nORDER BY method"
+    )
+
+
 MMR_CANDIDATES = 10
 MMR_LAM_NUM = 7  # lambda = 0.7 as the integer pair (7, 3)
 MMR_LAM_REST = 3
@@ -2036,6 +2106,12 @@ def simsearch_workloads():
             "pipe_embed_pc1_projection",
             lambda spark, sf_dir: pc1_projections(_emb(spark, sf_dir)),
             oracle_pc1_projections(),
+            False,
+        ),
+        Workload(
+            "pipe_ann_mrr",
+            lambda spark, sf_dir: ann_mrr(_emb(spark, sf_dir)),
+            oracle_ann_mrr(),
             False,
         ),
         Workload("pipe_ann_lsh_topk", _wl_lsh, oracle_lsh_ann_topk(), False),

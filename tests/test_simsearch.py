@@ -435,3 +435,18 @@ def test_pc1_projection_separates_aligned_and_orthogonal(spark):
     assert abs(abs(out[0]) - 1000) <= 20
     assert out[0] == -out[1] or abs(out[0] + out[1]) <= 40  # sign split
     assert abs(out[40]) <= 20
+
+
+def test_mrr_bounds_and_perfect_on_exact(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
+        ann_mrr,
+    )
+
+    emb = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    out = {r["method"]: r for r in ann_mrr(emb).collect()}
+    for m in ("ivf", "lsh"):
+        assert 0 <= out[m]["mrr_ppm"] <= 1_000_000
+        assert out[m]["n_miss"] >= 0
+        # a method with zero misses and rank-1 first hits would be 1e6;
+        # both real indexes should rank a true neighbor first often
+        assert out[m]["mrr_ppm"] >= 500_000
