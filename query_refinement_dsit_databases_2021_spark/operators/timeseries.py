@@ -1947,6 +1947,109 @@ FROM err e JOIN nn ON nn.key = e.key
 GROUP BY e.key, nn.n ORDER BY e.key"""
 
 
+PERIOD_MAX_LAG = 10
+
+
+def dominant_period(events: DataFrame, max_lag: int = PERIOD_MAX_LAG) -> DataFrame:
+    """Dominant period per key: the lag in 1..max_lag with the highest
+    daily-series autocorrelation — the detector that tells a
+    forecaster (e.g. :func:`forecast_model_select`'s seasonal-naive
+    branch) WHICH season to use instead of assuming weekly.
+
+    Exactness: per-(key, lag) Pearson moments are exact int64 sums of
+    integer cents over day equi-joins (epoch-day keys, the
+    cross_correlation shape — never an interval NLJ); only the closed
+    form is float, one identical IEEE expression floor-quantized at 6
+    dp; the argmax breaks ties by smaller lag. Keys need > max_lag
+    observed days; degenerate (zero-variance) lags are skipped by the
+    positivity guard.
+
+    Plan: ONE map-combinable daily agg → lag-spine broadcast + day
+    equi-join → per-(key, lag) moment agg (|keys|·max_lag rows) →
+    an output-sized argmax window. Returns ``(key, best_lag, acf)``.
+    """
+    daily = (
+        events.groupBy(
+            F.col("event_type").alias("key"),
+            F.expr(
+                "unix_micros(CAST(ts AS TIMESTAMP)) DIV 86400000000"
+            ).alias("t"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+            .alias("c")
+        )
+    )
+    spark = events.sparkSession
+    lags = spark.range(1, max_lag + 1).select(F.col("id").alias("lag"))
+    a = daily.select("key", "t", F.col("c").alias("x"))
+    b = daily.select(
+        F.col("key").alias("kb"), F.col("t").alias("tb"), F.col("c").alias("y")
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, (a.key == b.kb) & (b.tb == a.t + F.col("lag")))
+    )
+    m = pairs.groupBy("key", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.floor(
+        num / F.sqrt(vx.cast("double") * vy.cast("double")) * F.lit(1000000)
+        + F.lit(0.5)
+    ) / F.lit(1000000.0)
+    scored = m.where((vx > 0) & (vy > 0)).select(
+        "key", "lag", r.alias("acf")
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("acf"), F.asc("lag"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("key", F.col("lag").cast("long").alias("best_lag"), "acf")
+        .orderBy("key")
+    )
+
+
+ORACLE_DOMINANT_PERIOD = f"""
+WITH daily AS (
+  SELECT event_type AS key, epoch_us(ts) // 86400000000 AS t,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+lags AS (SELECT unnest(range(1, {PERIOD_MAX_LAG + 1})) AS lag),
+m AS (
+  SELECT a.key, l.lag,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(a.c) AS BIGINT) AS sx,
+         CAST(sum(b.c) AS BIGINT) AS sy,
+         CAST(sum(a.c * b.c) AS BIGINT) AS sxy,
+         CAST(sum(a.c * a.c) AS BIGINT) AS sxx,
+         CAST(sum(b.c * b.c) AS BIGINT) AS syy
+  FROM daily a CROSS JOIN lags l
+  JOIN daily b ON b.key = a.key AND b.t = a.t + l.lag
+  GROUP BY a.key, l.lag),
+scored AS (
+  SELECT key, lag,
+         floor((n * sxy - sx * sy)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE))
+               * 1000000 + 0.5) / 1000000.0 AS acf
+  FROM m
+  WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0)
+SELECT key, CAST(lag AS BIGINT) AS best_lag, acf FROM (
+  SELECT key, lag, acf,
+         row_number() OVER (PARTITION BY key
+             ORDER BY acf DESC, lag ASC) AS rn
+  FROM scored)
+WHERE rn = 1 ORDER BY key"""
+
+
 def forecast_model_select(
     events: DataFrame,
     horizon: int = BACKTEST_HORIZON,
@@ -2461,4 +2564,5 @@ def timeseries_workloads():
         _w("ts_holt_residuals", ORACLE_HOLT_RESIDUALS, holt_residuals),
         _w("ts_anomaly_consensus", _anomaly_consensus_oracle(), anomaly_consensus),
         _w("ts_forecast_model_select", ORACLE_MODEL_SELECT, forecast_model_select),
+        _w("ts_dominant_period", ORACLE_DOMINANT_PERIOD, dominant_period),
     ]

@@ -826,3 +826,26 @@ def test_model_select_prefers_right_forecaster(spark):
     assert out["trend"]["mae_holt"] <= out["trend"]["mae_naive"]
     assert out["weekly"]["winner"] == "snaive"
     assert out["weekly"]["mae_snaive"] == 0
+
+
+def test_dominant_period_finds_planted_cycle(spark):
+    from datetime import datetime, timedelta
+
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        dominant_period,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for d in range(40):
+        # period-5 sawtooth with small per-day jitter from d itself
+        v = float(100 * (d % 5) + 10)
+        rows.append((eid, base + timedelta(days=d), 1, "p5", v, "")); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    out = {r["key"]: r for r in dominant_period(df).collect()}
+    assert out["p5"]["best_lag"] == 5
+    assert out["p5"]["acf"] > 0.99
