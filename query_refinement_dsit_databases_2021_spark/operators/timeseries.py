@@ -1968,6 +1968,27 @@ def dominant_period(events: DataFrame, max_lag: int = PERIOD_MAX_LAG) -> DataFra
     equi-join → per-(key, lag) moment agg (|keys|·max_lag rows) →
     an output-sized argmax window. Returns ``(key, best_lag, acf)``.
     """
+    scored = acf_profile(events, max_lag)
+    w = Window.partitionBy("key").orderBy(F.desc("acf"), F.asc("lag"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("key", F.col("lag").alias("best_lag"), "acf")
+        .orderBy("key")
+    )
+
+
+def acf_profile(events: DataFrame, max_lag: int = PERIOD_MAX_LAG) -> DataFrame:
+    """Per-key autocorrelation profile at lags 1..max_lag over the
+    daily series — the full correlogram :func:`dominant_period` takes
+    its argmax from, exposed as its own table because the SHAPE is the
+    diagnostic (slow decay = trend, comb = seasonality, flat = noise).
+    Same exactness contract: exact int64 Pearson moments per
+    (key, lag), one IEEE closed form floor-quantized at 6 dp;
+    zero-variance lags are dropped by the positivity guard.
+
+    Returns ``(key, lag, n_pairs, acf)`` ordered by (key, lag).
+    """
     daily = (
         events.groupBy(
             F.col("event_type").alias("key"),
@@ -2005,19 +2026,19 @@ def dominant_period(events: DataFrame, max_lag: int = PERIOD_MAX_LAG) -> DataFra
         num / F.sqrt(vx.cast("double") * vy.cast("double")) * F.lit(1000000)
         + F.lit(0.5)
     ) / F.lit(1000000.0)
-    scored = m.where((vx > 0) & (vy > 0)).select(
-        "key", "lag", r.alias("acf")
-    )
-    w = Window.partitionBy("key").orderBy(F.desc("acf"), F.asc("lag"))
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("key", F.col("lag").cast("long").alias("best_lag"), "acf")
-        .orderBy("key")
+        m.where((vx > 0) & (vy > 0))
+        .select(
+            "key",
+            F.col("lag").cast("long").alias("lag"),
+            F.col("n").cast("long").alias("n_pairs"),
+            r.alias("acf"),
+        )
+        .orderBy("key", "lag")
     )
 
 
-ORACLE_DOMINANT_PERIOD = f"""
+_ACF_SCORED_SQL = f"""
 WITH daily AS (
   SELECT event_type AS key, epoch_us(ts) // 86400000000 AS t,
          CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
@@ -2035,19 +2056,29 @@ m AS (
   JOIN daily b ON b.key = a.key AND b.t = a.t + l.lag
   GROUP BY a.key, l.lag),
 scored AS (
-  SELECT key, lag,
+  SELECT key, CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
          floor((n * sxy - sx * sy)
                / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
                       * CAST(n * syy - sy * sy AS DOUBLE))
                * 1000000 + 0.5) / 1000000.0 AS acf
   FROM m
-  WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0)
-SELECT key, CAST(lag AS BIGINT) AS best_lag, acf FROM (
+  WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0)"""
+
+ORACLE_ACF_PROFILE = (
+    _ACF_SCORED_SQL
+    + "\nSELECT key, lag, n_pairs, acf FROM scored ORDER BY key, lag"
+)
+
+ORACLE_DOMINANT_PERIOD = (
+    _ACF_SCORED_SQL
+    + """
+SELECT key, lag AS best_lag, acf FROM (
   SELECT key, lag, acf,
          row_number() OVER (PARTITION BY key
              ORDER BY acf DESC, lag ASC) AS rn
   FROM scored)
 WHERE rn = 1 ORDER BY key"""
+)
 
 
 def forecast_model_select(
@@ -2565,4 +2596,5 @@ def timeseries_workloads():
         _w("ts_anomaly_consensus", _anomaly_consensus_oracle(), anomaly_consensus),
         _w("ts_forecast_model_select", ORACLE_MODEL_SELECT, forecast_model_select),
         _w("ts_dominant_period", ORACLE_DOMINANT_PERIOD, dominant_period),
+        _w("ts_acf_profile", ORACLE_ACF_PROFILE, acf_profile),
     ]

@@ -849,3 +849,22 @@ def test_dominant_period_finds_planted_cycle(spark):
     out = {r["key"]: r for r in dominant_period(df).collect()}
     assert out["p5"]["best_lag"] == 5
     assert out["p5"]["acf"] > 0.99
+
+
+def test_acf_profile_shape_matches_argmax(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        acf_profile,
+        dominant_period,
+    )
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, "/root/testdata/sf0.001")
+    ev = spark.table("events")
+    prof = acf_profile(ev).collect()
+    best = {r["key"]: (r["best_lag"], r["acf"]) for r in dominant_period(ev).collect()}
+    by_key = {}
+    for r in prof:
+        by_key.setdefault(r["key"], []).append((r["acf"], -r["lag"], r["lag"]))
+    for key, (blag, bacf) in best.items():
+        top = max(by_key[key])
+        assert (top[2], top[0]) == (blag, bacf)
