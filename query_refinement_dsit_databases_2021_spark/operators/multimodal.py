@@ -314,6 +314,57 @@ def _wl_shard_pack(spark, sf_dir):
     return shard_pack(synthesize_media(spark.table("documents")))
 
 
+def shard_balance(manifest: DataFrame) -> DataFrame:
+    """Shard-balance audit over a :func:`shard_pack` manifest: per
+    modality, the shard count, largest and (lower-)median shard
+    bytes, and ``balance_ppm = (1e6·median) DIV max`` — the skew
+    number a dataloader capacity plan reads (a low ratio means
+    stragglers: one fat shard gates the epoch). The median is the
+    tie-broken ``row_number == (n+1) DIV 2`` element ordered by
+    (bytes, shard) — the repo's exact-percentile convention, so both
+    engines pick the identical shard.
+
+    Manifest-sized input ⇒ everything here is metadata-scale.
+    Returns ``(media_type, n_shards, max_bytes, median_bytes,
+    balance_ppm)``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("media_type").orderBy("total_bytes", "shard")
+    cnt = Window.partitionBy("media_type")
+    ranked = manifest.select(
+        "media_type",
+        "total_bytes",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(cnt).alias("_n"),
+        F.max("total_bytes").over(cnt).alias("_mx"),
+    )
+    med = ranked.where(
+        F.col("_rn") == F.expr("(_n + 1) DIV 2")
+    ).select(
+        "media_type",
+        F.col("_n").cast("long").alias("n_shards"),
+        F.col("_mx").cast("long").alias("max_bytes"),
+        F.col("total_bytes").cast("long").alias("median_bytes"),
+    )
+    return med.select(
+        "media_type",
+        "n_shards",
+        "max_bytes",
+        "median_bytes",
+        F.expr("(1000000 * median_bytes) DIV max_bytes")
+        .cast("long")
+        .alias("balance_ppm"),
+    ).orderBy("media_type")
+
+
+def _wl_shard_balance(spark, sf_dir):
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    return shard_balance(shard_pack(synthesize_media(spark.table("documents"))))
+
+
 ORACLE_SHARD_PACK = f"""
 WITH sized AS (
   SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
@@ -341,11 +392,35 @@ FROM planned GROUP BY media_type, shard
 ORDER BY media_type, shard"""
 
 
+ORACLE_SHARD_BALANCE = f"""
+WITH manifest AS ({{pack}}),
+ranked AS (
+  SELECT media_type, total_bytes,
+         row_number() OVER (PARTITION BY media_type
+             ORDER BY total_bytes, shard) AS rn,
+         count(*) OVER (PARTITION BY media_type) AS n,
+         max(total_bytes) OVER (PARTITION BY media_type) AS mx
+  FROM manifest)
+SELECT media_type, CAST(n AS BIGINT) AS n_shards,
+       CAST(mx AS BIGINT) AS max_bytes,
+       CAST(total_bytes AS BIGINT) AS median_bytes,
+       CAST((1000000 * total_bytes) // mx AS BIGINT) AS balance_ppm
+FROM ranked
+WHERE rn = (n + 1) // 2
+ORDER BY media_type""".format(pack=ORACLE_SHARD_PACK)
+
+
 def multimodal_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
     return [
         Workload("pipe_media_shard_pack", _wl_shard_pack, ORACLE_SHARD_PACK, False),
+        Workload(
+            "pipe_media_shard_balance",
+            _wl_shard_balance,
+            ORACLE_SHARD_BALANCE,
+            False,
+        ),
         Workload("pipe_media_features", _wl_media_features, ORACLE_MEDIA_FEATURES, False),
         Workload("pipe_media_frames", _wl_media_frames, ORACLE_MEDIA_FRAMES, False),
         Workload(

@@ -125,3 +125,27 @@ def test_shard_pack_next_fit_and_signature(spark):
         ("image", 0): (2, 110, 1, 2, sig([(1, 60), (2, 50)])),
         ("image", 1): (2, 70, 3, 4, sig([(3, 40), (4, 30)])),
     }
+
+
+def test_shard_balance_hand_manifest(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.multimodal import (
+        shard_balance,
+    )
+
+    manifest = spark.createDataFrame(
+        [
+            ("image", 0, 3, 100, 1, 3, 7),
+            ("image", 1, 2, 80, 4, 5, 9),
+            ("image", 2, 1, 40, 6, 6, 11),
+            ("audio", 0, 2, 50, 1, 2, 13),
+        ],
+        "media_type string, shard long, n_items long, total_bytes long,"
+        " min_doc long, max_doc long, xor_sig long",
+    )
+    out = {r["media_type"]: r for r in shard_balance(manifest).collect()}
+    # image shards sorted by bytes: 40, 80, 100 -> median (n+1)//2 = 2nd = 80
+    assert out["image"]["n_shards"] == 3
+    assert out["image"]["median_bytes"] == 80
+    assert out["image"]["max_bytes"] == 100
+    assert out["image"]["balance_ppm"] == 800_000
+    assert out["audio"]["balance_ppm"] == 1_000_000
