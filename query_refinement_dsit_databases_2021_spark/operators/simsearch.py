@@ -222,11 +222,54 @@ def _centroid_literals(emb: DataFrame, centroid_ids) -> list[tuple[int, list[flo
     return [(int(r["vec_id"]), [float(x) for x in r["v"]], float(r["nrm"])) for r in rows]
 
 
-def _nearest_cells(base: DataFrame, cents, n_cells: int) -> DataFrame:
+# _nearest_cells strategy switch: below this many centroids the
+# per-centroid dot products are unrolled into ONE projection (no join,
+# no shuffle on the corpus side); above it the unrolled expression tree
+# would dwarf codegen limits, so the centroids become a broadcast dim
+# table instead (same auto pattern as tokenize_ids' literal<->join
+# switch in textops.py).
+UNROLL_MAX_CELLS = 4096
+
+
+def _nearest_cells(
+    base: DataFrame, cents, n_cells: int, *, strategy: str = "auto"
+) -> DataFrame:
     """(vec_id, cell, rnk) for the n_cells nearest centroids of every
-    vector in `base` — pure column arithmetic per row (the centroid
-    loop is unrolled into the projection; no shuffle, no join) plus
-    one explode and a per-vector ranking window."""
+    vector in `base`.
+
+    Two bit-identical strategies (parity pinned by a unit test):
+
+    - ``unroll`` (default up to UNROLL_MAX_CELLS centroids): pure
+      column arithmetic per row — the centroid loop is unrolled into
+      the projection; no shuffle, no join — plus one explode and a
+      per-vector ranking window.
+    - ``join`` (past ~4k cells, where an unrolled projection stops
+      being codegen-able): centroids as a broadcast dim table, one
+      BroadcastNestedLoopJoin fan-out, the same rounded-cosine /
+      cell-asc ranking window. Still zero corpus-side shuffle.
+
+    Both compute the identical left-fold dot product over the identical
+    double values and rank on round(cos, 6) with a cell tie-break, so
+    the strategies agree bit-for-bit.
+    """
+    if strategy == "auto":
+        strategy = "unroll" if len(cents) <= UNROLL_MAX_CELLS else "join"
+    if strategy == "join":
+        cdf = base.sparkSession.createDataFrame(
+            [(int(c), [float(x) for x in cv], float(cn)) for c, cv, cn in cents],
+            "cell long, cv array<double>, cn double",
+        )
+        cos = F.round(
+            _dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
+        return (
+            base.crossJoin(F.broadcast(cdf))
+            .select("vec_id", "cell", cos.alias("cos"))
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= n_cells)
+            .select("vec_id", "cell", F.col("rnk").cast("int").alias("rnk"))
+        )
     entries = F.array(
         *[
             F.struct(
@@ -695,23 +738,29 @@ def ivf_topk_from_layout(
     is asserted in the test). Per-query corpus cost is the probed
     share, with zero per-search assignment work. Same output
     shape/semantics as :func:`ivf_ann_topk` over the same
-    corpus+queries (pinned by a test)."""
+    corpus+queries (pinned by a test).
+
+    The probe assignment stays a distributed DataFrame end-to-end —
+    the query batch is NEVER materialized on the driver (a million-
+    query batch flows through the same plan). The only driver hop is
+    the distinct probed-cell set for the static partition filter,
+    which is bounded by |centroids| (metadata scale), not by
+    |queries|; the test pins that bound by intercepting collect()."""
     cents = [
         (int(r["cell"]), [float(x) for x in r["cv"]], float(r["cn"]))
         for r in spark.read.parquet(f"{path}__centroids").collect()
     ]
     cents.sort()
     qbase = _with_norm(queries)
-    probe_rows = (
-        _nearest_cells(qbase, cents, nprobe)
-        .select(F.col("vec_id").alias("q_id"), "cell")
-        .collect()
+    probes = _nearest_cells(qbase, cents, nprobe).select(
+        F.col("vec_id").alias("q_id"), "cell"
     )
-    probes = spark.createDataFrame(
-        [(int(r["q_id"]), int(r["cell"])) for r in probe_rows],
-        "q_id long, cell long",
+    # metadata-scale driver hop: the DISTINCT probed cells (<= |cells|
+    # rows regardless of query-batch size) become the plan-time
+    # partition filter; the per-query probe rows stay distributed.
+    probe_cells = sorted(
+        int(r["cell"]) for r in probes.select("cell").distinct().collect()
     )
-    probe_cells = sorted({int(r["cell"]) for r in probe_rows})
     # ONE pruned scan; keep cell alongside the normalized vector
     raw = spark.read.parquet(path).where(F.col("cell").isin(probe_cells))
     v = _as_double(F.col("embedding"))

@@ -197,9 +197,14 @@ def test_semantic_dedup_single_cell_equals_brute_force(spark):
 
 def test_ivf_layout_serving_matches_inline_and_prunes(spark, tmp_path):
     """write_ivf_layout + ivf_topk_from_layout ≡ the inline ivf_ann_topk,
-    and the serving scan prunes to the probed cell DIRECTORIES
-    (PartitionFilters — no unprobed file is ever opened)."""
+    the serving scan prunes to the probed cell DIRECTORIES
+    (PartitionFilters — no unprobed file is ever opened), and the query
+    batch is never materialized on the driver: every collect() issued
+    while building the serving plan is bounded by |centroids| rows
+    (the sidecar read + the distinct probed-cell set), NOT by
+    |queries| × nprobe."""
     from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
+        IVF_CENTROID_IDS,
         N_QUERIES,
         ivf_ann_topk,
         ivf_topk_from_layout,
@@ -213,7 +218,23 @@ def test_ivf_layout_serving_matches_inline_and_prunes(spark, tmp_path):
     write_ivf_layout(emb, path)
 
     queries = emb.where(F.col("vec_id") < N_QUERIES)
-    served = ivf_topk_from_layout(spark, path, queries)
+    collect_sizes: list[int] = []
+    _DF = type(emb)  # the concrete runtime DataFrame class
+    orig_collect = _DF.collect
+
+    def spy(self):
+        rows = orig_collect(self)
+        collect_sizes.append(len(rows))
+        return rows
+
+    _DF.collect = spy
+    try:
+        served = ivf_topk_from_layout(spark, path, queries)
+    finally:
+        _DF.collect = orig_collect
+    assert collect_sizes, "expected the metadata-scale collects to run"
+    assert max(collect_sizes) <= len(IVF_CENTROID_IDS), collect_sizes
+
     plan = served._jdf.queryExecution().executedPlan().toString()
     # the filter must be INSIDE PartitionFilters (an empty
     # "PartitionFilters: []" plus 'cell' in the schema would also match
@@ -224,6 +245,38 @@ def test_ivf_layout_serving_matches_inline_and_prunes(spark, tmp_path):
     got = sorted(tuple(r) for r in served.collect())
     want = sorted(tuple(r) for r in ivf_ann_topk(emb).collect())
     assert got == want and len(got) > 0
+
+
+def test_nearest_cells_join_strategy_matches_unroll(spark):
+    """_nearest_cells' two strategies (unrolled projection vs broadcast
+    centroid dim table) are bit-identical, and the join form carries
+    the plan you'd want past ~4k cells: a broadcast join fan-out with
+    no SortMergeJoin and no corpus-side Exchange before the ranking
+    window."""
+    from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
+        IVF_CENTROID_IDS,
+        _centroid_literals,
+        _nearest_cells,
+        _with_norm,
+    )
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, SF_DIR)
+    emb = spark.table("embeddings")
+    base = _with_norm(emb)
+    cents = _centroid_literals(emb, IVF_CENTROID_IDS)
+    for n_cells in (1, 3):
+        un = _nearest_cells(base, cents, n_cells, strategy="unroll")
+        jn = _nearest_cells(base, cents, n_cells, strategy="join")
+        assert [(f.name, f.dataType) for f in un.schema] == [
+            (f.name, f.dataType) for f in jn.schema
+        ]
+        got_u = sorted(tuple(r) for r in un.collect())
+        got_j = sorted(tuple(r) for r in jn.collect())
+        assert got_u == got_j and len(got_u) > 0
+    plan = jn._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
 
 
 def test_embedding_outliers_flags_far_vector(spark):
