@@ -126,14 +126,26 @@ GROUP BY doc_id % 3, text
 ORDER BY media_type, keep_id"""
 
 
-def extract_features(media: DataFrame, use_real_codecs: bool = False) -> DataFrame:
+def extract_features(
+    media: DataFrame, use_real_codecs: bool = False, decoder=None
+) -> DataFrame:
     """Decode + feature-extract over the binary column via
     ``mapInPandas``: per media row emits byte count, decoded
     dimensions, a 4x-downsampled thumbnail size (the "resize" step),
     and a payload checksum (stand-in for content features).
 
-    ``use_real_codecs=True`` routes to :func:`decode_media_real`
-    (raises in this container)."""
+    ``use_real_codecs=True`` routes decoding through the real-codec
+    seam: ``decoder`` if supplied (the deployment injection point — a
+    ``(content: bytes, media_type: str) -> (width, height, payload)``
+    callable; also how the contract test drives the real path without
+    codec libs), else :func:`decode_media_real`, which raises in this
+    container. The real path's decoded tuple feeds the SAME feature
+    columns as the fake path — swapping in PIL/ffmpeg is one function,
+    not a new pipeline. ``decoder`` travels inside the closure, so a
+    locally-defined callable is pickled by value to the Python
+    workers."""
+    if decoder is None and use_real_codecs:
+        decoder = decode_media_real
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -143,8 +155,9 @@ def extract_features(media: DataFrame, use_real_codecs: bool = False) -> DataFra
             ):
                 b = bytes(content)
                 if use_real_codecs:
-                    decode_media_real(b, mt)  # pragma: no cover - stub
-                w, h, payload = decode_media_fake(b)
+                    w, h, payload = decoder(b, mt)
+                else:
+                    w, h, payload = decode_media_fake(b)
                 checksum = sum(payload) % HASH_P
                 rows.append(
                     (int(doc_id), mt, len(b), w, h, w // 4, h // 4, checksum)

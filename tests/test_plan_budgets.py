@@ -637,3 +637,79 @@ def test_round3g_operator_exchange_budgets(pdocs, pevents, spark):
     assert hw.count("FlatMapGroupsInPandas") == 1
     ss = _plan(seasonal_strength(pevents))
     assert "FlatMapGroupsInPandas" not in ss  # pure JVM, no Python
+
+
+def test_round3h_operator_exchange_budgets(spark):
+    """Verdict-r03 item: Exchange pins for the round-3 session-4
+    additions that lacked them (MMR, personalized pagerank, k-core,
+    shard balance; Holt-Winters was already pinned in round3g)."""
+    from query_refinement_dsit_databases_2021_spark.operators.graph import (
+        kcore,
+        personalized_pagerank,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.multimodal import (
+        shard_balance,
+        shard_pack,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
+        mmr_topk,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, (i * 3) % 13) for i in range(30)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,), (2,)], "node long")
+
+    # PPR: per iteration ONE groupBy(dst) shuffle plus the rank<->edge
+    # equi-join exchanges (SMJ on big-big is the plan you want at
+    # scale); the seed set arrives by broadcast. Growth must stay
+    # LINEAR in iterations — a quadratic lineage blow-up would show as
+    # super-linear Exchange counts.
+    p2 = _plan(personalized_pagerank(edges, seeds, iterations=2))
+    p3 = _plan(personalized_pagerank(edges, seeds, iterations=3))
+    for p in (p2, p3):
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "BroadcastHashJoin" in p  # the seed-set broadcast
+    g2 = p2.count("Exchange hashpartitioning")
+    g3 = p3.count("Exchange hashpartitioning")
+    assert g3 - g2 <= 10 and g3 <= 30, (g2, g3)
+
+    # k-core: the peel loop localCheckpoints each round, so the
+    # returned plan is the LAST round only — two survivor semi-joins +
+    # one degree agg, a bounded tail regardless of peel depth
+    kp = _plan(kcore(edges, k=2, max_iters=10))
+    assert "CartesianProduct" not in kp
+    assert "BroadcastNestedLoopJoin" not in kp
+    assert kp.count("Exchange hashpartitioning") <= 6, kp
+
+    # shard balance: manifest-scale — the shard_pack window exchange
+    # plus ONE media_type repartition that every balance window and
+    # the final agg reuse; no joins at all
+    media = spark.createDataFrame(
+        [(i, "image", bytearray(b"x" * (10 + i))) for i in range(20)],
+        "doc_id long, media_type string, content binary",
+    )
+    bp = _plan(shard_balance(shard_pack(media)))
+    assert bp.count("Exchange hashpartitioning") <= 2, bp
+    assert "Join" not in bp
+
+    # MMR: the production plan is checkpoint-truncated per greedy
+    # round (the iterative tail runs on candidate-count-sized frames,
+    # never the corpus) => the served plan carries NO hash exchange.
+    # The fully unrolled lineage (checkpointing neutralized) must
+    # still contain no non-broadcast cartesian anywhere.
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    served = _plan(mmr_topk(emb, n_queries=2, k=3, c=5))
+    assert served.count("Exchange hashpartitioning") == 0, served
+    _DF = type(emb)
+    orig_ckpt = _DF.localCheckpoint
+    _DF.localCheckpoint = lambda self, eager=True: self
+    try:
+        full = _plan(mmr_topk(emb, n_queries=2, k=3, c=5))
+    finally:
+        _DF.localCheckpoint = orig_ckpt
+    assert "CartesianProduct" not in full
