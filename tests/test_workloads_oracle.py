@@ -166,6 +166,54 @@ def test_workload_matches_duckdb(spark, duck, name):
     assert _approx_eq(_rowset(srows), _rowset(orows)), name
 
 
+def test_gate_rotation_ledger_closes_registry():
+    """The r04/r05 rotation math (COVERAGE.md "Gate rotation ledger"):
+    the r04 window is exactly 50 names, the committed r05 window is
+    exactly 50, they are disjoint apart from nothing (anchors differ),
+    every non-anchor entry in both windows has NEVER had an external
+    CORRECTNESS row, and window-r04 ∪ window-r05 ∪ externally-gated
+    covers the ENTIRE registry — i.e. after r05 every workload holds
+    an external row."""
+    import json
+    import pathlib
+
+    from query_refinement_dsit_databases_2021_spark.workloads import (
+        DRIVER_PRIORITY,
+        DRIVER_PRIORITY_R05,
+    )
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    gated: set[str] = set()
+    for r in (1, 2, 3):
+        p = root / f"CORRECTNESS_r0{r}.json"
+        if p.exists():
+            gated.update(json.loads(p.read_text()).keys())
+    if not gated:
+        pytest.skip("no external CORRECTNESS records present")
+
+    assert len(DRIVER_PRIORITY) == 50
+    assert len(DRIVER_PRIORITY_R05) == 50
+    assert len(set(DRIVER_PRIORITY)) == 50
+    assert len(set(DRIVER_PRIORITY_R05)) == 50
+    assert not set(DRIVER_PRIORITY) & set(DRIVER_PRIORITY_R05)
+    missing = [
+        n
+        for n in (*DRIVER_PRIORITY, *DRIVER_PRIORITY_R05)
+        if n not in WORKLOADS
+    ]
+    assert not missing, missing
+    anchors_r04 = {"cp_refined_tighten", "pipe_dedup_minhash_lsh"}
+    anchors_r05 = {"cp_refined_relax", "pipe_ann_cosine_topk"}
+    already = (set(DRIVER_PRIORITY) - anchors_r04) & gated
+    assert not already, f"r04 window wastes slots on gated names: {already}"
+    already5 = (set(DRIVER_PRIORITY_R05) - anchors_r05) & gated
+    assert not already5, f"r05 window wastes slots on gated names: {already5}"
+    uncovered = (
+        set(WORKLOADS) - gated - set(DRIVER_PRIORITY) - set(DRIVER_PRIORITY_R05)
+    )
+    assert not uncovered, f"never externally certified after r05: {uncovered}"
+
+
 def test_gate_window_schemas_are_scalar_only(spark):
     # The external driver's value hash has only ever certified scalar
     # dtypes (BIGINT/INT/DOUBLE/VARCHAR/BOOL/DATE); arrays, raw
