@@ -768,6 +768,50 @@ def ngram_containment_pairs(
     )
 
 
+def dup_ngram_spans(docs: DataFrame, min_df: int = 2) -> DataFrame:
+    """Cross-document repeated-span profile — the document-level
+    signal behind exact-substring train-data dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    each document, how much of it is made of k-gram spans that also
+    appear in OTHER documents. High ``dup_frac_ppm`` marks templated /
+    boilerplate / mass-duplicated pages that per-document near-dup
+    pairing undercounts (a doc can be 90% memorized spans without any
+    single partner crossing a pair threshold).
+
+    Plan: distinct per-doc shingles, document frequency per shingle
+    via ONE count window over the shingle partitioning (the same
+    shared-exchange trick as the jaccard posting cap — df never needs
+    a second shuffle), then ONE groupBy(doc_id). No self-join at all —
+    this is strictly cheaper than any pair operator: two exchanges,
+    both on bounded keys, zero pair blow-up at 100 TB. All counts are
+    integers; ``dup_frac_ppm = (1e6 * n_dup) DIV n_shingles``.
+
+    Returns ``(doc_id, n_shingles, n_dup, max_df, dup_frac_ppm)`` for
+    documents with at least one shingle (shorter-than-k docs have no
+    span evidence and are absent, same contract as the pair ops).
+    """
+    sh = shingles(docs)
+    w = Window.partitionBy("s")
+    with_df = sh.withColumn("_df", F.count("*").over(w))
+    return (
+        with_df.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("_df") >= min_df, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup"),
+            F.max("_df").cast("long").alias("max_df"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup",
+            "max_df",
+            F.expr("(1000000 * n_dup) DIV n_shingles").alias("dup_frac_ppm"),
+        )
+    )
+
+
 def decontaminate(
     docs: DataFrame, eval_docs: DataFrame, k: int = 5, min_hits: int = 1
 ) -> DataFrame:

@@ -470,6 +470,21 @@ def _wl_containment(spark, sf_dir):
     )
 
 
+ORACLE_DUP_SPANS = f"""
+WITH {SQL_SHINGLES},
+d AS (SELECT doc_id, count(*) OVER (PARTITION BY s) AS df FROM sh)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST(max(df) AS BIGINT) AS max_df,
+       (1000000 * CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT))
+         // count(*) AS dup_frac_ppm
+FROM d GROUP BY doc_id ORDER BY doc_id"""
+
+
+def _wl_dup_spans(spark, sf_dir):
+    return dedup.dup_ngram_spans(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def _wl_curation_v4(spark, sf_dir):
     """Curation chain v4 — the session's dataset-assembly ops composed
     end to end: Gopher quality gate → containment dedup (drop any doc
@@ -1612,6 +1627,7 @@ def pipeline_workloads():
         ("pipe_dedup_ngram_jaccard", _wl_jaccard, ORACLE_JACCARD_CAPPED, True),
         ("pipe_dedup_ngram_jaccard_exact", _wl_jaccard_exact, ORACLE_JACCARD, False),
         ("pipe_dedup_containment", _wl_containment, ORACLE_CONTAINMENT, False),
+        ("pipe_dup_ngram_spans", _wl_dup_spans, ORACLE_DUP_SPANS, False),
         ("pipe_split_leakage", _wl_split_leakage, _oracle_split_leakage(), False),
         ("pipe_dedup_winnowing", _wl_winnow, ORACLE_WINNOW, False),
         ("pipe_dedup_consensus", _wl_dedup_consensus, ORACLE_CONSENSUS, False),

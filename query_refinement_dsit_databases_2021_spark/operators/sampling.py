@@ -359,6 +359,143 @@ def chunk_documents(
     )
 
 
+DSIR_BUCKETS = 256
+MIXTURE_WEIGHTS_PPM: tuple[tuple[str, int], ...] = (
+    ("en", 400_000),
+    ("fr", 200_000),
+    ("de", 150_000),
+    ("es", 150_000),
+    ("zh", 100_000),
+)
+
+
+def importance_weights(
+    docs: DataFrame,
+    target: Column | None = None,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Hashed-feature importance weights for data selection — the
+    DSIR recipe (Xie et al. 2023, "Data Selection for Language Models
+    via Importance Resampling") linearized for engine-exactness:
+    token occurrences hash into ``n_buckets`` features; each bucket
+    gets an add-1-smoothed target/raw probability ratio; a document's
+    score is the count-weighted SUM of its buckets' ratios (the
+    published estimator sums log-ratios — logs are not bit-portable
+    across engines, so this variant sums the ratios themselves; the
+    ranking it induces is what selection consumes). Score is
+    normalized per token so length doesn't dominate.
+
+    Scale shape (100 TB): two corpus passes — (1) explode tokens,
+    ONE map-combinable groupBy(bucket) producing the n_buckets-row
+    distribution table (a broadcast dim table; totals ride a 1-row
+    broadcast agg, never a driver count); (2) explode again,
+    broadcast-join the ratio table, ONE groupBy(doc_id). No
+    corpus-sized join, no driver state, no floats crossing rows:
+    per-bucket ratios are floor-quantized to int64 ppm (identical
+    IEEE mult/div on both engines), per-doc sums are integer.
+
+    Returns ``(doc_id, n_tokens, score_sum, score_ppm)`` where
+    ``score_ppm = score_sum div n_tokens``.
+    """
+    if target is None:
+        target = F.col("lang") == "en"
+    tok = docs.select(
+        "doc_id",
+        target.alias("is_t"),
+        F.explode(tokens(F.col("text"))).alias("w"),
+    ).withColumn("bucket", bucket_of(F.col("w"), "dsir", n_buckets))
+    cnts = tok.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).cast("long").alias("ct"),
+        F.sum(F.when(~F.col("is_t"), 1).otherwise(0)).cast("long").alias("cr"),
+    )
+    totals = cnts.agg(
+        F.sum("ct").alias("tt"), F.sum("cr").alias("tr")
+    )
+    b = F.lit(int(n_buckets))
+    pt = (F.col("ct") + 1).cast("double") / (F.col("tt") + b)
+    pr = (F.col("cr") + 1).cast("double") / (F.col("tr") + b)
+    ratio = (
+        cnts.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.floor(F.lit(1e6) * (pt / pr) + F.lit(0.5))
+            .cast("long")
+            .alias("r_ppm"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("r_ppm").cast("long").alias("score_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "score_sum",
+            F.expr("score_sum div n_tokens").alias("score_ppm"),
+        )
+    )
+
+
+def mixture_plan(
+    docs: DataFrame,
+    total_tokens: int = 1_000_000,
+    weights: tuple[tuple[str, int], ...] = MIXTURE_WEIGHTS_PPM,
+    group: str = "lang",
+) -> DataFrame:
+    """Training-mixture plan: given target mixture ``weights`` (ppm
+    per ``group`` value) and a token budget, turn per-group availability
+    into the numbers a data loader executes — target token count,
+    epoch count (ceil of target/available: how many times the group
+    repeats), and a downsampling rate in ppm for groups with surplus.
+    This is the domain-reweighting step between corpus stats and the
+    sampler (the knob DoReMi/offline-mixture recipes tune).
+
+    ONE map-combinable groupBy(``group``) over a token-count
+    projection; weights are a literal when-chain (no join). All
+    arithmetic is int64 (ppm weights, integer div/ceil) — bit-exact.
+
+    Returns ``(group, avail_tokens, weight_ppm, target_tokens,
+    epochs, rate_ppm)`` for groups named in ``weights``; ``rate_ppm``
+    is capped at 1e6 (never upsample within an epoch — repeats are
+    ``epochs``' job).
+    """
+    wcol = F.lit(None).cast("long")
+    for name, ppm in weights:
+        wcol = F.when(F.col("grp") == name, F.lit(int(ppm))).otherwise(wcol)
+    avail = (
+        docs.select(
+            F.col(group).alias("grp"),
+            F.size(tokens(F.col("text"))).cast("long").alias("_nt"),
+        )
+        .groupBy("grp")
+        .agg(F.sum("_nt").alias("avail_tokens"))
+        .withColumn("weight_ppm", wcol)
+        .where(F.col("weight_ppm").isNotNull())
+    )
+    tgt = F.expr(f"({int(total_tokens)} * weight_ppm) div 1000000")
+    return (
+        avail.withColumn("target_tokens", tgt)
+        .select(
+            F.col("grp").alias(group),
+            "avail_tokens",
+            "weight_ppm",
+            "target_tokens",
+            F.expr(
+                "(target_tokens + avail_tokens - 1) div avail_tokens"
+            ).alias("epochs"),
+            F.least(
+                F.lit(1_000_000),
+                F.expr("(1000000 * target_tokens) div avail_tokens"),
+            )
+            .cast("long")
+            .alias("rate_ppm"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Workload registry entries (DuckDB oracles)
 # ---------------------------------------------------------------------------
@@ -477,6 +614,56 @@ ORDER BY doc_id"""
     def _temperature(spark, sf_dir):
         return temperature_mix(_docs(spark, sf_dir)).select("doc_id", "source")
 
+    oracle_dsir = f"""
+WITH tok AS (
+  SELECT doc_id, lang = 'en' AS is_t, unnest(string_split(text, ' ')) AS w
+  FROM documents),
+bk AS (
+  SELECT doc_id, is_t,
+         {bucket_sql("w", "dsir", DSIR_BUCKETS)} AS bucket
+  FROM tok),
+cnts AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS BIGINT) AS cr
+  FROM bk GROUP BY bucket),
+tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr
+        FROM cnts),
+ratio AS (
+  SELECT bucket,
+         CAST(floor(1e6 * (((ct + 1)::DOUBLE / (tt + {DSIR_BUCKETS}))
+                           / ((cr + 1)::DOUBLE / (tr + {DSIR_BUCKETS})))
+                    + 0.5) AS BIGINT) AS r_ppm
+  FROM cnts, tot)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(r_ppm) AS BIGINT) AS score_sum,
+       CAST(sum(r_ppm) AS BIGINT) // count(*) AS score_ppm
+FROM bk JOIN ratio USING (bucket)
+GROUP BY doc_id ORDER BY doc_id"""
+
+    _mix_when = " ".join(
+        f"WHEN '{name}' THEN {ppm}" for name, ppm in MIXTURE_WEIGHTS_PPM
+    )
+    oracle_mixture = f"""
+WITH avail AS (
+  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+           AS avail_tokens,
+         CAST(CASE lang {_mix_when} END AS BIGINT) AS weight_ppm
+  FROM documents GROUP BY lang)
+SELECT lang, avail_tokens, weight_ppm,
+       (5000000 * weight_ppm) // 1000000 AS target_tokens,
+       ((5000000 * weight_ppm) // 1000000 + avail_tokens - 1)
+         // avail_tokens AS epochs,
+       least(1000000, (1000000 * ((5000000 * weight_ppm) // 1000000))
+         // avail_tokens) AS rate_ppm
+FROM avail WHERE weight_ppm IS NOT NULL ORDER BY lang"""
+
+    def _dsir(spark, sf_dir):
+        return importance_weights(_docs(spark, sf_dir)).orderBy("doc_id")
+
+    def _mixture(spark, sf_dir):
+        return mixture_plan(_docs(spark, sf_dir), total_tokens=5_000_000).orderBy("lang")
+
     def _split(spark, sf_dir):
         return hash_split(_docs(spark, sf_dir)).select("doc_id", "split")
 
@@ -499,4 +686,6 @@ ORDER BY doc_id"""
         Workload("pipe_sample_temperature", _temperature, oracle_temperature),
         Workload("pipe_pack_sequences", _pack, oracle_pack),
         Workload("pipe_chunk_documents", _chunk, oracle_chunk),
+        Workload("pipe_dsir_importance", _dsir, oracle_dsir),
+        Workload("pipe_mixture_plan", _mixture, oracle_mixture),
     ]

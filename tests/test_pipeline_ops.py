@@ -930,3 +930,46 @@ def test_curation_v4_stages_monotone(spark):
         assert r["n_tokens"] >= r["n_docs"]  # every doc has >= 1 token
         assert 0 <= r["n_leaky"] <= r["n_docs"]
     assert rows["train"]["n_leaky"] == 0  # leakage defined vs train
+
+
+def test_dup_ngram_spans_hand_corpus(spark):
+    """Hand-derived repeated-span profile (SHINGLE_K = 3): doc 0 and
+    doc 1 share one 3-gram span; doc 2 is unique; doc 3 is too short
+    to shingle and must be absent."""
+    from query_refinement_dsit_databases_2021_spark.operators.dedup import (
+        dup_ngram_spans,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d"),       # shingles: "a|b|c", "b|c|d"
+            (1, "x a b c"),       # shingles: "x|a|b", "a|b|c"
+            (2, "p q r s"),       # unique shingles
+            (3, "t u"),           # < k tokens -> no shingles
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dup_ngram_spans(df).collect()}
+    assert set(got) == {0, 1, 2}
+    assert got[0]["n_shingles"] == 2 and got[0]["n_dup"] == 1
+    assert got[0]["max_df"] == 2
+    assert got[0]["dup_frac_ppm"] == 500_000
+    assert got[1]["n_dup"] == 1 and got[1]["dup_frac_ppm"] == 500_000
+    assert got[2]["n_dup"] == 0 and got[2]["max_df"] == 1
+    assert got[2]["dup_frac_ppm"] == 0
+
+
+def test_dup_ngram_spans_fully_duplicated_doc(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.dedup import (
+        dup_ngram_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c d e"), (2, "z z2 z3")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dup_ngram_spans(df).collect()}
+    # exact copies: every shingle shared -> 1e6 ppm on both docs
+    assert got[0]["dup_frac_ppm"] == 1_000_000
+    assert got[1]["dup_frac_ppm"] == 1_000_000
+    assert got[2]["dup_frac_ppm"] == 0

@@ -241,3 +241,75 @@ def test_temperature_mix_caps_and_extremes(spark):
     assert a == sorted(r.doc_id for r in temperature_mix(df).collect())
     with pytest.raises(ValueError):
         temperature_mix(df, alpha=1.5)
+
+
+def test_importance_weights_separates_target_vocabulary(spark):
+    """DSIR-style scoring: documents written in the target population's
+    vocabulary must outscore documents in the raw population's
+    vocabulary, and a mixed doc must land between them."""
+    from query_refinement_dsit_databases_2021_spark.operators.sampling import (
+        importance_weights,
+    )
+
+    rows = (
+        # target (en) docs use vocabulary A
+        [(i, "alpha beta gamma delta alpha beta", "en") for i in range(8)]
+        # raw docs use vocabulary B
+        + [(10 + i, "omega psi chi phi omega psi", "fr") for i in range(8)]
+        # one raw doc written in vocabulary A, one mixed
+        + [(30, "alpha beta gamma delta alpha beta", "fr"),
+           (31, "alpha beta omega psi", "fr")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r["score_ppm"] for r in importance_weights(df).collect()}
+    assert got[0] > got[10]          # target vocab >> raw vocab
+    assert got[30] == got[0]         # score depends on text, not label
+    assert got[10] < got[31] < got[30]  # mixed doc in between
+    # per-token normalization: same text => same score regardless of length
+    assert got[0] == got[7]
+
+
+def test_importance_weights_is_integer_exact_and_total(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.sampling import (
+        importance_weights,
+    )
+
+    rows = [(i, f"w{i % 5} w{(i + 1) % 5}", "en" if i % 2 == 0 else "fr")
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = importance_weights(df)
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "bigint", "bigint", "bigint", "bigint"
+    ]
+    rows_out = out.collect()
+    assert len(rows_out) == 20  # every doc scored
+    for r in rows_out:
+        assert r["score_ppm"] == r["score_sum"] // r["n_tokens"]
+
+
+def test_mixture_plan_epochs_and_rates(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.sampling import (
+        mixture_plan,
+    )
+
+    # en has 40 tokens available, fr has 10
+    rows = [(i, " ".join(["t"] * 10), "en") for i in range(4)] + [
+        (100, " ".join(["t"] * 10), "fr")
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r["lang"]: r
+        for r in mixture_plan(
+            df, total_tokens=100, weights=(("en", 200_000), ("fr", 800_000))
+        ).collect()
+    }
+    # en: target 20 of 40 available -> 1 epoch, downsample to 50%
+    assert got["en"]["target_tokens"] == 20
+    assert got["en"]["epochs"] == 1
+    assert got["en"]["rate_ppm"] == 500_000
+    # fr: target 80 of 10 available -> 8 epochs, rate capped at 1e6
+    assert got["fr"]["target_tokens"] == 80
+    assert got["fr"]["epochs"] == 8
+    assert got["fr"]["rate_ppm"] == 1_000_000
+    # groups without a weight are absent
+    assert set(got) == {"en", "fr"}

@@ -180,6 +180,7 @@ def test_gate_rotation_ledger_closes_registry():
     from query_refinement_dsit_databases_2021_spark.workloads import (
         DRIVER_PRIORITY,
         DRIVER_PRIORITY_R05,
+        DRIVER_QUEUE_R06,
     )
 
     root = pathlib.Path(__file__).resolve().parent.parent
@@ -211,7 +212,11 @@ def test_gate_rotation_ledger_closes_registry():
     uncovered = (
         set(WORKLOADS) - gated - set(DRIVER_PRIORITY) - set(DRIVER_PRIORITY_R05)
     )
-    assert not uncovered, f"never externally certified after r05: {uncovered}"
+    # post-r05-freeze additions must be queued for r06 — exactly them
+    assert uncovered == set(DRIVER_QUEUE_R06), (
+        f"not in any window or queue: {uncovered - set(DRIVER_QUEUE_R06)}; "
+        f"queued but covered: {set(DRIVER_QUEUE_R06) - uncovered}"
+    )
 
 
 def test_gate_window_schemas_are_scalar_only(spark):
