@@ -57,6 +57,13 @@ def main() -> int:
     ap.add_argument("--max-iters", type=int, default=12)
     ap.add_argument("--out", default="scalability.csv")
     ap.add_argument("--cpus", type=int, default=8)
+    # reference methodology grows both domains +20/iteration; at large
+    # --rows that keeps the candidate count trivial and fixed planning
+    # cost dominates (the committed 20k curve is flat for this reason).
+    # These steps let a big-N run push udf_size into the regime where
+    # data cost is visible without changing the default methodology.
+    ap.add_argument("--grow-x", type=int, default=20)
+    ap.add_argument("--grow-lx", type=int, default=20)
     args = ap.parse_args()
 
     spark = get_spark(
@@ -101,11 +108,12 @@ def main() -> int:
             f"action={info.action} n={n} t={wall:.2f}s",
             file=sys.stderr,
         )
-        # grow domains: +20 alternating (reference:...scipt.py:44-51)
+        # grow domains alternating (reference:...scipt.py:44-51; step
+        # sizes configurable, default +20/+20 = the reference's)
         if it % 2 == 0:
-            x_hi = min(x_hi + 20, args.rows)
+            x_hi = min(x_hi + args.grow_x, args.rows)
         else:
-            lx_hi += 20
+            lx_hi += args.grow_lx
         if x_hi >= args.rows:
             break
 
