@@ -496,6 +496,104 @@ def mixture_plan(
     )
 
 
+def pack_efficiency(
+    docs: DataFrame,
+    budget: int = 2048,
+    group: str = "source",
+    key: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Packing-efficiency audit over :func:`pack_sequences`: per
+    ``group``, the bin count, token totals, fill ratio vs the ideal
+    ``n_bins * budget``, and the fattest bin — the numbers that decide
+    whether a packing layout wastes context windows or creates
+    straggler bins (a bin's tokens can exceed ``budget`` because a
+    document straddling a cut counts in its STARTING bin — the audit
+    surfaces exactly that skew).
+
+    Adds one (group, bin) agg + one group agg on top of the packing
+    window — after the first agg everything is manifest-scale. All
+    integer: ``fill_ppm = (1e6 * tokens) DIV (n_bins * budget)``.
+
+    Returns ``(group, n_docs, n_bins, total_tokens, fill_ppm,
+    max_bin_tokens)``.
+    """
+    packed = pack_sequences(docs, budget, group, key, text)
+    per_bin = packed.groupBy(group, "bin").agg(
+        F.count("*").cast("long").alias("_docs"),
+        F.sum("n_tokens").cast("long").alias("_bin_tokens"),
+    )
+    return (
+        per_bin.groupBy(group)
+        .agg(
+            F.sum("_docs").cast("long").alias("n_docs"),
+            F.count("*").cast("long").alias("n_bins"),
+            F.sum("_bin_tokens").cast("long").alias("total_tokens"),
+            F.max("_bin_tokens").cast("long").alias("max_bin_tokens"),
+        )
+        .select(
+            group,
+            "n_docs",
+            "n_bins",
+            "total_tokens",
+            F.expr(f"(1000000 * total_tokens) div (n_bins * {int(budget)})")
+            .cast("long")
+            .alias("fill_ppm"),
+            "max_bin_tokens",
+        )
+    )
+
+
+def curriculum_phases(docs: DataFrame, n_phases: int = 4) -> DataFrame:
+    """Curriculum assignment: split the corpus into ``n_phases``
+    quality tiers (phase 0 = highest quality first — the curriculum-
+    learning schedule) WITHOUT a global sort: the integer quality
+    score (the dataset-card qmills blend, 0..1000) has bounded
+    cardinality, so the phase boundary comes from a ≤1001-row score
+    histogram — one map-combinable groupBy, a window over the tiny
+    dim table, and a broadcast join back. At 100 TB there is no
+    single-partition ranking anywhere; ties (same score) share a
+    phase by construction, so partitioning cannot split them.
+
+    ``phase = (docs_strictly_better * n_phases) DIV total`` per score
+    value. Returns ``(doc_id, qmills, phase)``.
+    """
+    from pyspark.sql import Window
+
+    ws = tokens(F.col("text"))
+    n_tok = F.size(ws)
+    n_typ = F.size(F.array_distinct(ws))
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        STOPWORDS,
+    )
+
+    n_stop = F.size(F.filter(ws, lambda w: w.isin(*STOPWORDS)))
+    blend = (
+        F.lit(0.4) * (n_typ / n_tok)
+        + F.lit(0.4) * (F.lit(1.0) - n_stop / n_tok)
+        + F.lit(0.2) * F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    )
+    scored = docs.select(
+        "doc_id", F.floor(blend * 1000 + F.lit(0.5)).cast("long").alias("qmills")
+    )
+    hist = scored.groupBy("qmills").agg(F.count("*").cast("long").alias("_n"))
+    w = Window.orderBy(F.desc("qmills")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    totals = hist.agg(F.sum("_n").alias("_total"))
+    phases = (
+        hist.withColumn("_hi", F.coalesce(F.sum("_n").over(w), F.lit(0)))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "qmills",
+            F.expr(f"(_hi * {int(n_phases)}) div _total").alias("phase"),
+        )
+    )
+    return scored.join(F.broadcast(phases), "qmills").select(
+        "doc_id", "qmills", "phase"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Workload registry entries (DuckDB oracles)
 # ---------------------------------------------------------------------------
@@ -658,6 +756,64 @@ SELECT lang, avail_tokens, weight_ppm,
          // avail_tokens) AS rate_ppm
 FROM avail WHERE weight_ppm IS NOT NULL ORDER BY lang"""
 
+    oracle_pack_eff = """
+WITH t AS (
+  SELECT source, doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) // 2048 AS bin
+  FROM t),
+pb AS (
+  SELECT source, bin, CAST(count(*) AS BIGINT) AS docs,
+         CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+  FROM c GROUP BY source, bin)
+SELECT source, CAST(sum(docs) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(sum(bin_tokens) AS BIGINT) AS total_tokens,
+       (1000000 * CAST(sum(bin_tokens) AS BIGINT))
+         // (count(*) * 2048) AS fill_ppm,
+       CAST(max(bin_tokens) AS BIGINT) AS max_bin_tokens
+FROM pb GROUP BY source ORDER BY source"""
+
+    from query_refinement_dsit_databases_2021_spark.operators.pipelines import (
+        _STOP_IN,
+    )
+
+    oracle_curriculum = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+m AS (
+  SELECT doc_id, len(ws)::INT AS n_tok,
+         len(list_distinct(ws))::INT AS n_typ,
+         len(list_filter(ws, w -> w IN ({_STOP_IN})))::INT AS n_stop
+  FROM t),
+s AS (
+  SELECT doc_id,
+         floor((CAST(0.4 AS DOUBLE) * (n_typ / n_tok)
+              + CAST(0.4 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - n_stop / n_tok)
+              + CAST(0.2 AS DOUBLE)
+                * least(n_tok / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)))
+               * 1000 + 0.5)::BIGINT AS qmills
+  FROM m),
+h AS (SELECT qmills, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY qmills),
+p AS (
+  SELECT qmills,
+         (CAST(coalesce(sum(n) OVER (ORDER BY qmills DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          * 4) // (SELECT sum(n) FROM h) AS phase
+  FROM h)
+SELECT s.doc_id, s.qmills, CAST(p.phase AS BIGINT) AS phase
+FROM s JOIN p USING (qmills) ORDER BY doc_id"""
+
+    def _pack_eff(spark, sf_dir):
+        return pack_efficiency(_docs(spark, sf_dir)).orderBy("source")
+
+    def _curriculum(spark, sf_dir):
+        return curriculum_phases(_docs(spark, sf_dir)).orderBy("doc_id")
+
     def _dsir(spark, sf_dir):
         return importance_weights(_docs(spark, sf_dir)).orderBy("doc_id")
 
@@ -688,4 +844,6 @@ FROM avail WHERE weight_ppm IS NOT NULL ORDER BY lang"""
         Workload("pipe_chunk_documents", _chunk, oracle_chunk),
         Workload("pipe_dsir_importance", _dsir, oracle_dsir),
         Workload("pipe_mixture_plan", _mixture, oracle_mixture),
+        Workload("pipe_pack_efficiency", _pack_eff, oracle_pack_eff),
+        Workload("pipe_curriculum_phases", _curriculum, oracle_curriculum),
     ]

@@ -313,3 +313,45 @@ def test_mixture_plan_epochs_and_rates(spark):
     assert got["fr"]["rate_ppm"] == 1_000_000
     # groups without a weight are absent
     assert set(got) == {"en", "fr"}
+
+
+def test_pack_efficiency_hand_bins(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.sampling import (
+        pack_efficiency,
+    )
+
+    # 5 docs x 10 tokens, budget 16: bins at prefix//16 = 0,0,1,1,2
+    rows = [(i, " ".join(["t"] * 10), "s") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = pack_efficiency(df, budget=16).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_docs"] == 5 and r["n_bins"] == 3
+    assert r["total_tokens"] == 50
+    # fill = 1e6 * 50 / (3 * 16)
+    assert r["fill_ppm"] == (1_000_000 * 50) // 48
+    assert r["max_bin_tokens"] == 20  # two 10-token docs share a bin
+
+
+def test_curriculum_phases_orders_by_quality_without_global_sort(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.sampling import (
+        curriculum_phases,
+    )
+
+    # high-quality: diverse tokens; low-quality: repeated token
+    rows = [(i, " ".join(f"w{i}x{j}" for j in range(20)), "s") for i in range(10)]
+    rows += [(100 + i, " ".join(["the"] * 20), "s") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: r for r in curriculum_phases(df, n_phases=2).collect()}
+    assert len(got) == 20
+    # diverse docs in the earlier phase than the degenerate ones
+    assert all(got[i]["phase"] == 0 for i in range(10))
+    assert all(got[100 + i]["phase"] == 1 for i in range(10))
+    # equal scores share a phase (tie contract)
+    assert len({got[100 + i]["phase"] for i in range(10)}) == 1
+    # plan: no global-sort ranking of the corpus — the only Window runs
+    # over the <=1001-row score histogram, and the corpus side joins it
+    # by broadcast
+    plan = curriculum_phases(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

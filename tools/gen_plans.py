@@ -195,6 +195,34 @@ NOTES = {
         "the n_queries-row positive table broadcasts into the final "
         "assembly."
     ),
+    "pipe_dsir_importance": (
+        "Pass 1: token explode into ONE map-combinable groupBy(bucket) "
+        "(256-row dim table; totals via 1-row broadcast agg, no driver "
+        "count). Pass 2: re-explode, broadcast-join the ratio table, "
+        "ONE groupBy(doc_id). No corpus-sized join; int64 ppm "
+        "arithmetic end to end."
+    ),
+    "pipe_mixture_plan": (
+        "ONE map-combinable groupBy(lang); the ppm weight map is a "
+        "literal when-chain — no join at all. Metadata-sized output."
+    ),
+    "pipe_dup_ngram_spans": (
+        "Shingle df via ONE count window on the shingle partitioning, "
+        "then ONE groupBy(doc_id) — zero self-join, so no pair blow-up "
+        "exists to cap. Strictly cheaper than any pair-based dedup op."
+    ),
+    "pipe_ann_pq_adc": (
+        "Corpus codes from the map-only unrolled encode projection "
+        "(zero Exchange before the m-row explode); query distance "
+        "tables broadcast into ONE (s, code) BroadcastHashJoin; "
+        "integer-sum agg + per-query rank window. No SMJ, no cartesian."
+    ),
+    "pipe_ann_pq_rerank": (
+        "The ADC shortlist plan plus an exact-rerank tail: the "
+        "c-candidate shortlist equi-joins raw vectors by vec_id and "
+        "broadcasts the query vectors — the corpus is never scanned a "
+        "second time at full dimension."
+    ),
 }
 
 HEADER = """# PLANS — captured physical plans for representative workloads
