@@ -1538,6 +1538,34 @@ SELECT doc_id, pos, id
 FROM j ORDER BY doc_id, pos"""
 
 
+ORACLE_VOCAB_COVERAGE = f"""
+WITH tf AS (
+  SELECT term, count(*) AS tf
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY term),
+v AS (
+  SELECT term FROM (
+    SELECT term, row_number() OVER (ORDER BY tf DESC, term) AS rn FROM tf)
+  WHERE rn <= {TOKENIZE_GATE_VOCAB}),
+s AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+j AS (SELECT source, w, v.term IS NOT NULL AS in_v
+      FROM s LEFT JOIN v ON s.w = v.term)
+SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN in_v THEN 0 ELSE 1 END) AS BIGINT) AS oov_tokens,
+       (1000000 * CAST(sum(CASE WHEN in_v THEN 0 ELSE 1 END) AS BIGINT))
+         // count(*) AS oov_ppm,
+       CAST(count(DISTINCT w) AS BIGINT) AS n_types,
+       CAST(count(DISTINCT CASE WHEN NOT in_v THEN w END) AS BIGINT)
+         AS oov_types
+FROM j GROUP BY source ORDER BY source"""
+
+
+def _wl_vocab_coverage(spark, sf_dir):
+    return textops.vocab_coverage(
+        _docs(spark, sf_dir), vocab_size=TOKENIZE_GATE_VOCAB
+    ).orderBy("source")
+
+
 def _wl_tokenize(spark, sf_dir):
     encoded = textops.tokenize_ids(
         _docs(spark, sf_dir), vocab_size=TOKENIZE_GATE_VOCAB
@@ -1656,6 +1684,7 @@ def pipeline_workloads():
         ("pipe_cooccurrence_pairs", _wl_cooccurrence, ORACLE_COOC, False),
         ("pipe_text_normalize", _wl_normalize, ORACLE_NORMALIZE, False),
         ("pipe_tokenize_ids", _wl_tokenize, ORACLE_TOKENIZE, False),
+        ("pipe_vocab_coverage", _wl_vocab_coverage, ORACLE_VOCAB_COVERAGE, False),
         ("pipe_dataset_card", _wl_dataset_card, ORACLE_DATASET_CARD, False),
         ("pipe_curation_chain", _wl_curation, _oracle_curation(), False),
         ("pipe_text_bpe_tokens", _wl_bpe_tokens, ORACLE_BPE_TOKENS, False),

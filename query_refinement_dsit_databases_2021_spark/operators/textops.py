@@ -772,6 +772,63 @@ def tokenize_ids(
     return docs.select("doc_id", ids.alias("ids"))
 
 
+def vocab_coverage(
+    docs: DataFrame, vocab_size: int = TOKENIZE_VOCAB_SIZE
+) -> DataFrame:
+    """Vocabulary-coverage / OOV audit per source: how much of each
+    source's token mass (and type inventory) a corpus-trained top-V
+    vocabulary covers — the number that decides whether a tokenizer's
+    vocab budget fits a new ingest source before any encode runs
+    (high OOV ⇒ UNK-flooded training examples).
+
+    Same vocab artifact as :func:`tokenize_ids` (top-``vocab_size``
+    terms by (tf desc, term asc)). Plan: one map-combinable
+    groupBy(term) trains the vocab; the token stream LEFT-joins it by
+    broadcast (the vocab is bounded), then ONE groupBy(source). Token
+    counts are int64; ``oov_ppm = (1e6 * oov_tokens) DIV n_tokens``.
+
+    Returns ``(source, n_tokens, oov_tokens, oov_ppm, n_types,
+    oov_types)``.
+    """
+    tf = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("tf"))
+    )
+    vocab_df = (
+        tf.orderBy(F.desc("tf"), "term").limit(vocab_size).select("term")
+    )
+    stream = docs.select(
+        "source", F.explode(tokens(F.col("text"))).alias("w")
+    )
+    joined = stream.join(
+        F.broadcast(vocab_df.withColumn("_in", F.lit(1))),
+        stream["w"] == vocab_df["term"],
+        "left",
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("oov_tokens"),
+            F.countDistinct("w").cast("long").alias("n_types"),
+            F.countDistinct(F.when(F.col("_in").isNull(), F.col("w")))
+            .cast("long")
+            .alias("oov_types"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "oov_tokens",
+            F.expr("(1000000 * oov_tokens) div n_tokens").alias("oov_ppm"),
+            "n_types",
+            "oov_types",
+        )
+    )
+
+
 BPE_ROUNDS = 3
 
 

@@ -973,3 +973,23 @@ def test_dup_ngram_spans_fully_duplicated_doc(spark):
     assert got[0]["dup_frac_ppm"] == 1_000_000
     assert got[1]["dup_frac_ppm"] == 1_000_000
     assert got[2]["dup_frac_ppm"] == 0
+
+
+def test_vocab_coverage_hand_corpus(spark):
+    """Hand-derived OOV audit: vocab_size=2 keeps the two most
+    frequent terms; everything else is OOV."""
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        vocab_coverage,
+    )
+
+    rows = [
+        (0, "a a a b b c", "s0"),   # a,b in vocab; c OOV
+        (1, "a b x y", "s1"),       # x,y OOV
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in vocab_coverage(df, vocab_size=2).collect()}
+    assert got["s0"]["n_tokens"] == 6 and got["s0"]["oov_tokens"] == 1
+    assert got["s0"]["oov_ppm"] == 1_000_000 // 6
+    assert got["s0"]["n_types"] == 3 and got["s0"]["oov_types"] == 1
+    assert got["s1"]["n_tokens"] == 4 and got["s1"]["oov_tokens"] == 2
+    assert got["s1"]["oov_types"] == 2
