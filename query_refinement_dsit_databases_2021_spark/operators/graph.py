@@ -30,7 +30,7 @@ the operator contract), triangles into the same two joins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # fixed-point PageRank constants: ranks carry 1e9 units per node of
@@ -939,6 +939,107 @@ GROUP BY e.a ORDER BY node"""
 ORACLE_KCORE = _kcore_oracle()
 
 
+LPA_ROUNDS = 3
+
+
+def label_propagation(edges: DataFrame, rounds: int = LPA_ROUNDS) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation (Raghavan
+    et al. 2007, determinized): labels start as node ids; each round
+    every node adopts the most frequent label among its neighbors
+    (ties → smallest label), all nodes updating from the SAME previous
+    round — so the result is a pure function of the graph, independent
+    of partitioning and visit order (the async variant the paper
+    describes is famously order-dependent; the sync variant is the one
+    a distributed engine can make reproducible). A fixed round count
+    keeps the oracle an unrolled CTE chain.
+
+    Per round: one adjacency⋈labels equi-join, one map-combinable
+    groupBy(node, label), one argmax window per node;
+    ``localCheckpoint`` truncates the loop lineage (same pattern as
+    pagerank/kcore). All counts integer; tie-break total.
+
+    Returns ``(node, label)`` after ``rounds`` rounds.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("n"), F.col("b").alias("nb")).unionByName(
+        und.select(F.col("b").alias("n"), F.col("a").alias("nb"))
+    )
+    labels = adj.select(F.col("n").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("n").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(rounds):
+        nb_labels = adj.join(
+            labels, adj["nb"] == labels["node"]
+        ).select(adj["n"].alias("n"), "label")
+        counts = nb_labels.groupBy("n", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        labels = (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(F.col("n").alias("node"), "label")
+            .localCheckpoint()
+        )
+    return labels
+
+
+def _wl_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Communities in the bulk co-purchase graph (same sparsified
+    graph as link prediction / k-core)."""
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    li = spark.table("lineitem").where(
+        F.col("l_quantity") >= LINK_PRED_MIN_QTY
+    ).select("l_orderkey", "l_partkey")
+    r = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2"))
+    edges = li.join(r, (li.l_orderkey == r.o2) & (li.l_partkey < r.p2)).select(
+        F.col("l_partkey").alias("src"), F.col("p2").alias("dst")
+    )
+    return label_propagation(edges).orderBy("node")
+
+
+def _lpa_oracle(rounds: int = LPA_ROUNDS) -> str:
+    parts = [
+        f"""sp AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_quantity >= {LINK_PRED_MIN_QTY}
+    AND b.l_quantity >= {LINK_PRED_MIN_QTY})""",
+        """adj AS MATERIALIZED (
+  SELECT a AS n, b AS nb FROM sp UNION ALL SELECT b, a FROM sp)""",
+        "l0 AS (SELECT DISTINCT n AS node, n AS label FROM adj)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""l{i + 1} AS MATERIALIZED (
+  SELECT n AS node, label FROM (
+    SELECT c.n, c.label,
+           row_number() OVER (PARTITION BY c.n
+               ORDER BY c.cnt DESC, c.label) AS rn
+    FROM (SELECT a.n, l.label, count(*) AS cnt
+          FROM adj a JOIN l{i} l ON a.nb = l.node
+          GROUP BY a.n, l.label) c)
+  WHERE rn = 1)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, label FROM l{rounds} ORDER BY node"
+    )
+
+
+ORACLE_LPA = _lpa_oracle()
+
+
 def graph_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
@@ -956,4 +1057,5 @@ def graph_workloads():
             "graph_assortativity", _wl_assortativity, ORACLE_ASSORTATIVITY
         ),
         Workload("graph_clustering_coeff", _wl_clustering, ORACLE_CLUSTERING),
+        Workload("graph_label_propagation", _wl_lpa, ORACLE_LPA),
     ]

@@ -257,3 +257,46 @@ def test_clustering_coefficient_known_graphs(spark):
     r2 = clustering_coefficient(star).collect()[0]
     assert (r2["n_triangles"], r2["clustering_ppm"]) == (0, 0)
     assert r2["n_wedges"] == 10
+
+
+def test_label_propagation_matches_python_reference(spark):
+    """Synchronous LPA vs an independent pure-Python simulation on a
+    two-cliques-plus-bridge graph: same labels after every round count,
+    and the two cliques end in different communities."""
+    from collections import Counter
+
+    from query_refinement_dsit_databases_2021_spark.operators.graph import (
+        label_propagation,
+    )
+
+    clique1 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    clique2 = [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a < b]
+    bridge = [(4, 10)]
+    edges = clique1 + clique2 + bridge
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    def python_lpa(edges, rounds):
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        labels = {n: n for n in adj}
+        for _ in range(rounds):
+            new = {}
+            for n, nbs in adj.items():
+                cnt = Counter(labels[x] for x in nbs)
+                best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+                new[n] = best[0]
+            labels = new
+        return labels
+
+    for rounds in (1, 2, 3):
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, rounds=rounds).collect()
+        }
+        assert got == python_lpa(edges, rounds), rounds
+    final = python_lpa(edges, 3)
+    assert final[1] == final[2] == final[3]
+    assert final[11] == final[12] == final[13]
+    assert final[1] != final[11]  # the bridge does not merge the cliques
