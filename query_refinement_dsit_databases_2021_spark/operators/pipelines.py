@@ -537,6 +537,107 @@ def _wl_curation_v4(spark, sf_dir):
     )
 
 
+def _wl_curation_v5(spark, sf_dir):
+    """Curation chain v5 — the round-4 data-selection ops composed end
+    to end: DSIR target-likeness gate (keep docs whose hashed-feature
+    importance score says "more target-like than raw", score_ppm >=
+    1e6) → repeated-span gate (drop docs that are > 60% cross-doc
+    duplicated shingles; docs too short to shingle carry no span
+    evidence and pass) → exact dedup (min-id survivor) → per-language
+    mixture/epoching plan over the curated set. Every stage is an
+    already-oracle-checked operator; the chain's oracle recomposes
+    their SQL, so the COMPOSITION is what gets certified. Returns the
+    mixture plan rows ``(lang, avail_tokens, weight_ppm,
+    target_tokens, epochs, rate_ppm)``.
+    """
+    from query_refinement_dsit_databases_2021_spark.operators.sampling import (
+        importance_weights,
+        mixture_plan,
+    )
+
+    docs = _docs(spark, sf_dir)
+    dsir_pass = (
+        importance_weights(docs)
+        .where(F.col("score_ppm") >= 1_000_000)
+        .select("doc_id")
+    )
+    kept = docs.join(dsir_pass, "doc_id").persist()
+    templated = (
+        dedup.dup_ngram_spans(kept)
+        .where(F.col("dup_frac_ppm") > 600_000)
+        .select("doc_id")
+    )
+    detempl = kept.join(templated, "doc_id", "left_anti")
+    survivors = dedup.exact_dedup(detempl).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    curated = detempl.join(survivors, "doc_id")
+    return mixture_plan(curated, total_tokens=5_000_000).orderBy("lang")
+
+
+def _oracle_curation_v5() -> str:
+    from query_refinement_dsit_databases_2021_spark.operators.sampling import (
+        DSIR_BUCKETS,
+        MIXTURE_WEIGHTS_PPM,
+        sql_bucket,
+    )
+
+    bucket = sql_bucket("w", "dsir", DSIR_BUCKETS)
+    mix_when = " ".join(
+        f"WHEN '{name}' THEN {ppm}" for name, ppm in MIXTURE_WEIGHTS_PPM
+    )
+    return f"""
+WITH tok0 AS (
+  SELECT doc_id, lang = 'en' AS is_t, unnest(string_split(text, ' ')) AS w
+  FROM documents),
+bk AS (SELECT doc_id, is_t, {bucket} AS bucket FROM tok0),
+cnts AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         CAST(sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS BIGINT) AS cr
+  FROM bk GROUP BY bucket),
+tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr
+        FROM cnts),
+ratio AS (
+  SELECT bucket,
+         CAST(floor(1e6 * (((ct + 1)::DOUBLE / (tt + {DSIR_BUCKETS}))
+                           / ((cr + 1)::DOUBLE / (tr + {DSIR_BUCKETS})))
+                    + 0.5) AS BIGINT) AS r_ppm
+  FROM cnts, tot),
+dsir AS (
+  SELECT doc_id FROM bk JOIN ratio USING (bucket)
+  GROUP BY doc_id
+  HAVING CAST(sum(r_ppm) AS BIGINT) // count(*) >= 1000000),
+kept AS (SELECT d.* FROM documents d JOIN dsir USING (doc_id)),
+ktok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM kept),
+ksh AS (
+  SELECT DISTINCT doc_id, {_SHINGLE_EXPR} AS s
+  FROM ktok, unnest(range(1, greatest(len(ws) - {SHINGLE_K - 2}, 1))) u(i)),
+kdf AS (SELECT doc_id, count(*) OVER (PARTITION BY s) AS df FROM ksh),
+templated AS (
+  SELECT doc_id FROM kdf GROUP BY doc_id
+  HAVING (1000000 * CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT))
+           // count(*) > 600000),
+detempl AS (
+  SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM templated)),
+survivors AS (
+  SELECT min(doc_id) AS doc_id FROM detempl GROUP BY text),
+curated AS (
+  SELECT d.* FROM detempl d JOIN survivors USING (doc_id)),
+avail AS (
+  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+           AS avail_tokens,
+         CAST(CASE lang {mix_when} END AS BIGINT) AS weight_ppm
+  FROM curated GROUP BY lang)
+SELECT lang, avail_tokens, weight_ppm,
+       (5000000 * weight_ppm) // 1000000 AS target_tokens,
+       ((5000000 * weight_ppm) // 1000000 + avail_tokens - 1)
+         // avail_tokens AS epochs,
+       least(1000000, (1000000 * ((5000000 * weight_ppm) // 1000000))
+         // avail_tokens) AS rate_ppm
+FROM avail WHERE weight_ppm IS NOT NULL ORDER BY lang"""
+
+
 def _oracle_curation_v4() -> str:
     from query_refinement_dsit_databases_2021_spark.operators.sampling import (
         sql_bucket,
@@ -1661,6 +1762,7 @@ def pipeline_workloads():
         ("pipe_dedup_consensus", _wl_dedup_consensus, ORACLE_CONSENSUS, False),
         ("pipe_dedup_pr_attestation", _wl_dedup_pr, _oracle_dedup_pr(), False),
         ("pipe_curation_chain_v4", _wl_curation_v4, _oracle_curation_v4(), False),
+        ("pipe_curation_chain_v5", _wl_curation_v5, _oracle_curation_v5(), False),
         ("pipe_dedup_clusters", _wl_clusters, ORACLE_CLUSTERS, False),
         ("pipe_cluster_reps", _wl_cluster_reps, ORACLE_CLUSTER_REPS, False),
         ("pipe_minhash_est_error", _wl_minhash_est, ORACLE_MINHASH_EST, False),

@@ -993,3 +993,27 @@ def test_vocab_coverage_hand_corpus(spark):
     assert got["s0"]["n_types"] == 3 and got["s0"]["oov_types"] == 1
     assert got["s1"]["n_tokens"] == 4 and got["s1"]["oov_tokens"] == 2
     assert got["s1"]["oov_types"] == 2
+
+
+def test_curation_v5_stages_monotone_and_nonempty(spark):
+    """v5 composition sanity on real data: each stage only removes
+    documents, the curated set is non-empty and non-total, and the
+    final mixture rows cover exactly the languages surviving
+    curation."""
+    from query_refinement_dsit_databases_2021_spark.operators import pipelines
+
+    out = {
+        r["lang"]: r
+        for r in pipelines._wl_curation_v5(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert out, "curated set must be non-empty"
+    docs = spark.table("documents")
+    total_tokens = docs.selectExpr(
+        "sum(size(split(text, ' '))) AS t"
+    ).collect()[0]["t"]
+    curated_tokens = sum(r["avail_tokens"] for r in out.values())
+    assert 0 < curated_tokens < total_tokens  # gates actually removed mass
+    for r in out.values():
+        assert r["epochs"] >= 1
+        assert 0 < r["rate_ppm"] <= 1_000_000
+        assert r["target_tokens"] == (5_000_000 * r["weight_ppm"]) // 1_000_000
