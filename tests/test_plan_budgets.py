@@ -713,3 +713,83 @@ def test_round3h_operator_exchange_budgets(spark):
     finally:
         _DF.localCheckpoint = orig_ckpt
     assert "CartesianProduct" not in full
+
+
+def test_round4_operator_exchange_budgets(spark):
+    """Exchange pins for the round-4 additions (PQ already pinned in
+    test_simsearch.py::test_pq_plan_shapes)."""
+    from query_refinement_dsit_databases_2021_spark.operators.dedup import (
+        dup_ngram_spans,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.graph import (
+        label_propagation,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.sampling import (
+        curriculum_phases,
+        importance_weights,
+        mixture_plan,
+        pack_efficiency,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        vocab_coverage,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, f"w{i % 7} w{(i + 1) % 5} w{(i + 2) % 3}",
+             "en" if i % 2 else "fr", f"s{i % 2}")
+            for i in range(40)
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+
+    # DSIR: two corpus passes; the ratio dim table and the 1-row totals
+    # arrive by broadcast (BHJ + the totals BNLJ) — never a corpus SMJ
+    dp = _plan(importance_weights(docs))
+    assert dp.count("Exchange hashpartitioning") <= 3, dp
+    assert "SortMergeJoin" not in dp and "CartesianProduct" not in dp
+
+    # mixture plan: ONE map-combinable groupBy, literal weight map — no
+    # join of any kind
+    mp = _plan(mixture_plan(docs))
+    assert mp.count("Exchange hashpartitioning") == 1, mp
+    assert "Join" not in mp
+
+    # dup spans: df via count window on the shingle exchange + one
+    # doc_id groupBy — zero self-join
+    sp = _plan(dup_ngram_spans(docs))
+    assert sp.count("Exchange hashpartitioning") <= 2, sp
+    assert "Join" not in sp
+
+    # vocab coverage: vocab trains in one term groupBy, broadcasts into
+    # the stream; final source groupBy — never SMJ
+    vp = _plan(vocab_coverage(docs, vocab_size=4))
+    assert vp.count("Exchange hashpartitioning") <= 3, vp
+    assert "BroadcastHashJoin" in vp and "SortMergeJoin" not in vp
+
+    # pack efficiency: the packing window's source exchange is the ONLY
+    # hash exchange — both rollups reuse it
+    pp = _plan(pack_efficiency(docs, budget=8))
+    assert pp.count("Exchange hashpartitioning") == 1, pp
+    assert "Join" not in pp
+
+    # curriculum: the only Window runs over the bounded score histogram;
+    # the corpus side gets its phase by broadcast — no global corpus sort
+    cp = _plan(curriculum_phases(docs))
+    assert cp.count("Exchange hashpartitioning") <= 2, cp
+    assert "BroadcastHashJoin" in cp and "SortMergeJoin" not in cp
+
+    # LPA: the returned plan is checkpoint-truncated; the per-round
+    # lineage (checkpointing neutralized) must stay equi-join only
+    edges = spark.createDataFrame(
+        [(i, (i * 3) % 13) for i in range(30)], "src long, dst long"
+    )
+    _DF = type(edges)
+    orig_ckpt = _DF.localCheckpoint
+    _DF.localCheckpoint = lambda self, eager=True: self
+    try:
+        lp = _plan(label_propagation(edges, rounds=2))
+    finally:
+        _DF.localCheckpoint = orig_ckpt
+    assert "CartesianProduct" not in lp
+    assert "BroadcastNestedLoopJoin" not in lp
