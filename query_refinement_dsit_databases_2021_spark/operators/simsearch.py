@@ -1959,21 +1959,12 @@ def _pq_d2_micro(v: Column, cw: list[float], s: int, sub: int) -> Column:
     return F.floor(d2 * F.lit(1e6) + F.lit(0.5)).cast("long")
 
 
-def pq_encode(
-    emb: DataFrame,
-    codeword_ids=PQ_CODEWORD_IDS,
-    m: int = PQ_M,
-    dim: int = DIM,
-) -> DataFrame:
-    """PQ-encode the corpus: ``(vec_id, s, code)`` — per subspace the
-    argmin-d2 codeword (ties: smaller code). Pure unrolled projection
-    over ONE corpus scan (m·ks fold dot products per row, no join, no
-    shuffle before the explode of m rows per vector); at 100 TB this
-    is a map-only pass exactly like IVF assignment."""
-    cws = _pq_codewords(emb, codeword_ids)
-    sub = dim // m
-    v = _as_double(F.col("embedding"))
-    per_s = F.array(
+def _pq_codes_array(v: Column, cws, m: int, sub: int) -> Column:
+    """Array of per-subspace argmin-d2 codes (ties: smaller code) for
+    vector column ``v`` — the shared encode expression under
+    :func:`pq_encode` (raw vectors) and :func:`ivfpq_topk`
+    (cell residuals)."""
+    return F.array(
         *[
             F.element_at(
                 F.array_sort(
@@ -1992,6 +1983,23 @@ def pq_encode(
             for s in range(m)
         ]
     )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codeword_ids=PQ_CODEWORD_IDS,
+    m: int = PQ_M,
+    dim: int = DIM,
+) -> DataFrame:
+    """PQ-encode the corpus: ``(vec_id, s, code)`` — per subspace the
+    argmin-d2 codeword (ties: smaller code). Pure unrolled projection
+    over ONE corpus scan (m·ks fold dot products per row, no join, no
+    shuffle before the explode of m rows per vector); at 100 TB this
+    is a map-only pass exactly like IVF assignment."""
+    cws = _pq_codewords(emb, codeword_ids)
+    sub = dim // m
+    v = _as_double(F.col("embedding"))
+    per_s = _pq_codes_array(v, cws, m, sub)
     return emb.select("vec_id", F.posexplode(per_s).alias("s", "code")).select(
         "vec_id", F.col("s").cast("long").alias("s"), F.col("code").cast("long").alias("code")
     )
@@ -2190,6 +2198,177 @@ SELECT q_id, vec_id, rank, d2_micro FROM (
          row_number() OVER (PARTITION BY q_id
              ORDER BY d2_micro, vec_id)::BIGINT AS rank
   FROM rr)
+WHERE rank <= {k} ORDER BY q_id, rank"""
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    centroid_ids=IVF_CENTROID_IDS,
+    nprobe: int = IVF_NPROBE,
+    codeword_ids=PQ_CODEWORD_IDS,
+    m: int = PQ_M,
+    dim: int = DIM,
+) -> DataFrame:
+    """IVF-PQ (the IVFADC architecture, Jegou et al. 2011): the coarse
+    quantizer restricts WHICH vectors each query scores (nprobe
+    nearest cells, exactly :func:`ivf_ann_topk`'s candidate rule), and
+    product quantization of the CELL RESIDUALS (v − centroid) decides
+    HOW they are scored — per-(query, cell) distance tables over the
+    query's residual in that cell, summed by code lookup. Residual
+    encoding is what makes the composition better than PQ alone: after
+    subtracting the centroid the residual distribution is tighter, so
+    the same codebook quantizes finer.
+
+    Scale shape: assignment + residual encode is one corpus pass (the
+    centroid table joins by broadcast, codes explode map-side); the
+    serving join is (cell, s, code) equi — the n_queries·nprobe·m·ks
+    query tables broadcast; ONE integer-sum groupBy. Distances are
+    int64 micro-units end to end.
+
+    Returns ``(q_id, vec_id, rank, adist)`` over the probed cells.
+    """
+    spark = emb.sparkSession
+    base = _with_norm(emb)
+    cents = _centroid_literals(emb, centroid_ids)
+    cws = _pq_codewords(emb, codeword_ids)
+    sub = dim // m
+    cdf = spark.createDataFrame(
+        [(int(cell), [float(x) for x in cv]) for cell, cv, _ in cents],
+        "cell long, cent array<double>",
+    )
+    assign = _nearest_cells(base, cents, 1).select("vec_id", "cell")
+    res = (
+        base.join(assign, "vec_id")
+        .join(F.broadcast(cdf), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with("v", "cent", lambda x, c: x - c).alias("r"),
+        )
+    )
+    codes = res.select(
+        "vec_id", "cell", F.posexplode(_pq_codes_array(F.col("r"), cws, m, sub)).alias("s", "code")
+    ).select(
+        "vec_id",
+        "cell",
+        F.col("s").cast("long").alias("s"),
+        F.col("code").cast("long").alias("code"),
+    )
+    probes = _nearest_cells(base.where(F.col("vec_id") < n_queries), cents, nprobe).select(
+        F.col("vec_id").alias("q_id"), "cell"
+    )
+    qres = (
+        probes.join(
+            base.select(F.col("vec_id").alias("q_id"), "v"), "q_id"
+        )
+        .join(F.broadcast(cdf), "cell")
+        .select(
+            "q_id", "cell", F.zip_with("v", "cent", lambda x, c: x - c).alias("r")
+        )
+    )
+    qtab_entries = F.array(
+        *[
+            F.struct(
+                F.lit(s).cast("long").alias("s"),
+                F.lit(j).cast("long").alias("code"),
+                _pq_d2_micro(F.col("r"), cw, s, sub).alias("d2m"),
+            )
+            for s in range(m)
+            for j, cw in enumerate(cws)
+        ]
+    )
+    qtab = qres.select(
+        "q_id", "cell", F.explode(qtab_entries).alias("e")
+    ).select(
+        "q_id",
+        "cell",
+        F.col("e.s").alias("s"),
+        F.col("e.code").alias("code"),
+        F.col("e.d2m").alias("d2m"),
+    )
+    scored = (
+        codes.join(F.broadcast(qtab), ["cell", "s", "code"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d2m").cast("long").alias("adist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", F.col("rank").cast("long").alias("rank"), "adist")
+    )
+
+
+def oracle_ivfpq_topk(
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    centroid_ids=IVF_CENTROID_IDS,
+    nprobe: int = IVF_NPROBE,
+    codeword_ids=PQ_CODEWORD_IDS,
+    m: int = PQ_M,
+    dim: int = DIM,
+) -> str:
+    """DuckDB mirror of :func:`ivfpq_topk`: assignment/probes reuse
+    the certified IVF argmax form; residuals, residual codes, and the
+    per-(query, cell) tables use the same index-order folds and
+    floor-micro lifts."""
+    sub = dim // m
+    cids = ", ".join(str(i) for i in centroid_ids)
+    wids = ", ".join(str(i) for i in sorted(codeword_ids))
+    d2m = (
+        f"""CAST(floor(list_reduce(list_prepend(0.0, list_transform(
+                range(1, {sub + 1}),
+                i -> (rr.r[u.s * {sub} + i] - c.cwv[u.s * {sub} + i])
+                   * (rr.r[u.s * {sub} + i] - c.cwv[u.s * {sub} + i]))),
+              (acc, x) -> acc + x) * 1e6 + 0.5) AS BIGINT)"""
+    )
+    return f"""
+WITH {_SQL_BASE},
+cent AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM base
+         WHERE vec_id IN ({cids})),
+cw AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v AS cwv
+       FROM base WHERE vec_id IN ({wids})),
+dists AS (
+  SELECT b.vec_id, cent.cell,
+         row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY round({_sql_dot("b.v", "cv", dim)} / (b.nrm * cn), 6) DESC,
+                      cent.cell ASC) AS rnk
+  FROM base b CROSS JOIN cent),
+assign AS (SELECT vec_id, cell FROM dists WHERE rnk = 1),
+probes AS (SELECT vec_id AS q_id, cell FROM dists
+           WHERE vec_id < {n_queries} AND rnk <= {nprobe}),
+res AS (
+  SELECT b.vec_id, a.cell,
+         list_transform(range(1, {dim + 1}), i -> b.v[i] - c.cv[i]) AS r
+  FROM base b JOIN assign a USING (vec_id) JOIN cent c USING (cell)),
+rp AS (
+  SELECT rr.vec_id, rr.cell, u.s, c.j, {d2m} AS d2m
+  FROM res rr, unnest(range(0, {m})) u(s), cw c),
+codes AS (
+  SELECT vec_id, cell, s, j AS code,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY d2m, j) AS rn
+  FROM rp),
+qres AS (
+  SELECT p.q_id, p.cell,
+         list_transform(range(1, {dim + 1}), i -> b.v[i] - c.cv[i]) AS r
+  FROM probes p JOIN base b ON b.vec_id = p.q_id JOIN cent c USING (cell)),
+qp AS (
+  SELECT rr.q_id, rr.cell, u.s, c.j, {d2m} AS d2m
+  FROM qres rr, unnest(range(0, {m})) u(s), cw c),
+scored AS (
+  SELECT q.q_id, c.vec_id, CAST(sum(q.d2m) AS BIGINT) AS adist
+  FROM (SELECT vec_id, cell, s, code FROM codes WHERE rn = 1) c
+  JOIN qp q ON q.cell = c.cell AND q.s = c.s AND q.j = c.code
+  WHERE c.vec_id <> q.q_id
+  GROUP BY q.q_id, c.vec_id)
+SELECT q_id, vec_id, rank, adist FROM (
+  SELECT q_id, vec_id, adist,
+         row_number() OVER (PARTITION BY q_id
+             ORDER BY adist, vec_id)::BIGINT AS rank
+  FROM scored)
 WHERE rank <= {k} ORDER BY q_id, rank"""
 
 
@@ -2511,6 +2690,14 @@ def simsearch_workloads():
                 "q_id", "rank"
             ),
             oracle_pq_rerank_topk(),
+            False,
+        ),
+        Workload(
+            "pipe_ann_ivfpq",
+            lambda spark, sf_dir: ivfpq_topk(_emb(spark, sf_dir)).orderBy(
+                "q_id", "rank"
+            ),
+            oracle_ivfpq_topk(),
             False,
         ),
     ]
