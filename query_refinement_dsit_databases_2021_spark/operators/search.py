@@ -609,6 +609,102 @@ def _wl_prf(spark, sf_dir):
     return prf_expanded_topk(_docs(spark, sf_dir), spark)
 
 
+RRF_K0 = 60
+
+
+def rrf_fuse(
+    a: DataFrame, b: DataFrame, k: int = TOP_K, k0: int = RRF_K0
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked lists (Cormack, Clarke &
+    Buettcher 2009) — the standard hybrid-retrieval merge (lexical
+    BM25 + dense ANN in a RAG stack): per (query, doc),
+    ``rrf = Σ_lists 1/(k0 + rank)``, absent-from-a-list contributes 0.
+    Rank-only fusion needs no score calibration between systems, which
+    is why it wins in practice. Integer contract: each contribution is
+    ``1e6 DIV (k0 + rank)`` so the fused score and the (score desc,
+    doc_id asc) ranking are engine-exact.
+
+    Inputs are (query_id, doc_id, rank) frames (extra columns
+    ignored); result-list-sized, so the full-outer merge join is
+    metadata-scale no matter the corpus. Returns ``(query_id, doc_id,
+    rrf_ppm, rank)`` — top-k fused."""
+    fa = a.select("query_id", "doc_id", F.col("rank").cast("long").alias("_ra"))
+    fb = b.select("query_id", "doc_id", F.col("rank").cast("long").alias("_rb"))
+    fused = (
+        fa.join(fb, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.coalesce(F.expr(f"1000000 div ({k0} + _ra)"), F.lit(0))
+                + F.coalesce(F.expr(f"1000000 div ({k0} + _rb)"), F.lit(0))
+            ).alias("rrf_ppm"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_ppm"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "doc_id", "rrf_ppm", F.col("rank").cast("long").alias("rank")
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _wl_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 lexical list fused with the dense
+    brute-cosine list over the same corpus (doc_id ≡ vec_id), queries
+    restricted to the shared id space."""
+    from query_refinement_dsit_databases_2021_spark.operators.pipelines import _docs
+    from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
+        cosine_topk,
+    )
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    n_q = len(SEARCH_QUERIES)
+    lex = bm25_topk(_docs(spark, sf_dir), spark)
+    dense = (
+        cosine_topk(spark.table("embeddings"))
+        .where(F.col("q_id") < n_q)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("vec_id").alias("doc_id"),
+            "rank",
+        )
+    )
+    return rrf_fuse(lex, dense)
+
+
+def oracle_rrf(k: int = TOP_K, k0: int = RRF_K0) -> str:
+    from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
+        oracle_cosine_topk,
+    )
+
+    n_q = len(SEARCH_QUERIES)
+    return f"""
+WITH lex AS ({oracle_bm25_topk()}),
+dense AS (
+  SELECT q_id AS query_id, vec_id AS doc_id, rank
+  FROM ({oracle_cosine_topk()}) WHERE q_id < {n_q}),
+fused AS (
+  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+         coalesce(l.doc_id, d.doc_id) AS doc_id,
+         coalesce(1000000 // ({k0} + l.rank), 0)
+           + coalesce(1000000 // ({k0} + d.rank), 0) AS rrf_ppm
+  FROM lex l FULL OUTER JOIN dense d
+    ON l.query_id = d.query_id AND l.doc_id = d.doc_id)
+SELECT query_id, doc_id, CAST(rrf_ppm AS BIGINT) AS rrf_ppm, rank FROM (
+  SELECT query_id, doc_id, rrf_ppm,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY rrf_ppm DESC, doc_id)::BIGINT AS rank
+  FROM fused)
+WHERE rank <= {k} ORDER BY query_id, rank"""
+
+
 def search_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
@@ -622,6 +718,7 @@ def search_workloads():
         Workload(
             "pipe_doc_keywords", _wl_keywords, oracle_keyword_extract(), False
         ),
+        Workload("pipe_search_rrf", _wl_rrf, oracle_rrf(), False),
     ]
 
 

@@ -262,3 +262,42 @@ def test_keyword_extract_rare_terms_win(spark):
     assert out[2] == "unique2|rare2"
     # doc 3: filler 3e6 beats common 1e6
     assert out[3] == "filler|common"
+
+
+def test_rrf_fuse_hand_lists(spark):
+    """Hand-derived RRF: doc present in both lists outranks docs in
+    one list; absent list contributes 0; integer DIV contract."""
+    from query_refinement_dsit_databases_2021_spark.operators.search import (
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)], "query_id long, doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)], "query_id long, doc_id long, rank int"
+    )
+    got = {r["doc_id"]: r for r in rrf_fuse(a, b, k=4, k0=60).collect()}
+    # doc 11: 1e6//62 + 1e6//61 = 16129 + 16393
+    assert got[11]["rrf_ppm"] == 1_000_000 // 62 + 1_000_000 // 61
+    assert got[11]["rank"] == 1  # in both lists -> wins
+    assert got[10]["rrf_ppm"] == 1_000_000 // 61  # only list a
+    assert got[13]["rrf_ppm"] == 1_000_000 // 62  # only list b
+    # tie between docs 10 (rank1 in a) and 13? 16393 vs 16129: no tie.
+    assert got[10]["rank"] == 2 and got[13]["rank"] == 3
+    assert got[12]["rank"] == 4
+
+
+def test_rrf_fuse_tie_breaks_on_doc_id(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.search import (
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame(
+        [(0, 20, 1), (0, 5, 1)], "query_id long, doc_id long, rank int"
+    )  # impossible ranks in one real list, fine for the tie contract
+    b = spark.createDataFrame([], "query_id long, doc_id long, rank int")
+    got = [
+        (r["doc_id"], r["rank"]) for r in rrf_fuse(a, b, k=2).collect()
+    ]
+    assert got == [(5, 1), (20, 2)]  # equal scores -> doc_id asc
