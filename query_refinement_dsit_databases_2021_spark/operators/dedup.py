@@ -206,6 +206,96 @@ def minhash_lsh_pairs(
     return est.select("doc_a", "doc_b", F.round("est_sim", 6).alias("est_sim"))
 
 
+def incremental_minhash_dedup(
+    base_docs: DataFrame,
+    shard_docs: DataFrame,
+    n_hashes: int = N_HASHES,
+    rows_per_band: int = LSH_ROWS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """NEAR-dup-aware incremental ingest — the MinHash analogue of
+    :func:`incremental_dedup` (which is exact-only): each new shard
+    document is flagged when its estimated Jaccard vs the standing
+    corpus (any id) or vs an earlier shard document (lower id) reaches
+    ``threshold``. This is the steady-state form of web-crawl dedup:
+    the full pairwise pass runs once, every later ingest only compares
+    the shard against standing state.
+
+    Plan: ONE signature groupBy over base ∪ shard (in production the
+    base side's signatures are a standing artifact — persist `wide`
+    bucketed by (band, sig) and this recomputation disappears; the
+    shard-side cost is then shard-sized), band-bucket equi-join with
+    the shard on the probe side, signature-agreement estimate inline
+    on the two wide rows (no per-component join), min-partner rollup.
+
+    Returns one row per shard doc: ``(doc_id, is_dup, dup_of)`` with
+    ``dup_of`` = smallest qualifying partner id, −1 when none.
+    """
+    base = base_docs.select("doc_id", "text").withColumn(
+        "is_base", F.lit(1)
+    )
+    shard = shard_docs.select("doc_id", "text").withColumn(
+        "is_base", F.lit(0)
+    )
+    union = base.unionByName(shard)
+    wide = minhash_signatures_wide(
+        union.select("doc_id", "text"), n_hashes
+    ).persist()
+    flags = union.select("doc_id", "is_base")
+    bsig = lsh_band_signatures(wide, rows_per_band, n_hashes).join(
+        flags, "doc_id"
+    )
+    s = bsig.where(F.col("is_base") == 0).select(
+        F.col("doc_id").alias("sid"), "band", "sig"
+    )
+    p = bsig.select(
+        F.col("doc_id").alias("pid"),
+        "band",
+        F.col("sig").alias("sig_p"),
+        "is_base",
+    )
+    cand = (
+        s.join(p, (s["band"] == p["band"]) & (s["sig"] == p["sig_p"]))
+        .where(
+            (F.col("pid") != F.col("sid"))
+            & ((F.col("is_base") == 1) | (F.col("pid") < F.col("sid")))
+        )
+        .select("sid", "pid")
+        .distinct()
+    )
+    wa = wide.select(
+        F.col("doc_id").alias("sid"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(n_hashes)],
+    )
+    wb = wide.select(
+        F.col("doc_id").alias("pid"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(n_hashes)],
+    )
+    k = functools.reduce(
+        operator.add,
+        [(F.col(f"a{j}") == F.col(f"b{j}")).cast("int") for j in range(n_hashes)],
+    )
+    dups = (
+        cand.join(wa, "sid")
+        .join(wb, "pid")
+        .where(k / float(n_hashes) >= threshold)
+        .groupBy("sid")
+        .agg(F.min("pid").alias("dup_of"))
+    )
+    return (
+        shard.select("doc_id")
+        .join(dups, shard["doc_id"] == dups["sid"], "left")
+        .select(
+            "doc_id",
+            F.when(F.col("dup_of").isNotNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_dup"),
+            F.coalesce("dup_of", F.lit(-1)).cast("long").alias("dup_of"),
+        )
+    )
+
+
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, fingerprint): 32-bit SimHash. Token hash = polynomial
     rolling hash mod 2^32 (with multiplicity); bit b of the

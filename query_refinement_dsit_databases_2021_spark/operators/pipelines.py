@@ -126,6 +126,42 @@ _MH_EQ = " + ".join(
     f"(wa.mh{j} = wb.mh{j})::INT" for j in range(N_HASHES)
 )
 
+# incremental near-dup: shard = doc_id % 10 >= 8 (same split as the
+# exact incremental workload); a shard doc is dup vs the base (any id)
+# or vs an earlier shard doc (lower id)
+ORACLE_MINHASH_INCREMENTAL = f"""
+WITH {SQL_SHINGLES},
+{SQL_SHINGLE_HASHES},
+wide AS (SELECT doc_id, {_MH_MINS} FROM shr GROUP BY doc_id),
+bsig AS ({_MH_BANDS}),
+cand AS (
+  SELECT DISTINCT s.doc_id AS sid, p.doc_id AS pid
+  FROM bsig s JOIN bsig p ON s.band = p.band AND s.sig = p.sig
+  WHERE s.doc_id % 10 >= 8 AND p.doc_id <> s.doc_id
+    AND (p.doc_id % 10 < 8 OR p.doc_id < s.doc_id)),
+dups AS (
+  SELECT sid, min(pid) AS dup_of
+  FROM cand
+  JOIN wide wa ON wa.doc_id = sid
+  JOIN wide wb ON wb.doc_id = pid
+  WHERE ({_MH_EQ})::BIGINT / CAST({N_HASHES} AS DOUBLE) >= 0.5
+  GROUP BY sid)
+SELECT s.doc_id,
+       CAST(CASE WHEN d.dup_of IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS is_dup,
+       CAST(coalesce(d.dup_of, -1) AS BIGINT) AS dup_of
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) s
+LEFT JOIN dups d ON d.sid = s.doc_id
+ORDER BY s.doc_id"""
+
+
+def _wl_minhash_incremental(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return dedup.incremental_minhash_dedup(
+        docs.where("doc_id % 10 < 8"), docs.where("doc_id % 10 >= 8")
+    ).orderBy("doc_id")
+
+
 ORACLE_MINHASH = f"""
 WITH {SQL_SHINGLES},
 {SQL_SHINGLE_HASHES},
@@ -1752,6 +1788,12 @@ def pipeline_workloads():
             False,
         ),
         ("pipe_dedup_minhash_lsh", _wl_minhash, ORACLE_MINHASH, True),
+        (
+            "pipe_dedup_minhash_incremental",
+            _wl_minhash_incremental,
+            ORACLE_MINHASH_INCREMENTAL,
+            False,
+        ),
         ("pipe_dedup_simhash", _wl_simhash, ORACLE_SIMHASH, False),
         ("pipe_dedup_ngram_jaccard", _wl_jaccard, ORACLE_JACCARD_CAPPED, True),
         ("pipe_dedup_ngram_jaccard_exact", _wl_jaccard_exact, ORACLE_JACCARD, False),

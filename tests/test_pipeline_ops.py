@@ -1017,3 +1017,34 @@ def test_curation_v5_stages_monotone_and_nonempty(spark):
         assert r["epochs"] >= 1
         assert 0 < r["rate_ppm"] <= 1_000_000
         assert r["target_tokens"] == (5_000_000 * r["weight_ppm"]) // 1_000_000
+
+
+def test_incremental_minhash_flags_near_dups_against_base_and_earlier_shard(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    text_a = "alpha beta gamma delta epsilon zeta eta theta"
+    text_b = "one two three four five six seven eight"
+    base = spark.createDataFrame(
+        [(0, text_a), (1, "totally different words here now ok yes")],
+        "doc_id long, text string",
+    )
+    shard = spark.createDataFrame(
+        [
+            (100, text_a),   # exact copy of base doc 0 -> dup_of 0
+            (101, text_b),   # first occurrence in shard -> NOT dup
+            (102, text_b),   # copy of EARLIER shard doc -> dup_of 101
+            (103, "nothing like anything else at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["is_dup"], r["dup_of"])
+        for r in incremental_minhash_dedup(base, shard).collect()
+    }
+    assert set(got) == {100, 101, 102, 103}  # one row per shard doc
+    assert got[100] == (1, 0)
+    assert got[101] == (0, -1)  # base never contains text_b
+    assert got[102] == (1, 101)
+    assert got[103] == (0, -1)
