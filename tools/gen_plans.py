@@ -223,6 +223,45 @@ NOTES = {
         "broadcasts the query vectors — the corpus is never scanned a "
         "second time at full dimension."
     ),
+    "pipe_vocab_coverage": (
+        "Vocab trains in ONE term groupBy and broadcasts into the "
+        "token stream (LEFT join); final source groupBy. The corpus "
+        "never shuffles on anything wider than the source key."
+    ),
+    "pipe_pack_efficiency": (
+        "The packing window's group exchange is the only hash "
+        "exchange — the per-bin and per-group rollups both reuse it."
+    ),
+    "pipe_curriculum_phases": (
+        "The only Window runs over the <=1001-row integer-score "
+        "histogram; the corpus gets its phase back by broadcast join. "
+        "No global corpus sort."
+    ),
+    "graph_label_propagation": (
+        "Checkpoint-truncated tail (the per-round shape is one "
+        "adjacency-labels equi-join + groupBy + argmax window, pinned "
+        "with checkpointing neutralized in test_plan_budgets)."
+    ),
+    "pipe_curation_chain_v5": (
+        "Four certified stages composed: DSIR broadcast-ratio scoring, "
+        "span-gate window, exact-dedup groupBy, mixture rollup — each "
+        "stage boundary is a persisted doc_id-keyed frame."
+    ),
+    "pipe_ann_ivfpq": (
+        "Residual encode: broadcast centroid join + map-side code "
+        "projection. Serving: (cell, s, code) BroadcastHashJoin + one "
+        "integer-sum groupBy. No SMJ, no cartesian anywhere."
+    ),
+    "pipe_search_rrf": (
+        "Two certified retrieval plans feed a result-list-sized "
+        "full-outer merge + one ranking window — fusion cost is "
+        "independent of corpus size."
+    ),
+    "pipe_dedup_minhash_incremental": (
+        "One signature groupBy over base+shard; the band-bucket join "
+        "probes with the SHARD side; the signature-agreement estimate "
+        "is inline column arithmetic on the two wide rows."
+    ),
 }
 
 HEADER = """# PLANS — captured physical plans for representative workloads
