@@ -842,7 +842,7 @@ FROM s JOIN p USING (qmills) ORDER BY doc_id"""
         Workload("pipe_sample_temperature", _temperature, oracle_temperature),
         Workload("pipe_pack_sequences", _pack, oracle_pack),
         Workload("pipe_chunk_documents", _chunk, oracle_chunk),
-        Workload("pipe_dsir_importance", _dsir, oracle_dsir),
+        Workload("pipe_dsir_importance", _dsir, oracle_dsir, headline=True),
         Workload("pipe_mixture_plan", _mixture, oracle_mixture),
         Workload("pipe_pack_efficiency", _pack_eff, oracle_pack_eff),
         Workload("pipe_curriculum_phases", _curriculum, oracle_curriculum),

@@ -2698,7 +2698,7 @@ def simsearch_workloads():
                 "q_id", "rank"
             ),
             oracle_ivfpq_topk(),
-            False,
+            True,  # headline: the flagship round-4 ANN architecture
         ),
     ]
 
