@@ -1040,6 +1040,133 @@ def _lpa_oracle(rounds: int = LPA_ROUNDS) -> str:
 ORACLE_LPA = _lpa_oracle()
 
 
+def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
+    """Newman modularity of a community assignment, exactly:
+    ``Q = (1/(4m²)) · Σ_c (4m·e_c − d_c²)`` where ``e_c`` = intra-
+    community edge count, ``d_c`` = total degree in c, ``m`` = edge
+    count — the standard community-quality score, and the natural
+    attestation for :func:`label_propagation`'s output (a partition
+    with Q ≈ 0 is no better than random).
+
+    All-integer: the score is returned as the exact rational
+    ``(q_num, q_den) = (Σ_c (4m·e_c − d_c²), 4m²)`` plus ``q_ppm``
+    computed with the FLOOR-division idiom ``(a − pmod(a, b)) div b``
+    (q_num can be negative for anti-community partitions; Spark's
+    ``div`` truncates toward zero while DuckDB's ``//`` floors — the
+    pmod form makes both floor).
+
+    Plan: two broadcast label joins onto the edge list + two
+    map-combinable groupBys (per-label intra-edges, per-label degree)
+    + a 1-row rollup. Returns ``(m_edges, n_communities, q_num,
+    q_den, q_ppm)``.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+        .persist()
+    )
+    la = communities.select(F.col("node").alias("a"), F.col("label").alias("lab_a"))
+    lb = communities.select(F.col("node").alias("b"), F.col("label").alias("lab_b"))
+    tagged = und.join(F.broadcast(la), "a").join(F.broadcast(lb), "b")
+    e_c = (
+        tagged.where(F.col("lab_a") == F.col("lab_b"))
+        .groupBy(F.col("lab_a").alias("label"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    deg = (
+        und.select(F.col("a").alias("n")).unionByName(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    d_c = (
+        deg.join(
+            F.broadcast(communities.select(F.col("node").alias("n"), "label")), "n"
+        )
+        .groupBy("label")
+        .agg(F.sum("d").alias("d_tot"))
+    )
+    m_row = und.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    per_c = (
+        d_c.join(e_c, "label", "left")
+        .select("label", F.coalesce("e_in", F.lit(0)).alias("e_in"), "d_tot")
+        .crossJoin(F.broadcast(m_row))
+        .select(
+            "m",
+            (
+                F.lit(4) * F.col("m") * F.col("e_in")
+                - F.col("d_tot") * F.col("d_tot")
+            ).alias("contrib"),
+        )
+    )
+    return per_c.groupBy("m").agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.sum("contrib").cast("long").alias("q_num"),
+    ).select(
+        F.col("m").alias("m_edges"),
+        "n_communities",
+        "q_num",
+        (F.lit(4) * F.col("m") * F.col("m")).cast("long").alias("q_den"),
+        F.expr(
+            "CAST((1000000 * q_num - pmod(1000000 * q_num, 4 * m_edges * m_edges))"
+            " div (4 * m_edges * m_edges) AS BIGINT)"
+        ).alias("q_ppm"),
+    )
+
+
+def _wl_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity attestation of the LPA communities on the bulk
+    co-purchase graph — the number that says label propagation found
+    structure, certified cross-engine."""
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    li = spark.table("lineitem").where(
+        F.col("l_quantity") >= LINK_PRED_MIN_QTY
+    ).select("l_orderkey", "l_partkey")
+    r = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2"))
+    edges = li.join(r, (li.l_orderkey == r.o2) & (li.l_partkey < r.p2)).select(
+        F.col("l_partkey").alias("src"), F.col("p2").alias("dst")
+    )
+    return modularity(edges, label_propagation(edges))
+
+
+def _modularity_oracle(rounds: int = LPA_ROUNDS) -> str:
+    lpa = _lpa_oracle(rounds)
+    # reuse the LPA oracle's CTE chain; strip its final SELECT
+    body = lpa[: lpa.rindex("\nSELECT node, label FROM")]
+    return f"""{body},
+labels AS (SELECT node, label FROM l{rounds}),
+und AS (SELECT a, b FROM sp),
+m_row AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+ec AS (
+  SELECT la.label, CAST(count(*) AS BIGINT) AS e_in
+  FROM und JOIN labels la ON la.node = und.a
+  JOIN labels lb ON lb.node = und.b
+  WHERE la.label = lb.label GROUP BY la.label),
+deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d FROM
+    (SELECT a AS n FROM und UNION ALL SELECT b FROM und)
+  GROUP BY n),
+dc AS (
+  SELECT l.label, CAST(sum(d) AS BIGINT) AS d_tot
+  FROM deg JOIN labels l ON l.node = deg.n GROUP BY l.label),
+per_c AS (
+  SELECT m, 4 * m * coalesce(e_in, 0) - d_tot * d_tot AS contrib
+  FROM dc LEFT JOIN ec USING (label), m_row)
+SELECT CAST(m AS BIGINT) AS m_edges,
+       CAST(count(*) AS BIGINT) AS n_communities,
+       CAST(sum(contrib) AS BIGINT) AS q_num,
+       CAST(4 * m * m AS BIGINT) AS q_den,
+       (1000000 * CAST(sum(contrib) AS BIGINT)) // (4 * m * m) AS q_ppm
+FROM per_c GROUP BY m"""
+
+
+ORACLE_MODULARITY = _modularity_oracle()
+
+
 def graph_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
@@ -1058,4 +1185,5 @@ def graph_workloads():
         ),
         Workload("graph_clustering_coeff", _wl_clustering, ORACLE_CLUSTERING),
         Workload("graph_label_propagation", _wl_lpa, ORACLE_LPA),
+        Workload("graph_modularity", _wl_modularity, ORACLE_MODULARITY),
     ]

@@ -300,3 +300,43 @@ def test_label_propagation_matches_python_reference(spark):
     assert final[1] == final[2] == final[3]
     assert final[11] == final[12] == final[13]
     assert final[1] != final[11]  # the bridge does not merge the cliques
+
+
+def test_modularity_hand_values(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.graph import (
+        modularity,
+    )
+
+    # two triangles joined by one bridge: m = 7
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    # perfect 2-community split
+    comm = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0), (4, 1), (5, 1), (6, 1)],
+        "node long, label long",
+    )
+    r = modularity(edges, comm).collect()[0]
+    assert r["m_edges"] == 7 and r["n_communities"] == 2
+    # e_c = 3 each; d_c = 7 each (triangle degrees 2+2+3)
+    # Q_num = 2 * (4*7*3 - 49) = 70; Q_den = 196; Q = 0.357...
+    assert r["q_num"] == 70 and r["q_den"] == 196
+    assert r["q_ppm"] == (1_000_000 * 70) // 196
+
+    # everything in ONE community: Q is exactly 0
+    one = spark.createDataFrame(
+        [(n, 0) for n in (1, 2, 3, 4, 5, 6)], "node long, label long"
+    )
+    r1 = modularity(edges, one).collect()[0]
+    assert r1["q_num"] == 0 and r1["q_ppm"] == 0
+
+    # adversarial split (each edge cut): Q negative; floor-div parity
+    bad = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 0), (4, 1), (5, 0), (6, 1)],
+        "node long, label long",
+    )
+    rb = modularity(edges, bad).collect()[0]
+    assert rb["q_num"] < 0
+    # floor semantics: python // floors, matching the pmod idiom
+    assert rb["q_ppm"] == (1_000_000 * rb["q_num"]) // rb["q_den"]
