@@ -212,10 +212,10 @@ NOTES = {
         "exists to cap. Strictly cheaper than any pair-based dedup op."
     ),
     "pipe_ann_pq_adc": (
-        "Corpus codes from the map-only unrolled encode projection "
-        "(zero Exchange before the m-row explode); query distance "
-        "tables broadcast into ONE (s, code) BroadcastHashJoin; "
-        "integer-sum agg + per-query rank window. No SMJ, no cartesian."
+        "Corpus codes from the map-only Arrow kernel (MapInPandas, "
+        "zero Exchange, zero Join); query distance tables broadcast "
+        "into ONE (s, code) BroadcastHashJoin; integer-sum agg + "
+        "per-query rank window. No SMJ, no cartesian."
     ),
     "pipe_ann_pq_rerank": (
         "The ADC shortlist plan plus an exact-rerank tail: the "
@@ -261,6 +261,12 @@ NOTES = {
         "One signature groupBy over base+shard; the band-bucket join "
         "probes with the SHARD side; the signature-agreement estimate "
         "is inline column arithmetic on the two wide rows."
+    ),
+    "graph_modularity": (
+        "Two broadcast label joins onto the undirected edge list, two "
+        "map-combinable groupBys (intra-edges, degrees), a 1-row "
+        "rollup. The q_ppm floor-division rides the pmod idiom so "
+        "Spark matches DuckDB's floor semantics on negative Q."
     ),
 }
 
