@@ -2544,6 +2544,127 @@ SELECT key, CAST(count(*) AS BIGINT) AS n_days,
 FROM sym GROUP BY key ORDER BY key"""
 
 
+STL_HALF = 3  # centered trend window = 2*half + 1 = 7 days
+
+
+def stl_decompose(
+    events: DataFrame,
+    ts: str = "ts",
+    key: str = "event_type",
+    value: str = "value",
+    half: int = STL_HALF,
+) -> DataFrame:
+    """STL-style trend/seasonal/residual decomposition of the per-key
+    daily series, kept EXACT: trend = centered (2·half+1)-row moving
+    window (full windows only — edge days carry no decomposition, the
+    classic STL boundary rule), seasonality = day-of-week profile of
+    the detrended series, residual = what's left. Instead of the
+    loess/float pipeline, every component is carried as an exact
+    integer in a documented unit so both engines agree bit-for-bit:
+
+    - ``c_cents``      daily total, cents
+    - ``trend_sum``    Σ of the (2·half+1)-row window, cents
+    - ``detr``         (2·half+1)·c − trend_sum  (×W cents; W = window)
+    - ``seas_num/seas_den``  Σ detr / count over the (key, dow) slot —
+      the seasonal component as an exact rational in ×W cents
+    - ``resid_scaled`` detr·seas_den − seas_num  (×W·seas_den cents)
+
+    Plan: one map-combinable daily agg, one centered window on the
+    per-key day partitioning, one ≤(keys·7)-row slot agg broadcast
+    back. dow is Sunday=0 on both engines (Spark ``dayofweek − 1`` ↔
+    DuckDB ``dayofweek``).
+
+    Returns ``(key, day, dow, c_cents, trend_sum, detr, seas_num,
+    seas_den, resid_scaled)`` for full-window days.
+    """
+    width = 2 * half + 1
+    cents = F.floor(F.col(value) * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        events.select(
+            F.col(key).alias("key"),
+            F.to_date(F.col(ts)).alias("day"),
+            cents.alias("_c"),
+        )
+        .groupBy("key", "day")
+        .agg(F.sum("_c").alias("c_cents"))
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("day")
+        .rowsBetween(-half, half)
+    )
+    gated = (
+        daily.select(
+            "key",
+            "day",
+            "c_cents",
+            F.sum("c_cents").over(w).alias("trend_sum"),
+            F.count("*").over(w).alias("_nw"),
+        )
+        .where(F.col("_nw") == width)
+        .select(
+            "key",
+            "day",
+            (F.dayofweek("day") - 1).cast("long").alias("dow"),
+            "c_cents",
+            "trend_sum",
+            (F.lit(width) * F.col("c_cents") - F.col("trend_sum")).alias(
+                "detr"
+            ),
+        )
+    )
+    slots = gated.groupBy("key", "dow").agg(
+        F.sum("detr").alias("seas_num"),
+        F.count("*").cast("long").alias("seas_den"),
+    )
+    return gated.join(F.broadcast(slots), ["key", "dow"]).select(
+        "key",
+        "day",
+        "dow",
+        "c_cents",
+        "trend_sum",
+        "detr",
+        "seas_num",
+        "seas_den",
+        (
+            F.col("detr") * F.col("seas_den") - F.col("seas_num")
+        ).alias("resid_scaled"),
+    )
+
+
+def _stl_oracle(key: str = "event_type", half: int = STL_HALF) -> str:
+    width = 2 * half + 1
+    return f"""
+WITH daily AS (
+  SELECT {key} AS key, CAST(ts AS DATE) AS day,
+         CAST(sum(floor(value * 100 + 0.5)::BIGINT) AS BIGINT) AS c_cents
+  FROM events GROUP BY 1, 2),
+win AS (
+  SELECT key, day, c_cents,
+         CAST(sum(c_cents) OVER w AS BIGINT) AS trend_sum,
+         count(*) OVER w AS nw
+  FROM daily
+  WINDOW w AS (PARTITION BY key ORDER BY day
+               ROWS BETWEEN {half} PRECEDING AND {half} FOLLOWING)),
+gated AS (
+  SELECT key, day, CAST(dayofweek(day) AS BIGINT) AS dow, c_cents,
+         trend_sum,
+         {width} * c_cents - trend_sum AS detr
+  FROM win WHERE nw = {width}),
+slots AS (
+  SELECT key, dow, CAST(sum(detr) AS BIGINT) AS seas_num,
+         CAST(count(*) AS BIGINT) AS seas_den
+  FROM gated GROUP BY key, dow)
+SELECT g.key, g.day, g.dow, g.c_cents, g.trend_sum,
+       CAST(g.detr AS BIGINT) AS detr, s.seas_num, s.seas_den,
+       CAST(g.detr * s.seas_den - s.seas_num AS BIGINT) AS resid_scaled
+FROM gated g JOIN slots s USING (key, dow)
+ORDER BY key, day"""
+
+
+ORACLE_STL = _stl_oracle()
+
+
 def timeseries_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import (
         Workload,
@@ -2597,4 +2718,9 @@ def timeseries_workloads():
         _w("ts_forecast_model_select", ORACLE_MODEL_SELECT, forecast_model_select),
         _w("ts_dominant_period", ORACLE_DOMINANT_PERIOD, dominant_period),
         _w("ts_acf_profile", ORACLE_ACF_PROFILE, acf_profile),
+        _w(
+            "ts_stl_decompose",
+            ORACLE_STL,
+            lambda ev: stl_decompose(ev).orderBy("key", "day"),
+        ),
     ]

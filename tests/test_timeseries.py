@@ -868,3 +868,40 @@ def test_acf_profile_shape_matches_argmax(spark):
     for key, (blag, bacf) in best.items():
         top = max(by_key[key])
         assert (top[2], top[0]) == (blag, bacf)
+
+
+def test_stl_decompose_identities_and_periodic_residual(spark):
+    """STL exactness contract on a constructed series: (1) the exact
+    identities 7*c == trend_sum + detr and detr*seas_den == seas_num +
+    resid_scaled hold on every row; (2) edge days (incomplete centered
+    window) are absent; (3) a perfectly weekly-periodic series has
+    zero residual on interior days once the trend window spans whole
+    periods."""
+    from datetime import datetime
+
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        STL_HALF,
+        stl_decompose,
+    )
+
+    # 28 days, value = weekday profile (period 7) -> constant 7-day sums
+    rows = [
+        (i, datetime(2024, 1, 1 + i), 1, "a", float(10 + (i % 7)))
+        for i in range(28)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = stl_decompose(df).collect()
+    width = 2 * STL_HALF + 1
+    days = sorted(r["day"].day for r in out)
+    # 28 days, half=3 gated -> days 4..25 of January
+    assert days[0] == 1 + STL_HALF and days[-1] == 28 - STL_HALF
+    for r in out:
+        assert width * r["c_cents"] == r["trend_sum"] + r["detr"]
+        assert (
+            r["detr"] * r["seas_den"] == r["seas_num"] + r["resid_scaled"]
+        )
+        # perfect weekly periodicity: the 7-day centered sum is constant,
+        # the detrended value depends only on dow -> residual exactly 0
+        assert r["resid_scaled"] == 0, r
