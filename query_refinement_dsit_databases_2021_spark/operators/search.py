@@ -679,6 +679,84 @@ def _wl_rrf(spark, sf_dir):
     return rrf_fuse(lex, dense)
 
 
+RAG_TOP_K = 3
+RAG_BUDGET_CHARS = 400
+
+
+def assemble_contexts(
+    ranked: DataFrame,
+    docs: DataFrame,
+    k: int = RAG_TOP_K,
+    budget_chars: int = RAG_BUDGET_CHARS,
+) -> DataFrame:
+    """RAG context assembly — the step after retrieval/fusion: per
+    query, join the top-``k`` ranked documents back to their text,
+    concatenate in rank order, and truncate to the context budget.
+    Closes the retrieve → fuse → assemble loop (the prompt-side half
+    of a RAG stack) as one dataflow.
+
+    Deterministic: rank is unique per (query, doc) so the
+    ``array_sort(struct(rank, text))`` rank-order concat is total;
+    truncation is character-based on both engines. The join ships the
+    top-k result list against the corpus by doc_id — result-list-sized
+    rows carry text, the corpus is never shuffled.
+
+    Returns ``(query_id, n_docs, context, context_chars)``.
+    """
+    top = ranked.where(F.col("rank") <= k).select(
+        "query_id", "doc_id", F.col("rank").cast("long").alias("rank")
+    )
+    j = top.join(docs.select("doc_id", "text"), "doc_id")
+    ctx = F.substring(
+        F.concat_ws(
+            " | ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "text"))),
+                lambda s: s["text"],
+            ),
+        ),
+        1,
+        budget_chars,
+    )
+    return (
+        j.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            ctx.alias("context"),
+        )
+        .select(
+            "query_id",
+            "n_docs",
+            "context",
+            F.length("context").cast("long").alias("context_chars"),
+        )
+    )
+
+
+def _wl_rag_contexts(spark, sf_dir):
+    from query_refinement_dsit_databases_2021_spark.operators.pipelines import _docs
+
+    return assemble_contexts(_wl_rrf(spark, sf_dir), _docs(spark, sf_dir)).orderBy(
+        "query_id"
+    )
+
+
+def oracle_rag_contexts(
+    k: int = RAG_TOP_K, budget_chars: int = RAG_BUDGET_CHARS
+) -> str:
+    return f"""
+WITH fused AS ({oracle_rrf()}),
+top AS (SELECT query_id, doc_id, rank FROM fused WHERE rank <= {k}),
+j AS (SELECT t.query_id, t.rank, d.text
+      FROM top t JOIN documents d USING (doc_id))
+SELECT query_id, CAST(count(*) AS BIGINT) AS n_docs,
+       left(string_agg(text, ' | ' ORDER BY rank), {budget_chars})
+         AS context,
+       CAST(length(left(string_agg(text, ' | ' ORDER BY rank),
+                        {budget_chars})) AS BIGINT) AS context_chars
+FROM j GROUP BY query_id ORDER BY query_id"""
+
+
 def oracle_rrf(k: int = TOP_K, k0: int = RRF_K0) -> str:
     from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
         oracle_cosine_topk,
@@ -719,6 +797,7 @@ def search_workloads():
             "pipe_doc_keywords", _wl_keywords, oracle_keyword_extract(), False
         ),
         Workload("pipe_search_rrf", _wl_rrf, oracle_rrf(), False),
+        Workload("pipe_rag_contexts", _wl_rag_contexts, oracle_rag_contexts(), False),
     ]
 
 

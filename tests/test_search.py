@@ -301,3 +301,23 @@ def test_rrf_fuse_tie_breaks_on_doc_id(spark):
         (r["doc_id"], r["rank"]) for r in rrf_fuse(a, b, k=2).collect()
     ]
     assert got == [(5, 1), (20, 2)]  # equal scores -> doc_id asc
+
+
+def test_assemble_contexts_rank_order_and_budget(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.search import (
+        assemble_contexts,
+    )
+
+    ranked = spark.createDataFrame(
+        [(0, 10, 2), (0, 11, 1), (0, 12, 3), (0, 13, 4)],
+        "query_id long, doc_id long, rank int",
+    )
+    docs = spark.createDataFrame(
+        [(10, "second"), (11, "first"), (12, "third"), (13, "dropped")],
+        "doc_id long, text string",
+    )
+    r = assemble_contexts(ranked, docs, k=3, budget_chars=18).collect()[0]
+    # rank order, not doc_id order; rank 4 excluded by k=3
+    assert r["n_docs"] == 3
+    assert r["context"] == "first | second | t"  # truncated at 18 chars
+    assert r["context_chars"] == 18
