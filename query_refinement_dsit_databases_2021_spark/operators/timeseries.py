@@ -2665,6 +2665,229 @@ ORDER BY key, day"""
 ORACLE_STL = _stl_oracle()
 
 
+def mann_kendall(
+    events: DataFrame,
+    ts: str = "ts",
+    key: str = "event_type",
+    value: str = "value",
+) -> DataFrame:
+    """Per-key Mann–Kendall monotonic-trend test over daily totals —
+    the nonparametric sibling of :func:`theil_sen` (same pair frame,
+    rank statistic instead of median slope): ``S = Σ_{i<j}
+    sign(y_j − y_i)`` counts concordant minus discordant day pairs, so
+    the statistic depends only on the ORDER of values — immune to
+    outlier magnitude and to any monotone transform of y.
+
+    Everything up to the final z is EXACT int64: S is a sum of signs,
+    and the tie-corrected variance is carried as ``var18 = 18·Var(S) =
+    n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)`` (the classic correction
+    over tie groups g), an integer on both engines. The normalized z
+    uses the continuity correction ``(S − sign(S)) / sqrt(var18/18)``:
+    one IEEE division plus one IEEE sqrt (correctly rounded by the
+    754 spec, hence engine-identical), then the module's tie-safe
+    6 dp floor-quantization before the 1.96 trend-call comparison.
+
+    Scale: like Theil–Sen, the pair join is per-key quadratic over the
+    DAILY table by design (d days ⇒ d(d−1)/2 metadata-scale pairs,
+    partitioned by key); the raw events are touched once by the daily
+    agg. Returns ``(key, n_days, s_stat, var18, z, trend)``.
+    """
+    cents = F.floor(F.col(value) * 100 + F.lit(0.5)).cast("long")
+    daily = events.groupBy(
+        F.datediff(F.to_date(ts), F.lit("1970-01-01")).alias("d"), F.col(key)
+    ).agg(F.sum(cents).alias("y"))
+    a = daily.select(key, F.col("d").alias("da"), F.col("y").alias("ya"))
+    b = daily.select(key, F.col("d").alias("db"), F.col("y").alias("yb"))
+    s = (
+        a.join(b, key)
+        .where(F.col("da") < F.col("db"))
+        .groupBy(key)
+        .agg(F.sum(F.signum(F.col("yb") - F.col("ya")).cast("long")).alias("s_stat"))
+    )
+    n = daily.groupBy(key).agg(F.count(F.lit(1)).alias("n_days"))
+    t = F.col("t")
+    ties = (
+        daily.groupBy(key, "y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .where(t > 1)
+        .groupBy(key)
+        .agg(F.sum(t * (t - 1) * (2 * t + 5)).alias("tie18"))
+    )
+    nn = F.col("n_days")
+    var18 = (
+        nn * (nn - 1) * (2 * nn + 5) - F.coalesce(F.col("tie18"), F.lit(0))
+    ).alias("var18")
+    staged = (
+        n.join(s, key).join(ties, key, "left").select(key, "n_days", "s_stat", var18)
+    )
+    zc = (F.col("s_stat") - F.signum(F.col("s_stat")).cast("long")).cast(
+        "double"
+    ) / F.sqrt(F.col("var18") / F.lit(18.0))
+    z6 = F.floor(zc * F.lit(1000000) + F.lit(0.5)) / F.lit(1000000.0)
+    return (
+        staged.where(F.col("var18") > 0)
+        .select(
+            key,
+            "n_days",
+            "s_stat",
+            "var18",
+            z6.alias("z"),
+            F.when(z6 > 1.96, F.lit("increasing"))
+            .when(z6 < -1.96, F.lit("decreasing"))
+            .otherwise(F.lit("no_trend"))
+            .alias("trend"),
+        )
+        .orderBy(key)
+    )
+
+
+ORACLE_MANN_KENDALL = """
+WITH daily AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         event_type,
+         CAST(sum(floor(value * 100 + 0.5)::BIGINT) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+s AS (
+  SELECT a.event_type,
+         CAST(sum(CAST(sign(b.y - a.y) AS BIGINT)) AS BIGINT) AS s_stat
+  FROM daily a JOIN daily b USING (event_type)
+  WHERE a.d < b.d GROUP BY 1),
+n AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+  FROM daily GROUP BY 1),
+ties AS (
+  SELECT event_type,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+  FROM (SELECT event_type, y, count(*) AS t
+        FROM daily GROUP BY 1, 2) g
+  WHERE t > 1 GROUP BY 1),
+staged AS (
+  SELECT n.event_type, n.n_days, s.s_stat,
+         CAST(n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+              - coalesce(ties.tie18, 0) AS BIGINT) AS var18
+  FROM n JOIN s USING (event_type)
+  LEFT JOIN ties USING (event_type)),
+z AS (
+  SELECT event_type, n_days, s_stat, var18,
+         floor(CAST(s_stat - CAST(sign(s_stat) AS BIGINT) AS DOUBLE)
+               / sqrt(var18 / 18.0) * 1000000 + 0.5) / 1000000.0 AS z
+  FROM staged WHERE var18 > 0)
+SELECT event_type, n_days, s_stat, var18, z,
+       CASE WHEN z > 1.96 THEN 'increasing'
+            WHEN z < -1.96 THEN 'decreasing'
+            ELSE 'no_trend' END AS trend
+FROM z ORDER BY event_type"""
+
+
+def ar1_forecast(
+    events: DataFrame,
+    ts: str = "ts",
+    key: str = "event_type",
+    value: str = "value",
+) -> DataFrame:
+    """Per-key AR(1) fit + one-step forecast over daily MEAN cents —
+    the autoregressive entry in the forecaster family (alongside
+    :func:`holt_linear`'s exponential smoothing and
+    :func:`linear_trend`'s time regression): regress each day on the
+    previous day, ``y_t = a + b·y_{t−1}``, via closed-form OLS on the
+    lag pairs.
+
+    Determinism & headroom: the regression inputs are daily mean
+    cents ``ym = sum_cents div n_rows`` (integral division; daily sums
+    of the nonnegative value column are nonnegative, so Spark's
+    truncating ``div`` and DuckDB's flooring ``//`` agree). Means are
+    bounded by the VALUE DOMAIN, not the row count, so the OLS moment
+    sums (``n·Σxy − Σx·Σy`` etc.) stay exact int64 at any scale
+    factor — ym ≤ ~6e4 ⇒ n·Σxy ≤ ~3e12 for a decade of days. The
+    slope is ONE double division of exact ints, floor-quantized at
+    6 dp BEFORE the intercept/forecast pass (the :func:`theil_sen`
+    protocol), so both engines derive downstream numbers from the
+    same quantized coefficient.
+
+    Scale: one daily agg (map-side combinable) + a lag window + a
+    5-value agg per key; nothing quadratic. Returns ``(key, n_pairs,
+    slope, intercept, forecast)`` with intercept/forecast in dollars.
+    """
+    cents = F.floor(F.col(value) * 100 + F.lit(0.5)).cast("long")
+    daily = (
+        events.groupBy(
+            F.datediff(F.to_date(ts), F.lit("1970-01-01")).alias("d"), F.col(key)
+        )
+        .agg(F.sum(cents).alias("yc"), F.count(F.lit(1)).alias("cnt"))
+        .select(key, "d", F.expr("yc div cnt").alias("ym"))
+    )
+    w = Window.partitionBy(key).orderBy("d")
+    lagged = daily.select(
+        key, "d", "ym", F.lag("ym").over(w).alias("yp")
+    ).where(F.col("yp").isNotNull())
+    agg = lagged.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("yp").alias("sx"),
+        F.sum("ym").alias("sy"),
+        F.sum(F.col("yp") * F.col("yp")).alias("sxx"),
+        F.sum(F.col("yp") * F.col("ym")).alias("sxy"),
+        F.max_by("ym", "d").alias("last_ym"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope6 = F.floor(num / den * F.lit(1000000) + F.lit(0.5)) / F.lit(1000000.0)
+    staged = agg.where(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0
+    ).select(key, "n", "sx", "sy", "last_ym", slope6.alias("slope"))
+    icept = (F.col("sy") - F.col("slope") * F.col("sx")) / (
+        F.col("n") * F.lit(100.0)
+    )
+    icept6 = F.floor(icept * F.lit(1000000) + F.lit(0.5)) / F.lit(1000000.0)
+    fc = icept6 + F.col("slope") * (F.col("last_ym") / F.lit(100.0))
+    return staged.select(
+        key,
+        F.col("n").alias("n_pairs"),
+        "slope",
+        icept6.alias("intercept"),
+        (F.floor(fc * F.lit(1000000) + F.lit(0.5)) / F.lit(1000000.0)).alias(
+            "forecast"
+        ),
+    ).orderBy(key)
+
+
+ORACLE_AR1 = """
+WITH daily AS (
+  SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         event_type,
+         CAST(sum(floor(value * 100 + 0.5)::BIGINT)
+              // count(*) AS BIGINT) AS ym
+  FROM events GROUP BY 1, 2),
+lagged AS (
+  SELECT event_type, d, ym,
+         lag(ym) OVER (PARTITION BY event_type ORDER BY d) AS yp
+  FROM daily),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(yp) AS BIGINT) AS sx,
+         CAST(sum(ym) AS BIGINT) AS sy,
+         CAST(sum(yp * yp) AS BIGINT) AS sxx,
+         CAST(sum(yp * ym) AS BIGINT) AS sxy,
+         CAST(arg_max(ym, d) AS BIGINT) AS last_ym
+  FROM lagged WHERE yp IS NOT NULL GROUP BY 1),
+sloped AS (
+  SELECT event_type, n, sx, sy, last_ym,
+         floor(CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) * 1000000 + 0.5)
+           / 1000000.0 AS slope
+  FROM agg WHERE n * sxx - sx * sx > 0),
+icepts AS (
+  SELECT event_type, n AS n_pairs, slope,
+         floor((sy - slope * sx) / (n * 100.0) * 1000000 + 0.5)
+           / 1000000.0 AS intercept,
+         last_ym
+  FROM sloped)
+SELECT event_type, n_pairs, slope, intercept,
+       floor((intercept + slope * (last_ym / 100.0)) * 1000000 + 0.5)
+         / 1000000.0 AS forecast
+FROM icepts ORDER BY event_type"""
+
+
 def timeseries_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import (
         Workload,
@@ -2723,4 +2946,6 @@ def timeseries_workloads():
             ORACLE_STL,
             lambda ev: stl_decompose(ev).orderBy("key", "day"),
         ),
+        _w("ts_mann_kendall", ORACLE_MANN_KENDALL, mann_kendall),
+        _w("ts_ar1_forecast", ORACLE_AR1, ar1_forecast),
     ]

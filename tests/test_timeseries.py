@@ -905,3 +905,61 @@ def test_stl_decompose_identities_and_periodic_residual(spark):
         # perfect weekly periodicity: the 7-day centered sum is constant,
         # the detrended value depends only on dow -> residual exactly 0
         assert r["resid_scaled"] == 0, r
+
+
+def test_mann_kendall_direction_ties_and_constant(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        mann_kendall,
+    )
+
+    # 'up': strictly increasing (S = 45, no ties); 'down': strictly
+    # decreasing (S = -45); 'tied': [1, 1, 2] exercises the tie
+    # correction by hand; 'flat': all ties -> var18 = 0 -> excluded
+    rows = []
+    for d in range(10):
+        rows.append((d, datetime(2024, 3, 1 + d, 12), 1, "up", float(d)))
+        rows.append((20 + d, datetime(2024, 3, 1 + d, 12), 1, "down", float(-d)))
+        rows.append((40 + d, datetime(2024, 3, 1 + d, 12), 1, "flat", 7.0))
+    for d, v in enumerate([1.0, 1.0, 2.0]):
+        rows.append((60 + d, datetime(2024, 3, 1 + d, 12), 1, "tied", v))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    out = {r["event_type"]: r for r in mann_kendall(df).collect()}
+    assert "flat" not in out  # zero variance: no trend call possible
+    up = out["up"]
+    # n=10: var18 = 10*9*25 = 2250; z = 44/sqrt(125) = 3.935479...
+    assert (up["s_stat"], up["var18"], up["trend"]) == (45, 2250, "increasing")
+    assert up["z"] == 3.935480
+    down = out["down"]
+    assert (down["s_stat"], down["trend"]) == (-45, "decreasing")
+    assert down["z"] == -up["z"]
+    tied = out["tied"]
+    # n=3: 3*2*11 = 66, one tie group t=2 -> 18; S = 0+1+1 = 2
+    # z = (2-1)/sqrt(48/18) = 0.612372...
+    assert (tied["s_stat"], tied["var18"], tied["trend"]) == (2, 48, "no_trend")
+    assert tied["z"] == 0.612372
+
+
+def test_ar1_recovers_exact_recurrence(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        ar1_forecast,
+    )
+
+    # 'geo': y_t = 50 + 2*y_{t-1} cents exactly (100, 250, 550, 1150)
+    # -> OLS must recover slope=2, intercept=$0.50, forecast $23.50;
+    # 'flat': constant series -> zero lag-variance -> excluded
+    vals = [1.00, 2.50, 5.50, 11.50]
+    rows = [
+        (d, datetime(2024, 3, 1 + d, 12), 1, "geo", v) for d, v in enumerate(vals)
+    ] + [(10 + d, datetime(2024, 3, 1 + d, 12), 1, "flat", 3.0) for d in range(4)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    out = {r["event_type"]: r for r in ar1_forecast(df).collect()}
+    assert "flat" not in out
+    geo = out["geo"]
+    assert geo["n_pairs"] == 3
+    assert (geo["slope"], geo["intercept"], geo["forecast"]) == (2.0, 0.5, 23.5)
