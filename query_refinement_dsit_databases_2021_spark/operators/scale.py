@@ -1151,6 +1151,160 @@ layout_advisor.__doc__ = layout_advisor.__doc__.format(
 )
 
 
+# HyperLogLog: m registers (power of two), one multiplicative
+# mod-prime hash; alpha_64 = 0.709 (Flajolet et al. 2007, m = 64).
+# HLL_C = alpha * m^2 * 2^HLL_R precomputed so the estimate is ONE
+# IEEE division of a shared literal by an exact integer.
+HLL_M = 64
+HLL_P = 2147483647  # 2^31 - 1 (prime)
+HLL_MUL, HLL_ADD = 1103515245, 12345
+# second, QUADRATIC round: an affine hash alone maps consecutive keys
+# onto an arithmetic lattice mod P whose trailing-zero ranks are
+# skewed (measured +40% bias on TPC-H custkeys); squaring breaks the
+# linearity. Termwise mod keeps every intermediate < 3*2^31.
+HLL_MUL2, HLL_ADD2 = 784588716, 997755331
+HLL_R = 40  # common-denominator exponent: rho <= 26 << R
+HLL_C = 3193052135805681.5  # 0.709 * 64^2 * 2^40, exact double literal
+
+
+def hll_distinct(stream: DataFrame, key: str, grp: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch, certified by replay — the
+    cardinality companion of :func:`countmin_estimate` (frequency):
+    an engine-portable mod-prime hash (affine round + quadratic
+    scramble, see HLL_MUL2 note), so the DuckDB oracle rebuilds the
+    identical 64-register array in SQL and the whole sketch is
+    bit-reproducible, not just statistically similar.
+
+    All register math is EXACT integer: ``reg = h % 64``, ``w = h
+    div 64``, and the rank is trailing-zero-count + 1 via the two's-
+    complement lowbit trick ``bit_count((w & -w) - 1) + 1`` (no
+    float log2, whose libm rounding differs across engines; ``w = 0``
+    maps to the max rank 26 since ``w < 2^25``). The harmonic-mean
+    denominator is lifted to a common denominator — ``S = Σ_regs
+    2^(40 − rho)``, an int64 ≤ 64·2^40 — so the final estimate
+    ``floor(HLL_C / S)`` is one IEEE division of a shared double
+    literal by an exact integer: deterministic on both engines.
+    (The small-range linear-counting correction needs ``ln``, which
+    is NOT correctly-rounded-portable; below 2.5·m distinct the raw
+    estimator biases high, so ``zero_regs`` is reported for honesty.)
+
+    Scale: one groupBy((grp, reg)) max-agg over the stream — map-side
+    combinable, 64 rows per group out; the empty-register grid is a
+    groups×64 broadcast. Joining exact truth alongside exposes the
+    error the sketch actually made — the attestation pattern.
+
+    Returns ``(grp, zero_regs, est)`` — one row per group.
+    """
+    h1 = f"(({key} * {HLL_MUL}L + {HLL_ADD}L) % {HLL_P}L)"
+    h2 = (
+        f"(({h1} * {h1}) % {HLL_P}L + ({HLL_MUL2}L * {h1}) % {HLL_P}L"
+        f" + {HLL_ADD2}L) % {HLL_P}L"
+    )
+    # integral div, not floor(h/64.0): keeps w exact past double's
+    # 53-bit window at larger key domains, and the oracle uses //
+    hashed = stream.select(
+        F.col(grp).alias("g"),
+        F.expr(f"{h2} % {HLL_M}L").alias("reg"),
+        F.expr(f"{h2} div {HLL_M}L").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(26)).otherwise(
+        F.expr("bit_count((w & -w) - 1) + 1")
+    )
+    regs = hashed.select("g", "reg", rho.alias("rho")).groupBy("g", "reg").agg(
+        F.max("rho").alias("rho")
+    )
+    grid = (
+        stream.select(F.col(grp).alias("g"))
+        .distinct()
+        .crossJoin(F.broadcast(stream.sparkSession.range(HLL_M)).select(
+            F.col("id").alias("reg")
+        ))
+    )
+    filled = grid.join(regs, ["g", "reg"], "left").select(
+        "g", "reg", F.coalesce(F.col("rho"), F.lit(0)).alias("rho")
+    )
+    term = F.expr(f"shiftleft(1L, cast({HLL_R} - rho as int))")
+    return (
+        filled.groupBy("g")
+        .agg(
+            F.sum(F.when(F.col("rho") == 0, 1).otherwise(0)).alias("zero_regs"),
+            F.sum(term).alias("s"),
+        )
+        .select(
+            F.col("g").alias(grp),
+            "zero_regs",
+            F.floor(F.lit(HLL_C) / F.col("s")).cast("long").alias("est"),
+        )
+    )
+
+
+def _wl_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    orders = spark.table("orders")
+    est = hll_distinct(orders, "o_custkey", "o_orderpriority")
+    truth = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("true_distinct")
+    )
+    rel = (F.col("est") - F.col("true_distinct")) * F.lit(1000000.0) / F.col(
+        "true_distinct"
+    )
+    return (
+        est.join(truth, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "true_distinct",
+            "est",
+            "zero_regs",
+            (F.floor(rel + F.lit(0.5)) / F.lit(1000000.0)).alias("rel_err"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_HLL = f"""
+WITH hashed AS (
+  SELECT o_orderpriority AS g,
+         h % {HLL_M} AS reg,
+         h // {HLL_M} AS w
+  FROM (SELECT o_orderpriority,
+               ((h1 * h1) % {HLL_P} + ({HLL_MUL2} * h1) % {HLL_P}
+                + {HLL_ADD2}) % {HLL_P} AS h
+        FROM (SELECT o_orderpriority,
+                     (o_custkey * {HLL_MUL} + {HLL_ADD}) % {HLL_P} AS h1
+              FROM orders))),
+regs AS (
+  SELECT g, reg,
+         max(CASE WHEN w = 0 THEN 26
+                  ELSE bit_count((w & -w) - 1) + 1 END) AS rho
+  FROM hashed GROUP BY 1, 2),
+grid AS (
+  SELECT g, r.range AS reg
+  FROM (SELECT DISTINCT o_orderpriority AS g FROM orders)
+  CROSS JOIN range(0, {HLL_M}) r),
+filled AS (
+  SELECT grid.g, grid.reg, coalesce(regs.rho, 0) AS rho
+  FROM grid LEFT JOIN regs USING (g, reg)),
+sketch AS (
+  SELECT g,
+         CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS zero_regs,
+         CAST(sum(1::BIGINT << ({HLL_R} - rho)) AS BIGINT) AS s
+  FROM filled GROUP BY 1),
+truth AS (
+  SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT)
+           AS true_distinct
+  FROM orders GROUP BY 1)
+SELECT t.o_orderpriority, t.true_distinct,
+       CAST(floor({HLL_C!r} / sk.s) AS BIGINT) AS est,
+       sk.zero_regs,
+       floor((CAST(floor({HLL_C!r} / sk.s) AS BIGINT) - t.true_distinct)
+             * 1000000.0 / t.true_distinct + 0.5) / 1000000.0 AS rel_err
+FROM truth t JOIN sketch sk ON sk.g = t.o_orderpriority
+ORDER BY t.o_orderpriority"""
+
+
 def scale_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
@@ -1173,4 +1327,5 @@ def scale_workloads():
         ),
         Workload("ops_countmin_est", _wl_countmin, ORACLE_COUNTMIN),
         Workload("ops_distribution_drift", _wl_drift, ORACLE_DRIFT),
+        Workload("ops_hll_distinct", _wl_hll, ORACLE_HLL),
     ]
