@@ -866,6 +866,14 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id"""
 
 
+def _wl_blocklist(spark, sf_dir):
+    return textops.blocklist_filter(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _wl_fertility(spark, sf_dir):
+    return textops.tokenizer_fertility(_docs(spark, sf_dir))
+
+
 def _wl_bpe_tokens(spark, sf_dir):
     return textops.bpe_token_stats(_docs(spark, sf_dir))
 
@@ -1832,6 +1840,13 @@ def pipeline_workloads():
         ("pipe_dataset_card", _wl_dataset_card, ORACLE_DATASET_CARD, False),
         ("pipe_curation_chain", _wl_curation, _oracle_curation(), False),
         ("pipe_text_bpe_tokens", _wl_bpe_tokens, ORACLE_BPE_TOKENS, False),
+        ("pipe_blocklist_filter", _wl_blocklist, textops.ORACLE_BLOCKLIST, False),
+        (
+            "pipe_tokenizer_fertility",
+            _wl_fertility,
+            textops.ORACLE_FERTILITY,
+            False,
+        ),
         ("pipe_bpe_train", _wl_bpe_train, textops.ORACLE_BPE_TRAIN, False),
         ("pipe_bpe_apply", _wl_bpe_apply, textops.ORACLE_BPE_APPLY, False),
         ("pipe_example_assembly", _wl_example_assembly, ORACLE_ASSEMBLY, False),

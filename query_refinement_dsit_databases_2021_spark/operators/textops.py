@@ -1071,3 +1071,135 @@ GROUP BY ex.doc_id ORDER BY ex.doc_id"""
 
 
 ORACLE_BPE_APPLY = _bpe_apply_oracle()
+
+
+# corpus-tuned denylist for the filtering workload: terms that occur in
+# the synthetic vocabulary so every tier of the decision is exercised
+BLOCKLIST_TERMS = ("slow", "big", "hash")
+BLOCKLIST_DROP_AT = 3  # total occurrences >= this -> drop
+
+
+def blocklist_filter(docs: DataFrame, terms=BLOCKLIST_TERMS) -> DataFrame:
+    """Denylist filtering — the C4-style badwords pass every corpus
+    pipeline runs before training: count denylisted-term occurrences
+    per document (exact-token membership, not substring, so 'classic'
+    never trips 'ass') and grade each doc ``drop`` (>= BLOCKLIST_DROP_AT
+    hits), ``flag`` (any hit), or ``keep``.
+
+    Spark-first shape: explode -> isin(literal list) -> per-doc agg,
+    then one LEFT join back so clean documents keep a row (the filter
+    must say 'keep', not silently omit). The denylist is a literal in
+    the plan — at real scale it becomes a broadcast join against a
+    terms table (the `tokenize_ids` literal<->join auto-switch is the
+    in-repo pattern). Returns ``(doc_id, n_hits, hit_terms, action)``.
+    """
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    hits = (
+        tok.where(F.col("w").isin(*terms))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.array_join(F.sort_array(F.collect_set("w")), ",").alias(
+                "hit_terms"
+            ),
+        )
+    )
+    joined = docs.select("doc_id").join(hits, "doc_id", "left")
+    n = F.coalesce(F.col("n_hits"), F.lit(0))
+    return joined.select(
+        "doc_id",
+        n.alias("n_hits"),
+        F.coalesce(F.col("hit_terms"), F.lit("")).alias("hit_terms"),
+        F.when(n >= BLOCKLIST_DROP_AT, F.lit("drop"))
+        .when(n >= 1, F.lit("flag"))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+    )
+
+
+def _blocklist_oracle(terms=BLOCKLIST_TERMS) -> str:
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+         array_to_string(list_sort(list(DISTINCT w)), ',') AS hit_terms
+  FROM tok WHERE w IN ({in_list}) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       coalesce(h.hit_terms, '') AS hit_terms,
+       CASE WHEN coalesce(h.n_hits, 0) >= {BLOCKLIST_DROP_AT} THEN 'drop'
+            WHEN coalesce(h.n_hits, 0) >= 1 THEN 'flag'
+            ELSE 'keep' END AS action
+FROM documents d LEFT JOIN hits h USING (doc_id)
+ORDER BY d.doc_id"""
+
+
+ORACLE_BLOCKLIST = _blocklist_oracle()
+
+
+def tokenizer_fertility(docs: DataFrame) -> DataFrame:
+    """Per-language tokenizer-fertility audit — the number a tokenizer
+    team watches per language slice (chars-per-token / tokens-per-100-
+    chars): languages whose fertility drifts high are being shredded
+    into too many subwords, inflating training cost and degrading
+    sample efficiency. Uses the same GPT-2-ish BPE pre-token classes
+    as :func:`bpe_token_stats` so the two audits share a definition.
+
+    Pure projection + one groupBy(lang): integer sums, each ratio ONE
+    IEEE division of exact ints, 6 dp floor-quantized. Returns
+    ``(lang, n_docs, n_chars, n_ws_tokens, n_bpe_tokens,
+    bpe_per_100_chars, bpe_per_ws)``.
+    """
+    ws = F.size(tokens(F.col("text"))).cast("long")
+    bpe = F.size(
+        F.expr(f"regexp_extract_all(text, '{BPE_SPLIT_PATTERN}', 0)")
+    ).cast("long")
+    staged = docs.select(
+        "lang", F.length("text").cast("long").alias("nc"), ws.alias("nw"),
+        bpe.alias("nb"),
+    )
+    agg = staged.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nc").alias("n_chars"),
+        F.sum("nw").alias("n_ws_tokens"),
+        F.sum("nb").alias("n_bpe_tokens"),
+    )
+
+    def _r6(c):
+        return F.floor(c * F.lit(1000000) + F.lit(0.5)) / F.lit(1000000.0)
+
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_chars",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        _r6(F.col("n_bpe_tokens") * F.lit(100.0) / F.col("n_chars")).alias(
+            "bpe_per_100_chars"
+        ),
+        _r6(F.col("n_bpe_tokens") / F.col("n_ws_tokens").cast("double")).alias(
+            "bpe_per_ws"
+        ),
+    ).orderBy("lang")
+
+
+ORACLE_FERTILITY = f"""
+WITH staged AS (
+  SELECT lang, length(text) AS nc,
+         len(string_split(text, ' ')) AS nw,
+         len(regexp_extract_all(text, '{BPE_SPLIT_PATTERN}', 0)) AS nb
+  FROM documents),
+agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(nc) AS BIGINT) AS n_chars,
+         CAST(sum(nw) AS BIGINT) AS n_ws_tokens,
+         CAST(sum(nb) AS BIGINT) AS n_bpe_tokens
+  FROM staged GROUP BY lang)
+SELECT lang, n_docs, n_chars, n_ws_tokens, n_bpe_tokens,
+       floor(n_bpe_tokens * 100.0 / n_chars * 1000000 + 0.5)
+         / 1000000.0 AS bpe_per_100_chars,
+       floor(n_bpe_tokens / CAST(n_ws_tokens AS DOUBLE) * 1000000 + 0.5)
+         / 1000000.0 AS bpe_per_ws
+FROM agg ORDER BY lang"""

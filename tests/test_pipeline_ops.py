@@ -1048,3 +1048,45 @@ def test_incremental_minhash_flags_near_dups_against_base_and_earlier_shard(spar
     assert got[101] == (0, -1)  # base never contains text_b
     assert got[102] == (1, 101)
     assert got[103] == (0, -1)
+
+
+def test_blocklist_filter_tiers_and_token_boundaries(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        blocklist_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "slow big slow table"),   # 3 hits -> drop
+            (2, "big table scan"),        # 1 hit -> flag
+            (3, "clean fast query"),      # 0 hits -> keep (row survives)
+            (4, "bigger slowest hashes"), # substrings must NOT match
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_hits"], r["hit_terms"], r["action"])
+        for r in blocklist_filter(docs).collect()
+    }
+    assert got[1] == (3, "big,slow", "drop")
+    assert got[2] == (1, "big", "flag")
+    assert got[3] == (0, "", "keep")
+    assert got[4] == (0, "", "keep")
+
+
+def test_tokenizer_fertility_hand_numbers(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        tokenizer_fertility,
+    )
+
+    # "ab 12" -> 2 ws tokens, 2 bpe pre-tokens, 5 chars;
+    # "a,b" -> 1 ws token, 3 bpe pre-tokens (letter, punct, letter)
+    docs = spark.createDataFrame(
+        [(1, "ab 12", "en"), (2, "a,b", "en")],
+        "doc_id long, text string, lang string",
+    )
+    row = tokenizer_fertility(docs).collect()[0]
+    assert (row["n_docs"], row["n_chars"]) == (2, 8)
+    assert (row["n_ws_tokens"], row["n_bpe_tokens"]) == (3, 5)
+    assert row["bpe_per_100_chars"] == 62.5
+    assert row["bpe_per_ws"] == 1.666667  # floor(5/3*1e6+0.5)/1e6
