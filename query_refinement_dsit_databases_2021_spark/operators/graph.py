@@ -1167,10 +1167,60 @@ FROM per_c GROUP BY m"""
 ORACLE_MODULARITY = _modularity_oracle()
 
 
+def copurchase_projection(lineitem: DataFrame, top_k: int = 25) -> DataFrame:
+    """Bipartite projection of the order–part graph onto parts: two
+    parts are linked when they appear in the same order; the edge
+    weight is the number of co-orders. The item-item co-purchase graph
+    is the substrate of neighborhood recommenders and of co-occurrence
+    embeddings (this is :func:`~.textops` co-occurrence applied to a
+    transaction table instead of token windows).
+
+    Scale: the self-join is keyed on the order and ORIENTED
+    (``pa < pb``), so fan-out is d(d−1)/2 with d = items-per-order —
+    bounded by basket size (≤7 in TPC-H), NOT by corpus size; the
+    projection never materializes the quadratic part×part space, only
+    observed pairs. A pathological mega-basket would need the same
+    posting-cap used by ``dedup.ngram_jaccard_capped``. Returns the
+    ``top_k`` pairs by (co_orders desc, pa, pb) — exact total order.
+    """
+    base = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = base.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa")
+    )
+    b = base.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb")
+    )
+    return (
+        a.join(b, "o")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("co_orders"))
+        .orderBy(F.desc("co_orders"), "pa", "pb")
+        .limit(top_k)
+    )
+
+
+def _wl_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    return copurchase_projection(spark.table("lineitem"))
+
+
+ORACLE_COPURCHASE = """
+WITH base AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS co_orders
+FROM base a JOIN base b ON a.o = b.o AND a.p < b.p
+GROUP BY a.p, b.p
+ORDER BY co_orders DESC, pa, pb LIMIT 25"""
+
+
 def graph_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
     return [
+        Workload("graph_copurchase", _wl_copurchase, ORACLE_COPURCHASE),
         Workload("graph_pagerank", _wl_pagerank, ORACLE_PAGERANK),
         Workload("graph_triangles", _wl_triangles, ORACLE_TRIANGLES),
         Workload("graph_components", _wl_components, ORACLE_COMPONENTS),

@@ -2565,10 +2565,83 @@ SELECT dim, na, nb,
 FROM agg ORDER BY dim"""
 
 
+WHITEN_QUERY_PREFIX = 100  # emit whitened rows for vec_id < this
+
+
+def embedding_whitening(emb: DataFrame) -> DataFrame:
+    """Per-dimension z-score whitening of the embedding column — the
+    standard pre-ANN / pre-PCA normalization (mean-center each
+    dimension, scale to unit variance) so no dimension dominates the
+    distance metric.
+
+    Determinism: components are quantized to integer millis first
+    (``floor(x::double*1000+0.5)``, the module's convention), so the
+    per-dim moment sums are int64 and order-free; the z-score is then
+    algebraically ONE division of exact integers, ``z = (n·q − Σq) /
+    sqrt(n·Σq² − (Σq)²)`` (the n² factors cancel), with the IEEE-exact
+    sqrt — no intermediate mean/std floats whose rounding could
+    diverge across engines. 6 dp floor-quantized. Headroom: q ≤ ~1e3
+    ⇒ n·Σq² ≤ ~1e9·n² — int64-safe past 1e9 vectors per dim-partition;
+    beyond that the sums switch to DECIMAL(38,0).
+
+    Scale: one posexplode + one 64-row groupBy(dim) (map-side
+    combinable) + a broadcast join of the 64-row stats table back onto
+    the exploded rows. Returns ``(vec_id, dim, q_mills, z)`` for the
+    query-prefix rows (the whitened matrix itself stays distributed).
+    """
+    q = F.floor(F.col("x").cast("double") * 1000 + F.lit(0.5)).cast("long")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).select("vec_id", "dim", q.alias("q"))
+    stats = flat.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sx"),
+        F.sum(F.col("q") * F.col("q")).alias("sxx"),
+    )
+    zc = (F.col("n") * F.col("q") - F.col("sx")).cast("double") / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    z6 = F.floor(zc * F.lit(1000000) + F.lit(0.5)) / F.lit(1000000.0)
+    return (
+        flat.where(F.col("vec_id") < WHITEN_QUERY_PREFIX)
+        .join(F.broadcast(stats), "dim")
+        .where(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+        .select("vec_id", "dim", F.col("q").alias("q_mills"), z6.alias("z"))
+        .orderBy("vec_id", "dim")
+    )
+
+
+def oracle_embedding_whitening() -> str:
+    return f"""
+WITH flat AS (
+  SELECT vec_id, i - 1 AS dim,
+         floor(embedding[i]::DOUBLE * 1000 + 0.5)::BIGINT AS q
+  FROM embeddings, unnest(range(1, len(embedding) + 1)) u(i)),
+stats AS (
+  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(q) AS BIGINT) AS sx,
+         CAST(sum(q * q) AS BIGINT) AS sxx
+  FROM flat GROUP BY dim)
+SELECT f.vec_id, f.dim, f.q AS q_mills,
+       floor(CAST(s.n * f.q - s.sx AS DOUBLE)
+             / sqrt(CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE))
+             * 1000000 + 0.5) / 1000000.0 AS z
+FROM flat f JOIN stats s USING (dim)
+WHERE f.vec_id < {WHITEN_QUERY_PREFIX}
+  AND s.n * s.sxx - s.sx * s.sx > 0
+ORDER BY f.vec_id, f.dim"""
+
+
 def simsearch_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
     return [
+        Workload(
+            "pipe_embed_whitening",
+            lambda spark, sf_dir: embedding_whitening(_emb(spark, sf_dir)),
+            oracle_embedding_whitening(),
+            False,
+        ),
         Workload("pipe_embed_outliers", _wl_outliers, oracle_embedding_outliers(), False),
         Workload(
             "pipe_embed_drift",

@@ -340,3 +340,19 @@ def test_modularity_hand_values(spark):
     assert rb["q_num"] < 0
     # floor semantics: python // floors, matching the pmod idiom
     assert rb["q_ppm"] == (1_000_000 * rb["q_num"]) // rb["q_den"]
+
+
+def test_copurchase_projection_hand_basket(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.graph import (
+        copurchase_projection,
+    )
+
+    # orders: {1,2,3}, {1,2}, {2,3}, and a dup line that must not
+    # double-count -> (1,2):2, (2,3):2, (1,3):1
+    rows = [(10, 1), (10, 2), (10, 3), (11, 1), (11, 2), (11, 2), (12, 2), (12, 3)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = [
+        (r["pa"], r["pb"], r["co_orders"])
+        for r in copurchase_projection(li, top_k=10).collect()
+    ]
+    assert got == [(1, 2, 2), (2, 3, 2), (1, 3, 1)]

@@ -666,3 +666,26 @@ def test_ivfpq_candidates_respect_probes_and_recall_floor(spark):
     plan = ivfpq_topk(emb)._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_embedding_whitening_zero_mean_unit_scale(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
+        embedding_whitening,
+    )
+
+    # dim0 values (mills): 1000, 2000, 3000 -> mean 2000, n*Sxx-Sx^2
+    # = 3*14e6 - 36e6 = 6e6; z = (3q - 6000)/sqrt(6e6)
+    # dim1 constant -> zero variance -> row filtered out
+    emb = spark.createDataFrame(
+        [(0, [1.0, 5.0]), (1, [2.0, 5.0]), (2, [3.0, 5.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = embedding_whitening(emb).collect()
+    assert {r["dim"] for r in rows} == {0}  # constant dim dropped
+    z = {r["vec_id"]: r["z"] for r in rows}
+    import math
+
+    exp = math.floor((3 * 1000 - 6000) / math.sqrt(6e6) * 1e6 + 0.5) / 1e6
+    assert z[0] == exp
+    assert z[1] == 0.0
+    assert z[2] == -exp  # symmetric around the mean
