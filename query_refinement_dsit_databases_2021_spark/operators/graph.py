@@ -1175,24 +1175,28 @@ def copurchase_projection(lineitem: DataFrame, top_k: int = 25) -> DataFrame:
     embeddings (this is :func:`~.textops` co-occurrence applied to a
     transaction table instead of token windows).
 
-    Scale: the self-join is keyed on the order and ORIENTED
-    (``pa < pb``), so fan-out is d(d−1)/2 with d = items-per-order —
-    bounded by basket size (≤7 in TPC-H), NOT by corpus size; the
-    projection never materializes the quadratic part×part space, only
-    observed pairs. A pathological mega-basket would need the same
+    Scale: NOT a self-join — each basket is collected as a sorted
+    distinct array in one groupBy(order) and its d(d−1)/2 oriented
+    pairs are enumerated IN-ROW by a higher-order function, so the
+    whole projection is two map-combinable shuffles (basket agg, pair
+    agg) and zero joins. Fan-out is bounded by basket size (≤7 in
+    TPC-H), not corpus size; a pathological mega-basket would need the
     posting-cap used by ``dedup.ngram_jaccard_capped``. Returns the
     ``top_k`` pairs by (co_orders desc, pa, pb) — exact total order.
     """
-    base = lineitem.select("l_orderkey", "l_partkey").distinct()
-    a = base.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pa")
+    baskets = lineitem.groupBy(F.col("l_orderkey").alias("o")).agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
     )
-    b = base.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("pb")
+    # (ps[i], ps[j]) for i < j: slice is 1-indexed, i is 0-indexed
+    pairs = F.flatten(
+        F.expr(
+            "transform(ps, (x, i) -> transform("
+            "slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb)))"
+        )
     )
     return (
-        a.join(b, "o")
-        .where(F.col("pa") < F.col("pb"))
+        baskets.select(F.explode(pairs).alias("pr"))
+        .select("pr.pa", "pr.pb")
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("co_orders"))
         .orderBy(F.desc("co_orders"), "pa", "pb")

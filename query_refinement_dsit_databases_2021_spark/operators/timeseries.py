@@ -2689,13 +2689,21 @@ def mann_kendall(
 
     Scale: like Theil–Sen, the pair join is per-key quadratic over the
     DAILY table by design (d days ⇒ d(d−1)/2 metadata-scale pairs,
-    partitioned by key); the raw events are touched once by the daily
-    agg. Returns ``(key, n_days, s_stat, var18, z, trend)``.
+    partitioned by key). The daily table feeds FOUR consumers (both
+    pair sides, the tie groups, the day count), so it is
+    ``localCheckpoint``-ed — the graph module's reuse idiom — and the
+    raw events are genuinely scanned once, not once per consumer.
+    Returns ``(key, n_days, s_stat, var18, z, trend)``.
     """
     cents = F.floor(F.col(value) * 100 + F.lit(0.5)).cast("long")
-    daily = events.groupBy(
-        F.datediff(F.to_date(ts), F.lit("1970-01-01")).alias("d"), F.col(key)
-    ).agg(F.sum(cents).alias("y"))
+    daily = (
+        events.groupBy(
+            F.datediff(F.to_date(ts), F.lit("1970-01-01")).alias("d"),
+            F.col(key),
+        )
+        .agg(F.sum(cents).alias("y"))
+        .localCheckpoint()
+    )
     a = daily.select(key, F.col("d").alias("da"), F.col("y").alias("ya"))
     b = daily.select(key, F.col("d").alias("db"), F.col("y").alias("yb"))
     s = (

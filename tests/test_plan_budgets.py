@@ -793,3 +793,80 @@ def test_round4_operator_exchange_budgets(spark):
         _DF.localCheckpoint = orig_ckpt
     assert "CartesianProduct" not in lp
     assert "BroadcastNestedLoopJoin" not in lp
+
+
+def test_round4b_operator_exchange_budgets(pdocs, pevents, spark):
+    """Exchange pins for the round-4 session-2 additions."""
+    from query_refinement_dsit_databases_2021_spark.operators.graph import (
+        copurchase_projection,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.scale import (
+        hll_distinct,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
+        embedding_whitening,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        blocklist_filter,
+        tokenizer_fertility,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        ar1_forecast,
+        mann_kendall,
+    )
+
+    # Mann-Kendall: the checkpointed daily table is the ONLY events
+    # consumer (one scan); pair join + ties/n/s joins are all keyed on
+    # the 5-value event_type over metadata-scale frames
+    mk_df = mann_kendall(pevents)
+    mk = _plan(mk_df)
+    assert "FileScan" not in mk, mk  # daily checkpointed: no re-scan
+    assert mk.count("Exchange hashpartitioning") <= 7, mk
+    assert "CartesianProduct" not in mk
+
+    # AR(1): one daily agg exchange + the lag window + per-key agg —
+    # no join at all
+    ar = _plan(ar1_forecast(pevents))
+    assert "Join" not in ar, ar
+    assert ar.count("Exchange hashpartitioning") <= 3, ar
+
+    # HLL: stream -> (g, reg) agg; the 64-row grid and register table
+    # are group-count-sized; final per-g agg
+    st = spark.createDataFrame(
+        [(i % 97, "g%d" % (i % 3)) for i in range(200)], "k long, g string"
+    )
+    hp = _plan(hll_distinct(st, "k", "g"))
+    assert hp.count("Exchange hashpartitioning") <= 4, hp
+    assert "CartesianProduct" not in hp.replace(
+        "BroadcastNestedLoopJoin", ""
+    )  # the groups x 64 grid arrives by broadcast, never a shuffle
+
+    # blocklist: per-doc hit agg + LEFT join back — the denylist is a
+    # literal isin, so no third table ever joins in
+    bp = _plan(blocklist_filter(pdocs))
+    assert bp.count("Exchange hashpartitioning") <= 3, bp
+
+    # fertility: pure projection + ONE map-combinable groupBy(lang)
+    fp = _plan(tokenizer_fertility(pdocs))
+    assert fp.count("Exchange hashpartitioning") == 1, fp
+    assert "Join" not in fp
+
+    # whitening: posexplode + 64-row dim agg; stats come BACK by
+    # broadcast — the exploded corpus is never shuffle-joined
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i % 3)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    wp = _plan(embedding_whitening(emb))
+    assert "BroadcastHashJoin" in wp and "SortMergeJoin" not in wp, wp
+    assert wp.count("Exchange hashpartitioning") <= 2, wp
+
+    # co-purchase: basket agg + in-row pair enumeration + pair agg —
+    # two shuffles, zero joins; top-k is TakeOrderedAndProject
+    li = spark.createDataFrame(
+        [(i // 3, i % 7) for i in range(60)], "l_orderkey long, l_partkey long"
+    )
+    cp = _plan(copurchase_projection(li))
+    assert "TakeOrderedAndProject" in cp, cp
+    assert "Join" not in cp, cp
+    assert cp.count("Exchange hashpartitioning") == 2, cp
