@@ -874,6 +874,10 @@ def _wl_fertility(spark, sf_dir):
     return textops.tokenizer_fertility(_docs(spark, sf_dir))
 
 
+def _wl_unigram_segment(spark, sf_dir):
+    return textops.unigram_segment(_docs(spark, sf_dir))
+
+
 def _wl_bpe_tokens(spark, sf_dir):
     return textops.bpe_token_stats(_docs(spark, sf_dir))
 
@@ -1841,6 +1845,12 @@ def pipeline_workloads():
         ("pipe_curation_chain", _wl_curation, _oracle_curation(), False),
         ("pipe_text_bpe_tokens", _wl_bpe_tokens, ORACLE_BPE_TOKENS, False),
         ("pipe_blocklist_filter", _wl_blocklist, textops.ORACLE_BLOCKLIST, False),
+        (
+            "pipe_unigram_segment",
+            _wl_unigram_segment,
+            textops.ORACLE_UNIGRAM,
+            False,
+        ),
         (
             "pipe_tokenizer_fertility",
             _wl_fertility,

@@ -1203,3 +1203,114 @@ SELECT lang, n_docs, n_chars, n_ws_tokens, n_bpe_tokens,
        floor(n_bpe_tokens / CAST(n_ws_tokens AS DOUBLE) * 1000000 + 0.5)
          / 1000000.0 AS bpe_per_ws
 FROM agg ORDER BY lang"""
+
+
+# Unigram-LM segmentation vocabulary: multi-char pieces with integer
+# costs 30 + 40*len (len-2 piece 110 beats 2 single chars at 200), and
+# an implicit any-single-char fallback at UNIGRAM_CHAR_COST so every
+# word is segmentable. Integer costs keep the DP engine-exact.
+UNIGRAM_CHAR_COST = 100
+UNIGRAM_PIECES: dict[str, int] = {
+    p: 30 + 40 * len(p)
+    for p in (
+        "que", "ry", "scan", "tab", "le", "ble", "row", "sort", "join",
+        "hash", "val", "ue", "ta", "er", "st", "ream", "win", "dow",
+        "col", "umn", "fil", "ter", "mer", "ge", "ba", "tch", "gr", "oup",
+    )
+}
+
+
+def unigram_segment(docs: DataFrame) -> DataFrame:
+    """SentencePiece-style unigram segmentation as a distributed DP —
+    the Viterbi decode of ``word -> min-cost piece sequence`` over an
+    integer-cost piece vocabulary, run per word TYPE (the distinct
+    terms), which is how a tokenizer team audits segmentation cost and
+    compression before committing a vocab.
+
+    Engine shape: this is the module's Arrow escape hatch used the way
+    SURVEY §2.11 prescribes — the recurrence over char positions is
+    genuinely sequential per word, so it runs as a ``mapInPandas``
+    generator (per-word DP is O(len·|pieces|) integer math; the piece
+    dict is a plan literal in the closure), while word types arrive by
+    an ordinary explode+distinct shuffle and stay distributed. No
+    collect, no driver loop; cost model identical to the DuckDB
+    oracle, which certifies the same optimum by exhaustive
+    recursive-CTE path enumeration (affordable at gate scale; the
+    point is two INDEPENDENT algorithms agreeing bit-for-bit on the
+    optimum).
+
+    Tie-break: the DP minimizes the combined state ``cost·1000 +
+    n_pieces`` (piece counts < 1000 by construction), i.e. min cost
+    first, then fewest pieces — a total order, no float anywhere.
+    Returns ``(term, n_chars, cost, n_pieces)``.
+    """
+    import pandas as pd
+
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .where(F.length("term") > 0)
+        .distinct()
+    )
+    pieces = dict(UNIGRAM_PIECES)
+    char_cost = UNIGRAM_CHAR_COST
+    max_len = max(len(p) for p in pieces)
+
+    def _segment_batches(batches):
+        for pdf in batches:
+            out = []
+            for term in pdf["term"]:
+                n = len(term)
+                # state[j] = best (cost*1000 + n_pieces) for prefix j
+                big = (char_cost * n + 1) * 1000
+                state = [big] * (n + 1)
+                state[0] = 0
+                for j in range(1, n + 1):
+                    best = state[j - 1] + char_cost * 1000 + 1
+                    lo = max(0, j - max_len)
+                    for i in range(lo, j - 1):
+                        c = pieces.get(term[i:j])
+                        if c is not None:
+                            cand = state[i] + c * 1000 + 1
+                            if cand < best:
+                                best = cand
+                    state[j] = best
+                out.append((term, n, state[n] // 1000, state[n] % 1000))
+            yield pd.DataFrame(
+                out, columns=["term", "n_chars", "cost", "n_pieces"]
+            )
+
+    return words.mapInPandas(
+        _segment_batches,
+        schema="term string, n_chars int, cost long, n_pieces long",
+    ).orderBy("term")
+
+
+def _unigram_oracle() -> str:
+    piece_rows = ", ".join(
+        f"('{p}', {c})" for p, c in sorted(UNIGRAM_PIECES.items())
+    )
+    return f"""
+WITH RECURSIVE pieces(p, c) AS (SELECT * FROM (VALUES {piece_rows})),
+words AS (
+  SELECT DISTINCT term FROM (
+    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE length(term) > 0),
+paths(term, pos, cost, np) AS (
+  SELECT term, 0, 0, 0 FROM words
+  UNION ALL
+  SELECT * FROM (
+    SELECT term, pos + 1, cost + {UNIGRAM_CHAR_COST}, np + 1
+    FROM paths WHERE pos < length(term)
+    UNION ALL
+    SELECT pa.term, pa.pos + length(pc.p), pa.cost + pc.c, pa.np + 1
+    FROM paths pa JOIN pieces pc
+      ON substr(pa.term, pa.pos + 1, length(pc.p)) = pc.p
+    WHERE pa.pos + length(pc.p) <= length(pa.term)))
+SELECT term, CAST(length(term) AS INTEGER) AS n_chars,
+       CAST(min(cost * 1000 + np) // 1000 AS BIGINT) AS cost,
+       CAST(min(cost * 1000 + np) % 1000 AS BIGINT) AS n_pieces
+FROM paths WHERE pos = length(term)
+GROUP BY term ORDER BY term"""
+
+
+ORACLE_UNIGRAM = _unigram_oracle()

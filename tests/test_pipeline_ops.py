@@ -1090,3 +1090,26 @@ def test_tokenizer_fertility_hand_numbers(spark):
     assert (row["n_ws_tokens"], row["n_bpe_tokens"]) == (3, 5)
     assert row["bpe_per_100_chars"] == 62.5
     assert row["bpe_per_ws"] == 1.666667  # floor(5/3*1e6+0.5)/1e6
+
+
+def test_unigram_segment_hand_dp(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        UNIGRAM_CHAR_COST,
+        UNIGRAM_PIECES,
+        unigram_segment,
+    )
+
+    # 'batch' -> ba(110) + tch(150) = 260, 2 pieces (beats 5 chars=500)
+    # 'xyz'   -> no piece matches: 3 * char_cost, 3 pieces
+    # 'tata'  -> ta+ta = 220, 2 pieces; 'le' -> single piece 110
+    docs = spark.createDataFrame(
+        [(1, "batch xyz tata le")], "doc_id long, text string"
+    )
+    got = {
+        r["term"]: (r["n_chars"], r["cost"], r["n_pieces"])
+        for r in unigram_segment(docs).collect()
+    }
+    assert got["batch"] == (5, UNIGRAM_PIECES["ba"] + UNIGRAM_PIECES["tch"], 2)
+    assert got["xyz"] == (3, 3 * UNIGRAM_CHAR_COST, 3)
+    assert got["tata"] == (4, 2 * UNIGRAM_PIECES["ta"], 2)
+    assert got["le"] == (2, UNIGRAM_PIECES["le"], 1)

@@ -861,6 +861,17 @@ def test_round4b_operator_exchange_budgets(pdocs, pevents, spark):
     assert "BroadcastHashJoin" in wp and "SortMergeJoin" not in wp, wp
     assert wp.count("Exchange hashpartitioning") <= 2, wp
 
+    # unigram segmentation: explode+distinct is the ONLY exchange
+    # feeding the Arrow DP stage; no join, no collect
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        unigram_segment,
+    )
+
+    up = _plan(unigram_segment(pdocs))
+    assert "MapInPandas" in up, up
+    assert "Join" not in up, up
+    assert up.count("Exchange hashpartitioning") == 1, up
+
     # co-purchase: basket agg + in-row pair enumeration + pair agg —
     # two shuffles, zero joins; top-k is TakeOrderedAndProject
     li = spark.createDataFrame(
