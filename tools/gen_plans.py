@@ -268,6 +268,44 @@ NOTES = {
         "rollup. The q_ppm floor-division rides the pmod idiom so "
         "Spark matches DuckDB's floor semantics on negative Q."
     ),
+    "ts_mann_kendall": (
+        "The daily table is checkpointed (Scan ExistingRDD), so events "
+        "is scanned once for its four consumers; the pair join and the "
+        "tie/count aggs all key on event_type over metadata-scale rows."
+    ),
+    "ts_ar1_forecast": (
+        "One daily agg exchange, a lag window, one per-key 5-value "
+        "agg — no join node anywhere in the plan."
+    ),
+    "ops_hll_distinct": (
+        "One (grp, reg) max-agg over the stream; the groups-by-64 "
+        "empty-register grid arrives by BroadcastNestedLoopJoin (it is "
+        "group-count-sized); truth joins alongside for the attestation."
+    ),
+    "pipe_blocklist_filter": (
+        "Explode feeds a literal isin filter (no terms table to join); "
+        "per-doc agg, then ONE left join restores clean docs."
+    ),
+    "pipe_tokenizer_fertility": (
+        "Whole plan is projection + one hash aggregate pair "
+        "(partial/final) on lang — the 1-Exchange shape the budget "
+        "test pins."
+    ),
+    "pipe_embed_whitening": (
+        "posexplode widens in-row; the 64-row dim stats return via "
+        "BroadcastHashJoin onto the exploded stream — the corpus side "
+        "is never re-shuffled."
+    ),
+    "graph_copurchase": (
+        "Baskets collect in one groupBy(order); pair enumeration is an "
+        "in-row higher-order projection feeding the pair agg — two "
+        "Exchanges total, zero joins, TakeOrderedAndProject top-k."
+    ),
+    "pipe_unigram_segment": (
+        "explode+distinct is the only Exchange; MapInPandas runs the "
+        "integer Viterbi DP per word type with the piece dict as a "
+        "closure literal — no collect, no join."
+    ),
 }
 
 HEADER = """# PLANS — captured physical plans for representative workloads
