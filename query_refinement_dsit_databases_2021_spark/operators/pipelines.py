@@ -878,6 +878,99 @@ def _wl_unigram_segment(spark, sf_dir):
     return textops.unigram_segment(_docs(spark, sf_dir))
 
 
+def _wl_quality_classifier(spark, sf_dir):
+    return textops.quality_classifier(_docs(spark, sf_dir))
+
+
+def _wl_curation_v6(spark, sf_dir):
+    """Curation chain v6 — this session's filter tiers composed end to
+    end: denylist gate (drop docs graded ``drop``) → model-based
+    quality gate (hashing-trick classifier, keep ``label = 'keep'``)
+    → exact dedup (min-id survivor) → tokenizer-fertility manifest of
+    the curated corpus. Rule tier, model tier, dedup, tokenizer audit
+    — each stage already oracle-certified alone; the chain's oracle
+    recomposes their SQL so the COMPOSITION is what the differential
+    checks. Returns the per-language fertility rows of the survivors.
+    """
+    docs = _docs(spark, sf_dir)
+    bl_keep = (
+        textops.blocklist_filter(docs)
+        .where(F.col("action") != "drop")
+        .select("doc_id")
+    )
+    kept = docs.join(bl_keep, "doc_id")
+    qc_keep = (
+        textops.quality_classifier(kept)
+        .where(F.col("label") == "keep")
+        .select("doc_id")
+    )
+    kept2 = kept.join(qc_keep, "doc_id").persist()
+    survivors = dedup.exact_dedup(kept2).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    curated = kept2.join(survivors, "doc_id")
+    return textops.tokenizer_fertility(curated)
+
+
+def _oracle_curation_v6() -> str:
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        BLOCKLIST_DROP_AT,
+        BLOCKLIST_TERMS,
+        BPE_SPLIT_PATTERN,
+        HASH_P,
+        QC_BUCKETS,
+        QC_THRESHOLD,
+        QC_WADD,
+        QC_WMUL,
+    )
+
+    in_list = ", ".join(f"'{t}'" for t in BLOCKLIST_TERMS)
+    h = _sql_rolling_hash("w")
+    return f"""
+WITH bl_hits AS (
+  SELECT doc_id, count(*) AS n_hits
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents)
+  WHERE w IN ({in_list}) GROUP BY doc_id),
+kept AS (
+  SELECT d.* FROM documents d LEFT JOIN bl_hits h USING (doc_id)
+  WHERE coalesce(h.n_hits, 0) < {BLOCKLIST_DROP_AT}),
+qc_keep AS (
+  SELECT doc_id
+  FROM (SELECT doc_id,
+               (({h} % {QC_BUCKETS}) * {QC_WMUL} + {QC_WADD})
+                 % {HASH_P} % 2001 - 1000 AS wgt
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+              FROM kept)
+        WHERE length(w) > 0)
+  GROUP BY doc_id HAVING sum(wgt) >= {QC_THRESHOLD}),
+kept2 AS (SELECT k.* FROM kept k JOIN qc_keep USING (doc_id)),
+survivors AS (
+  SELECT min(doc_id) AS doc_id FROM kept2 GROUP BY text),
+curated AS (SELECT k.* FROM kept2 k JOIN survivors USING (doc_id)),
+staged AS (
+  SELECT lang, length(text) AS nc,
+         len(string_split(text, ' ')) AS nw,
+         len(regexp_extract_all(text, '{BPE_SPLIT_PATTERN}', 0)) AS nb
+  FROM curated),
+agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(nc) AS BIGINT) AS n_chars,
+         CAST(sum(nw) AS BIGINT) AS n_ws_tokens,
+         CAST(sum(nb) AS BIGINT) AS n_bpe_tokens
+  FROM staged GROUP BY lang)
+SELECT lang, n_docs, n_chars, n_ws_tokens, n_bpe_tokens,
+       floor(n_bpe_tokens * 100.0 / n_chars * 1000000 + 0.5)
+         / 1000000.0 AS bpe_per_100_chars,
+       floor(n_bpe_tokens / CAST(n_ws_tokens AS DOUBLE) * 1000000 + 0.5)
+         / 1000000.0 AS bpe_per_ws
+FROM agg ORDER BY lang"""
+
+
+def _wl_span_corruption(spark, sf_dir):
+    return textops.span_corruption_plan(_docs(spark, sf_dir))
+
+
 def _wl_bpe_tokens(spark, sf_dir):
     return textops.bpe_token_stats(_docs(spark, sf_dir))
 
@@ -1851,6 +1944,19 @@ def pipeline_workloads():
             textops.ORACLE_UNIGRAM,
             False,
         ),
+        (
+            "pipe_quality_classifier",
+            _wl_quality_classifier,
+            textops._qc_oracle(),
+            False,
+        ),
+        (
+            "pipe_span_corruption",
+            _wl_span_corruption,
+            textops.ORACLE_SPAN_CORRUPTION,
+            False,
+        ),
+        ("pipe_curation_chain_v6", _wl_curation_v6, _oracle_curation_v6(), False),
         (
             "pipe_tokenizer_fertility",
             _wl_fertility,

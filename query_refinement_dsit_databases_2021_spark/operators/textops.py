@@ -1314,3 +1314,182 @@ GROUP BY term ORDER BY term"""
 
 
 ORACLE_UNIGRAM = _unigram_oracle()
+
+
+# Hashing-trick linear quality model: tokens hash into QC_BUCKETS
+# feature buckets (the fastText/CCNet trick — no vocabulary table);
+# bucket weights are a FIXED affine-generated literal in [-1000, 1000]
+# standing in for shipped trained weights. The engine part under
+# certification is the featurize->lookup->dot-product->threshold
+# dataflow; swapping real weights = replacing the weight expression
+# with a broadcast (bucket, weight) table, nothing else moves.
+QC_BUCKETS = 1024
+QC_WMUL, QC_WADD = 48271, 557  # weight generator (mod HASH_P, then +-1000)
+QC_THRESHOLD = 0
+
+
+def quality_classifier(docs: DataFrame) -> DataFrame:
+    """fastText-style linear quality scorer via the hashing trick —
+    the model-based filter tier above the rule-based ones
+    (:func:`gopher_rules`, CCNet buckets): score = Σ_tokens
+    w[hash(token) % B], label by sign. Every step is integer: the
+    31-bit polynomial token hash (the module's portable
+    :func:`rolling_hash`), the bucket, the affine-generated weight,
+    the per-doc sum — so the decision boundary cannot move with
+    partitioning or engine.
+
+    Scale: one explode + ONE map-combinable per-doc agg; weights are
+    computed inline from the bucket id (pure codegen arithmetic — no
+    weight table is ever joined, the hashing trick's whole point).
+    Returns ``(doc_id, n_tokens, score, label)``.
+    """
+    b = rolling_hash(F.col("w")) % QC_BUCKETS
+    wgt = ((b * QC_WMUL + QC_WADD) % HASH_P) % 2001 - 1000
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("w")
+    ).where(F.length("w") > 0)
+    return (
+        tok.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(wgt).alias("score"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "score",
+            F.when(F.col("score") >= QC_THRESHOLD, F.lit("keep"))
+            .otherwise(F.lit("cut"))
+            .alias("label"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _qc_oracle() -> str:
+    from query_refinement_dsit_databases_2021_spark.operators.pipelines import (
+        _sql_rolling_hash,
+    )
+
+    h = _sql_rolling_hash("w")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+scored AS (
+  SELECT doc_id,
+         (({h} % {QC_BUCKETS}) * {QC_WMUL} + {QC_WADD})
+           % {HASH_P} % 2001 - 1000 AS wgt
+  FROM tok WHERE length(w) > 0)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(wgt) AS BIGINT) AS score,
+       CASE WHEN sum(wgt) >= {QC_THRESHOLD} THEN 'keep'
+            ELSE 'cut' END AS label
+FROM scored GROUP BY doc_id ORDER BY doc_id"""
+
+
+# T5-style span corruption plan: 15% noise density, deterministic
+# per-(doc, pos) mask decisions from the portable affine hash so the
+# corruption plan is reproducible across runs, engines, partitionings.
+SPAN_NOISE_PPM = 150_000
+SPAN_MUL, SPAN_ADD = 1103515245, 12345
+# exact integer threshold (floor((ppm * P) / 1e6)) precomputed so
+# neither engine does a float division at the decision boundary
+SPAN_THRESH = (SPAN_NOISE_PPM * 2_147_483_647) // 1_000_000
+
+
+def span_corruption_plan(docs: DataFrame) -> DataFrame:
+    """Span-corruption planning (T5 denoising): decide WHICH token
+    positions mask deterministically — ``(pos_key·MUL + ADD) mod P``
+    under the 15% density threshold — then group consecutive masked
+    positions into spans with the gaps-and-islands idiom (pos −
+    dense_rank over masked positions is constant within a run). A
+    trainer consumes the plan as (doc, span) rows; here the audit
+    aggregates it per doc.
+
+    Everything is integer arithmetic + two windows over per-doc
+    partitions; the mask key folds (doc_id, pos) so each position
+    draws independently. Returns ``(doc_id, n_tokens, n_masked,
+    n_spans, mean_span_len_ppm)``.
+    """
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w")
+    ).where(F.length("w") > 0)
+    # reduce the fold key mod P BEFORE the multiply: doc_id*1e5 + pos
+    # times MUL must stay under 2^63 at any doc_id domain
+    key = ((F.col("doc_id") * 100_000 + F.col("pos")) % HASH_P).cast("long")
+    draw = (key * SPAN_MUL + F.lit(SPAN_ADD)) % HASH_P
+    masked = tok.select(
+        "doc_id",
+        "pos",
+        (draw < SPAN_THRESH).cast("int").alias("m"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    runs = masked.where(F.col("m") == 1).select(
+        "doc_id",
+        "pos",
+        (F.col("pos") - F.row_number().over(wd)).alias("run_key"),
+    )
+    spans = runs.groupBy("doc_id", "run_key").agg(
+        F.count(F.lit(1)).alias("span_len")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").alias("n_masked"),
+    )
+    totals = masked.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (
+        totals.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_masked"), F.lit(0)).alias("n_masked"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+            F.when(
+                F.col("n_spans").isNotNull(),
+                F.floor(
+                    F.col("n_masked") * F.lit(1_000_000) / F.col("n_spans")
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("mean_span_len_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SPAN_CORRUPTION = f"""
+WITH tok AS (
+  SELECT doc_id, i - 1 AS pos, ws[i] AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       unnest(range(1, len(ws) + 1)) u(i)
+  WHERE length(ws[i]) > 0),
+masked AS (
+  SELECT doc_id, pos,
+         CASE WHEN (((doc_id * 100000 + pos) % {HASH_P}) * {SPAN_MUL}
+                    + {SPAN_ADD}) % {HASH_P} < {SPAN_THRESH}
+              THEN 1 ELSE 0 END AS m
+  FROM tok),
+runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS run_key
+  FROM masked WHERE m = 1),
+spans AS (
+  SELECT doc_id, run_key, count(*) AS span_len
+  FROM runs GROUP BY doc_id, run_key),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(span_len) AS BIGINT) AS n_masked
+  FROM spans GROUP BY doc_id),
+totals AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+  FROM masked GROUP BY doc_id)
+SELECT t.doc_id, t.n_tokens,
+       coalesce(p.n_masked, 0) AS n_masked,
+       coalesce(p.n_spans, 0) AS n_spans,
+       CAST(CASE WHEN p.n_spans IS NOT NULL
+                 THEN floor(p.n_masked * 1000000.0 / p.n_spans)
+                 ELSE 0 END AS BIGINT) AS mean_span_len_ppm
+FROM totals t LEFT JOIN per_doc p USING (doc_id)
+ORDER BY t.doc_id"""

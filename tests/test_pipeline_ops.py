@@ -1113,3 +1113,95 @@ def test_unigram_segment_hand_dp(spark):
     assert got["xyz"] == (3, 3 * UNIGRAM_CHAR_COST, 3)
     assert got["tata"] == (4, 2 * UNIGRAM_PIECES["ta"], 2)
     assert got["le"] == (2, UNIGRAM_PIECES["le"], 1)
+
+
+def test_quality_classifier_replay_and_labels(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        HASH_P,
+        QC_BUCKETS,
+        QC_THRESHOLD,
+        QC_WADD,
+        QC_WMUL,
+        quality_classifier,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "query scan"), (2, "slow slow slow")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["score"], r["label"])
+        for r in quality_classifier(docs).collect()
+    }
+
+    def w(term):
+        h = 0
+        for ch in term:
+            h = (h * 31 + ord(ch)) % HASH_P
+        return ((h % QC_BUCKETS) * QC_WMUL + QC_WADD) % HASH_P % 2001 - 1000
+
+    for did, text in ((1, "query scan"), (2, "slow slow slow")):
+        toks = text.split(" ")
+        score = sum(w(t) for t in toks)
+        label = "keep" if score >= QC_THRESHOLD else "cut"
+        assert got[did] == (len(toks), score, label), (did, got[did], score)
+
+
+def test_span_corruption_plan_islands(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        HASH_P,
+        SPAN_ADD,
+        SPAN_MUL,
+        SPAN_THRESH,
+        span_corruption_plan,
+    )
+
+    docs = spark.createDataFrame(
+        [(7, " ".join(f"w{i}" for i in range(60)))], "doc_id long, text string"
+    )
+    row = span_corruption_plan(docs).collect()[0]
+
+    mask = [
+        ((((7 * 100_000 + pos) % HASH_P) * SPAN_MUL + SPAN_ADD) % HASH_P)
+        < SPAN_THRESH
+        for pos in range(60)
+    ]
+    n_masked = sum(mask)
+    spans = sum(
+        1 for i, m in enumerate(mask) if m and (i == 0 or not mask[i - 1])
+    )
+    assert row["n_tokens"] == 60
+    assert (row["n_masked"], row["n_spans"]) == (n_masked, spans)
+    if spans:
+        assert row["mean_span_len_ppm"] == n_masked * 1_000_000 // spans
+    # ~15% density: the deterministic draw should land in a sane band
+    assert 0 < n_masked < 30
+
+
+def test_curation_v6_stage_gates(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.pipelines import (
+        _wl_curation_v6,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        blocklist_filter,
+        quality_classifier,
+    )
+    from query_refinement_dsit_databases_2021_spark.workloads import (
+        register_views,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    out = _wl_curation_v6(spark, sf_dir).collect()
+    assert len(out) >= 1
+    # the chain's survivor count per lang can never exceed the docs
+    # that pass BOTH gates (dedup only shrinks further)
+    bl = blocklist_filter(docs).where("action != 'drop'").select("doc_id")
+    qc = (
+        quality_classifier(docs.join(bl, "doc_id"))
+        .where("label = 'keep'")
+        .select("doc_id")
+    )
+    gate_count = docs.join(bl, "doc_id").join(qc, "doc_id").count()
+    assert sum(r["n_docs"] for r in out) <= gate_count
+    assert all(r["n_bpe_tokens"] >= r["n_ws_tokens"] for r in out)
