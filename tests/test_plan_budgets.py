@@ -881,3 +881,23 @@ def test_round4b_operator_exchange_budgets(pdocs, pevents, spark):
     assert "TakeOrderedAndProject" in cp, cp
     assert "Join" not in cp, cp
     assert cp.count("Exchange hashpartitioning") == 2, cp
+
+
+def test_round4c_operator_exchange_budgets(pdocs):
+    """Exchange pins for the session-2 late additions."""
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        quality_classifier,
+        span_corruption_plan,
+    )
+
+    # classifier: explode + ONE per-doc agg + the output sort — the
+    # hashing trick means NO weight table and therefore no join
+    qp = _plan(quality_classifier(pdocs))
+    assert "Join" not in qp, qp
+    assert qp.count("Exchange hashpartitioning") == 1, qp
+
+    # span corruption: the (doc, pos) window + islands agg + the
+    # totals/left-join — all partitioned by doc_id, no corpus re-read
+    sp = _plan(span_corruption_plan(pdocs))
+    assert sp.count("Exchange hashpartitioning") <= 4, sp
+    assert "CartesianProduct" not in sp
