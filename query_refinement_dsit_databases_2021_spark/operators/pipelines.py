@@ -971,6 +971,10 @@ def _wl_span_corruption(spark, sf_dir):
     return textops.span_corruption_plan(_docs(spark, sf_dir))
 
 
+def _wl_vocab_prune(spark, sf_dir):
+    return textops.vocab_prune_impact(_docs(spark, sf_dir))
+
+
 def _wl_bpe_tokens(spark, sf_dir):
     return textops.bpe_token_stats(_docs(spark, sf_dir))
 
@@ -1957,6 +1961,12 @@ def pipeline_workloads():
             False,
         ),
         ("pipe_curation_chain_v6", _wl_curation_v6, _oracle_curation_v6(), False),
+        (
+            "pipe_vocab_prune_impact",
+            _wl_vocab_prune,
+            textops.ORACLE_VOCAB_PRUNE,
+            False,
+        ),
         (
             "pipe_tokenizer_fertility",
             _wl_fertility,

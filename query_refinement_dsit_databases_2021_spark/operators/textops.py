@@ -1220,7 +1220,33 @@ UNIGRAM_PIECES: dict[str, int] = {
 }
 
 
-def unigram_segment(docs: DataFrame) -> DataFrame:
+def _viterbi_state(term: str, pieces: dict[str, int]) -> int:
+    """Min combined state ``cost*1000 + n_pieces`` for segmenting
+    ``term`` over ``pieces`` + the single-char fallback — the shared
+    integer DP under :func:`unigram_segment` and
+    :func:`vocab_prune_impact` (identical cost model to the oracle's
+    exhaustive path enumeration)."""
+    n = len(term)
+    max_len = max((len(p) for p in pieces), default=1)
+    big = (UNIGRAM_CHAR_COST * n + 1) * 1000
+    state = [big] * (n + 1)
+    state[0] = 0
+    for j in range(1, n + 1):
+        best = state[j - 1] + UNIGRAM_CHAR_COST * 1000 + 1
+        lo = max(0, j - max_len)
+        for i in range(lo, j - 1):
+            c = pieces.get(term[i:j])
+            if c is not None:
+                cand = state[i] + c * 1000 + 1
+                if cand < best:
+                    best = cand
+        state[j] = best
+    return state[n]
+
+
+def unigram_segment(
+    docs: DataFrame, piece_costs: dict[str, int] | None = None
+) -> DataFrame:
     """SentencePiece-style unigram segmentation as a distributed DP —
     the Viterbi decode of ``word -> min-cost piece sequence`` over an
     integer-cost piece vocabulary, run per word TYPE (the distinct
@@ -1251,30 +1277,14 @@ def unigram_segment(docs: DataFrame) -> DataFrame:
         .where(F.length("term") > 0)
         .distinct()
     )
-    pieces = dict(UNIGRAM_PIECES)
-    char_cost = UNIGRAM_CHAR_COST
-    max_len = max(len(p) for p in pieces)
+    pieces = dict(UNIGRAM_PIECES if piece_costs is None else piece_costs)
 
     def _segment_batches(batches):
         for pdf in batches:
             out = []
             for term in pdf["term"]:
-                n = len(term)
-                # state[j] = best (cost*1000 + n_pieces) for prefix j
-                big = (char_cost * n + 1) * 1000
-                state = [big] * (n + 1)
-                state[0] = 0
-                for j in range(1, n + 1):
-                    best = state[j - 1] + char_cost * 1000 + 1
-                    lo = max(0, j - max_len)
-                    for i in range(lo, j - 1):
-                        c = pieces.get(term[i:j])
-                        if c is not None:
-                            cand = state[i] + c * 1000 + 1
-                            if cand < best:
-                                best = cand
-                    state[j] = best
-                out.append((term, n, state[n] // 1000, state[n] % 1000))
+                st = _viterbi_state(term, pieces)
+                out.append((term, len(term), st // 1000, st % 1000))
             yield pd.DataFrame(
                 out, columns=["term", "n_chars", "cost", "n_pieces"]
             )
@@ -1285,10 +1295,12 @@ def unigram_segment(docs: DataFrame) -> DataFrame:
     ).orderBy("term")
 
 
+def _piece_rows(pieces: dict[str, int]) -> str:
+    return ", ".join(f"('{p}', {c})" for p, c in sorted(pieces.items()))
+
+
 def _unigram_oracle() -> str:
-    piece_rows = ", ".join(
-        f"('{p}', {c})" for p, c in sorted(UNIGRAM_PIECES.items())
-    )
+    piece_rows = _piece_rows(UNIGRAM_PIECES)
     return f"""
 WITH RECURSIVE pieces(p, c) AS (SELECT * FROM (VALUES {piece_rows})),
 words AS (
@@ -1493,3 +1505,109 @@ SELECT t.doc_id, t.n_tokens,
                  ELSE 0 END AS BIGINT) AS mean_span_len_ppm
 FROM totals t LEFT JOIN per_doc p USING (doc_id)
 ORDER BY t.doc_id"""
+
+
+# pruned vocabulary: short (2-char) pieces dropped — the candidate a
+# tokenizer team evaluates when shrinking a vocab; the audit below
+# measures exactly what that pruning costs
+UNIGRAM_PIECES_PRUNED: dict[str, int] = {
+    p: c for p, c in UNIGRAM_PIECES.items() if len(p) >= 3
+}
+
+
+def vocab_prune_impact(docs: DataFrame) -> DataFrame:
+    """Vocab-pruning impact audit: re-segment every word type under
+    the FULL piece vocabulary and under the PRUNED one (2-char pieces
+    dropped) and report the per-word cost/piece-count deltas — the
+    number that decides whether a smaller tokenizer vocabulary is
+    worth the longer sequences it produces. Pruning can only remove
+    options, so ``delta_cost >= 0`` ALWAYS (pinned in tests — a
+    negative delta would mean the DP is broken).
+
+    Both decodes run in the SAME Arrow batch pass (one shuffle total);
+    the oracle runs its exhaustive path enumeration twice, once per
+    vocab, and joins — four independent optimality certificates per
+    word. Returns ``(term, cost_full, pieces_full, cost_pruned,
+    pieces_pruned, delta_cost)``.
+    """
+    import pandas as pd
+
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+        .where(F.length("term") > 0)
+        .distinct()
+    )
+    full = dict(UNIGRAM_PIECES)
+    pruned = dict(UNIGRAM_PIECES_PRUNED)
+
+    def _impact_batches(batches):
+        for pdf in batches:
+            out = []
+            for term in pdf["term"]:
+                sf_ = _viterbi_state(term, full)
+                sp_ = _viterbi_state(term, pruned)
+                out.append(
+                    (
+                        term,
+                        sf_ // 1000,
+                        sf_ % 1000,
+                        sp_ // 1000,
+                        sp_ % 1000,
+                        sp_ // 1000 - sf_ // 1000,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "term",
+                    "cost_full",
+                    "pieces_full",
+                    "cost_pruned",
+                    "pieces_pruned",
+                    "delta_cost",
+                ],
+            )
+
+    return words.mapInPandas(
+        _impact_batches,
+        schema=(
+            "term string, cost_full long, pieces_full long, "
+            "cost_pruned long, pieces_pruned long, delta_cost long"
+        ),
+    ).orderBy("term")
+
+
+def _vocab_prune_oracle() -> str:
+    def paths(tag: str, pieces: dict[str, int]) -> str:
+        return f"""
+p_{tag}(p, c) AS (SELECT * FROM (VALUES {_piece_rows(pieces)})),
+paths_{tag}(term, pos, cost, np) AS (
+  SELECT term, 0, 0, 0 FROM words
+  UNION ALL
+  SELECT * FROM (
+    SELECT term, pos + 1, cost + {UNIGRAM_CHAR_COST}, np + 1
+    FROM paths_{tag} WHERE pos < length(term)
+    UNION ALL
+    SELECT pa.term, pa.pos + length(pc.p), pa.cost + pc.c, pa.np + 1
+    FROM paths_{tag} pa JOIN p_{tag} pc
+      ON substr(pa.term, pa.pos + 1, length(pc.p)) = pc.p
+    WHERE pa.pos + length(pc.p) <= length(pa.term))),
+best_{tag} AS (
+  SELECT term,
+         CAST(min(cost * 1000 + np) // 1000 AS BIGINT) AS cost_{tag},
+         CAST(min(cost * 1000 + np) % 1000 AS BIGINT) AS pieces_{tag}
+  FROM paths_{tag} WHERE pos = length(term) GROUP BY term)"""
+
+    return f"""
+WITH RECURSIVE words AS (
+  SELECT DISTINCT term FROM (
+    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE length(term) > 0),{paths("full", UNIGRAM_PIECES)},{paths("pruned", UNIGRAM_PIECES_PRUNED)}
+SELECT f.term, f.cost_full, f.pieces_full,
+       p.cost_pruned, p.pieces_pruned,
+       CAST(p.cost_pruned - f.cost_full AS BIGINT) AS delta_cost
+FROM best_full f JOIN best_pruned p USING (term)
+ORDER BY f.term"""
+
+
+ORACLE_VOCAB_PRUNE = _vocab_prune_oracle()

@@ -1205,3 +1205,27 @@ def test_curation_v6_stage_gates(spark):
     gate_count = docs.join(bl, "doc_id").join(qc, "doc_id").count()
     assert sum(r["n_docs"] for r in out) <= gate_count
     assert all(r["n_bpe_tokens"] >= r["n_ws_tokens"] for r in out)
+
+
+def test_vocab_prune_impact_monotone_and_hand_case(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        vocab_prune_impact,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "batch scan tata")], "doc_id long, text string"
+    )
+    got = {
+        r["term"]: (
+            r["cost_full"], r["pieces_full"],
+            r["cost_pruned"], r["pieces_pruned"], r["delta_cost"],
+        )
+        for r in vocab_prune_impact(docs).collect()
+    }
+    # 'batch': full = ba+tch 260/2; pruned (no 2-char pieces) = b+a+tch
+    # 350/3; 'scan': 4-char piece survives pruning -> delta 0;
+    # 'tata': ta+ta 220/2 full; pruned = 4 chars 400/4
+    assert got["batch"] == (260, 2, 350, 3, 90)
+    assert got["scan"] == (190, 1, 190, 1, 0)
+    assert got["tata"] == (220, 2, 400, 4, 180)
+    assert all(v[4] >= 0 for v in got.values())
