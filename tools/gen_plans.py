@@ -306,6 +306,26 @@ NOTES = {
         "integer Viterbi DP per word type with the piece dict as a "
         "closure literal — no collect, no join."
     ),
+    "pipe_quality_classifier": (
+        "One explode + one per-doc HashAggregate pair; weights are "
+        "inline codegen arithmetic on the bucket id — the hashing "
+        "trick means no weight table and no Join node."
+    ),
+    "pipe_span_corruption": (
+        "posexplode + the per-doc islands window + per-doc aggs, all "
+        "partitioned by doc_id; mask draws are pure projection "
+        "arithmetic against a precomputed integer threshold."
+    ),
+    "pipe_curation_chain_v6": (
+        "Denylist and classifier gates both reduce to per-doc "
+        "aggregates joined back onto the kept corpus (persisted once); "
+        "dedup survivors and the fertility manifest reuse it."
+    ),
+    "pipe_vocab_prune_impact": (
+        "Same single-Exchange MapInPandas shape as the segmenter — "
+        "both vocab decodes run inside ONE Arrow pass, so pruning "
+        "analysis costs no extra shuffle."
+    ),
 }
 
 HEADER = """# PLANS — captured physical plans for representative workloads
