@@ -2896,6 +2896,77 @@ SELECT event_type, n_pairs, slope, intercept,
 FROM icepts ORDER BY event_type"""
 
 
+def winsorized_mean(
+    events: DataFrame, key: str = "event_type", value: str = "value"
+) -> DataFrame:
+    """Winsorized mean per key — the robust rollup between the plain
+    mean (breakdown 0) and the median (discards magnitude): clamp
+    every observation into the exact [p10, p90] order-statistic band,
+    then average. A handful of wild points move the result by at most
+    the band edge, so dashboards stop jumping when one bad scrape
+    lands.
+
+    Exactness: observations are integer cents; the band edges are
+    ``percentile_disc`` values (actual observed cents — the
+    cross-engine-verified convention of :func:`percentile_rollup`);
+    the clamped sum is an int64 sum; the mean is ONE integer floor
+    division into micro-dollar units. Two passes (band agg, clamped
+    agg) with the 5-row band table broadcast back — both
+    map-combinable. Returns ``(key, n, lo_cents, hi_cents,
+    win_mean_micro, raw_mean_micro)``.
+    """
+    cents = F.floor(F.col(value) * 100 + F.lit(0.5)).cast("long")
+    staged = events.select(F.col(key), cents.alias("c"))
+    # Spark's percentile_disc returns DOUBLE even over longs; the
+    # value is an actual observed cent amount, so the cast is exact
+    band = staged.groupBy(key).agg(
+        F.expr("percentile_disc(0.1) WITHIN GROUP (ORDER BY c)")
+        .cast("long")
+        .alias("lo"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY c)")
+        .cast("long")
+        .alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("c"), F.col("lo")), F.col("hi"))
+    return (
+        staged.join(F.broadcast(band), key)
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("lo").alias("lo_cents"),
+            F.max("hi").alias("hi_cents"),
+            F.sum(clamped).alias("_ws"),
+            F.sum("c").alias("_rs"),
+        )
+        .select(
+            key,
+            "n",
+            "lo_cents",
+            "hi_cents",
+            F.expr("_ws * 10000 div n").alias("win_mean_micro"),
+            F.expr("_rs * 10000 div n").alias("raw_mean_micro"),
+        )
+        .orderBy(key)
+    )
+
+
+ORACLE_WINSORIZED = """
+WITH staged AS (
+  SELECT event_type, floor(value * 100 + 0.5)::BIGINT AS c FROM events),
+band AS (
+  SELECT event_type,
+         quantile_disc(c, 0.1) AS lo, quantile_disc(c, 0.9) AS hi
+  FROM staged GROUP BY event_type)
+SELECT s.event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(b.lo) AS BIGINT) AS lo_cents,
+       CAST(max(b.hi) AS BIGINT) AS hi_cents,
+       CAST(sum(least(greatest(s.c, b.lo), b.hi)) * 10000
+            // count(*) AS BIGINT) AS win_mean_micro,
+       CAST(sum(s.c) * 10000 // count(*) AS BIGINT) AS raw_mean_micro
+FROM staged s JOIN band b USING (event_type)
+GROUP BY s.event_type ORDER BY s.event_type"""
+
+
 def timeseries_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import (
         Workload,
@@ -2956,4 +3027,5 @@ def timeseries_workloads():
         ),
         _w("ts_mann_kendall", ORACLE_MANN_KENDALL, mann_kendall),
         _w("ts_ar1_forecast", ORACLE_AR1, ar1_forecast),
+        _w("ts_winsorized_mean", ORACLE_WINSORIZED, winsorized_mean),
     ]

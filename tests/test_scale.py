@@ -508,3 +508,37 @@ def test_hll_distinct_matches_python_replay_and_reasonable_error(spark):
     # 2000 distinct keys, m=64 -> expect the estimate within ~3 std
     # errors (1.04/8 = 13%) of truth; a lattice-biased hash fails this
     assert abs(out["a"]["est"] - 2000) / 2000 < 0.4
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(
+    spark, tmp_path_factory
+):
+    """The 100 TB lever Catalyst applies at runtime: joining a
+    partition-keyed fact table against a FILTERED dim must inject a
+    dynamicpruning subquery into the fact scan, so only the dim's
+    surviving partition values are read — scan cost follows the dim
+    filter, not the fact size. Pinned here so a layout or join-shape
+    refactor cannot silently lose it."""
+    path = str(tmp_path_factory.mktemp("dpp") / "fact.parquet")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    fact = spark.createDataFrame(
+        [(i, i % 8, float(i)) for i in range(800)],
+        "id long, part_key long, v double",
+    )
+    fact.write.partitionBy("part_key").mode("overwrite").parquet(path)
+    dim = spark.createDataFrame(
+        [(i, "keep" if i < 2 else "drop") for i in range(8)],
+        "part_key long, flag string",
+    )
+    joined = (
+        spark.read.parquet(path)
+        .join(dim.where(F.col("flag") == "keep"), "part_key")
+        .groupBy("part_key")
+        .agg(F.sum("v").alias("sv"))
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the result is correct: only partitions 0 and 1 survive
+    got = {r["part_key"]: r["sv"] for r in joined.collect()}
+    assert set(got) == {0, 1}
+    assert got[0] == sum(float(i) for i in range(800) if i % 8 == 0)

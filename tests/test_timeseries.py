@@ -963,3 +963,24 @@ def test_ar1_recovers_exact_recurrence(spark):
     geo = out["geo"]
     assert geo["n_pairs"] == 3
     assert (geo["slope"], geo["intercept"], geo["forecast"]) == (2.0, 0.5, 23.5)
+
+
+def test_winsorized_mean_tames_outlier(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        winsorized_mean,
+    )
+
+    # 19 values of 10.00 plus one wild 10000.00: raw mean ~ 509.5,
+    # winsorized mean clamps the spike to the p90 (=1000 cents) ->
+    # (19*1000 + 1000)/20 = 1000 cents = 10.00 exactly
+    rows = [
+        (i, datetime(2024, 3, 1, 12, i), 1, "a", 10.0) for i in range(19)
+    ] + [(99, datetime(2024, 3, 1, 12, 59), 1, "a", 10000.0)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    r = winsorized_mean(df).collect()[0]
+    assert (r["n"], r["lo_cents"], r["hi_cents"]) == (20, 1000, 1000)
+    assert r["win_mean_micro"] == 10_000_000  # $10 in micro-dollars
+    assert r["raw_mean_micro"] == (19 * 1000 + 1_000_000) * 10000 // 20
