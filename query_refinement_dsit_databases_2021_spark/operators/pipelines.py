@@ -975,6 +975,10 @@ def _wl_vocab_prune(spark, sf_dir):
     return textops.vocab_prune_impact(_docs(spark, sf_dir))
 
 
+def _wl_eval_precision(spark, sf_dir):
+    return textops.eval_ngram_precision(_docs(spark, sf_dir))
+
+
 def _wl_bpe_tokens(spark, sf_dir):
     return textops.bpe_token_stats(_docs(spark, sf_dir))
 
@@ -1965,6 +1969,12 @@ def pipeline_workloads():
             "pipe_vocab_prune_impact",
             _wl_vocab_prune,
             textops.ORACLE_VOCAB_PRUNE,
+            False,
+        ),
+        (
+            "pipe_eval_ngram_precision",
+            _wl_eval_precision,
+            textops.ORACLE_EVAL_PRECISION,
             False,
         ),
         (

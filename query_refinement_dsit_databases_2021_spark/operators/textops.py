@@ -1611,3 +1611,113 @@ ORDER BY f.term"""
 
 
 ORACLE_VOCAB_PRUNE = _vocab_prune_oracle()
+
+
+def eval_ngram_precision(docs: DataFrame) -> DataFrame:
+    """Soft decontamination score — BLEU-style CLIPPED n-gram
+    precision of each held-out document against the training split:
+    for eval doc e, ``p_n = Σ_g min(tf_e(g), max-train-tf(g)) /
+    Σ_g tf_e(g)``. The hard decontamination pass
+    (:func:`~.dedup.decontaminate`) answers "is this eval doc
+    leaked?"; this answers "HOW MUCH of it is already in train" — the
+    graded readout an eval-integrity report wants. Splits follow the
+    repo convention (``doc_id % 10 >= 8`` = held-out).
+
+    All counts are integers; each precision is one floor division to
+    ppm. Clipping uses BLEU's max-reference-count rule (max tf of the
+    gram over train docs), so repeating a common word cannot score
+    above its real train support.
+
+    Scale: train gram stats are one explode + (gram) groupBy — the
+    standing vocabulary artifact; eval side joins it by gram
+    (broadcast once the vocab is bounded; equi-join otherwise). No
+    doc×doc pairing anywhere — cost is linear in corpus tokens.
+    Returns ``(doc_id, n_unigrams, p1_ppm, n_bigrams, p2_ppm)``.
+    """
+    is_eval = F.col("doc_id") % 10 >= 8
+
+    def grams(df, k):
+        ws = tokens(F.col("text"))
+        g = F.explode(gram_array(ws, k)).alias("g")
+        return df.select("doc_id", g)
+
+    out = None
+    for k, tag in ((1, "1"), (2, "2")):
+        train_tf = (
+            grams(docs.where(~is_eval), k)
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .groupBy("g")
+            .agg(F.max("tf").alias("ref_tf"))
+        )
+        ev = (
+            grams(docs.where(is_eval), k)
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+        scored = (
+            ev.join(train_tf, "g", "left")
+            .groupBy("doc_id")
+            .agg(
+                F.sum("tf").alias(f"n_{tag}"),
+                F.sum(
+                    F.least(F.col("tf"), F.coalesce(F.col("ref_tf"), F.lit(0)))
+                ).alias("_clip"),
+            )
+            .select(
+                "doc_id",
+                F.col(f"n_{tag}"),
+                F.expr(f"_clip * 1000000 div n_{tag}").alias(f"p{tag}_ppm"),
+            )
+        )
+        out = scored if out is None else out.join(scored, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.col("n_1").alias("n_unigrams"),
+        "p1_ppm",
+        F.coalesce(F.col("n_2"), F.lit(0)).alias("n_bigrams"),
+        F.coalesce(F.col("p2_ppm"), F.lit(0)).alias("p2_ppm"),
+    ).orderBy("doc_id")
+
+
+def _eval_precision_oracle() -> str:
+    def block(k, tag):
+        if k == 1:
+            gr = "SELECT doc_id, unnest(string_split(text, ' ')) AS g"
+            src_t = "FROM documents WHERE doc_id % 10 < 8"
+            src_e = "FROM documents WHERE doc_id % 10 >= 8"
+            g_t = f"g_t{tag} AS ({gr} {src_t})"
+            g_e = f"g_e{tag} AS ({gr} {src_e})"
+        else:
+            mk = (
+                "SELECT doc_id, ws[i] || '|' || ws[i + 1] AS g "
+                "FROM (SELECT doc_id, string_split(text, ' ') AS ws {src}), "
+                "unnest(range(1, greatest(len(ws) - 1, 0) + 1)) u(i)"
+            )
+            g_t = f"g_t{tag} AS ({mk.format(src='FROM documents WHERE doc_id % 10 < 8')})"
+            g_e = f"g_e{tag} AS ({mk.format(src='FROM documents WHERE doc_id % 10 >= 8')})"
+        return f"""{g_t},
+{g_e},
+ref{tag} AS (
+  SELECT g, max(tf) AS ref_tf FROM (
+    SELECT doc_id, g, count(*) AS tf FROM g_t{tag} GROUP BY 1, 2)
+  GROUP BY g),
+ev{tag} AS (
+  SELECT doc_id, g, count(*) AS tf FROM g_e{tag} GROUP BY 1, 2),
+p{tag} AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_{tag},
+         CAST(sum(least(tf, coalesce(ref_tf, 0))) * 1000000
+              // sum(tf) AS BIGINT) AS p{tag}_ppm
+  FROM ev{tag} LEFT JOIN ref{tag} USING (g) GROUP BY doc_id)"""
+
+    return f"""
+WITH {block(1, "1")},
+{block(2, "2")}
+SELECT p1.doc_id, p1.n_1 AS n_unigrams, p1.p1_ppm,
+       coalesce(p2.n_2, 0) AS n_bigrams,
+       coalesce(p2.p2_ppm, 0) AS p2_ppm
+FROM p1 LEFT JOIN p2 USING (doc_id)
+ORDER BY p1.doc_id"""
+
+
+ORACLE_EVAL_PRECISION = _eval_precision_oracle()

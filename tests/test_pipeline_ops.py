@@ -1229,3 +1229,21 @@ def test_vocab_prune_impact_monotone_and_hand_case(spark):
     assert got["scan"] == (190, 1, 190, 1, 0)
     assert got["tata"] == (220, 2, 400, 4, 180)
     assert all(v[4] >= 0 for v in got.values())
+
+
+def test_eval_ngram_precision_clipping(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        eval_ngram_precision,
+    )
+
+    # train (doc 0): "a a b"; eval (doc 8): "a a a c"
+    # unigram clip: min(3,2)[a] + min(1,0)[c] = 2 of 4 -> 500000 ppm
+    # bigram refs: {a|a:1, a|b:1}; eval bigrams: a|a,a|a,a|c ->
+    # clip = min(2,1) = 1 of 3 -> 333333 ppm
+    docs = spark.createDataFrame(
+        [(0, "a a b"), (8, "a a a c")], "doc_id long, text string"
+    )
+    r = {x["doc_id"]: x for x in eval_ngram_precision(docs).collect()}
+    assert set(r) == {8}  # only held-out docs score
+    assert (r[8]["n_unigrams"], r[8]["p1_ppm"]) == (4, 500_000)
+    assert (r[8]["n_bigrams"], r[8]["p2_ppm"]) == (3, 333_333)
