@@ -901,3 +901,32 @@ def test_round4c_operator_exchange_budgets(pdocs):
     sp = _plan(span_corruption_plan(pdocs))
     assert sp.count("Exchange hashpartitioning") <= 4, sp
     assert "CartesianProduct" not in sp
+
+
+def test_round4d_operator_exchange_budgets(pdocs, pevents):
+    """Exchange pins for the session's final additions."""
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        eval_ngram_precision,
+        vocab_prune_impact,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        winsorized_mean,
+    )
+
+    # winsorized mean: band agg + clamped agg; the keys-sized band
+    # table must come BACK by broadcast, never a sort-merge join
+    wp = _plan(winsorized_mean(pevents))
+    assert "BroadcastHashJoin" in wp and "SortMergeJoin" not in wp, wp
+    assert wp.count("Exchange hashpartitioning") <= 3, wp
+
+    # vocab prune: both decodes inside ONE MapInPandas — exactly the
+    # segmenter's single-Exchange shape, no second pass
+    vp = _plan(vocab_prune_impact(pdocs))
+    assert vp.count("MapInPandas") == 1, vp
+    assert vp.count("Exchange hashpartitioning") == 1, vp
+
+    # eval precision: per-k, gram stats aggs + ONE gram equi-join —
+    # and never a doc x doc join (no key on doc_id pairs anywhere)
+    ep = _plan(eval_ngram_precision(pdocs))
+    assert "CartesianProduct" not in ep, ep
+    assert ep.count("Exchange hashpartitioning") <= 10, ep
