@@ -979,6 +979,10 @@ def _wl_eval_precision(spark, sf_dir):
     return textops.eval_ngram_precision(_docs(spark, sf_dir))
 
 
+def _wl_index_merge(spark, sf_dir):
+    return textops.index_delta_merge(_docs(spark, sf_dir))
+
+
 def _wl_bpe_tokens(spark, sf_dir):
     return textops.bpe_token_stats(_docs(spark, sf_dir))
 
@@ -1975,6 +1979,12 @@ def pipeline_workloads():
             "pipe_eval_ngram_precision",
             _wl_eval_precision,
             textops.ORACLE_EVAL_PRECISION,
+            False,
+        ),
+        (
+            "pipe_index_delta_merge",
+            _wl_index_merge,
+            textops.ORACLE_INDEX_MERGE,
             False,
         ),
         (

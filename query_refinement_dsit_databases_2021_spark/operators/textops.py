@@ -1721,3 +1721,68 @@ ORDER BY p1.doc_id"""
 
 
 ORACLE_EVAL_PRECISION = _eval_precision_oracle()
+
+
+def index_delta_merge(docs: DataFrame) -> DataFrame:
+    """Incremental search-index maintenance — the MV-maintenance
+    invariant (`cdc.mv_join_delta`) applied to the lexical index: the
+    STANDING term statistics (built once over the base split) merge
+    with a NEW SHARD's statistics by pure monoid addition (tf and df
+    are both sums over disjoint doc sets), and the merge must equal a
+    from-scratch rebuild over the union. The oracle RECOMPUTES from
+    scratch, so equality certifies the maintenance invariant itself —
+    ingesting a shard into a 100 TB index costs one shard-sized pass,
+    never a corpus rebuild.
+
+    Splits follow the repo convention (``doc_id % 10 >= 8`` = the
+    arriving shard). Returns ``(term, tf, df, shard_tf)`` — merged
+    totals plus the shard's own contribution for audit.
+    """
+    is_shard = F.col("doc_id") % 10 >= 8
+
+    def stats(df):
+        return (
+            df.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+            .groupBy("term")
+            .agg(
+                F.count(F.lit(1)).alias("tf"),
+                F.countDistinct("doc_id").alias("df"),
+            )
+        )
+
+    base = stats(docs.where(~is_shard))
+    shard = stats(docs.where(is_shard))
+    merged = (
+        base.select("term", "tf", "df", F.lit(0).cast("long").alias("stf"))
+        .unionByName(
+            shard.select(
+                "term", "tf", "df", F.col("tf").cast("long").alias("stf")
+            )
+        )
+        .groupBy("term")
+        .agg(
+            F.sum("tf").alias("tf"),
+            F.sum("df").alias("df"),
+            F.sum("stf").alias("shard_tf"),
+        )
+    )
+    return merged.orderBy("term")
+
+
+# the oracle rebuilds from scratch over the WHOLE corpus — equality
+# with the monoid merge above IS the maintenance invariant
+ORACLE_INDEX_MERGE = """
+WITH full_stats AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS tf,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+  GROUP BY term),
+shard_stats AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS stf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents WHERE doc_id % 10 >= 8)
+  GROUP BY term)
+SELECT f.term, f.tf, f.df, coalesce(s.stf, 0) AS shard_tf
+FROM full_stats f LEFT JOIN shard_stats s USING (term)
+ORDER BY f.term"""

@@ -1247,3 +1247,25 @@ def test_eval_ngram_precision_clipping(spark):
     assert set(r) == {8}  # only held-out docs score
     assert (r[8]["n_unigrams"], r[8]["p1_ppm"]) == (4, 500_000)
     assert (r[8]["n_bigrams"], r[8]["p2_ppm"]) == (3, 333_333)
+
+
+def test_index_delta_merge_equals_rebuild_any_split(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        index_delta_merge,
+        token_stats,
+    )
+
+    # the invariant the oracle certifies at the fixed split, proven
+    # here for an arbitrary one: merge(base, shard) == rebuild(union)
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 4} w{(i + 1) % 3} shared") for i in range(20)],
+        "doc_id long, text string",
+    )
+    merged = {
+        r["term"]: (r["tf"], r["df"])
+        for r in index_delta_merge(docs).collect()
+    }
+    rebuilt = {
+        r["term"]: (r["tf"], r["df"]) for r in token_stats(docs).collect()
+    }
+    assert merged == rebuilt

@@ -547,3 +547,55 @@ def test_level_shift_matches_numpy_oracle(spark, vals, w):
         if abs(post - pre) >= round(delta * 100) * w:
             want[i] = post - pre
     assert got == want
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abceghjlnoqrstuwy", min_size=1, max_size=9),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_viterbi_segmentation_is_optimal(words):
+    """The unigram DP must find the true optimum of (cost, n_pieces):
+    compare against brute-force enumeration of EVERY segmentation (the
+    same certificate the DuckDB oracle provides, here over arbitrary
+    hypothesis-generated words instead of the corpus vocabulary).
+    Pure Python — no Spark session, the kernel is the unit."""
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        UNIGRAM_CHAR_COST,
+        UNIGRAM_PIECES,
+        _viterbi_state,
+    )
+
+    def brute(term):
+        n = len(term)
+        best = None
+        # enumerate compositions via bitmask over the n-1 cut points
+        for cuts in range(1 << max(n - 1, 0)):
+            pieces, start, ok = [], 0, True
+            for i in range(n - 1):
+                if cuts >> i & 1:
+                    pieces.append(term[start : i + 1])
+                    start = i + 1
+            pieces.append(term[start:])
+            cost = 0
+            for p in pieces:
+                if len(p) == 1:
+                    cost += min(
+                        UNIGRAM_CHAR_COST, UNIGRAM_PIECES.get(p, 10**9)
+                    )
+                elif p in UNIGRAM_PIECES:
+                    cost += UNIGRAM_PIECES[p]
+                else:
+                    ok = False
+                    break
+            if ok:
+                cand = cost * 1000 + len(pieces)
+                best = cand if best is None or cand < best else best
+        return best
+
+    for w in words:
+        assume(len(w) <= 9)
+        assert _viterbi_state(w, dict(UNIGRAM_PIECES)) == brute(w), w
