@@ -2967,6 +2967,87 @@ FROM staged s JOIN band b USING (event_type)
 GROUP BY s.event_type ORDER BY s.event_type"""
 
 
+def anomaly_episodes(
+    events: DataFrame,
+    ts: str = "ts",
+    key: str = "event_type",
+    value: str = "value",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Anomaly EPISODE grouping — what an alerting system actually
+    pages on: individual :func:`anomaly_mad` flags are bursty, so
+    adjacent flagged hours collapse into one episode (gaps-and-islands
+    over the distinct flagged hour index) with its span and event
+    count. One page per incident instead of one per sample — the
+    alert-fatigue fix, built as a composition of two certified
+    idioms (the MAD detector + the islands grouping).
+
+    Hour indexes are integer ``epoch_us div 3600e6`` on both engines;
+    everything downstream is integer window/agg arithmetic. Returns
+    ``(key, start_h, end_h, n_hours, n_events)`` ordered by
+    (key, start_h).
+    """
+    flagged = anomaly_mad(events, key=key, value=value, threshold=threshold)
+    fe = (
+        events.join(flagged.select("event_id"), "event_id")
+        .select(
+            F.col(key),
+            # session tz is UTC so NTZ -> timestamp -> unix_micros
+            # equals DuckDB's epoch_us over the naive value (the
+            # workloads.py gate-normalization identity)
+            F.expr(
+                f"unix_micros(cast({ts} as timestamp)) div 3600000000"
+            ).alias("h"),
+        )
+    )
+    hours = fe.groupBy(key, "h").agg(F.count(F.lit(1)).alias("n_ev"))
+    wd = Window.partitionBy(key).orderBy("h")
+    runs = hours.select(
+        key, "h", "n_ev", (F.col("h") - F.row_number().over(wd)).alias("rk")
+    )
+    return (
+        runs.groupBy(key, "rk")
+        .agg(
+            F.min("h").alias("start_h"),
+            F.max("h").alias("end_h"),
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum("n_ev").alias("n_events"),
+        )
+        .select(key, "start_h", "end_h", "n_hours", "n_events")
+        .orderBy(key, "start_h")
+    )
+
+
+def _episodes_oracle(key: str = "event_type", threshold: float = 3.0) -> str:
+    thr = int(round(threshold * 14826))
+    return f"""
+WITH c AS (
+  SELECT event_id, {key}, ts, floor(value * 100 + 0.5) AS c FROM events),
+m1 AS (SELECT {key}, median(c) AS med FROM c GROUP BY 1),
+j1 AS (SELECT c.*, med FROM c JOIN m1 USING ({key})),
+m2 AS (SELECT {key}, median(abs(c - med)) AS mad FROM j1 GROUP BY 1),
+j2 AS (SELECT j1.*, mad FROM j1 JOIN m2 USING ({key})),
+fl AS (
+  SELECT {key}, epoch_us(ts) // 3600000000 AS h FROM j2
+  WHERE mad > 0 AND abs(c - med) * 10000 > {thr} * mad),
+hours AS (
+  SELECT {key}, h, CAST(count(*) AS BIGINT) AS n_ev
+  FROM fl GROUP BY 1, 2),
+runs AS (
+  SELECT {key}, h, n_ev,
+         h - row_number() OVER (PARTITION BY {key} ORDER BY h) AS rk
+  FROM hours)
+SELECT {key}, CAST(min(h) AS BIGINT) AS start_h,
+       CAST(max(h) AS BIGINT) AS end_h,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(sum(n_ev) AS BIGINT) AS n_events
+FROM runs GROUP BY {key}, rk
+ORDER BY {key}, start_h"""
+
+
+ORACLE_EPISODES = _episodes_oracle()
+
+
 def timeseries_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import (
         Workload,
@@ -3028,4 +3109,5 @@ def timeseries_workloads():
         _w("ts_mann_kendall", ORACLE_MANN_KENDALL, mann_kendall),
         _w("ts_ar1_forecast", ORACLE_AR1, ar1_forecast),
         _w("ts_winsorized_mean", ORACLE_WINSORIZED, winsorized_mean),
+        _w("ts_anomaly_episodes", ORACLE_EPISODES, anomaly_episodes),
     ]

@@ -984,3 +984,32 @@ def test_winsorized_mean_tames_outlier(spark):
     assert (r["n"], r["lo_cents"], r["hi_cents"]) == (20, 1000, 1000)
     assert r["win_mean_micro"] == 10_000_000  # $10 in micro-dollars
     assert r["raw_mean_micro"] == (19 * 1000 + 1_000_000) * 10000 // 20
+
+
+def test_anomaly_episodes_group_adjacent_hours(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        anomaly_episodes,
+    )
+
+    # 40 quiet points spread across hours 0..3, plus spikes in hours
+    # 1 and 2 (adjacent -> ONE episode) and hour 9 (its own episode)
+    rows = [
+        (i, datetime(2024, 3, 1, i % 4, (7 * i) % 60), 1, "a", 10.0 + (i % 3))
+        for i in range(40)
+    ]
+    rows += [
+        (100, datetime(2024, 3, 1, 1, 30), 1, "a", 900.0),
+        (101, datetime(2024, 3, 1, 2, 10), 1, "a", 910.0),
+        (102, datetime(2024, 3, 1, 2, 40), 1, "a", 920.0),
+        (103, datetime(2024, 3, 1, 9, 5), 1, "a", 930.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    eps = anomaly_episodes(df).collect()
+    assert len(eps) == 2
+    first, second = eps
+    assert first["end_h"] - first["start_h"] == 1  # hours 1+2 fused
+    assert (first["n_hours"], first["n_events"]) == (2, 3)
+    assert (second["n_hours"], second["n_events"]) == (1, 1)
