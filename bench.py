@@ -56,7 +56,11 @@ def main() -> None:
     # non-headline workloads benched anyway: regression tripwires for
     # paths with no other recorded throughput number (the Arrow
     # applyInPandas escape hatch behind strategy P)
-    extra_bench = ("cp_ext_median_pandas", "ts_anomaly_mad")
+    extra_bench = (
+        "cp_ext_median_pandas",  # applyInPandas strategy-P kernel
+        "ts_anomaly_mad",  # exact-median sort aggregate
+        "pipe_unigram_segment",  # mapInPandas Viterbi DP (Arrow path)
+    )
     names = [n for n, w in all_w.items() if w.headline] + [
         n for n in extra_bench if not all_w[n].headline
     ]
