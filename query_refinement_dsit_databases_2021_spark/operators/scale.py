@@ -1305,6 +1305,85 @@ FROM truth t JOIN sketch sk ON sk.g = t.o_orderpriority
 ORDER BY t.o_orderpriority"""
 
 
+RL_BAL_CENTS = 10_000  # account balances within $100 agree
+RL_MATCH_AT = 3  # blocking survivors with score >= this are matches
+
+
+def record_linkage(customer: DataFrame) -> DataFrame:
+    """Record linkage / entity resolution over tabular records — the
+    blocking + pairwise-agreement dataflow every MDM/dedup-of-entities
+    pipeline runs, distinct from the TEXT dedup family: candidate
+    pairs come only from shared BLOCKING keys (here (nation, market
+    segment)), so the quadratic explosion is bounded by block size,
+    never table size; survivors are scored by integer field-agreement
+    weights (balance within RL_BAL_CENTS → +2, same name suffix digit
+    → +1) and pairs at RL_MATCH_AT+ are declared matches.
+
+    All-integer scoring (cents lift, char equality), so the match set
+    is bit-stable; transitive closure of matches is
+    :func:`~.graph.connected_components` downstream (same composition
+    as the dedup clusters). A skewed block (one segment dominating a
+    nation) takes the ngram-jaccard posting cap. Returns ``(cust_a,
+    cust_b, score, bal_diff_cents)`` under a total order.
+    """
+    c = customer.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("bal"),
+        F.substring(F.col("c_name"), -1, 1).alias("sfx"),
+    )
+    a = c.select(*[F.col(x).alias(f"a_{x}") for x in c.columns])
+    b = c.select(*[F.col(x).alias(f"b_{x}") for x in c.columns])
+    diff = F.abs(F.col("a_bal") - F.col("b_bal"))
+    score = (
+        F.when(diff <= RL_BAL_CENTS, 2).otherwise(0)
+        + F.when(F.col("a_sfx") == F.col("b_sfx"), 1).otherwise(0)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a_c_nationkey") == F.col("b_c_nationkey"))
+            & (F.col("a_c_mktsegment") == F.col("b_c_mktsegment"))
+            & (F.col("a_c_custkey") < F.col("b_c_custkey")),
+        )
+        .select(
+            F.col("a_c_custkey").alias("cust_a"),
+            F.col("b_c_custkey").alias("cust_b"),
+            score.alias("score"),
+            diff.alias("bal_diff_cents"),
+        )
+        .where(F.col("score") >= RL_MATCH_AT)
+        .orderBy("cust_a", "cust_b")
+    )
+
+
+def _wl_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    return record_linkage(spark.table("customer"))
+
+
+ORACLE_RECORD_LINKAGE = f"""
+WITH c AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment,
+         floor(c_acctbal * 100 + 0.5)::BIGINT AS bal,
+         substr(c_name, length(c_name), 1) AS sfx
+  FROM customer)
+SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+       CAST(CASE WHEN abs(a.bal - b.bal) <= {RL_BAL_CENTS} THEN 2 ELSE 0 END
+            + CASE WHEN a.sfx = b.sfx THEN 1 ELSE 0 END AS INTEGER) AS score,
+       CAST(abs(a.bal - b.bal) AS BIGINT) AS bal_diff_cents
+FROM c a JOIN c b
+  ON a.c_nationkey = b.c_nationkey
+ AND a.c_mktsegment = b.c_mktsegment
+ AND a.c_custkey < b.c_custkey
+WHERE CASE WHEN abs(a.bal - b.bal) <= {RL_BAL_CENTS} THEN 2 ELSE 0 END
+      + CASE WHEN a.sfx = b.sfx THEN 1 ELSE 0 END >= {RL_MATCH_AT}
+ORDER BY cust_a, cust_b"""
+
+
 def scale_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
@@ -1328,4 +1407,7 @@ def scale_workloads():
         Workload("ops_countmin_est", _wl_countmin, ORACLE_COUNTMIN),
         Workload("ops_distribution_drift", _wl_drift, ORACLE_DRIFT),
         Workload("ops_hll_distinct", _wl_hll, ORACLE_HLL),
+        Workload(
+            "ops_record_linkage", _wl_record_linkage, ORACLE_RECORD_LINKAGE
+        ),
     ]

@@ -542,3 +542,30 @@ def test_dynamic_partition_pruning_fires_on_partitioned_fact(
     got = {r["part_key"]: r["sv"] for r in joined.collect()}
     assert set(got) == {0, 1}
     assert got[0] == sum(float(i) for i in range(800) if i % 8 == 0)
+
+
+def test_record_linkage_blocking_and_scoring(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.scale import (
+        record_linkage,
+    )
+
+    # same block (nation 1, BUILDING): 101/102 agree on balance AND
+    # name suffix (score 3); 101/103 agree only on suffix (1) -> cut;
+    # 104 is in another block and must NEVER pair despite identical
+    # fields (blocking bounds the candidate space)
+    rows = [
+        (101, "Customer#000000101", 1, 50.00, "BUILDING"),
+        (102, "Customer#000000201", 1, 49.50, "BUILDING"),
+        (103, "Customer#000000111", 1, 900.00, "BUILDING"),
+        (104, "Customer#000000301", 2, 50.00, "MACHINERY"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    got = [
+        (r["cust_a"], r["cust_b"], r["score"], r["bal_diff_cents"])
+        for r in record_linkage(df).collect()
+    ]
+    assert got == [(101, 102, 3, 50)]
