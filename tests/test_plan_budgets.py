@@ -930,3 +930,41 @@ def test_round4d_operator_exchange_budgets(pdocs, pevents):
     ep = _plan(eval_ngram_precision(pdocs))
     assert "CartesianProduct" not in ep, ep
     assert ep.count("Exchange hashpartitioning") <= 10, ep
+
+
+def test_round4e_operator_exchange_budgets(pdocs, pevents, spark):
+    """Exchange pins for the session's final wave."""
+    from query_refinement_dsit_databases_2021_spark.operators.scale import (
+        record_linkage,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        index_delta_merge,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        anomaly_episodes,
+    )
+
+    # index merge: two explode+groupBy stat passes + the term-keyed
+    # union re-agg — never a doc-keyed join
+    im = _plan(index_delta_merge(pdocs))
+    assert "Join" not in im, im
+    # per side: countDistinct expands to two hash aggs/exchanges
+    assert im.count("Exchange hashpartitioning") <= 5, im
+
+    # episodes: MAD detector (two broadcast-agg passes) + hour groupBy
+    # + islands window + episode agg — no corpus-sized SMJ anywhere
+    ep = _plan(anomaly_episodes(pevents))
+    assert "SortMergeJoin" not in ep, ep
+    assert "CartesianProduct" not in ep
+
+    # record linkage: candidate pairs ONLY via the blocking-key
+    # equi-join; scoring is pure projection
+    cust = spark.createDataFrame(
+        [(i, f"Customer#{i:09d}", i % 3, float(i), f"s{i % 2}")
+         for i in range(40)],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    rl = _plan(record_linkage(cust))
+    assert "CartesianProduct" not in rl, rl
+    assert rl.count("Exchange hashpartitioning") <= 3, rl
