@@ -1384,6 +1384,108 @@ WHERE CASE WHEN abs(a.bal - b.bal) <= {RL_BAL_CENTS} THEN 2 ELSE 0 END
 ORDER BY cust_a, cust_b"""
 
 
+def bitmap_index_and(
+    facts: DataFrame,
+    key: str,
+    pred_a,
+    pred_b,
+) -> DataFrame:
+    """Bitmap-index construction and conjunctive query — the OLAP
+    engine internal (Druid/Pinot/ClickHouse-style) expressed as
+    DataFrame algebra: each predicate's qualifying keys pack into
+    64-bit words (``word = key div 64``, ``bit = key mod 64``,
+    ``mask = bit_or(1 << bit)``), and the AND query is a word-aligned
+    join + bitwise ``&`` + ``bit_count`` popcount — set intersection
+    at 64 keys per int64 operation, never a row-level join.
+
+    Everything is two's-complement int64 (bit 63 makes a mask
+    negative; ``&``/``bit_count`` are pattern operations, so both
+    engines agree). The result carries the DIRECT row-level count
+    alongside, so the workload attests the bitmap path against the
+    naive one in the same result — equal by construction or the
+    index build is broken.
+
+    Scale: one groupBy(word) per predicate (map-side combinable; the
+    bitmap is ~|keyspace|/32 words — the compressed standing artifact
+    a real engine mmaps), one word equi-join for the AND. Returns one
+    row ``(words_a, words_b, and_words, bitmap_count, direct_count)``.
+    """
+
+    def bitmap(pred):
+        return (
+            facts.where(pred)
+            .select(
+                F.expr(f"{key} div 32").alias("word"),
+                F.expr(f"shiftleft(1L, cast({key} % 32 as int))").alias("m"),
+            )
+            .groupBy("word")
+            .agg(F.expr("bit_or(m)").alias("mask"))
+        )
+
+    ba = bitmap(pred_a)
+    bb = bitmap(pred_b).select(
+        "word", F.col("mask").alias("mask_b")
+    )
+    anded = ba.join(bb, "word").select(
+        "word", F.expr("mask & mask_b").alias("am")
+    )
+    direct = facts.where(pred_a & pred_b).count()
+    return (
+        anded.agg(
+            F.count(F.lit(1)).alias("and_words"),
+            F.sum(F.expr("bit_count(am)")).alias("bitmap_count"),
+        )
+        .crossJoin(
+            ba.agg(F.count(F.lit(1)).alias("words_a")).crossJoin(
+                bb.agg(F.count(F.lit(1)).alias("words_b"))
+            )
+        )
+        .select(
+            "words_a",
+            "words_b",
+            "and_words",
+            "bitmap_count",
+            F.lit(direct).cast("long").alias("direct_count"),
+        )
+    )
+
+
+def _wl_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    o = spark.table("orders")
+    return bitmap_index_and(
+        o,
+        "o_orderkey",
+        F.col("o_orderstatus") == "F",
+        F.col("o_orderpriority") == "1-URGENT",
+    )
+
+
+ORACLE_BITMAP = """
+WITH ba AS (
+  SELECT o_orderkey // 32 AS word,
+         bit_or(1::BIGINT << CAST(o_orderkey % 32 AS INTEGER)) AS mask
+  FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+bb AS (
+  SELECT o_orderkey // 32 AS word,
+         bit_or(1::BIGINT << CAST(o_orderkey % 32 AS INTEGER)) AS mask_b
+  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+anded AS (
+  SELECT ba.word, ba.mask & bb.mask_b AS am
+  FROM ba JOIN bb USING (word)),
+direct AS (
+  SELECT CAST(count(*) AS BIGINT) AS direct_count FROM orders
+  WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT')
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM ba) AS words_a,
+       (SELECT CAST(count(*) AS BIGINT) FROM bb) AS words_b,
+       CAST(count(*) AS BIGINT) AS and_words,
+       CAST(sum(bit_count(am)) AS BIGINT) AS bitmap_count,
+       (SELECT direct_count FROM direct) AS direct_count
+FROM anded"""
+
+
 def scale_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
@@ -1410,4 +1512,5 @@ def scale_workloads():
         Workload(
             "ops_record_linkage", _wl_record_linkage, ORACLE_RECORD_LINKAGE
         ),
+        Workload("ops_bitmap_index", _wl_bitmap, ORACLE_BITMAP),
     ]

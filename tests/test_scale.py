@@ -569,3 +569,20 @@ def test_record_linkage_blocking_and_scoring(spark):
         for r in record_linkage(df).collect()
     ]
     assert got == [(101, 102, 3, 50)]
+
+
+def test_bitmap_index_and_matches_direct(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.scale import (
+        bitmap_index_and,
+    )
+
+    # keys 0..199: pred_a = even keys, pred_b = key % 3 == 0;
+    # AND = multiples of 6 -> 34 keys (0, 6, ..., 198)
+    df = spark.createDataFrame(
+        [(i, i % 2 == 0, i % 3 == 0) for i in range(200)],
+        "k long, a boolean, b boolean",
+    )
+    r = bitmap_index_and(df, "k", F.col("a"), F.col("b")).collect()[0]
+    assert r["bitmap_count"] == r["direct_count"] == 34
+    # every word holds some even key -> 200/32 rounded up words
+    assert r["words_a"] == 7
