@@ -834,6 +834,14 @@ FROM s JOIN p USING (qmills) ORDER BY doc_id"""
     def _chunk(spark, sf_dir):
         return chunk_documents(_docs(spark, sf_dir))
 
+    def _target_enc(spark, sf_dir):
+        from query_refinement_dsit_databases_2021_spark.workloads import (
+            register_views,
+        )
+
+        register_views(spark, sf_dir)
+        return target_encoding(spark.table("events"))
+
     return [
         Workload("pipe_split_hash", _split, oracle_split),
         Workload("pipe_sample_stratified", _strat, oracle_strat),
@@ -846,4 +854,69 @@ FROM s JOIN p USING (qmills) ORDER BY doc_id"""
         Workload("pipe_mixture_plan", _mixture, oracle_mixture),
         Workload("pipe_pack_efficiency", _pack_eff, oracle_pack_eff),
         Workload("pipe_curriculum_phases", _curriculum, oracle_curriculum),
+        Workload("pipe_target_encoding", _target_enc, ORACLE_TARGET_ENCODING),
     ]
+
+
+TE_SMOOTH_M = 100  # pseudo-observations of the global prior
+
+
+def target_encoding(
+    events: DataFrame, cat: str = "event_type", value: str = "value"
+) -> DataFrame:
+    """Smoothed target encoding — the leakage-aware categorical
+    featurizer (replace a category with the smoothed mean of the
+    target): ``enc = (Σ_cat + prior·m) / (n_cat + m)`` with the global
+    mean as prior, so rare categories shrink toward it instead of
+    memorizing their few labels.
+
+    Exactness: the prior is the rational ``GS/GN`` and is NEVER
+    materialized as a float — the encoding is computed on the common
+    denominator, ``enc = (Σc·GN + GS·m) / (GN·(n+m))``, all int64
+    cents (headroom ~Σc·GN ≤ 1e9·1e9 at a billion rows — past that,
+    DECIMAL(38,0)), then ONE division 6 dp floor-quantized into
+    dollars. One map-combinable groupBy + a 1-row broadcast.
+
+    Returns ``(cat, n, enc)`` ordered by category.
+    """
+    cents = F.floor(F.col(value) * 100 + F.lit(0.5)).cast("long")
+    per = events.groupBy(cat).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(cents).alias("sc")
+    )
+    glob = events.agg(
+        F.count(F.lit(1)).alias("gn"),
+        F.sum(cents).alias("gs"),
+    )
+    enc = (F.col("sc") * F.col("gn") + F.col("gs") * F.lit(TE_SMOOTH_M)).cast(
+        "double"
+    ) / (
+        (F.col("gn") * (F.col("n") + F.lit(TE_SMOOTH_M))).cast("double")
+        * F.lit(100.0)
+    )
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .select(
+            cat,
+            "n",
+            (F.floor(enc * F.lit(1000000) + F.lit(0.5)) / F.lit(1000000.0)).alias(
+                "enc"
+            ),
+        )
+        .orderBy(cat)
+    )
+
+
+ORACLE_TARGET_ENCODING = f"""
+WITH per AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(floor(value * 100 + 0.5)::BIGINT) AS BIGINT) AS sc
+  FROM events GROUP BY 1),
+gtot AS (
+  SELECT CAST(count(*) AS BIGINT) AS gn,
+         CAST(sum(floor(value * 100 + 0.5)::BIGINT) AS BIGINT) AS gs
+  FROM events)
+SELECT event_type, n,
+       floor(CAST(sc * gn + gs * {TE_SMOOTH_M} AS DOUBLE)
+             / (CAST(gn * (n + {TE_SMOOTH_M}) AS DOUBLE) * 100.0)
+             * 1000000 + 0.5) / 1000000.0 AS enc
+FROM per, gtot ORDER BY event_type"""

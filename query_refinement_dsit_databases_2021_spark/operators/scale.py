@@ -1486,6 +1486,65 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM ba) AS words_a,
 FROM anded"""
 
 
+KANON_K = 5  # groups smaller than this violate k-anonymity
+KANON_TOP = 10  # worst (smallest) groups reported
+
+
+def k_anonymity_audit(customer: DataFrame) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple — the privacy
+    check a release pipeline runs before publishing "de-identified"
+    records: any QI group with fewer than k members re-identifies its
+    members by intersection with outside knowledge. QI here =
+    (nation, market segment, $1000 balance band); one map-combinable
+    groupBy, then the worst (smallest) groups under a total order
+    with the per-group violation verdict.
+
+    Scale: the audit is ONE aggregation — group count is bounded by
+    the QI domain product, not the table; generalization loops
+    (coarsen the band until k holds) re-run the same agg per rung.
+    Returns the KANON_TOP smallest groups as ``(c_nationkey,
+    c_mktsegment, bal_band, group_n, violates)``.
+    """
+    band = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    groups = (
+        customer.select("c_nationkey", "c_mktsegment", band.alias("bal_band"))
+        .groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).alias("group_n"))
+    )
+    return (
+        groups.select(
+            "c_nationkey",
+            "c_mktsegment",
+            "bal_band",
+            "group_n",
+            (F.col("group_n") < KANON_K).cast("int").alias("violates"),
+        )
+        .orderBy("group_n", "c_nationkey", "c_mktsegment", "bal_band")
+        .limit(KANON_TOP)
+    )
+
+
+def _wl_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    return k_anonymity_audit(spark.table("customer"))
+
+
+ORACLE_KANON = f"""
+WITH groups AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         CAST(count(*) AS BIGINT) AS group_n
+  FROM customer GROUP BY 1, 2, 3)
+SELECT c_nationkey, c_mktsegment, bal_band, group_n,
+       CAST(CASE WHEN group_n < {KANON_K} THEN 1 ELSE 0 END AS INTEGER)
+         AS violates
+FROM groups
+ORDER BY group_n, c_nationkey, c_mktsegment, bal_band
+LIMIT {KANON_TOP}"""
+
+
 def scale_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
@@ -1513,4 +1572,5 @@ def scale_workloads():
             "ops_record_linkage", _wl_record_linkage, ORACLE_RECORD_LINKAGE
         ),
         Workload("ops_bitmap_index", _wl_bitmap, ORACLE_BITMAP),
+        Workload("ops_k_anonymity", _wl_kanon, ORACLE_KANON),
     ]

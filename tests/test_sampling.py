@@ -355,3 +355,37 @@ def test_curriculum_phases_orders_by_quality_without_global_sort(spark):
     plan = curriculum_phases(df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_target_encoding_shrinks_rare_category(spark):
+    from datetime import datetime
+
+    from query_refinement_dsit_databases_2021_spark.operators.sampling import (
+        TE_SMOOTH_M,
+        target_encoding,
+    )
+
+    # 'common': 200 events at $10; 'rare': 1 event at $1000.
+    # prior ~ (200*1000 + 100000)/201 cents; the rare encoding must be
+    # pulled far from $1000 toward the prior, the common one barely
+    rows = [
+        (i, datetime(2024, 3, 1, 0, i % 60), 1, "common", 10.0)
+        for i in range(200)
+    ] + [(999, datetime(2024, 3, 1, 1, 0), 1, "rare", 1000.0)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    out = {r["event_type"]: r for r in target_encoding(df).collect()}
+    gs, gn = 200 * 1000 + 100000, 201
+    import math
+
+    def exp_enc(sc, n):
+        num = sc * gn + gs * TE_SMOOTH_M
+        den = gn * (n + TE_SMOOTH_M) * 100.0
+        return math.floor(num / den * 1e6 + 0.5) / 1e6
+
+    assert out["common"]["enc"] == exp_enc(200 * 1000, 200)
+    assert out["rare"]["enc"] == exp_enc(100000, 1)
+    prior = gs / gn / 100.0
+    assert abs(out["rare"]["enc"] - prior) < abs(1000.0 - prior) * 0.05

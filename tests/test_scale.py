@@ -586,3 +586,23 @@ def test_bitmap_index_and_matches_direct(spark):
     assert r["bitmap_count"] == r["direct_count"] == 34
     # every word holds some even key -> 200/32 rounded up words
     assert r["words_a"] == 7
+
+
+def test_k_anonymity_flags_small_groups(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.scale import (
+        k_anonymity_audit,
+    )
+
+    rows = [(i, f"Customer#{i:09d}", 1, 500.0, "BUILDING") for i in range(8)]
+    rows += [(100, "Customer#000000100", 2, 1500.0, "MACHINERY")]  # group of 1
+    df = spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    got = [
+        (r["c_nationkey"], r["group_n"], r["violates"])
+        for r in k_anonymity_audit(df).collect()
+    ]
+    # smallest first: the singleton violates (k=5), the 8-group passes
+    assert got == [(2, 1, 1), (1, 8, 0)]
