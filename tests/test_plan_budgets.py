@@ -968,3 +968,40 @@ def test_round4e_operator_exchange_budgets(pdocs, pevents, spark):
     rl = _plan(record_linkage(cust))
     assert "CartesianProduct" not in rl, rl
     assert rl.count("Exchange hashpartitioning") <= 3, rl
+
+
+def test_round4f_operator_exchange_budgets(pevents, spark):
+    """Exchange pins for the closing additions."""
+    from query_refinement_dsit_databases_2021_spark.operators.sampling import (
+        target_encoding,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.scale import (
+        bitmap_index_and,
+        k_anonymity_audit,
+    )
+
+    # bitmap: one groupBy(word) per predicate + the word equi-join;
+    # global rollups are 1-row frames
+    df = spark.createDataFrame(
+        [(i, i % 2 == 0, i % 3 == 0) for i in range(100)],
+        "k long, a boolean, b boolean",
+    )
+    bp = _plan(bitmap_index_and(df, "k", F.col("a"), F.col("b")))
+    assert "SortMergeJoin" not in bp or bp.count("SortMergeJoin") <= 1, bp
+
+    # k-anonymity: ONE hash-agg pair + top-k — no join at all
+    cust = spark.createDataFrame(
+        [(i, "n", i % 3, float(i * 100), f"s{i % 2}") for i in range(30)],
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string",
+    )
+    kp = _plan(k_anonymity_audit(cust))
+    assert "Join" not in kp, kp
+    assert kp.count("Exchange hashpartitioning") == 1, kp
+    assert "TakeOrderedAndProject" in kp, kp
+
+    # target encoding: per-cat agg + 1-row global broadcast — the
+    # category table never sort-merge-joins
+    tp = _plan(target_encoding(pevents))
+    assert "SortMergeJoin" not in tp, tp
+    assert tp.count("Exchange hashpartitioning") <= 2, tp
