@@ -326,6 +326,29 @@ NOTES = {
         "both vocab decodes run inside ONE Arrow pass, so pruning "
         "analysis costs no extra shuffle."
     ),
+    "ops_bitmap_index": (
+        "One groupBy(word)+bit_or per predicate builds the packed "
+        "masks; the AND is a word equi-join + & + bit_count — set "
+        "intersection at 32 keys per integer op, plus 1-row rollups."
+    ),
+    "ops_k_anonymity": (
+        "One hash-aggregate pair over the QI tuple and a "
+        "TakeOrderedAndProject for the worst groups — no join."
+    ),
+    "pipe_target_encoding": (
+        "Per-category agg plus a 1-row global-sums broadcast (the "
+        "rational prior's numerator/denominator travel as columns, "
+        "never a float)."
+    ),
+    "ts_winsorized_mean": (
+        "Band agg (percentile_disc pair) broadcast back onto the "
+        "staged scan; the clamped re-agg is map-combinable."
+    ),
+    "ops_record_linkage": (
+        "Candidate pairs exist ONLY behind the blocking-key equi-join "
+        "(nation, segment); scoring and the match filter are pure "
+        "projection over block-sized pair frames."
+    ),
 }
 
 HEADER = """# PLANS — captured physical plans for representative workloads
