@@ -834,6 +834,9 @@ FROM s JOIN p USING (qmills) ORDER BY doc_id"""
     def _chunk(spark, sf_dir):
         return chunk_documents(_docs(spark, sf_dir))
 
+    def _kfold(spark, sf_dir):
+        return kfold_assignment(_docs(spark, sf_dir))
+
     def _target_enc(spark, sf_dir):
         from query_refinement_dsit_databases_2021_spark.workloads import (
             register_views,
@@ -855,6 +858,7 @@ FROM s JOIN p USING (qmills) ORDER BY doc_id"""
         Workload("pipe_pack_efficiency", _pack_eff, oracle_pack_eff),
         Workload("pipe_curriculum_phases", _curriculum, oracle_curriculum),
         Workload("pipe_target_encoding", _target_enc, ORACLE_TARGET_ENCODING),
+        Workload("pipe_kfold_assignment", _kfold, ORACLE_KFOLD),
     ]
 
 
@@ -920,3 +924,42 @@ SELECT event_type, n,
              / (CAST(gn * (n + {TE_SMOOTH_M}) AS DOUBLE) * 100.0)
              * 1000000 + 0.5) / 1000000.0 AS enc
 FROM per, gtot ORDER BY event_type"""
+
+
+KFOLD_K = 5
+
+
+def kfold_assignment(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Hash-based k-fold cross-validation assignment — the CV split
+    with :func:`hash_split`'s never-reassigns property (a row's fold
+    is a pure function of its key, so growing the corpus never moves
+    existing rows between folds, and train/heldout views for fold i
+    are WHERE clauses, not materializations).
+
+    The workload emits the per-fold audit (size + key checksum), which
+    is what certifies the assignment: disjointness and coverage are
+    structural (every key gets exactly one fold), balance is what you
+    inspect. Returns ``(fold, n, key_checksum)`` ordered by fold.
+    """
+    fold = bucket_of(F.col(key), "kfold") % KFOLD_K
+    return (
+        docs.select(fold.alias("fold"), F.col(key))
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(key)).alias("key_checksum"),
+        )
+        .orderBy("fold")
+    )
+
+
+def _oracle_kfold() -> str:
+    b = sql_bucket("CAST(doc_id AS VARCHAR)", "kfold")
+    return f"""
+SELECT ({b}) % {KFOLD_K} AS fold,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS key_checksum
+FROM documents GROUP BY 1 ORDER BY fold"""
+
+
+ORACLE_KFOLD = _oracle_kfold()

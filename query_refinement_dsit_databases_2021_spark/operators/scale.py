@@ -1545,6 +1545,103 @@ ORDER BY group_n, c_nationkey, c_mktsegment, bal_band
 LIMIT {KANON_TOP}"""
 
 
+def ab_ztest(
+    events: DataFrame,
+    unit: str = "user_id",
+    success_type: str = "purchase",
+) -> DataFrame:
+    """Two-proportion z-test — the experimentation-platform readout:
+    units split into arms by a deterministic function of the unit id
+    (the same never-reassigns property as :func:`sampling.hash_split`,
+    so late-arriving events land in the same arm), per-arm conversion
+    = the unit emitted MORE ``success_type`` events than error events
+    (a rate-independent criterion, so the test is well-posed at every
+    SF — "ever purchased" saturates to 100% on a dense corpus and
+    zeroes the pooled variance), and the pooled z statistic decides
+    significance.
+
+    Determinism: counts are exact ints; the z formula is a fixed
+    chain of IEEE ops on them (sqrt is 754-exact), floor-quantized at
+    6 dp before the 1.96 comparison — same protocol as
+    :func:`timeseries.mann_kendall`. Two map-combinable aggs (per-unit
+    conversion, per-arm rollup); the test itself is a 2-row frame.
+
+    Returns ONE row ``(n_a, conv_a, n_b, conv_b, z, significant)``.
+    """
+    per_unit = (
+        events.groupBy(unit)
+        .agg(
+            F.sum((F.col("event_type") == success_type).cast("int")).alias(
+                "n_s"
+            ),
+            F.sum((F.col("event_type") == "error").cast("int")).alias("n_e"),
+        )
+        .select(
+            (F.col(unit) % 2 == 0).cast("int").alias("arm"),
+            (F.col("n_s") > F.col("n_e")).cast("int").alias("conv"),
+        )
+    )
+    arms = per_unit.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c")
+    )
+    a = arms.where(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("c").alias("conv_a")
+    )
+    b = arms.where(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("c").alias("conv_b")
+    )
+    j = a.crossJoin(b)
+    p1 = F.col("conv_a") / F.col("n_a")
+    p2 = F.col("conv_b") / F.col("n_b")
+    pp = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    z = (p1 - p2) / F.sqrt(
+        pp * (1 - pp) * (1 / F.col("n_a") + 1 / F.col("n_b"))
+    )
+    z6 = F.floor(z * F.lit(1000000) + F.lit(0.5)) / F.lit(1000000.0)
+    return j.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        z6.alias("z"),
+        (F.abs(z6) > 1.96).cast("int").alias("significant"),
+    )
+
+
+def _wl_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    return ab_ztest(spark.table("events"))
+
+
+ORACLE_AB_ZTEST = """
+WITH per_unit AS (
+  SELECT CAST(user_id % 2 = 0 AS INTEGER) AS arm,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              > sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS INTEGER) AS conv
+  FROM events GROUP BY user_id),
+arms AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS c
+  FROM per_unit GROUP BY arm),
+j AS (
+  SELECT a.n AS n_a, a.c AS conv_a, b.n AS n_b, b.c AS conv_b
+  FROM (SELECT n, c FROM arms WHERE arm = 0) a,
+       (SELECT n, c FROM arms WHERE arm = 1) b),
+z AS (
+  SELECT n_a, conv_a, n_b, conv_b,
+         floor((conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+               / sqrt((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE)
+                      * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0 / n_a + 1.0 / n_b))
+               * 1000000 + 0.5) / 1000000.0 AS z
+  FROM j)
+SELECT n_a, conv_a, n_b, conv_b, z,
+       CAST(abs(z) > 1.96 AS INTEGER) AS significant
+FROM z"""
+
+
 def scale_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
@@ -1573,4 +1670,5 @@ def scale_workloads():
         ),
         Workload("ops_bitmap_index", _wl_bitmap, ORACLE_BITMAP),
         Workload("ops_k_anonymity", _wl_kanon, ORACLE_KANON),
+        Workload("ops_ab_ztest", _wl_ab_ztest, ORACLE_AB_ZTEST),
     ]

@@ -389,3 +389,20 @@ def test_target_encoding_shrinks_rare_category(spark):
     assert out["rare"]["enc"] == exp_enc(100000, 1)
     prior = gs / gn / 100.0
     assert abs(out["rare"]["enc"] - prior) < abs(1000.0 - prior) * 0.05
+
+
+def test_kfold_assignment_covers_and_balances(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.sampling import (
+        KFOLD_K,
+        kfold_assignment,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(500)], "doc_id long, text string"
+    )
+    out = kfold_assignment(docs).collect()
+    assert [r["fold"] for r in out] == list(range(KFOLD_K))
+    assert sum(r["n"] for r in out) == 500  # coverage (disjoint by construction)
+    assert sum(r["key_checksum"] for r in out) == sum(range(500))
+    # rough balance: every fold within 2x of the uniform share
+    assert all(50 <= r["n"] <= 200 for r in out), out

@@ -606,3 +606,37 @@ def test_k_anonymity_flags_small_groups(spark):
     ]
     # smallest first: the singleton violates (k=5), the 8-group passes
     assert got == [(2, 1, 1), (1, 8, 0)]
+
+
+def test_ab_ztest_hand_proportions(spark):
+    from datetime import datetime
+
+    from query_refinement_dsit_databases_2021_spark.operators.scale import (
+        ab_ztest,
+    )
+
+    # even users (arm 1): 8/10 convert; odd users (arm 0): 4/10 --
+    # z for (0.4 vs 0.8) at n=10 each is ~ -1.826: below the 1.96 bar
+    rows = []
+    eid = 0
+    for u in range(20):
+        converts = (u % 10 < 8) if u % 2 == 0 else (u % 10 < 4)
+        # conv := more purchases than errors
+        kinds = ["purchase", "purchase", "error"] if converts else [
+            "error", "error", "purchase"]
+        for k in kinds:
+            rows.append((eid, datetime(2024, 3, 1, 0, eid % 60), u, k, 1.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    r = ab_ztest(df).collect()[0]
+    assert (r["n_a"], r["n_b"]) == (10, 10)
+    assert (r["conv_a"], r["conv_b"]) == (4, 8)
+    import math
+
+    pp = 12 / 20
+    z = (0.4 - 0.8) / math.sqrt(pp * (1 - pp) * (1 / 10 + 1 / 10))
+    assert r["z"] == math.floor(z * 1e6 + 0.5) / 1e6
+    assert r["significant"] == 0
