@@ -1220,11 +1220,79 @@ GROUP BY a.p, b.p
 ORDER BY co_orders DESC, pa, pb LIMIT 25"""
 
 
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Directed-graph reciprocity — the third one-number structural
+    fingerprint (after assortativity and the clustering coefficient):
+    the fraction of directed edges whose reverse edge also exists.
+    Trade graphs are near-zero (supply flows one way), social graphs
+    high — a cheap sanity probe that a directed edge derivation did
+    not silently symmetrize.
+
+    One left-semi self-join on the reversed key; integer ppm ratio.
+    Returns one row ``(n_edges, n_reciprocal, reciprocity_ppm)``.
+    """
+    e = edges.select("src", "dst").distinct()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, ["src", "dst"], "left_semi")
+    return (
+        e.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(recip.agg(F.count(F.lit(1)).alias("n_reciprocal")))
+        .select(
+            "n_edges",
+            "n_reciprocal",
+            F.expr("n_reciprocal * 1000000L div n_edges").alias(
+                "reciprocity_ppm"
+            ),
+        )
+    )
+
+
+def _wl_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    # user -> user "handoff" edges: consecutive events of the same
+    # type passing between users give a directed interaction graph
+    # with genuine two-way traffic (unlike the one-way trade edges)
+    ev = spark.table("events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    edges = (
+        ev.select(
+            "event_type", "ts", "event_id", F.col("user_id").alias("src")
+        )
+        .withColumn("dst", F.lag("src").over(w))
+        .where(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+        .select("src", "dst")
+    )
+    return reciprocity(edges)
+
+
+ORACLE_RECIPROCITY = """
+WITH seq AS (
+  SELECT user_id AS src,
+         lag(user_id) OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS dst
+  FROM events),
+e AS (SELECT DISTINCT src, dst FROM seq
+      WHERE dst IS NOT NULL AND dst <> src),
+recip AS (
+  SELECT e.src, e.dst FROM e
+  WHERE EXISTS (SELECT 1 FROM e r
+                WHERE r.src = e.dst AND r.dst = e.src))
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM recip) AS n_reciprocal,
+       CAST((SELECT count(*) FROM recip) * 1000000
+            // (SELECT count(*) FROM e) AS BIGINT) AS reciprocity_ppm"""
+
+
 def graph_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
     return [
         Workload("graph_copurchase", _wl_copurchase, ORACLE_COPURCHASE),
+        Workload("graph_reciprocity", _wl_reciprocity, ORACLE_RECIPROCITY),
         Workload("graph_pagerank", _wl_pagerank, ORACLE_PAGERANK),
         Workload("graph_triangles", _wl_triangles, ORACLE_TRIANGLES),
         Workload("graph_components", _wl_components, ORACLE_COMPONENTS),

@@ -1642,6 +1642,77 @@ SELECT n_a, conv_a, n_b, conv_b, z,
 FROM z"""
 
 
+SLO_BUDGET_PPM = 220_000  # error budget: 22% of events may be errors
+SLO_TOP = 20
+
+
+def slo_burn_rate(events: DataFrame) -> DataFrame:
+    """SLO burn-rate readout — the SRE paging signal: per hour, the
+    error fraction relative to the error budget (``burn = err_rate /
+    budget``; burn 1e6 ppm = consuming budget exactly at the sustain
+    rate, >1e6 = burning toward exhaustion). Multi-window burn alerts
+    compose this same frame at two widths; here the audit reports the
+    worst hours.
+
+    Integer end to end: err and total counts per hour, burn_ppm =
+    ``err·1e12 div (total·budget_ppm)`` — one integral division, no
+    float near the paging threshold. One map-combinable groupBy(hour);
+    output is the SLO_TOP worst hours under a total order.
+
+    Returns ``(hour_epoch, n_events, n_errors, burn_ppm, paging)``.
+    """
+    hour = F.expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+    hourly = (
+        events.select(
+            hour.alias("hour_epoch"),
+            (F.col("event_type") == "error").cast("int").alias("is_err"),
+        )
+        .groupBy("hour_epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("is_err").alias("n_errors"),
+        )
+    )
+    burn = F.expr(
+        f"n_errors * 1000000000000L div (n_events * {SLO_BUDGET_PPM}L)"
+    )
+    return (
+        hourly.select(
+            "hour_epoch",
+            "n_events",
+            "n_errors",
+            burn.alias("burn_ppm"),
+            (burn > 1_000_000).cast("int").alias("paging"),
+        )
+        .orderBy(F.desc("burn_ppm"), "hour_epoch")
+        .limit(SLO_TOP)
+    )
+
+
+def _wl_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    return slo_burn_rate(spark.table("events"))
+
+
+ORACLE_SLO_BURN = f"""
+WITH hourly AS (
+  SELECT epoch_us(ts) // 3600000000 AS hour_epoch,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_errors
+  FROM events GROUP BY 1)
+SELECT hour_epoch, n_events, n_errors,
+       CAST(n_errors * 1000000000000 // (n_events * {SLO_BUDGET_PPM})
+            AS BIGINT) AS burn_ppm,
+       CAST(n_errors * 1000000000000 // (n_events * {SLO_BUDGET_PPM})
+            > 1000000 AS INTEGER) AS paging
+FROM hourly
+ORDER BY burn_ppm DESC, hour_epoch
+LIMIT {SLO_TOP}"""
+
+
 def scale_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
@@ -1671,4 +1742,5 @@ def scale_workloads():
         Workload("ops_bitmap_index", _wl_bitmap, ORACLE_BITMAP),
         Workload("ops_k_anonymity", _wl_kanon, ORACLE_KANON),
         Workload("ops_ab_ztest", _wl_ab_ztest, ORACLE_AB_ZTEST),
+        Workload("ops_slo_burn_rate", _wl_slo_burn, ORACLE_SLO_BURN),
     ]

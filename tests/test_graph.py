@@ -356,3 +356,18 @@ def test_copurchase_projection_hand_basket(spark):
         for r in copurchase_projection(li, top_k=10).collect()
     ]
     assert got == [(1, 2, 2), (2, 3, 2), (1, 3, 1)]
+
+
+def test_reciprocity_counts_mutual_edges(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.graph import (
+        reciprocity,
+    )
+
+    # 1->2 and 2->1 are mutual; 1->3 is not; the duplicate 1->2 row
+    # must not double-count
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (1, 2)], "src long, dst long"
+    )
+    r = reciprocity(e).collect()[0]
+    assert (r["n_edges"], r["n_reciprocal"]) == (3, 2)
+    assert r["reciprocity_ppm"] == 2 * 1_000_000 // 3

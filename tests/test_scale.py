@@ -640,3 +640,32 @@ def test_ab_ztest_hand_proportions(spark):
     z = (0.4 - 0.8) / math.sqrt(pp * (1 - pp) * (1 / 10 + 1 / 10))
     assert r["z"] == math.floor(z * 1e6 + 0.5) / 1e6
     assert r["significant"] == 0
+
+
+def test_slo_burn_rate_threshold(spark):
+    from datetime import datetime
+
+    from query_refinement_dsit_databases_2021_spark.operators.scale import (
+        SLO_BUDGET_PPM,
+        slo_burn_rate,
+    )
+
+    # hour 0: 50% errors (burn >> 1e6, paging); hour 1: ~4.5% (quiet)
+    rows = [
+        (i, datetime(2024, 3, 1, 0, i % 60), 1,
+         "error" if i % 2 == 0 else "view", 1.0)
+        for i in range(40)
+    ] + [
+        (100 + i, datetime(2024, 3, 1, 1, i % 60), 1,
+         "error" if i == 0 else "view", 1.0)
+        for i in range(22)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    out = slo_burn_rate(df).collect()
+    hot, quiet = out[0], out[1]
+    assert (hot["n_events"], hot["n_errors"], hot["paging"]) == (40, 20, 1)
+    assert hot["burn_ppm"] == 20 * 10**12 // (40 * SLO_BUDGET_PPM)
+    assert (quiet["n_errors"], quiet["paging"]) == (1, 0)
