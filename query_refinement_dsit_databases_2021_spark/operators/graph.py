@@ -1287,10 +1287,68 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
             // (SELECT count(*) FROM e) AS BIGINT) AS reciprocity_ppm"""
 
 
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """Out-degree distribution in power-of-two buckets — the
+    log-log-plot shape that distinguishes heavy-tailed (scale-free)
+    graphs from flat ones, and the number that sizes join-skew
+    mitigations: the top bucket IS the salting candidate list.
+    ``bucket = floor(log2(deg))`` computed exactly via the shared
+    lowbit-free width trick (``bit_count`` of the propagated-bits
+    mask would be overkill: ``length`` of the binary string is the
+    dialect-free exact form both engines share).
+
+    One degree groupBy + one bucket groupBy, both map-combinable.
+    Returns ``(bucket, n_nodes, min_deg, max_deg)`` ordered by bucket.
+    """
+    deg = (
+        edges.select("src", "dst")
+        .distinct()
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # floor(log2(d)) for d >= 1 == (bit length of d) - 1; bin(d) via
+    # conv/length is not shared, but bit_count of the filled mask is:
+    # both engines compute it exactly with shifts... simplest shared
+    # exact form: length of the base-2 string minus 1.
+    bucket = (F.length(F.conv(F.col("deg").cast("string"), 10, 2)) - 1).alias(
+        "bucket"
+    )
+    return (
+        deg.select(bucket, "deg")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("deg").alias("min_deg"),
+            F.max("deg").alias("max_deg"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _wl_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    return degree_histogram(_trade_edges(spark))
+
+
+ORACLE_DEGREE_HIST = f"""
+WITH e AS ({_EDGES_SQL}),
+deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg
+  FROM (SELECT DISTINCT src, dst FROM e) GROUP BY src)
+SELECT CAST(length(bin(deg)) - 1 AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(deg) AS BIGINT) AS min_deg,
+       CAST(max(deg) AS BIGINT) AS max_deg
+FROM deg GROUP BY 1 ORDER BY bucket"""
+
+
 def graph_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
     return [
+        Workload("graph_degree_hist", _wl_degree_hist, ORACLE_DEGREE_HIST),
         Workload("graph_copurchase", _wl_copurchase, ORACLE_COPURCHASE),
         Workload("graph_reciprocity", _wl_reciprocity, ORACLE_RECIPROCITY),
         Workload("graph_pagerank", _wl_pagerank, ORACLE_PAGERANK),

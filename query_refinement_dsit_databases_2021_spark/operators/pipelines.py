@@ -983,6 +983,32 @@ def _wl_index_merge(spark, sf_dir):
     return textops.index_delta_merge(_docs(spark, sf_dir))
 
 
+def _wl_cluster_size_hist(spark, sf_dir):
+    """Duplicate-cluster size histogram — the one-glance dedup report
+    (how much of the corpus is singletons vs heavy clusters); derived
+    from the certified exact-dedup groups by one more tiny agg."""
+    groups = dedup.exact_dedup(_docs(spark, sf_dir))
+    return (
+        groups.groupBy("n_copies")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "n_copies",
+            "n_clusters",
+            (F.col("n_copies") * F.col("n_clusters")).alias("n_docs"),
+        )
+        .orderBy("n_copies")
+    )
+
+
+ORACLE_CLUSTER_SIZE_HIST = """
+WITH groups AS (
+  SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+  FROM documents GROUP BY text)
+SELECT n_copies, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(n_copies * count(*) AS BIGINT) AS n_docs
+FROM groups GROUP BY n_copies ORDER BY n_copies"""
+
+
 def _wl_bpe_tokens(spark, sf_dir):
     return textops.bpe_token_stats(_docs(spark, sf_dir))
 
@@ -1985,6 +2011,12 @@ def pipeline_workloads():
             "pipe_index_delta_merge",
             _wl_index_merge,
             textops.ORACLE_INDEX_MERGE,
+            False,
+        ),
+        (
+            "pipe_cluster_size_hist",
+            _wl_cluster_size_hist,
+            ORACLE_CLUSTER_SIZE_HIST,
             False,
         ),
         (

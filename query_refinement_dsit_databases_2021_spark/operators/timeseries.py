@@ -3048,6 +3048,52 @@ ORDER BY {key}, start_h"""
 ORACLE_EPISODES = _episodes_oracle()
 
 
+def percentile_bands_daily(
+    events: DataFrame, ts: str = "ts", key: str = "event_type", value: str = "value"
+) -> DataFrame:
+    """Daily p50/p95 bands per key — :func:`percentile_rollup` given a
+    time axis (the latency-dashboard shape: a band per day instead of
+    one number per key, so drift in the TAIL is visible before the
+    median moves). Exact ``percentile_disc`` over integer cents, the
+    module's cross-engine-verified convention; one hash aggregate per
+    (key, day).
+
+    Returns ``(key, day_epoch, n, p50_cents, p95_cents)`` under a
+    total order.
+    """
+    cents = F.floor(F.col(value) * 100 + F.lit(0.5)).cast("long")
+    return (
+        events.select(
+            F.col(key),
+            F.datediff(F.to_date(ts), F.lit("1970-01-01")).alias("day_epoch"),
+            cents.alias("c"),
+        )
+        .groupBy(key, "day_epoch")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c)")
+            .cast("long")
+            .alias("p50_cents"),
+            F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY c)")
+            .cast("long")
+            .alias("p95_cents"),
+        )
+        .orderBy(key, "day_epoch")
+    )
+
+
+ORACLE_PCT_BANDS = """
+SELECT event_type,
+       CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INTEGER)
+         AS day_epoch,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(quantile_disc(floor(value * 100 + 0.5)::BIGINT, 0.5) AS BIGINT)
+         AS p50_cents,
+       CAST(quantile_disc(floor(value * 100 + 0.5)::BIGINT, 0.95) AS BIGINT)
+         AS p95_cents
+FROM events GROUP BY 1, 2 ORDER BY event_type, day_epoch"""
+
+
 def timeseries_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import (
         Workload,
@@ -3110,4 +3156,5 @@ def timeseries_workloads():
         _w("ts_ar1_forecast", ORACLE_AR1, ar1_forecast),
         _w("ts_winsorized_mean", ORACLE_WINSORIZED, winsorized_mean),
         _w("ts_anomaly_episodes", ORACLE_EPISODES, anomaly_episodes),
+        _w("ts_percentile_bands", ORACLE_PCT_BANDS, percentile_bands_daily),
     ]

@@ -371,3 +371,21 @@ def test_reciprocity_counts_mutual_edges(spark):
     r = reciprocity(e).collect()[0]
     assert (r["n_edges"], r["n_reciprocal"]) == (3, 2)
     assert r["reciprocity_ppm"] == 2 * 1_000_000 // 3
+
+
+def test_degree_histogram_log2_buckets(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.graph import (
+        degree_histogram,
+    )
+
+    # node 1: deg 1 (bucket 0); node 2: deg 3 (bucket 1);
+    # node 3: deg 8 (bucket 3); dup edge must not inflate degree
+    edges = [(1, 10)] + [(2, d) for d in (11, 12, 13)] + [
+        (3, d) for d in range(20, 28)
+    ] + [(1, 10)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["bucket"]: (r["n_nodes"], r["min_deg"], r["max_deg"])
+        for r in degree_histogram(e).collect()
+    }
+    assert got == {0: (1, 1, 1), 1: (1, 3, 3), 3: (1, 8, 8)}

@@ -1269,3 +1269,20 @@ def test_index_delta_merge_equals_rebuild_any_split(spark):
         r["term"]: (r["tf"], r["df"]) for r in token_stats(docs).collect()
     }
     assert merged == rebuilt
+
+
+def test_cluster_size_hist_partitions_corpus(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.pipelines import (
+        _wl_cluster_size_hist,
+    )
+
+    out = _wl_cluster_size_hist(spark, "/root/testdata/sf0.001").collect()
+    n_docs_total = sum(r["n_docs"] for r in out)
+    # the histogram partitions the corpus exactly
+    from query_refinement_dsit_databases_2021_spark.workloads import (
+        register_views,
+    )
+
+    register_views(spark, "/root/testdata/sf0.001")
+    assert n_docs_total == spark.table("documents").count()
+    assert all(r["n_docs"] == r["n_copies"] * r["n_clusters"] for r in out)

@@ -1013,3 +1013,21 @@ def test_anomaly_episodes_group_adjacent_hours(spark):
     assert first["end_h"] - first["start_h"] == 1  # hours 1+2 fused
     assert (first["n_hours"], first["n_events"]) == (2, 3)
     assert (second["n_hours"], second["n_events"]) == (1, 1)
+
+
+def test_percentile_bands_daily_exact(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        percentile_bands_daily,
+    )
+
+    # day 1: values 1..20 -> p50 = 10.00 (disc), p95 = 19.00
+    rows = [
+        (i, datetime(2024, 3, 1, 0, i), 1, "a", float(i + 1))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    r = percentile_bands_daily(df).collect()[0]
+    assert (r["n"], r["p50_cents"], r["p95_cents"]) == (20, 1000, 1900)
