@@ -1005,3 +1005,56 @@ def test_round4f_operator_exchange_budgets(pevents, spark):
     tp = _plan(target_encoding(pevents))
     assert "SortMergeJoin" not in tp, tp
     assert tp.count("Exchange hashpartitioning") <= 2, tp
+
+
+def test_round4g_operator_exchange_budgets(pevents, spark):
+    """Exchange pins for the report/readout wave."""
+    from query_refinement_dsit_databases_2021_spark.operators.graph import (
+        degree_histogram,
+        reciprocity,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.sampling import (
+        kfold_assignment,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.scale import (
+        ab_ztest,
+        slo_burn_rate,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        percentile_bands_daily,
+    )
+
+    # SLO burn: ONE hash-agg pair + TakeOrdered
+    sp = _plan(slo_burn_rate(pevents))
+    assert "Join" not in sp and "TakeOrderedAndProject" in sp, sp
+    assert sp.count("Exchange hashpartitioning") == 1, sp
+
+    # percentile bands: ONE hash agg (sort-based percentile inside)
+    pb = _plan(percentile_bands_daily(pevents))
+    assert "Join" not in pb, pb
+    assert pb.count("Exchange hashpartitioning") == 1, pb
+
+    # A/B: per-unit agg + 2-row arm rollup; the final join is a 1x1
+    # BroadcastNestedLoop — never a corpus SMJ
+    ab = _plan(ab_ztest(pevents))
+    assert "SortMergeJoin" not in ab, ab
+    # per-unit agg + arm rollup, each its own partial/final pair; the
+    # two 1-row arm frames meet in a BroadcastNestedLoop
+    assert ab.count("Exchange hashpartitioning") <= 4, ab
+
+    # k-fold: map-side fold + one audit agg
+    docs = spark.createDataFrame([(i, "t") for i in range(50)],
+                                 "doc_id long, text string")
+    kf = _plan(kfold_assignment(docs))
+    assert "Join" not in kf, kf
+    assert kf.count("Exchange hashpartitioning") == 1, kf
+
+    # reciprocity / degree hist: distinct + semi-join or two groupBys,
+    # all keyed frames — no cartesian anywhere
+    e = spark.createDataFrame([(i, (i * 7) % 13) for i in range(40)],
+                              "src long, dst long")
+    rp = _plan(reciprocity(e))
+    assert "CartesianProduct" not in rp.replace("BroadcastNestedLoopJoin", ""), rp
+    dh = _plan(degree_histogram(e))
+    assert "Join" not in dh, dh
+    assert dh.count("Exchange hashpartitioning") <= 2, dh
