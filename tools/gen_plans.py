@@ -349,6 +349,25 @@ NOTES = {
         "(nation, segment); scoring and the match filter are pure "
         "projection over block-sized pair frames."
     ),
+    "ops_slo_burn_rate": (
+        "One hash-aggregate pair on the hour index, integral burn "
+        "division in the projection, TakeOrderedAndProject for the "
+        "worst hours — no join."
+    ),
+    "ops_ab_ztest": (
+        "Per-unit conversion agg, 2-row arm rollup, and a 1x1 "
+        "BroadcastNestedLoop to lay the arms side by side — the z "
+        "formula is pure projection arithmetic."
+    ),
+    "ts_percentile_bands": (
+        "ONE hash aggregate per (key, day) with the sort-based "
+        "percentile_disc pair inside — no join, no window."
+    ),
+    "graph_degree_hist": (
+        "Edge-dedup, degree, and bucket groupBys — three "
+        "map-combinable aggregates, the log2 bucket via the "
+        "binary-string-length projection."
+    ),
 }
 
 HEADER = """# PLANS — captured physical plans for representative workloads
