@@ -1220,6 +1220,85 @@ GROUP BY a.p, b.p
 ORDER BY co_orders DESC, pa, pb LIMIT 25"""
 
 
+KATZ_INIT = 1_000_000  # integer unit mass per node
+KATZ_ITERATIONS = 4
+
+
+def katz_centrality(
+    edges: DataFrame, iterations: int = KATZ_ITERATIONS
+) -> DataFrame:
+    """Katz centrality as the same integer fixed-iteration loop as
+    :func:`pagerank` — the OTHER classic spectral centrality: no
+    out-degree normalization, so a node is central for having many
+    (and recursively central) in-neighbors regardless of how promiscuous
+    they are; β = 1/2 applied as integer halving (``// 2``), exactly
+    like PageRank's 85/100 damping, so the result is bit-reproducible
+    under any partitioning.
+
+    ``x_{k+1}(v) = INIT + (Σ_{u→v} x_k(u)) // 2`` — one shuffle per
+    iteration (groupBy dst), the iteration count part of the operator
+    contract so the oracle unrolls it into a CTE chain. Returns the
+    top 20 ``(node, katz)`` under a total order.
+    """
+    edges = edges.select("src", "dst").distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    x = nodes.select("node", F.lit(KATZ_INIT).cast("long").alias("katz"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(x, edges.src == x.node)
+            .select(F.col("dst").alias("node"), F.col("katz"))
+            .groupBy("node")
+            .agg(F.sum("katz").alias("c"))
+        )
+        x = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(KATZ_INIT)
+                + F.expr("coalesce(c, 0L) div 2")
+            ).cast("long").alias("katz"),
+        )
+    return x.orderBy(F.desc("katz"), "node").limit(20)
+
+
+def _wl_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    return katz_centrality(_trade_edges(spark))
+
+
+def _katz_oracle(iterations: int = KATZ_ITERATIONS) -> str:
+    parts = [
+        f"WITH edges AS ({_EDGES_SQL}),",
+        "nodes AS (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges),",
+        f"x0 AS (SELECT node, CAST({KATZ_INIT} AS BIGINT) AS katz FROM nodes)",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f""",
+c{k} AS (SELECT e.dst AS node, CAST(SUM(x.katz) AS BIGINT) AS c
+         FROM edges e JOIN x{k-1} x ON x.node = e.src
+         GROUP BY e.dst),
+x{k} AS (SELECT n.node,
+         CAST({KATZ_INIT} + COALESCE(c.c, 0) // 2 AS BIGINT) AS katz
+         FROM nodes n LEFT JOIN c{k} c ON c.node = n.node)"""
+        )
+    parts.append(
+        f"""
+SELECT node, katz FROM x{iterations}
+ORDER BY katz DESC, node LIMIT 20"""
+    )
+    return "\n".join(parts)
+
+
+ORACLE_KATZ = _katz_oracle()
+
+
 def reciprocity(edges: DataFrame) -> DataFrame:
     """Directed-graph reciprocity — the third one-number structural
     fingerprint (after assortativity and the clustering coefficient):
@@ -1351,6 +1430,7 @@ def graph_workloads():
         Workload("graph_degree_hist", _wl_degree_hist, ORACLE_DEGREE_HIST),
         Workload("graph_copurchase", _wl_copurchase, ORACLE_COPURCHASE),
         Workload("graph_reciprocity", _wl_reciprocity, ORACLE_RECIPROCITY),
+        Workload("graph_katz", _wl_katz, ORACLE_KATZ),
         Workload("graph_pagerank", _wl_pagerank, ORACLE_PAGERANK),
         Workload("graph_triangles", _wl_triangles, ORACLE_TRIANGLES),
         Workload("graph_components", _wl_components, ORACLE_COMPONENTS),

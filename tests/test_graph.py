@@ -389,3 +389,23 @@ def test_degree_histogram_log2_buckets(spark):
         for r in degree_histogram(e).collect()
     }
     assert got == {0: (1, 1, 1), 1: (1, 3, 3), 3: (1, 8, 8)}
+
+
+def test_katz_star_vs_chain(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.graph import (
+        KATZ_INIT,
+        katz_centrality,
+    )
+
+    # star: 4 leaves -> hub; chain: a -> b. After any iterations the
+    # hub's katz = INIT + 4*INIT//2 + ... strictly exceeds b's.
+    edges = [(i, 100) for i in (1, 2, 3, 4)] + [(10, 11)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["katz"] for r in katz_centrality(e).collect()}
+    assert got[100] == max(got.values())
+    # leaves receive nothing: exactly the base mass
+    assert got[1] == KATZ_INIT
+    # hand-rolled 4-iteration recursion for the hub: sources are fixed
+    # at INIT every round, so hub = INIT + (4 * INIT) // 2
+    assert got[100] == KATZ_INIT + (4 * KATZ_INIT) // 2
+    assert got[11] == KATZ_INIT + KATZ_INIT // 2
