@@ -1392,18 +1392,18 @@ def bitmap_index_and(
 ) -> DataFrame:
     """Bitmap-index construction and conjunctive query — the OLAP
     engine internal (Druid/Pinot/ClickHouse-style) expressed as
-    DataFrame algebra: each predicate's qualifying keys pack into
-    64-bit words (``word = key div 64``, ``bit = key mod 64``,
+    DataFrame algebra: each predicate's qualifying keys pack
+    32-per-word (``word = key div 32``, ``bit = key mod 32``,
     ``mask = bit_or(1 << bit)``), and the AND query is a word-aligned
     join + bitwise ``&`` + ``bit_count`` popcount — set intersection
-    at 64 keys per int64 operation, never a row-level join.
+    at 32 keys per integer operation, never a row-level join. Packing
+    stops at bit 31 because DuckDB's overflow-CHECKED shift rejects
+    ``1 << 63``; a 64-per-word layout needs an unchecked-shift dialect
+    on both engines (the artifact is 2× the words until then).
 
-    Everything is two's-complement int64 (bit 63 makes a mask
-    negative; ``&``/``bit_count`` are pattern operations, so both
-    engines agree). The result carries the DIRECT row-level count
-    alongside, so the workload attests the bitmap path against the
-    naive one in the same result — equal by construction or the
-    index build is broken.
+    The result carries the DIRECT row-level count alongside, so the
+    workload attests the bitmap path against the naive one in the
+    same result — equal by construction or the index build is broken.
 
     Scale: one groupBy(word) per predicate (map-side combinable; the
     bitmap is ~|keyspace|/32 words — the compressed standing artifact
@@ -1429,7 +1429,12 @@ def bitmap_index_and(
     anded = ba.join(bb, "word").select(
         "word", F.expr("mask & mask_b").alias("am")
     )
-    direct = facts.where(pred_a & pred_b).count()
+    # LAZY 1-row agg (not .count()): the workload contract returns an
+    # unexecuted plan, and a literal count would snapshot the source
+    # earlier than the bitmap side
+    direct = facts.where(pred_a & pred_b).agg(
+        F.count(F.lit(1)).alias("direct_count")
+    )
     return (
         anded.agg(
             F.count(F.lit(1)).alias("and_words"),
@@ -1440,12 +1445,13 @@ def bitmap_index_and(
                 bb.agg(F.count(F.lit(1)).alias("words_b"))
             )
         )
+        .crossJoin(direct)
         .select(
             "words_a",
             "words_b",
             "and_words",
             "bitmap_count",
-            F.lit(direct).cast("long").alias("direct_count"),
+            "direct_count",
         )
     )
 

@@ -1234,7 +1234,11 @@ def _viterbi_state(term: str, pieces: dict[str, int]) -> int:
     for j in range(1, n + 1):
         best = state[j - 1] + UNIGRAM_CHAR_COST * 1000 + 1
         lo = max(0, j - max_len)
-        for i in range(lo, j - 1):
+        # range(lo, j), not range(lo, j - 1): i = j-1 is the
+        # length-1 window, which must ALSO consult the piece table —
+        # a 1-char vocabulary piece cheaper than the fallback is a
+        # legal transition the oracle's enumeration takes
+        for i in range(lo, j):
             c = pieces.get(term[i:j])
             if c is not None:
                 cand = state[i] + c * 1000 + 1

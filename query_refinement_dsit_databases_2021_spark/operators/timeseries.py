@@ -2801,9 +2801,11 @@ def ar1_forecast(
     lag pairs.
 
     Determinism & headroom: the regression inputs are daily mean
-    cents ``ym = sum_cents div n_rows`` (integral division; daily sums
-    of the nonnegative value column are nonnegative, so Spark's
-    truncating ``div`` and DuckDB's flooring ``//`` agree). Means are
+    cents ``ym = sum_cents div n_rows`` (integral division; Spark's
+    ``div`` and DuckDB's ``//`` BOTH truncate toward zero — verified
+    on negatives, e.g. ``-7 // 2 = -3`` in DuckDB — so the two
+    engines agree on all inputs, no floor/pmod workaround needed).
+    Means are
     bounded by the VALUE DOMAIN, not the row count, so the OLS moment
     sums (``n·Σxy − Σx·Σy`` etc.) stay exact int64 at any scale
     factor — ym ≤ ~6e4 ⇒ n·Σxy ≤ ~3e12 for a decade of days. The

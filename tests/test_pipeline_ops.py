@@ -1286,3 +1286,19 @@ def test_cluster_size_hist_partitions_corpus(spark):
     register_views(spark, "/root/testdata/sf0.001")
     assert n_docs_total == spark.table("documents").count()
     assert all(r["n_docs"] == r["n_copies"] * r["n_clusters"] for r in out)
+
+
+def test_unigram_segment_single_char_vocab_piece(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        unigram_segment,
+    )
+
+    # a 1-char piece CHEAPER than the fallback must be taken (the DP
+    # bug class where the table lookup skipped length-1 windows)
+    docs = spark.createDataFrame([(1, "q xq")], "doc_id long, text string")
+    got = {
+        r["term"]: (r["cost"], r["n_pieces"])
+        for r in unigram_segment(docs, piece_costs={"q": 10}).collect()
+    }
+    assert got["q"] == (10, 1)     # piece, not the 100-cost fallback
+    assert got["xq"] == (110, 2)   # char fallback + the cheap piece
