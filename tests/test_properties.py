@@ -599,3 +599,133 @@ def test_viterbi_segmentation_is_optimal(words):
     for w in words:
         assume(len(w) <= 9)
         assert _viterbi_state(w, dict(UNIGRAM_PIECES)) == brute(w), w
+
+
+def test_copurchase_matches_bruteforce_on_random_baskets(spark):
+    """The in-row pair-enumeration rewrite must equal the textbook
+    oriented self-join it replaced — checked against a pure-Python
+    brute force over randomized-shape baskets (seeded, one Spark run)."""
+    import itertools
+    import random
+
+    from query_refinement_dsit_databases_2021_spark.operators.graph import (
+        copurchase_projection,
+    )
+
+    rng = random.Random(20260815)
+    rows = []
+    baskets = {}
+    for o in range(60):
+        parts = rng.sample(range(30), rng.randint(1, 7))
+        # inject duplicate lineitems: dedup is part of the contract
+        for p in parts + parts[:1]:
+            rows.append((o, p))
+        baskets[o] = sorted(set(parts))
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = [
+        (r["pa"], r["pb"], r["co_orders"])
+        for r in copurchase_projection(li, top_k=10_000).collect()
+    ]
+    from collections import Counter
+
+    truth = Counter()
+    for ps in baskets.values():
+        for a, b in itertools.combinations(ps, 2):
+            truth[(a, b)] += 1
+    expect = sorted(
+        ((a, b, c) for (a, b), c in truth.items()),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )
+    assert got == expect
+
+
+def test_winsorized_mean_matches_bruteforce_on_random_series(spark):
+    """winsorized_mean vs a pure-Python replay of the exact
+    percentile_disc convention (smallest value with cume_dist >= p)
+    over randomized per-key series — seeded, one Spark run."""
+    import math
+    import random
+    from datetime import datetime
+
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        winsorized_mean,
+    )
+
+    rng = random.Random(20260815)
+    rows, series = [], {}
+    eid = 0
+    for k in ("a", "b", "c"):
+        n = rng.randint(3, 40)
+        vals = [round(rng.uniform(0, 500), 2) for _ in range(n)]
+        series[k] = vals
+        for v in vals:
+            rows.append((eid, datetime(2024, 3, 1, 0, eid % 60), 1, k, v))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    got = {r["event_type"]: r for r in winsorized_mean(df).collect()}
+
+    def disc(sorted_c, p):
+        n = len(sorted_c)
+        return sorted_c[max(0, math.ceil(p * n) - 1)]
+
+    for k, vals in series.items():
+        cents = sorted(math.floor(v * 100 + 0.5) for v in vals)
+        lo, hi = disc(cents, 0.1), disc(cents, 0.9)
+        ws = sum(min(max(c, lo), hi) for c in cents)
+        r = got[k]
+        assert (r["lo_cents"], r["hi_cents"]) == (lo, hi), k
+        assert r["win_mean_micro"] == ws * 10000 // len(cents), k
+
+
+def test_mann_kendall_matches_bruteforce_on_random_series(spark):
+    """S, var18, z, and the trend call vs a pure-Python replay over
+    randomized tie-heavy series (seeded, one Spark run)."""
+    import math
+    import random
+    from datetime import datetime, timedelta
+
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        mann_kendall,
+    )
+
+    rng = random.Random(20260815)
+    rows, series = [], {}
+    eid = 0
+    for k in ("a", "b", "c", "d"):
+        n = rng.randint(4, 25)
+        # draw from a SMALL integer set so tie groups actually occur
+        vals = [float(rng.choice([5, 5, 7, 9, 9, 12])) for _ in range(n)]
+        series[k] = [int(v * 100) for v in vals]
+        for d, v in enumerate(vals):
+            rows.append(
+                (eid, datetime(2024, 3, 1) + timedelta(days=d), 1, k, v)
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    got = {r["event_type"]: r for r in mann_kendall(df).collect()}
+    for k, y in series.items():
+        n = len(y)
+        s = sum(
+            (y[j] > y[i]) - (y[j] < y[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        from collections import Counter
+
+        ties = Counter(y)
+        var18 = n * (n - 1) * (2 * n + 5) - sum(
+            t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1
+        )
+        if var18 <= 0:
+            assert k not in got
+            continue
+        r = got[k]
+        assert (r["s_stat"], r["var18"]) == (s, var18), k
+        zc = (s - (s > 0) + (s < 0)) / math.sqrt(var18 / 18.0)
+        assert r["z"] == math.floor(zc * 1e6 + 0.5) / 1e6, k
