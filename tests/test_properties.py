@@ -729,3 +729,57 @@ def test_mann_kendall_matches_bruteforce_on_random_series(spark):
         assert (r["s_stat"], r["var18"]) == (s, var18), k
         zc = (s - (s > 0) + (s < 0)) / math.sqrt(var18 / 18.0)
         assert r["z"] == math.floor(zc * 1e6 + 0.5) / 1e6, k
+
+
+def test_ar1_matches_bruteforce_on_random_series(spark):
+    """slope/intercept/forecast vs a pure-Python replay of the
+    closed-form OLS over random multi-event days (exercises the
+    daily-mean integral division too). Seeded, one Spark run."""
+    import math
+    import random
+    from datetime import datetime, timedelta
+
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        ar1_forecast,
+    )
+
+    rng = random.Random(20260815)
+    rows, days = [], {}
+    eid = 0
+    for k in ("a", "b"):
+        per_day = []
+        for d in range(rng.randint(5, 15)):
+            vals = [round(rng.uniform(1, 400), 2) for _ in range(rng.randint(1, 4))]
+            per_day.append(vals)
+            for v in vals:
+                rows.append(
+                    (eid, datetime(2024, 3, 1) + timedelta(days=d), 1, k, v)
+                )
+                eid += 1
+        days[k] = per_day
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    got = {r["event_type"]: r for r in ar1_forecast(df).collect()}
+    for k, per_day in days.items():
+        ym = [
+            sum(math.floor(v * 100 + 0.5) for v in vals) // len(vals)
+            for vals in per_day
+        ]
+        pairs = list(zip(ym[:-1], ym[1:]))
+        n = len(pairs)
+        sx = sum(p for p, _ in pairs)
+        sy = sum(q for _, q in pairs)
+        sxx = sum(p * p for p, _ in pairs)
+        sxy = sum(p * q for p, q in pairs)
+        den = n * sxx - sx * sx
+        if den <= 0:
+            assert k not in got
+            continue
+        slope = math.floor((n * sxy - sx * sy) / den * 1e6 + 0.5) / 1e6
+        icept = math.floor((sy - slope * sx) / (n * 100.0) * 1e6 + 0.5) / 1e6
+        fc = math.floor((icept + slope * (ym[-1] / 100.0)) * 1e6 + 0.5) / 1e6
+        r = got[k]
+        assert (r["n_pairs"], r["slope"]) == (n, slope), k
+        assert (r["intercept"], r["forecast"]) == (icept, fc), k
