@@ -167,25 +167,24 @@ def test_workload_matches_duckdb(spark, duck, name):
 
 
 def test_gate_rotation_ledger_closes_registry():
-    """The r04/r05 rotation math (COVERAGE.md "Gate rotation ledger"):
-    the r04 window is exactly 50 names, the committed r05 window is
-    exactly 50, they are disjoint apart from nothing (anchors differ),
-    every non-anchor entry in both windows has NEVER had an external
-    CORRECTNESS row, and window-r04 ∪ window-r05 ∪ externally-gated
-    covers the ENTIRE registry — i.e. after r05 every workload holds
-    an external row."""
+    """The r05/r06 rotation math (COVERAGE.md "Gate rotation ledger"):
+    the r05 window is exactly 50 names, the committed r06 window is
+    exactly 50, they are disjoint, every non-anchor entry in both
+    windows has NEVER had an external CORRECTNESS row (through r04),
+    and window-r05 ∪ window-r06 ∪ externally-gated covers the ENTIRE
+    registry — i.e. after r06 every workload holds an external row."""
     import json
     import pathlib
 
     from query_refinement_dsit_databases_2021_spark.workloads import (
         DRIVER_PRIORITY,
-        DRIVER_PRIORITY_R05,
-        DRIVER_QUEUE_R06,
+        DRIVER_PRIORITY_R06,
+        DRIVER_QUEUE_R07,
     )
 
     root = pathlib.Path(__file__).resolve().parent.parent
     gated: set[str] = set()
-    for r in (1, 2, 3):
+    for r in (1, 2, 3, 4):
         p = root / f"CORRECTNESS_r0{r}.json"
         if p.exists():
             gated.update(json.loads(p.read_text()).keys())
@@ -193,29 +192,34 @@ def test_gate_rotation_ledger_closes_registry():
         pytest.skip("no external CORRECTNESS records present")
 
     assert len(DRIVER_PRIORITY) == 50
-    assert len(DRIVER_PRIORITY_R05) == 50
+    assert len(DRIVER_PRIORITY_R06) == 50
     assert len(set(DRIVER_PRIORITY)) == 50
-    assert len(set(DRIVER_PRIORITY_R05)) == 50
-    assert not set(DRIVER_PRIORITY) & set(DRIVER_PRIORITY_R05)
+    assert len(set(DRIVER_PRIORITY_R06)) == 50
+    assert not set(DRIVER_PRIORITY) & set(DRIVER_PRIORITY_R06)
     missing = [
         n
-        for n in (*DRIVER_PRIORITY, *DRIVER_PRIORITY_R05)
+        for n in (*DRIVER_PRIORITY, *DRIVER_PRIORITY_R06)
         if n not in WORKLOADS
     ]
     assert not missing, missing
-    anchors_r04 = {"cp_refined_tighten", "pipe_dedup_minhash_lsh"}
     anchors_r05 = {"cp_refined_relax", "pipe_ann_cosine_topk"}
-    already = (set(DRIVER_PRIORITY) - anchors_r04) & gated
-    assert not already, f"r04 window wastes slots on gated names: {already}"
-    already5 = (set(DRIVER_PRIORITY_R05) - anchors_r05) & gated
+    anchors_r06 = {
+        "cp_refined_tighten",
+        "pipe_dedup_minhash_lsh",
+        "sql_q1_pricing",
+    }
+    assert anchors_r06 <= gated, "r06 anchors must already be gated green"
+    already5 = (set(DRIVER_PRIORITY) - anchors_r05) & gated
     assert not already5, f"r05 window wastes slots on gated names: {already5}"
+    already6 = (set(DRIVER_PRIORITY_R06) - anchors_r06) & gated
+    assert not already6, f"r06 window wastes slots on gated names: {already6}"
     uncovered = (
-        set(WORKLOADS) - gated - set(DRIVER_PRIORITY) - set(DRIVER_PRIORITY_R05)
+        set(WORKLOADS) - gated - set(DRIVER_PRIORITY) - set(DRIVER_PRIORITY_R06)
     )
-    # post-r05-freeze additions must be queued for r06 — exactly them
-    assert uncovered == set(DRIVER_QUEUE_R06), (
-        f"not in any window or queue: {uncovered - set(DRIVER_QUEUE_R06)}; "
-        f"queued but covered: {set(DRIVER_QUEUE_R06) - uncovered}"
+    # post-r06-freeze additions must be queued for r07 — exactly them
+    assert uncovered == set(DRIVER_QUEUE_R07), (
+        f"not in any window or queue: {uncovered - set(DRIVER_QUEUE_R07)}; "
+        f"queued but covered: {set(DRIVER_QUEUE_R07) - uncovered}"
     )
 
 
