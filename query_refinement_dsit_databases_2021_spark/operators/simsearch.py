@@ -2382,11 +2382,182 @@ SELECT q_id, vec_id, rank, adist FROM (
 WHERE rank <= {k} ORDER BY q_id, rank"""
 
 
+def write_ivfpq_layout(
+    emb: DataFrame,
+    path: str,
+    centroid_ids=IVF_CENTROID_IDS,
+    codeword_ids=PQ_CODEWORD_IDS,
+    m: int = PQ_M,
+    dim: int = DIM,
+) -> None:
+    """Materialize the IVF-PQ index (the build half of IVFADC serving):
+    the residual CODES — not the vectors — written ``partitionBy(cell)``
+    so each coarse cell is its own directory, plus two metadata-scale
+    sidecars (``<path>__centroids``: (cell, cv, cn); ``<path>__codewords``:
+    (j, cwv)) so serving can never drift from the codebooks that encoded
+    the layout. This is the same amortization :func:`write_ivf_layout`
+    gives plain IVF, compounded by PQ's compression: the stored index is
+    m int64 codes per vector instead of dim floats, and
+    :func:`ivfpq_topk` re-assigned + re-encoded the whole corpus on
+    every call — at 100 TB that is the difference between one build
+    pass and one per query batch.
+
+    Build cost: ONE literal-fetch job for both codebooks (same fused
+    fetch as :func:`ivfpq_topk`), then one corpus pass — assignment is
+    a pure projection (:func:`_cell_projection`, bit-identical to the
+    ``_nearest_cells(…, 1)`` rule), the centroid join is broadcast, and
+    the PQ encode is the Arrow :func:`_pq_grid` kernel. No corpus-side
+    shuffle before partitionBy's task-side split."""
+    spark = emb.sparkSession
+    all_ids = sorted(set(centroid_ids) | set(codeword_ids))
+    fetched = (
+        _with_norm(emb.where(F.col("vec_id").isin(*all_ids)))
+        .orderBy("vec_id")
+        .collect()
+    )
+    by_id = {
+        int(r["vec_id"]): ([float(x) for x in r["v"]], float(r["nrm"]))
+        for r in fetched
+    }
+    cents = [(i, by_id[i][0], by_id[i][1]) for i in sorted(centroid_ids)]
+    cws = [by_id[i][0] for i in sorted(codeword_ids)]
+    spark.createDataFrame(
+        [(cell, cv, cn) for cell, cv, cn in cents],
+        "cell long, cv array<double>, cn double",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}__centroids")
+    spark.createDataFrame(
+        [(j, cw) for j, cw in enumerate(cws)],
+        "j long, cwv array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}__codewords")
+    sub = dim // m
+    cdf = spark.createDataFrame(
+        [(int(cell), [float(x) for x in cv]) for cell, cv, _ in cents],
+        "cell long, cent array<double>",
+    )
+    v = _as_double(F.col("embedding"))
+    nrm = F.sqrt(_fold_sum(F.transform(v, lambda x: x * x)))
+    res = (
+        emb.withColumn("v", v)
+        .withColumn("nrm", nrm)
+        .withColumn("cell", _cell_projection(cents))
+        .join(F.broadcast(cdf), "cell")
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with("v", "cent", lambda x, c: x - c).alias("r"),
+        )
+    )
+    codes = _pq_grid(res, cws, m, sub, ("vec_id", "cell"), argmin_only=True)
+    codes.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivfpq_topk_from_layout(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = TOP_K,
+    nprobe: int = IVF_NPROBE,
+    m: int = PQ_M,
+    dim: int = DIM,
+) -> DataFrame:
+    """Serve IVF-PQ ANN from a :func:`write_ivfpq_layout` index: the
+    codebooks come from the layout's sidecars (|cells| + ks rows — the
+    corpus is never scanned for them), each query's ``nprobe`` nearest
+    cells are computed from those literals, and ONE pruned scan reads
+    only the probed cell directories of the CODES table
+    (``cell IN (...)`` lands in PartitionFilters — asserted in the
+    test). Zero per-search corpus work: no assignment, no residual
+    encode — the scan is m int64 codes per candidate, and the scoring
+    join is the same (cell, s, code) equi against the broadcast
+    per-(query, cell) residual distance tables as :func:`ivfpq_topk`,
+    whose output this matches exactly (parity pinned by a test).
+
+    The probe assignment stays a distributed DataFrame end-to-end; the
+    only driver hop is the distinct probed-cell set for the plan-time
+    partition filter, bounded by |centroids|, not |queries| (the test
+    pins that bound by intercepting collect())."""
+    cents = [
+        (int(r["cell"]), [float(x) for x in r["cv"]], float(r["cn"]))
+        for r in spark.read.parquet(f"{path}__centroids").collect()
+    ]
+    cents.sort()
+    cwrows = spark.read.parquet(f"{path}__codewords").collect()
+    cws = [
+        [float(x) for x in r["cwv"]]
+        for r in sorted(cwrows, key=lambda r: int(r["j"]))
+    ]
+    sub = dim // m
+    qbase = _with_norm(queries)
+    probes = _nearest_cells(qbase, cents, nprobe).select(
+        F.col("vec_id").alias("q_id"), "cell"
+    )
+    # metadata-scale driver hop: distinct probed cells (<= |cells|)
+    probe_cells = sorted(
+        int(r["cell"]) for r in probes.select("cell").distinct().collect()
+    )
+    codes = (
+        spark.read.parquet(path)
+        .where(F.col("cell").isin(probe_cells))
+        .select("vec_id", F.col("cell").cast("long").alias("cell"), "s", "code")
+    )
+    cdf = spark.createDataFrame(
+        [(int(cell), [float(x) for x in cv]) for cell, cv, _ in cents],
+        "cell long, cent array<double>",
+    )
+    qres = (
+        probes.join(qbase.select(F.col("vec_id").alias("q_id"), "v"), "q_id")
+        .join(F.broadcast(cdf), "cell")
+        .select(
+            "q_id", "cell", F.zip_with("v", "cent", lambda x, c: x - c).alias("r")
+        )
+    )
+    qtab = _pq_grid(qres, cws, m, sub, ("q_id", "cell"), argmin_only=False)
+    scored = (
+        codes.join(F.broadcast(qtab), ["cell", "s", "code"])
+        .where(F.col("vec_id") != F.col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("d2m").cast("long").alias("adist"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "vec_id", F.col("rank").cast("long").alias("rank"), "adist")
+    )
+
+
 def _emb(spark, sf_dir):
     from query_refinement_dsit_databases_2021_spark.workloads import register_views
 
     register_views(spark, sf_dir)
     return spark.table("embeddings")
+
+
+def _wl_ivfpq_serve(spark, sf_dir):
+    """Serving-path workload: the IVF-PQ layout is built ONCE per
+    sf_dir (the production amortization — build is a batch job, serving
+    is the steady state) under the gitignored spark-warehouse dir, and
+    rebuilt only when missing or older than the source parquet. Every
+    call after the first measures the pure serving path; output is
+    identical to ``pipe_ann_ivfpq`` (same oracle; parity test-pinned),
+    so bench records serving ≪ build directly against that entry."""
+    import os
+
+    emb = _emb(spark, sf_dir)
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(root, "spark-warehouse", f"ivfpq_layout_{tag}")
+    marker = os.path.join(path, "_SUCCESS")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    stale = not os.path.exists(marker) or (
+        os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(marker)
+    )
+    if stale:
+        write_ivfpq_layout(emb, path)
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return ivfpq_topk_from_layout(spark, path, queries).orderBy("q_id", "rank")
 
 
 def _wl_filtered_topk(spark, sf_dir):
@@ -2782,6 +2953,16 @@ def simsearch_workloads():
             ),
             oracle_ivfpq_topk(),
             True,  # headline: the flagship round-4 ANN architecture
+        ),
+        Workload(
+            # the serving half of the same architecture: identical
+            # output (and oracle), but scored from the materialized
+            # partitionBy(cell) codes layout — benched side-by-side
+            # with the inline build path above (r04 verdict item 4)
+            "pipe_ann_ivfpq_serve",
+            _wl_ivfpq_serve,
+            oracle_ivfpq_topk(),
+            True,
         ),
     ]
 

@@ -247,6 +247,55 @@ def test_ivf_layout_serving_matches_inline_and_prunes(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_ivfpq_layout_serving_matches_inline_and_prunes(spark, tmp_path):
+    """write_ivfpq_layout + ivfpq_topk_from_layout ≡ the inline
+    ivfpq_topk (same codebooks, residual encode, ADC scoring and
+    tie-breaks), the serving scan prunes to the probed cell
+    DIRECTORIES of the codes table (PartitionFilters), and every
+    collect() issued while building the serving plan is bounded by
+    max(|centroids|, ks) rows — never by |queries| or the corpus."""
+    from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
+        IVF_CENTROID_IDS,
+        N_QUERIES,
+        PQ_KS,
+        ivfpq_topk,
+        ivfpq_topk_from_layout,
+        write_ivfpq_layout,
+    )
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, SF_DIR)
+    emb = spark.table("embeddings")
+    path = str(tmp_path / "ivfpq_layout")
+    write_ivfpq_layout(emb, path)
+
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    collect_sizes: list[int] = []
+    _DF = type(emb)
+    orig_collect = _DF.collect
+
+    def spy(self):
+        rows = orig_collect(self)
+        collect_sizes.append(len(rows))
+        return rows
+
+    _DF.collect = spy
+    try:
+        served = ivfpq_topk_from_layout(spark, path, queries)
+    finally:
+        _DF.collect = orig_collect
+    assert collect_sizes, "expected the metadata-scale collects to run"
+    assert max(collect_sizes) <= max(len(IVF_CENTROID_IDS), PQ_KS), collect_sizes
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    assert _re.search(r"PartitionFilters: \[[^\]]*cell", plan), plan
+    got = sorted(tuple(r) for r in served.collect())
+    want = sorted(tuple(r) for r in ivfpq_topk(emb).collect())
+    assert got == want and len(got) > 0
+
+
 def test_nearest_cells_join_strategy_matches_unroll(spark):
     """_nearest_cells' two strategies (unrolled projection vs broadcast
     centroid dim table) are bit-identical, and the join form carries
