@@ -1021,6 +1021,10 @@ def _wl_bpe_apply(spark, sf_dir):
     return textops.bpe_apply(_docs(spark, sf_dir))
 
 
+def _wl_bpe_train_batched(spark, sf_dir):
+    return textops.bpe_train_batched(_docs(spark, sf_dir))
+
+
 ASSEMBLY_MIN_CHARS = 200
 
 
@@ -2026,6 +2030,12 @@ def pipeline_workloads():
             False,
         ),
         ("pipe_bpe_train", _wl_bpe_train, textops.ORACLE_BPE_TRAIN, False),
+        (
+            "pipe_bpe_train_batched",
+            _wl_bpe_train_batched,
+            textops.ORACLE_BPE_TRAIN_BATCHED,
+            False,
+        ),
         ("pipe_bpe_apply", _wl_bpe_apply, textops.ORACLE_BPE_APPLY, False),
         ("pipe_example_assembly", _wl_example_assembly, ORACLE_ASSEMBLY, False),
         ("pipe_decontaminate", _wl_decontaminate, ORACLE_DECON, False),

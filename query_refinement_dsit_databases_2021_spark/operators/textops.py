@@ -949,6 +949,174 @@ v{r} AS MATERIALIZED (
 ORACLE_BPE_TRAIN = _bpe_oracle()
 
 
+# batched BPE defaults: 2 rounds of up to 4 merges each — small enough
+# for the differential gate, large enough to exercise the disjointness
+# filter on real text
+BPE_BATCH_ROUNDS = 2
+BPE_BATCH_P = 4
+
+
+def bpe_train_batched(
+    docs: DataFrame,
+    rounds: int = BPE_BATCH_ROUNDS,
+    merges_per_round: int = BPE_BATCH_P,
+) -> DataFrame:
+    """BPE training with ``merges_per_round`` merges applied per Spark
+    round — the scale-safe form of :func:`bpe_train`, whose one-job-
+    one-collect-per-merge loop means a real 32k-merge vocabulary is 32k
+    sequential jobs. Here each round is still ONE pair-count job + ONE
+    p-row collect, but applies up to p merges, so the job count drops
+    to ~vocab/p.
+
+    Batch rule (exactness within the batch, documented divergence
+    across it): the round's top-p pairs are ranked (count DESC, pair
+    lexicographic); pair i is SELECTED iff its symbol set
+    ``{pa, pb, pa||pb}`` is disjoint from the symbol sets of ALL
+    higher-ranked pairs in the batch (selected or not — an order-free
+    predicate both engines evaluate identically). Disjoint symbols make
+    the replaces commutative and non-interfering, so applying the
+    selected merges in rank order equals applying them one-per-round
+    against the start-of-round vocabulary, and each recorded ``cnt`` is
+    exact for that vocabulary. The divergence from strict sequential
+    BPE (Sennrich et al. 2016): a merge can create NEW pairs (x,
+    merged) whose recomputed counts could out-rank a lower batch
+    member — strict BPE would pick those first. Rank 1 is always the
+    strict argmax, and at ``merges_per_round=1`` the output equals
+    :func:`bpe_train` exactly (pinned by a test).
+
+    Returns the merge table ``(round, pair_a, pair_b, merged, cnt)``
+    with ``round`` the GLOBAL merge index in (batch, rank) order —
+    the same schema/ordering contract as :func:`bpe_train`."""
+    spark = docs.sparkSession
+    p = max(1, int(merges_per_round))
+    vocab = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.concat(
+                F.lit(" "),
+                F.array_join(F.split(F.col("word"), ""), " "),
+                F.lit(" "),
+            ).alias("w"),
+            "cnt",
+        )
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for _r in range(1, int(rounds) + 1):
+        arr = F.split(F.trim(F.col("w")), " ")
+        n = F.size(arr)
+        idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        pairs = (
+            vocab.select(arr.alias("arr"), idx.alias("idx"), "cnt")
+            .select(F.explode("idx").alias("i"), "arr", "cnt")
+            .select(
+                F.element_at("arr", F.col("i")).alias("pa"),
+                F.element_at("arr", F.col("i") + 1).alias("pb"),
+                "cnt",
+            )
+            .groupBy("pa", "pb")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        # ONE p-row collect per round (vs one per merge)
+        top = pairs.orderBy(F.desc("c"), "pa", "pb").limit(p).collect()
+        if not top:
+            break
+        batch: list[tuple[str, str, int]] = []
+        for i, row in enumerate(top):
+            pa, pb, c = str(row["pa"]), str(row["pb"]), int(row["c"])
+            syms = {pa, pb, pa + pb}
+            if all(
+                syms.isdisjoint(
+                    {str(q["pa"]), str(q["pb"]), str(q["pa"]) + str(q["pb"])}
+                )
+                for q in top[:i]
+            ):
+                batch.append((pa, pb, c))
+        # rank 1 has no higher-ranked pairs, so batch is never empty
+        expr = "w"
+        for pa, pb, c in batch:
+            merges.append((len(merges) + 1, pa, pb, pa + pb, c))
+            expr = (
+                "replace({e}, ' ' || {pa} || ' ' || {pb} || ' ', "
+                "' ' || {pa} || {pb} || ' ')".format(
+                    e=expr, pa=_sql_str(pa), pb=_sql_str(pb)
+                )
+            )
+        vocab = vocab.select(F.expr(expr).alias("w"), "cnt").localCheckpoint()
+    return spark.createDataFrame(
+        merges, "round long, pair_a string, pair_b string, merged string, cnt long"
+    )
+
+
+def _bpe_batched_oracle(
+    rounds: int = BPE_BATCH_ROUNDS, p: int = BPE_BATCH_P
+) -> str:
+    """DuckDB mirror of :func:`bpe_train_batched`: per round the ranked
+    top-p CTE, the order-free NOT-EXISTS disjointness filter, and the
+    selected merges applied as a chain of per-rank ``coalesce(replace)``
+    steps (a scalar subquery per rank; an unselected rank's subquery is
+    empty -> NULL -> coalesce keeps the vocabulary unchanged)."""
+    parts = [
+        """words AS (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+  WHERE w <> '' GROUP BY w)""",
+        """v0_0 AS MATERIALIZED (
+  SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS w, cnt
+  FROM words)""",
+    ]
+    for r in range(1, int(rounds) + 1):
+        prev = f"v{r - 1}_{p}" if r > 1 else "v0_0"
+        parts.append(
+            f"""p{r} AS (
+  SELECT arr[i] AS pa, arr[i + 1] AS pb, CAST(sum(cnt) AS BIGINT) AS c
+  FROM (SELECT string_split(trim(w), ' ') AS arr, cnt FROM {prev}) t,
+       unnest(range(1, len(arr))) u(i)
+  GROUP BY 1, 2),
+r{r} AS (
+  SELECT * FROM (
+    SELECT pa, pb, c, row_number() OVER (ORDER BY c DESC, pa, pb) AS rn
+    FROM p{r}) t WHERE rn <= {p}),
+sel{r} AS MATERIALIZED (
+  SELECT i.rn, i.pa, i.pb, i.c FROM r{r} i
+  WHERE NOT EXISTS (
+    SELECT 1 FROM r{r} j WHERE j.rn < i.rn AND (
+      i.pa IN (j.pa, j.pb, j.pa || j.pb) OR
+      i.pb IN (j.pa, j.pb, j.pa || j.pb) OR
+      i.pa || i.pb IN (j.pa, j.pb, j.pa || j.pb))))"""
+        )
+        step_prev = prev
+        for i in range(1, int(p) + 1):
+            parts.append(
+                f"""v{r}_{i} AS MATERIALIZED (
+  SELECT coalesce(replace(w,
+      (SELECT ' ' || pa || ' ' || pb || ' ' FROM sel{r} WHERE rn = {i}),
+      (SELECT ' ' || pa || pb || ' ' FROM sel{r} WHERE rn = {i})), w) AS w,
+    cnt
+  FROM {step_prev})"""
+            )
+            step_prev = f"v{r}_{i}"
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {r} AS r, rn, pa, pb, c FROM sel{r}"
+        for r in range(1, int(rounds) + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT row_number() OVER (ORDER BY r, rn) AS round,
+       pa AS pair_a, pb AS pair_b, pa || pb AS merged, c AS cnt
+FROM (\n{finals}\n) u ORDER BY round"""
+    )
+
+
+ORACLE_BPE_TRAIN_BATCHED = _bpe_batched_oracle()
+
+
 def bpe_apply(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
     """Tokenize with the merges :func:`bpe_train` learns — the apply
     side of the pair. The merge rounds run on the (word, symbols)

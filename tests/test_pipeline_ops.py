@@ -718,6 +718,53 @@ def test_bpe_train_matches_python_reference(spark):
     assert any(m[1] == m[2] == "a" for m in got)
 
 
+def test_bpe_train_batched_p1_equals_sequential(spark):
+    """merges_per_round=1 degenerates to exactly bpe_train: each round's
+    batch is the single strict argmax, so the merge tables are equal
+    row-for-row (round numbering included)."""
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        bpe_train,
+        bpe_train_batched,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low lower lower newest newest newest"),
+            (2, "wider wider aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa"),
+        ],
+        "doc_id long, text string",
+    )
+    seq = [tuple(r) for r in bpe_train(docs, rounds=4).collect()]
+    bat = [
+        tuple(r)
+        for r in bpe_train_batched(docs, rounds=4, merges_per_round=1).collect()
+    ]
+    assert bat == seq and len(bat) == 4
+
+
+def test_bpe_train_batched_disjointness_filter(spark):
+    """The batch keeps only pairs symbol-disjoint from ALL higher-ranked
+    batch members, each selected merge's cnt is exact for the start-of-
+    round vocabulary, and the applied result feeds the next round. With
+    'ababab'-style words, rank-1 (a,b) excludes (b,a) (shares both
+    symbols) but admits a disjoint (c,d) pair."""
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        bpe_train_batched,
+    )
+
+    # 'abab' x3 -> (a,b) cnt 6, (b,a) cnt 3; 'cd' x2 -> (c,d) cnt 2
+    docs = spark.createDataFrame(
+        [(1, "abab abab abab cd cd")],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["round"], r["pair_a"], r["pair_b"], r["cnt"])
+        for r in bpe_train_batched(docs, rounds=1, merges_per_round=3).collect()
+    ]
+    # ranked: (a,b) 6, (b,a) 3 [rejected: shares a+b], (c,d) 2 [kept]
+    assert got == [(1, "a", "b", 6), (2, "c", "d", 2)]
+
+
 def test_example_assembly_requires_all_modalities(spark):
     from query_refinement_dsit_databases_2021_spark.operators.pipelines import (
         example_assembly,
