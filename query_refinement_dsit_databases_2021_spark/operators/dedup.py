@@ -994,3 +994,55 @@ def passage_dedup(docs: DataFrame, passage_tokens: int = PASSAGE_TOKENS) -> Data
         .where(F.col("n_dup_passages") >= 1)
         .orderBy("doc_id")
     )
+
+
+# blocked edit-distance defaults: compare the first EDIT_PREFIX chars,
+# block on the first token, report pairs within EDIT_MAX_DIST
+EDIT_PREFIX = 48
+EDIT_MAX_DIST = 24
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    prefix_len: int = EDIT_PREFIX,
+    max_dist: int = EDIT_MAX_DIST,
+) -> DataFrame:
+    """Blocked Levenshtein near-dup pairs — the fifth dedup family
+    next to MinHash/SimHash/Jaccard/winnowing: EXACT edit distance,
+    but only within candidate blocks, never all-pairs.
+
+    Blocking key = the first whitespace token of the lowercased
+    ``prefix_len``-char prefix (record-linkage-style blocking: near
+    duplicates overwhelmingly share their opening token; a swapped or
+    edited head is the recall the hash families already cover). The
+    distance itself is JVM-side ``levenshtein`` over the prefixes —
+    an integer both engines compute identically, no Python, no floats.
+
+    Scale shape: ONE self-equi-join on the block key, candidate count
+    bounded by block sizes exactly like the LSH band join; a skewed
+    block (every doc starting with "the") is the same pathology as a
+    stop-shingle and takes the same cap/salt treatment
+    (``ngram_jaccard_capped``). Returns ``(a_id, b_id, dist)``,
+    ``a_id < b_id``, ``dist <= max_dist``, ordered.
+    """
+    base = docs.select(
+        "doc_id",
+        F.substring(F.lower(F.col("text")), 1, int(prefix_len)).alias("p"),
+    ).withColumn("blk", F.substring_index(F.col("p"), " ", 1))
+    a = base.select(
+        F.col("doc_id").alias("a_id"), F.col("p").alias("pa"), "blk"
+    )
+    b = base.select(
+        F.col("doc_id").alias("b_id"), F.col("p").alias("pb"), "blk"
+    )
+    return (
+        a.join(b, "blk")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.levenshtein("pa", "pb").cast("long").alias("dist"),
+        )
+        .where(F.col("dist") <= int(max_dist))
+        .orderBy("a_id", "b_id")
+    )

@@ -1211,6 +1211,96 @@ def _wl_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return copurchase_projection(spark.table("lineitem"))
 
 
+def association_rules(lineitem: DataFrame, top_k: int = 20) -> DataFrame:
+    """Market-basket association rules over the co-purchase pairs —
+    support / confidence / lift as integer ppm, the recommender-and-
+    curation readout on top of :func:`copurchase_projection`'s
+    substrate (pair counts reuse the same in-row basket enumeration:
+    two map-combinable shuffles, zero self-joins on the fact table).
+
+    Determinism/overflow contract: every score is a chain of int64
+    floor divisions — ``support_ppm = 1e6·n_ab div n_orders``,
+    ``conf_ab_ppm = 1e6·n_ab div n_a`` (and the b→a mirror), and
+    ``lift_ppm = (conf_ab_ppm · n_orders) div n_b`` — the NESTED form
+    is the contract (exact lift up to the inner floor) because it
+    keeps every intermediate ≤ 1e6·max(n) and so inside int64 at any
+    corpus size, where the textbook single-expression form
+    ``1e6·n_ab·n_orders / (n_a·n_b)`` needs 128-bit. Item counts join
+    the pair table by key (dim-sized sides); the order count is a
+    broadcast scalar. Returns the ``top_k`` rules by
+    (lift_ppm DESC, pa, pb) — a total order since (pa, pb) is unique.
+    """
+    base = (
+        lineitem.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    item = base.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
+    norders = base.select(
+        F.countDistinct("o").cast("long").alias("n_orders")
+    )
+    baskets = base.groupBy("o").agg(F.array_sort(F.collect_set("p")).alias("ps"))
+    pairs = F.flatten(
+        F.expr(
+            "transform(ps, (x, i) -> transform("
+            "slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb)))"
+        )
+    )
+    n_ab = (
+        baskets.select(F.explode(pairs).alias("pr"))
+        .select("pr.pa", "pr.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    scored = (
+        n_ab.join(
+            item.select(F.col("p").alias("pa"), F.col("n_p").alias("n_a")), "pa"
+        )
+        .join(
+            item.select(F.col("p").alias("pb"), F.col("n_p").alias("n_b")), "pb"
+        )
+        .crossJoin(F.broadcast(norders))
+        .select(
+            "pa",
+            "pb",
+            "n_ab",
+            F.expr("(1000000 * n_ab) div n_orders").alias("support_ppm"),
+            F.expr("(1000000 * n_ab) div n_a").alias("conf_ab_ppm"),
+            F.expr("(1000000 * n_ab) div n_b").alias("conf_ba_ppm"),
+            F.expr(
+                "(((1000000 * n_ab) div n_a) * n_orders) div n_b"
+            ).alias("lift_ppm"),
+        )
+    )
+    return scored.orderBy(F.desc("lift_ppm"), "pa", "pb").limit(top_k)
+
+
+def _wl_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    return association_rules(spark.table("lineitem"))
+
+
+ORACLE_ASSOC_RULES = """
+WITH base AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+no AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM base),
+item AS (SELECT p, CAST(count(*) AS BIGINT) AS n_p FROM base GROUP BY p),
+pr AS (
+  SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS n_ab
+  FROM base a JOIN base b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2)
+SELECT pa, pb, n_ab,
+       CAST((1000000 * n_ab) // n_orders AS BIGINT) AS support_ppm,
+       CAST((1000000 * n_ab) // ia.n_p AS BIGINT) AS conf_ab_ppm,
+       CAST((1000000 * n_ab) // ib.n_p AS BIGINT) AS conf_ba_ppm,
+       CAST((((1000000 * n_ab) // ia.n_p) * n_orders) // ib.n_p AS BIGINT)
+         AS lift_ppm
+FROM pr JOIN item ia ON ia.p = pr.pa JOIN item ib ON ib.p = pr.pb, no
+ORDER BY lift_ppm DESC, pa, pb LIMIT 20"""
+
+
 ORACLE_COPURCHASE = """
 WITH base AS (
   SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
@@ -1429,6 +1519,7 @@ def graph_workloads():
     return [
         Workload("graph_degree_hist", _wl_degree_hist, ORACLE_DEGREE_HIST),
         Workload("graph_copurchase", _wl_copurchase, ORACLE_COPURCHASE),
+        Workload("graph_assoc_rules", _wl_assoc_rules, ORACLE_ASSOC_RULES),
         Workload("graph_reciprocity", _wl_reciprocity, ORACLE_RECIPROCITY),
         Workload("graph_katz", _wl_katz, ORACLE_KATZ),
         Workload("graph_pagerank", _wl_pagerank, ORACLE_PAGERANK),

@@ -1025,6 +1025,26 @@ def _wl_bpe_train_batched(spark, sf_dir):
     return textops.bpe_train_batched(_docs(spark, sf_dir))
 
 
+def _wl_edit_distance(spark, sf_dir):
+    from query_refinement_dsit_databases_2021_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    return edit_distance_pairs(_docs(spark, sf_dir))
+
+
+ORACLE_EDIT_DISTANCE = """
+WITH p AS (
+  SELECT doc_id, substr(lower(text), 1, 48) AS pre,
+         string_split(substr(lower(text), 1, 48), ' ')[1] AS blk
+  FROM documents)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS dist
+FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE levenshtein(a.pre, b.pre) <= 24
+ORDER BY a_id, b_id"""
+
+
 ASSEMBLY_MIN_CHARS = 200
 
 
@@ -2037,6 +2057,12 @@ def pipeline_workloads():
             False,
         ),
         ("pipe_bpe_apply", _wl_bpe_apply, textops.ORACLE_BPE_APPLY, False),
+        (
+            "pipe_dedup_edit_distance",
+            _wl_edit_distance,
+            ORACLE_EDIT_DISTANCE,
+            False,
+        ),
         ("pipe_example_assembly", _wl_example_assembly, ORACLE_ASSEMBLY, False),
         ("pipe_decontaminate", _wl_decontaminate, ORACLE_DECON, False),
         ("pipe_scrub_pii", _wl_scrub_pii, ORACLE_SCRUB, False),

@@ -20,7 +20,6 @@ from __future__ import annotations
 
 import argparse
 import csv
-import math
 import sys
 import time
 
@@ -72,11 +71,21 @@ def main() -> int:
         shuffle_partitions=args.cpus,
     )
     spark.sparkContext.setLogLevel("ERROR")
-    rows = [
-        (i, 50.0 + 30.0 * math.sin(i / 11.0) + 10.0 * math.sin(i / 3.0))
-        for i in range(1, args.rows + 1)
-    ]
-    series = spark.createDataFrame(rows, "time_id long, y double")
+    # generate distributed (spark.range + JVM sin), NOT a driver-side
+    # python list: at --rows 20M the list is multi-GB on the driver —
+    # the exact anti-pattern the engine exists to avoid. Same formula
+    # as the original harness (values ~N(50,...)-ish sine blend).
+    from pyspark.sql import functions as F
+
+    i = F.col("id").cast("double")
+    series = spark.range(1, args.rows + 1).select(
+        F.col("id").alias("time_id"),
+        (
+            F.lit(50.0)
+            + F.lit(30.0) * F.sin(i / F.lit(11.0))
+            + F.lit(10.0) * F.sin(i / F.lit(3.0))
+        ).alias("y"),
+    )
     engine = Engine(spark)
     engine.register_series("series", series)
 

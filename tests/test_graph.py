@@ -409,3 +409,35 @@ def test_katz_star_vs_chain(spark):
     # at INIT every round, so hub = INIT + (4 * INIT) // 2
     assert got[100] == KATZ_INIT + (4 * KATZ_INIT) // 2
     assert got[11] == KATZ_INIT + KATZ_INIT // 2
+
+
+def test_association_rules_hand_baskets(spark):
+    """Hand-checked support/confidence/lift ppm: 4 orders, items A=1,
+    B=2, C=3. {A,B} x2, {A,C} x1, {A} x1 -> n_A=4, n_B=2, n_C=1,
+    n_AB=2, n_AC=1, n_orders=4."""
+    from query_refinement_dsit_databases_2021_spark.operators.graph import (
+        association_rules,
+    )
+
+    rows = [
+        (10, 1), (10, 2),
+        (20, 1), (20, 2),
+        (30, 1), (30, 3),
+        (40, 1),
+        (10, 1),  # duplicate lineitem row: DISTINCT (o, p) must absorb
+    ]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = {
+        (r["pa"], r["pb"]): (
+            r["n_ab"], r["support_ppm"], r["conf_ab_ppm"],
+            r["conf_ba_ppm"], r["lift_ppm"],
+        )
+        for r in association_rules(li).collect()
+    }
+    # (1,2): n_ab=2, support=2/4, conf_ab=2/4, conf_ba=2/2,
+    # lift = ((1e6*2 div 4) * 4) div 2 = 1_000_000
+    assert got[(1, 2)] == (2, 500000, 500000, 1000000, 1000000)
+    # (1,3): n_ab=1, support=1/4, conf_ab=1/4, conf_ba=1/1,
+    # lift = ((1e6 div 4) * 4) div 1 = 1_000_000
+    assert got[(1, 3)] == (1, 250000, 250000, 1000000, 1000000)
+    assert set(got) == {(1, 2), (1, 3)}

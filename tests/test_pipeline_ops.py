@@ -1349,3 +1349,26 @@ def test_unigram_segment_single_char_vocab_piece(spark):
     }
     assert got["q"] == (10, 1)     # piece, not the 100-cost fallback
     assert got["xq"] == (110, 2)   # char fallback + the cheap piece
+
+
+def test_edit_distance_pairs_blocking_and_distance(spark):
+    """Blocked Levenshtein: pairs only form within a first-token block,
+    the distance is over the lowercased 48-char prefix, and the
+    max_dist gate drops far pairs inside a block."""
+    from query_refinement_dsit_databases_2021_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delts"),      # dist 1 from doc 1
+            (3, "ALPHA beta gamma delta"),      # case-folds to doc 1: dist 0
+            (4, "alpha zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"),  # same block, far
+            (5, "omega beta gamma delta"),      # different block: never paired
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r["a_id"], r["b_id"]): r["dist"]
+           for r in edit_distance_pairs(docs, max_dist=3).collect()}
+    assert got == {(1, 2): 1, (1, 3): 0, (2, 3): 1}
