@@ -1305,6 +1305,116 @@ FROM truth t JOIN sketch sk ON sk.g = t.o_orderpriority
 ORDER BY t.o_orderpriority"""
 
 
+# KMV (bottom-k / k-minimum-values) sketch size — 64 hashes per group,
+# matching HLL's 64 registers so the two cardinality sketches are
+# comparable at equal state
+KMV_K = 64
+
+
+def kmv_distinct(stream: DataFrame, key: str, grp: str, k: int = KMV_K) -> DataFrame:
+    """KMV (bottom-k) distinct-count sketch — the ORDER-STATISTIC
+    cardinality estimator next to :func:`hll_distinct`'s register
+    form, sharing the exact same engine-portable mod-prime hash so
+    both sketches see identical hash streams. Estimate: with ``h_k``
+    the k-th smallest DISTINCT hash over a domain of ``HLL_P`` values,
+    ``D̂ = (k−1)·P div h_k`` — all-integer ((k−1)·P < 2^37, one int64
+    floor division), no float anywhere. A group with fewer than k
+    distinct hashes keeps them all and the estimate is EXACT (= the
+    kept count) — the sketch degrades to exact counting below its
+    capacity, which HLL cannot do (its small-range correction needs a
+    non-portable ``ln``).
+
+    Scale/mergeability: the per-group STATE is k int64s, and the
+    bottom-k of a union is the bottom-k of the combined bottom-k sets
+    — shard sketches merge without rescanning (pinned by the merge
+    unit test). The build here is one exchange of distinct (grp, hash)
+    pairs + a per-group rank window; at 100 TB the incremental form
+    keeps standing per-shard bottom-k arrays and merges them,
+    shard-sized work per ingest.
+
+    Returns ``(g, n_kept, est)`` — one row per group.
+    """
+    h1 = f"(({key} * {HLL_MUL}L + {HLL_ADD}L) % {HLL_P}L)"
+    h2 = (
+        f"(({h1} * {h1}) % {HLL_P}L + ({HLL_MUL2}L * {h1}) % {HLL_P}L"
+        f" + {HLL_ADD2}L) % {HLL_P}L"
+    )
+    hashed = stream.select(F.col(grp).alias("g"), F.expr(h2).alias("h")).distinct()
+    w = Window.partitionBy("g").orderBy("h")
+    bottom = hashed.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= int(k)
+    )
+    return (
+        bottom.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("hk"))
+        .select(
+            "g",
+            "n_kept",
+            F.when(F.col("n_kept") < int(k), F.col("n_kept"))
+            .otherwise(F.expr(f"(({int(k)} - 1) * {HLL_P}L) div hk"))
+            .cast("long")
+            .alias("est"),
+        )
+    )
+
+
+def _wl_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    orders = spark.table("orders")
+    est = kmv_distinct(orders, "o_custkey", "o_orderpriority")
+    truth = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("true_distinct")
+    )
+    rel = (F.col("est") - F.col("true_distinct")) * F.lit(1000000.0) / F.col(
+        "true_distinct"
+    )
+    return (
+        est.join(truth, F.col("g") == F.col("o_orderpriority"))
+        .select(
+            "o_orderpriority",
+            "true_distinct",
+            "est",
+            "n_kept",
+            (F.floor(rel + F.lit(0.5)) / F.lit(1000000.0)).alias("rel_err"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_KMV = f"""
+WITH hashed AS (
+  SELECT DISTINCT o_orderpriority AS g,
+         ((h1 * h1) % {HLL_P} + ({HLL_MUL2} * h1) % {HLL_P}
+          + {HLL_ADD2}) % {HLL_P} AS h
+  FROM (SELECT o_orderpriority,
+               (o_custkey * {HLL_MUL} + {HLL_ADD}) % {HLL_P} AS h1
+        FROM orders)),
+bottom AS (
+  SELECT g, h FROM (
+    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn
+    FROM hashed) t WHERE rn <= {KMV_K}),
+sketch AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_kept, max(h) AS hk
+  FROM bottom GROUP BY g),
+est AS (
+  SELECT g, n_kept,
+         CAST(CASE WHEN n_kept < {KMV_K} THEN n_kept
+              ELSE (({KMV_K} - 1)::BIGINT * {HLL_P}::BIGINT) // hk
+              END AS BIGINT) AS est
+  FROM sketch),
+truth AS (
+  SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT)
+           AS true_distinct
+  FROM orders GROUP BY 1)
+SELECT t.o_orderpriority, t.true_distinct, e.est, e.n_kept,
+       floor((e.est - t.true_distinct) * 1000000.0 / t.true_distinct + 0.5)
+         / 1000000.0 AS rel_err
+FROM truth t JOIN est e ON e.g = t.o_orderpriority
+ORDER BY t.o_orderpriority"""
+
+
 RL_BAL_CENTS = 10_000  # account balances within $100 agree
 RL_MATCH_AT = 3  # blocking survivors with score >= this are matches
 
@@ -1742,6 +1852,7 @@ def scale_workloads():
         Workload("ops_countmin_est", _wl_countmin, ORACLE_COUNTMIN),
         Workload("ops_distribution_drift", _wl_drift, ORACLE_DRIFT),
         Workload("ops_hll_distinct", _wl_hll, ORACLE_HLL),
+        Workload("ops_kmv_distinct", _wl_kmv, ORACLE_KMV),
         Workload(
             "ops_record_linkage", _wl_record_linkage, ORACLE_RECORD_LINKAGE
         ),

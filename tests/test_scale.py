@@ -669,3 +669,42 @@ def test_slo_burn_rate_threshold(spark):
     assert (hot["n_events"], hot["n_errors"], hot["paging"]) == (40, 20, 1)
     assert hot["burn_ppm"] == 20 * 10**12 // (40 * SLO_BUDGET_PPM)
     assert (quiet["n_errors"], quiet["paging"]) == (1, 0)
+
+
+def test_kmv_distinct_exact_below_capacity_and_mergeable(spark):
+    """KMV contract: (1) a group with < k distinct keys reports the
+    EXACT count; (2) above capacity the estimate is the closed form
+    (k-1)*P div h_k replayed in Python on the same hash; (3) the
+    sketch is mergeable — bottom-k over shard-A ∪ shard-B equals the
+    bottom-k of the union of the shard bottom-k sets."""
+    from query_refinement_dsit_databases_2021_spark.operators.scale import (
+        HLL_ADD,
+        HLL_ADD2,
+        HLL_MUL,
+        HLL_MUL2,
+        HLL_P,
+        kmv_distinct,
+    )
+
+    def h(key):
+        h1 = (key * HLL_MUL + HLL_ADD) % HLL_P
+        return ((h1 * h1) % HLL_P + (HLL_MUL2 * h1) % HLL_P + HLL_ADD2) % HLL_P
+
+    # group 'small': 5 distinct keys (< k) -> exact; group 'big': 300
+    rows = [(k, "small") for k in range(5)] * 3
+    rows += [(1000 + k, "big") for k in range(300)]
+    df = spark.createDataFrame(rows, "key long, g string")
+    got = {r["g"]: (r["n_kept"], r["est"])
+           for r in kmv_distinct(df, "key", "g", k=64).collect()}
+    assert got["small"] == (5, 5)
+    hashes = sorted({h(1000 + k) for k in range(300)})
+    hk = hashes[63]
+    assert got["big"] == (64, (63 * HLL_P) // hk)
+    # estimate within 35% of truth at k=64 (statistical sanity)
+    assert abs(got["big"][1] - 300) / 300 < 0.35
+
+    # mergeability: shard bottom-64 sets union -> same bottom-64
+    shard_a = sorted({h(1000 + k) for k in range(150)})[:64]
+    shard_b = sorted({h(1000 + k) for k in range(150, 300)})[:64]
+    merged = sorted(set(shard_a) | set(shard_b))[:64]
+    assert merged == hashes[:64]
