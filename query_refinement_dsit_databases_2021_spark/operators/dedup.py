@@ -32,6 +32,8 @@ from pyspark.sql import functions as F
 
 from query_refinement_dsit_databases_2021_spark.operators.textops import (
     HASH_P,
+    SHINGLE_K,
+    gram_array,
     lcg_a,
     lcg_b,
     rolling_hash,
@@ -1045,4 +1047,70 @@ def edit_distance_pairs(
         )
         .where(F.col("dist") <= int(max_dist))
         .orderBy("a_id", "b_id")
+    )
+
+
+def source_overlap_matrix(docs: DataFrame, top_k: int = 20) -> DataFrame:
+    """Cross-source contamination matrix at shingle granularity: for
+    every source pair, the Jaccard overlap of their DISTINCT shingle
+    sets — the "are two crawls/feeds substantially the same corpus"
+    audit that runs BEFORE pairwise doc dedup is worth its cost (two
+    sources with ppm-level overlap need no cross-source near-dup pass;
+    near-identical ones need a merge decision instead).
+
+    Scale shape: one distinct (source, shingle) aggregation, one
+    per-shingle source-set collect bounded by |sources| (a dim-sized
+    array per row — never a posting self-join), in-row pair
+    enumeration, one pair agg. ``overlap_ppm = 1e6·shared div
+    (n_a + n_b − shared)``, all-int64.
+
+    Returns the ``top_k`` pairs by (overlap_ppm DESC, sa, sb).
+    """
+    base = docs.select("source", tokens(F.col("text")).alias("ws"))
+    per = (
+        base.select(
+            "source",
+            F.explode(
+                F.array_distinct(gram_array(F.col("ws"), SHINGLE_K))
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    sizes = per.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    sets = (
+        per.groupBy("s")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
+        .where(F.size("ss") >= 2)
+    )
+    pairs = F.flatten(
+        F.expr(
+            "transform(ss, (x, i) -> transform("
+            "slice(ss, i + 2, size(ss)), y -> struct(x AS sa, y AS sb)))"
+        )
+    )
+    shared = (
+        sets.select(F.explode(pairs).alias("p"))
+        .select("p.sa", "p.sb")
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(
+            sizes.select(F.col("source").alias("sa"), F.col("n_sh").alias("n_a")),
+            "sa",
+        )
+        .join(
+            sizes.select(F.col("source").alias("sb"), F.col("n_sh").alias("n_b")),
+            "sb",
+        )
+        .select(
+            "sa",
+            "sb",
+            "shared",
+            F.expr("(1000000 * shared) div (n_a + n_b - shared)").alias(
+                "overlap_ppm"
+            ),
+        )
+        .orderBy(F.desc("overlap_ppm"), "sa", "sb")
+        .limit(top_k)
     )

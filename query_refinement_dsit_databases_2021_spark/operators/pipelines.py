@@ -1033,6 +1033,18 @@ def _wl_edit_distance(spark, sf_dir):
     return edit_distance_pairs(_docs(spark, sf_dir))
 
 
+def _wl_source_overlap(spark, sf_dir):
+    from query_refinement_dsit_databases_2021_spark.operators.dedup import (
+        source_overlap_matrix,
+    )
+
+    return source_overlap_matrix(_docs(spark, sf_dir))
+
+
+def _wl_ctfidf(spark, sf_dir):
+    return textops.class_tfidf_terms(_docs(spark, sf_dir))
+
+
 ORACLE_EDIT_DISTANCE = """
 WITH p AS (
   SELECT doc_id, substr(lower(text), 1, 48) AS pre,
@@ -1043,6 +1055,26 @@ SELECT a.doc_id AS a_id, b.doc_id AS b_id,
 FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id
 WHERE levenshtein(a.pre, b.pre) <= 24
 ORDER BY a_id, b_id"""
+
+
+ORACLE_SOURCE_OVERLAP = """
+WITH tok AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+per AS (
+  SELECT DISTINCT source, ws[i] || '|' || ws[i + 1] || '|' || ws[i + 2] AS s
+  FROM tok, unnest(range(1, greatest(len(ws) - 1, 1))) u(i)),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sh
+          FROM per GROUP BY source),
+shared AS (
+  SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS shared
+  FROM per a JOIN per b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT sa, sb, shared,
+       CAST((1000000 * shared) // (na.n_sh + nb.n_sh - shared) AS BIGINT)
+         AS overlap_ppm
+FROM shared
+JOIN sizes na ON na.source = sa
+JOIN sizes nb ON nb.source = sb
+ORDER BY overlap_ppm DESC, sa, sb LIMIT 20"""
 
 
 ASSEMBLY_MIN_CHARS = 200
@@ -2063,6 +2095,13 @@ def pipeline_workloads():
             ORACLE_EDIT_DISTANCE,
             False,
         ),
+        (
+            "pipe_source_overlap",
+            _wl_source_overlap,
+            ORACLE_SOURCE_OVERLAP,
+            False,
+        ),
+        ("pipe_ctfidf_terms", _wl_ctfidf, textops.ORACLE_CTFIDF, False),
         ("pipe_example_assembly", _wl_example_assembly, ORACLE_ASSEMBLY, False),
         ("pipe_decontaminate", _wl_decontaminate, ORACLE_DECON, False),
         ("pipe_scrub_pii", _wl_scrub_pii, ORACLE_SCRUB, False),

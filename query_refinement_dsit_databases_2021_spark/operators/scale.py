@@ -24,6 +24,9 @@ results are replay-stable and oracle-checkable.
 
 from __future__ import annotations
 
+import functools
+import operator
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1415,6 +1418,85 @@ FROM truth t JOIN est e ON e.g = t.o_orderpriority
 ORDER BY t.o_orderpriority"""
 
 
+EQUIDEPTH_BUCKETS = 8
+
+
+def equidepth_hist(
+    df: DataFrame, value_col: str, n_buckets: int = EQUIDEPTH_BUCKETS
+) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram WITHOUT a global sort —
+    the depth companion of :func:`value_histogram`'s equi-width form
+    and the ANALYZE statistic optimizers actually want for skewed
+    columns. The n−1 inner boundaries come from ONE
+    ``percentile_disc`` aggregate (the certified cross-engine index
+    convention, `ts_percentiles`), broadcast back as a 1-row dim;
+    bucket id = 1 + count of boundaries strictly below the value.
+    Ties sit in the LOWER bucket (values equal to a boundary do not
+    split), so duplicate-heavy columns yield uneven depths — the
+    deterministic discrete semantics, vs a true equal split that
+    would have to break ties arbitrarily. The global-ntile form this
+    replaces is exactly the sort this avoids.
+
+    Plan: one map-combinable percentile aggregate + one broadcast
+    (1-row) join + one hash agg. Returns ``(bucket, n, lo, hi)``.
+    """
+    n = int(n_buckets)
+    v = F.col(value_col)
+    bounds = df.agg(
+        *[
+            F.expr(
+                f"percentile_disc({i / n!r}) WITHIN GROUP (ORDER BY {value_col})"
+            ).alias(f"_b{i}")
+            for i in range(1, n)
+        ]
+    )
+    over = functools.reduce(
+        operator.add,
+        [(v > F.col(f"_b{i}")).cast("int") for i in range(1, n)],
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .select((F.lit(1) + over).cast("long").alias("bucket"), v.alias("v"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _wl_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    cents = spark.table("orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("price_cents")
+    )
+    return equidepth_hist(cents, "price_cents")
+
+
+ORACLE_EQUIDEPTH = f"""
+WITH cents AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v FROM orders),
+bounds AS (
+  SELECT {", ".join(
+      f"percentile_disc({i / EQUIDEPTH_BUCKETS!r}) WITHIN GROUP (ORDER BY v)"
+      f" AS b{i}" for i in range(1, EQUIDEPTH_BUCKETS))}
+  FROM cents)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+       min(v) AS lo, max(v) AS hi
+FROM (
+  SELECT CAST(1 + {" + ".join(
+      f"CASE WHEN v > b{i} THEN 1 ELSE 0 END"
+      for i in range(1, EQUIDEPTH_BUCKETS))} AS BIGINT) AS bucket, v
+  FROM cents, bounds)
+GROUP BY bucket ORDER BY bucket"""
+
+
 RL_BAL_CENTS = 10_000  # account balances within $100 agree
 RL_MATCH_AT = 3  # blocking survivors with score >= this are matches
 
@@ -1853,6 +1935,7 @@ def scale_workloads():
         Workload("ops_distribution_drift", _wl_drift, ORACLE_DRIFT),
         Workload("ops_hll_distinct", _wl_hll, ORACLE_HLL),
         Workload("ops_kmv_distinct", _wl_kmv, ORACLE_KMV),
+        Workload("ops_equidepth_hist", _wl_equidepth, ORACLE_EQUIDEPTH),
         Workload(
             "ops_record_linkage", _wl_record_linkage, ORACLE_RECORD_LINKAGE
         ),

@@ -1958,3 +1958,83 @@ shard_stats AS (
 SELECT f.term, f.tf, f.df, coalesce(s.stf, 0) AS shard_tf
 FROM full_stats f LEFT JOIN shard_stats s USING (term)
 ORDER BY f.term"""
+
+
+CTFIDF_TOP_N = 5
+
+
+def class_tfidf_terms(
+    docs: DataFrame, class_col: str = "source", top_n: int = CTFIDF_TOP_N
+) -> DataFrame:
+    """Class-based TF-IDF (the c-TF-IDF readout BERTopic popularized:
+    what characterizes THIS class of documents against the rest) in a
+    log-free all-integer form, since ``ln`` is not bit-portable across
+    engines (the DSIR linearization precedent): per class c and term t,
+
+        ``score_ppm = ((1e6·tf_{t,c}) div tok_c) · n_classes div cf_t``
+
+    — the term's share of the class's token mass, boosted by class
+    rarity (cf = number of classes containing t). The NESTED floor-div
+    form is the overflow contract shared with ``association_rules``:
+    every intermediate stays ≤ 1e6·n_classes, inside int64 at any
+    corpus size. Ties rank by (score DESC, tf DESC, term ASC) — total.
+
+    Plan: two map-combinable token aggregations (per-(class, term),
+    per-class), one vocabulary-sized class-frequency agg, key-joins
+    only, the class count a broadcast scalar. Returns the top-n terms
+    per class: ``(cls, rnk, term, tf, score_ppm)``.
+    """
+    toks = docs.select(
+        F.col(class_col).alias("cls"),
+        F.explode(tokens(F.col("text"))).alias("term"),
+    ).where(F.length("term") > 0)
+    tf = toks.groupBy("cls", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tokc = toks.groupBy("cls").agg(F.count(F.lit(1)).alias("tok_c"))
+    cf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("cf"))
+    ncls = toks.select(F.countDistinct("cls").cast("long").alias("n_classes"))
+    scored = (
+        tf.join(tokc, "cls")
+        .join(cf, "term")
+        .crossJoin(F.broadcast(ncls))
+        .select(
+            "cls",
+            "term",
+            "tf",
+            F.expr(
+                "(((1000000 * tf) div tok_c) * n_classes) div cf"
+            ).alias("score_ppm"),
+        )
+    )
+    w = Window.partitionBy("cls").orderBy(
+        F.desc("score_ppm"), F.desc("tf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= int(top_n))
+        .select("cls", "rnk", "term", "tf", "score_ppm")
+        .orderBy("cls", "rnk")
+    )
+
+
+ORACLE_CTFIDF = f"""
+WITH toks AS (
+  SELECT source AS cls, t AS term
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''),
+tf AS (SELECT cls, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks GROUP BY 1, 2),
+tokc AS (SELECT cls, CAST(count(*) AS BIGINT) AS tok_c
+         FROM toks GROUP BY 1),
+cf AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM tf GROUP BY 1),
+ncls AS (SELECT CAST(count(DISTINCT cls) AS BIGINT) AS n_classes FROM toks),
+scored AS (
+  SELECT tf.cls, tf.term, tf.tf,
+         CAST((((1000000 * tf.tf) // tokc.tok_c) * n_classes) // cf.cf
+              AS BIGINT) AS score_ppm
+  FROM tf JOIN tokc USING (cls) JOIN cf USING (term), ncls)
+SELECT cls, rnk, term, tf, score_ppm FROM (
+  SELECT cls, term, tf, score_ppm,
+         row_number() OVER (PARTITION BY cls
+             ORDER BY score_ppm DESC, tf DESC, term)::BIGINT AS rnk
+  FROM scored)
+WHERE rnk <= {CTFIDF_TOP_N} ORDER BY cls, rnk"""

@@ -1372,3 +1372,46 @@ def test_edit_distance_pairs_blocking_and_distance(spark):
     got = {(r["a_id"], r["b_id"]): r["dist"]
            for r in edit_distance_pairs(docs, max_dist=3).collect()}
     assert got == {(1, 2): 1, (1, 3): 0, (2, 3): 1}
+
+
+def test_source_overlap_matrix_hand_values(spark):
+    """Two sources sharing half their shingles, one disjoint source.
+    s1: 'a b c d' -> shingles {a|b|c, b|c|d}; s2: 'a b c e' ->
+    {a|b|c, b|c|e}; s3 disjoint. (s1,s2): shared=1, union=3 ->
+    333333 ppm; s3 pairs never appear (no shared shingle)."""
+    from query_refinement_dsit_databases_2021_spark.operators.dedup import (
+        source_overlap_matrix,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "s1"),
+            (2, "a b c e", "s2"),
+            (3, "x y z w", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {(r["sa"], r["sb"]): (r["shared"], r["overlap_ppm"])
+           for r in source_overlap_matrix(docs).collect()}
+    assert got == {("s1", "s2"): (1, 333333)}
+
+
+def test_class_tfidf_terms_hand_values(spark):
+    """c-TF-IDF integer form: class-exclusive terms out-rank shared
+    ones. c1: 'x x y', c2: 'y z'. n_classes=2. x: tf=2, tok_c=3,
+    cf=1 -> ((1e6*2)//3)*2//1 = 1333332. y in c1: ((1e6)//3)*2//2
+    = 333333. z: (1e6//2)*2//1 = 1000000."""
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        class_tfidf_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x x y", "c1"), (2, "y z", "c2")],
+        "doc_id long, text string, source string",
+    )
+    got = {(r["cls"], r["term"]): (r["rnk"], r["tf"], r["score_ppm"])
+           for r in class_tfidf_terms(docs).collect()}
+    assert got[("c1", "x")] == (1, 2, 1333332)
+    assert got[("c1", "y")] == (2, 1, 333333)
+    assert got[("c2", "z")] == (1, 1, 1000000)
+    assert got[("c2", "y")] == (2, 1, 500000)

@@ -708,3 +708,33 @@ def test_kmv_distinct_exact_below_capacity_and_mergeable(spark):
     shard_b = sorted({h(1000 + k) for k in range(150, 300)})[:64]
     merged = sorted(set(shard_a) | set(shard_b))[:64]
     assert merged == hashes[:64]
+
+
+def test_equidepth_hist_partitions_and_tie_semantics(spark):
+    """Equi-depth buckets partition the input exactly (sum n = rows),
+    bucket ranges are disjoint and ordered, and duplicate-heavy values
+    land in the LOWER bucket (ties never split a value across
+    buckets)."""
+    from query_refinement_dsit_databases_2021_spark.operators.scale import (
+        equidepth_hist,
+    )
+
+    # 16 distinct values -> 8 buckets of exactly 2
+    df = spark.createDataFrame([(v,) for v in range(1, 17)], "v long")
+    got = [(r["bucket"], r["n"], r["lo"], r["hi"])
+           for r in equidepth_hist(df, "v").collect()]
+    assert [g[0] for g in got] == list(range(1, 9))
+    assert all(g[1] == 2 for g in got)
+    assert got[0][2] == 1 and got[-1][3] == 16
+    for (b1, _, _, hi1), (b2, _, lo2, _) in zip(got, got[1:]):
+        assert hi1 < lo2
+
+    # heavy duplicates: value 5 x20 + 1..4 -> 5 never splits
+    df2 = spark.createDataFrame(
+        [(5,)] * 20 + [(v,) for v in range(1, 5)], "v long"
+    )
+    got2 = [(r["bucket"], r["n"], r["lo"], r["hi"])
+            for r in equidepth_hist(df2, "v").collect()]
+    assert sum(g[1] for g in got2) == 24
+    fives = [g for g in got2 if g[2] <= 5 <= g[3]]
+    assert len(fives) == 1 and fives[0][1] >= 20
