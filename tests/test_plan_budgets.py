@@ -1059,3 +1059,69 @@ def test_round4g_operator_exchange_budgets(pevents, spark):
     assert "Join" not in dh, dh
     # edge-dedup + degree + bucket: three semantic groupBys, no more
     assert dh.count("Exchange hashpartitioning") <= 3, dh
+
+
+def test_round5_operator_exchange_budgets(pdocs, spark):
+    from query_refinement_dsit_databases_2021_spark.operators.dedup import (
+        edit_distance_pairs,
+        source_overlap_matrix,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.graph import (
+        association_rules,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.scale import (
+        equidepth_hist,
+        kmv_distinct,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        class_tfidf_terms,
+    )
+
+    # blocked edit distance: ONE equi-join on the block key, no NLJ
+    ep = _plan(edit_distance_pairs(pdocs))
+    assert "CartesianProduct" not in ep and "BroadcastNestedLoopJoin" not in ep
+    assert ep.count("Exchange hashpartitioning") <= 2, ep
+
+    # source overlap: two semantic aggs + keyed size joins, no posting
+    # self-join (no SMJ on the shingle column), no cartesian
+    sp = _plan(source_overlap_matrix(pdocs))
+    assert "CartesianProduct" not in sp, sp
+
+    # association rules: basket agg + pair agg + keyed item joins +
+    # ONE broadcast scalar — never a fact-table self-join
+    li = spark.createDataFrame(
+        [(i % 7, (i * 3) % 5) for i in range(60)],
+        "l_orderkey long, l_partkey long",
+    )
+    ar = _plan(association_rules(li))
+    assert "CartesianProduct" not in ar.replace(
+        "BroadcastNestedLoopJoin", ""
+    ), ar
+    # scalar broadcast is the only nested-loop site
+    assert ar.count("BroadcastNestedLoopJoin") <= 1, ar
+
+    # KMV: distinct + rank window + final agg — bounded exchanges
+    ev = spark.createDataFrame(
+        [(i, f"g{i % 3}") for i in range(90)], "key long, g string"
+    )
+    kp = _plan(kmv_distinct(ev, "key", "g"))
+    assert "Join" not in kp, kp
+    assert kp.count("Exchange hashpartitioning") <= 3, kp
+
+    # equi-depth: one percentile agg + 1-row broadcast + one hash agg;
+    # the VALUE column must never range-partition (no global data sort
+    # — the one rangepartitioning allowed is the bucket-count output
+    # orderBy over <= n_buckets aggregated rows)
+    df = spark.createDataFrame([(v,) for v in range(32)], "v long")
+    qp = _plan(equidepth_hist(df, "v"))
+    assert "rangepartitioning(v" not in qp, qp
+    assert qp.lower().count("rangepartitioning") <= 1, qp
+    assert qp.count("BroadcastNestedLoopJoin") <= 1, qp
+
+    # c-TF-IDF: token aggs + keyed joins + broadcast scalar, no
+    # cartesian beyond the 1-row class-count frame
+    cp = _plan(class_tfidf_terms(pdocs))
+    assert "CartesianProduct" not in cp.replace(
+        "BroadcastNestedLoopJoin", ""
+    ), cp
+    assert cp.count("BroadcastNestedLoopJoin") <= 1, cp
