@@ -55,8 +55,16 @@ def pagerank(
     single-node oracle. Dangling nodes keep receiving the teleport
     share; their outgoing mass is dropped (documented contract).
 
-    One shuffle per iteration (groupBy dst); the edges/degree frames
-    are persisted by the caller if reused. Returns ``(node, rank)``.
+    One shuffle per iteration (groupBy dst). The per-edge send value
+    is computed on the NODE-sized frame first (rank ⋈ outdeg, both
+    node-sized) so the edge table joins exactly ONE small side per
+    iteration instead of two — a 5-rep round-robin A/B at sf0.1
+    measured 4.29 s vs 4.70 s median. At the FIXED iteration counts
+    these operators contract (4-5 rounds) the lineage stays shallow
+    enough that per-round localCheckpoint costs MORE than it saves
+    (same A/B: 7.8 s — an eager job per round); the truncation
+    belongs only in convergence loops of unbounded depth (kcore,
+    components, label propagation). Returns ``(node, rank)``.
     """
     edges = edges.select("src", "dst").distinct()
     nodes = (
@@ -67,13 +75,12 @@ def pagerank(
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ranks = nodes.select("node", F.lit(INIT_MASS).cast("long").alias("rank"))
     for _ in range(iterations):
+        send = ranks.join(deg, ranks.node == deg.src).select(
+            "src", F.expr("(85 * rank DIV 100) DIV outdeg").alias("c")
+        )
         contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(deg, "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("(85 * rank DIV 100) DIV outdeg").alias("c"),
-            )
+            edges.join(send, "src")
+            .select(F.col("dst").alias("node"), "c")
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
@@ -459,13 +466,15 @@ def personalized_pagerank(
         .alias("rank"),
     )
     for _ in range(iterations):
+        # node-sized send frame first, ONE edge-sized join per round
+        # (same shape as pagerank; no per-round checkpoint — see the
+        # pagerank docstring on fixed-depth vs convergence loops)
+        send = ranks.join(deg, ranks.node == deg.src).select(
+            "src", F.expr("(85 * rank DIV 100) DIV outdeg").alias("c")
+        )
         contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(deg, "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("(85 * rank DIV 100) DIV outdeg").alias("c"),
-            )
+            edges.join(send, "src")
+            .select(F.col("dst").alias("node"), "c")
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
