@@ -366,6 +366,121 @@ WINDOW w AS (PARTITION BY event_type ORDER BY day
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 """
 
+EWMA_FAST_ALPHA = 0.5
+EWMA_SLOW_ALPHA = 0.125
+
+
+def ewma_crossover(
+    events: DataFrame,
+    ts: str = "ts",
+    key: str = "event_type",
+    value: str = "value",
+    fast_alpha: float = EWMA_FAST_ALPHA,
+    slow_alpha: float = EWMA_SLOW_ALPHA,
+    lookback: int = 8,
+) -> DataFrame:
+    """Fast/slow EWMA crossover signal (the MACD-family trend-change
+    detector) on top of :func:`ewma`'s certified truncated-lag idiom:
+    BOTH blends come out of ONE per-key window sort (two weight chains
+    over the same lag set — no second exchange, no self-join), each
+    quantized at 6 dp with the shared floor lift, and a crossover is a
+    day whose sign(fast − slow) differs from the previous day's
+    NONZERO sign — requiring prev ≠ 0 suppresses the day-1 warm-up
+    artifact (with one lag both blends equal the value, sign is 0, and
+    every key would otherwise "cross" on day 2). Sign compares the
+    QUANTIZED values, so the signal is bit-portable.
+
+    Returns crossover days only: ``(day, key, fast, slow, direction)``
+    with direction ∈ {−1, 0, 1} = the NEW side of the cross.
+    """
+    daily = events.groupBy(F.to_date(ts).alias("day"), F.col(key)).agg(
+        F.round(F.sum(value), 2).alias("total")
+    )
+    w = Window.partitionBy(key).orderBy("day")
+
+    def blend(alpha: float):
+        num = F.lit(0.0)
+        den = F.lit(0.0)
+        for j in range(lookback):
+            weight = (1.0 - alpha) ** j
+            lagged = F.lag("total", j).over(w) if j else F.col("total")
+            num = num + F.when(
+                lagged.isNotNull(), F.lit(weight) * lagged
+            ).otherwise(F.lit(0.0))
+            den = den + F.when(lagged.isNotNull(), F.lit(weight)).otherwise(
+                F.lit(0.0)
+            )
+        return F.floor((num / den) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+    scored = daily.select(
+        "day", key, blend(fast_alpha).alias("fast"), blend(slow_alpha).alias("slow")
+    )
+    sig = (
+        F.when(F.col("fast") > F.col("slow"), 1)
+        .when(F.col("fast") < F.col("slow"), -1)
+        .otherwise(0)
+    )
+    w2 = Window.partitionBy(key).orderBy("day")
+    return (
+        scored.withColumn("s", sig)
+        .withColumn("prev", F.lag("s").over(w2))
+        .where(
+            F.col("prev").isNotNull()
+            & (F.col("prev") != 0)
+            & (F.col("s") != F.col("prev"))
+        )
+        .select(
+            "day", key, "fast", "slow", F.col("s").cast("long").alias("direction")
+        )
+        .orderBy(key, "day")
+    )
+
+
+def _ewma_crossover_oracle(
+    fast_alpha: float = EWMA_FAST_ALPHA,
+    slow_alpha: float = EWMA_SLOW_ALPHA,
+    lookback: int = 8,
+) -> str:
+    def chain(alpha: float) -> tuple[str, str]:
+        num, den = [], []
+        for j in range(lookback):
+            wgt = repr((1.0 - alpha) ** j)
+            lag = "total" if j == 0 else f"lag(total, {j}) OVER w"
+            num.append(
+                f"CASE WHEN {lag} IS NOT NULL THEN {wgt} * {lag} ELSE 0.0 END"
+            )
+            den.append(f"CASE WHEN {lag} IS NOT NULL THEN {wgt} ELSE 0.0 END")
+        return " + ".join(num), " + ".join(den)
+
+    fn, fd = chain(fast_alpha)
+    sn, sd = chain(slow_alpha)
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         round(sum(value), 2) AS total
+  FROM events GROUP BY 1, 2),
+blend AS (
+  SELECT day, event_type,
+         floor(({fn}) / ({fd}) * 1000000 + 0.5) / 1000000.0 AS fast,
+         floor(({sn}) / ({sd}) * 1000000 + 0.5) / 1000000.0 AS slow
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+sig AS (
+  SELECT day, event_type, fast, slow,
+         CASE WHEN fast > slow THEN 1
+              WHEN fast < slow THEN -1 ELSE 0 END AS s,
+         lag(CASE WHEN fast > slow THEN 1
+                  WHEN fast < slow THEN -1 ELSE 0 END)
+           OVER (PARTITION BY event_type ORDER BY day) AS prev
+  FROM blend)
+SELECT day, event_type, fast, slow, CAST(s AS BIGINT) AS direction
+FROM sig WHERE prev IS NOT NULL AND prev <> 0 AND s <> prev
+ORDER BY event_type, day"""
+
+
+ORACLE_EWMA_CROSSOVER = _ewma_crossover_oracle()
+
+
 def _ewma_oracle(alpha: float = 0.3, lookback: int = 8) -> str:
     num, den = [], []
     for j in range(lookback):
@@ -3115,6 +3230,7 @@ def timeseries_workloads():
         _w("ts_gapfill_interp", ORACLE_GAPFILL_INTERP, gapfill_interp),
         _w("ts_moving_stats", ORACLE_MOVING_STATS, moving_stats),
         _w("ts_ewma", ORACLE_EWMA, ewma),
+        _w("ts_ewma_crossover", ORACLE_EWMA_CROSSOVER, ewma_crossover),
         _w("ts_rate_of_change", ORACLE_RATE, rate_of_change),
         _w("ts_anomaly_zscore", _anomaly_oracle(), anomaly_zscore),
         _w("ts_histogram", ORACLE_HISTOGRAM, value_histogram),

@@ -1031,3 +1031,32 @@ def test_percentile_bands_daily_exact(spark):
     )
     r = percentile_bands_daily(df).collect()[0]
     assert (r["n"], r["p50_cents"], r["p95_cents"]) == (20, 1000, 1900)
+
+
+def test_ewma_crossover_detects_trend_flip(spark):
+    """A series that trends up then collapses produces exactly one
+    downward cross (fast EWMA reacts first); a monotone key produces
+    none. Hand-constructed daily values, one event per day."""
+    from datetime import datetime
+
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        ewma_crossover,
+    )
+
+    rows = []
+    # key 'flip': rises 10..60 then drops to 1s -> one down-cross
+    vals = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 1.0, 1.0, 1.0, 1.0]
+    for i, v in enumerate(vals):
+        rows.append((i, datetime(2024, 1, 1 + i), 1, "flip", v))
+    # key 'mono': strictly rising -> fast stays above slow, no cross
+    for i in range(10):
+        rows.append((100 + i, datetime(2024, 1, 1 + i), 1, "mono", 10.0 * (i + 1)))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    got = [(r["event_type"], r["day"].isoformat(), r["direction"])
+           for r in ewma_crossover(df).collect()]
+    assert all(k == "flip" for k, _, _ in got), got
+    downs = [g for g in got if g[2] == -1]
+    assert len(downs) == 1 and downs[0][1] == "2024-01-07", got
