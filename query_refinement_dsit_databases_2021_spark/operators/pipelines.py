@@ -1025,6 +1025,47 @@ def _wl_bpe_train_batched(spark, sf_dir):
     return textops.bpe_train_batched(_docs(spark, sf_dir))
 
 
+def _wl_curation_v7(spark, sf_dir):
+    """Curation chain v7 — the round-5 stages composed end to end:
+    blocked edit-distance near-dup removal (for every within-max_dist
+    pair the HIGHER doc_id drops — the dedup family's min-id-survivor
+    convention), then exact dedup of the remainder, then the
+    class-based TF-IDF manifest of the curated corpus per source.
+    Each stage is oracle-certified alone; the chain's oracle
+    recomposes their SQL so the COMPOSITION is what the differential
+    checks."""
+    from query_refinement_dsit_databases_2021_spark.operators.dedup import (
+        edit_distance_pairs,
+        exact_dedup,
+    )
+
+    docs = _docs(spark, sf_dir)
+    drops = (
+        edit_distance_pairs(docs)
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+    )
+    kept = docs.join(drops, "doc_id", "left_anti").persist()
+    survivors = exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))
+    curated = kept.join(survivors, "doc_id")
+    return textops.class_tfidf_terms(curated)
+
+
+def _oracle_curation_v7() -> str:
+    prelude = """p AS (
+  SELECT doc_id, substr(lower(text), 1, 48) AS pre,
+         string_split(substr(lower(text), 1, 48), ' ')[1] AS blk
+  FROM documents),
+drops AS (
+  SELECT DISTINCT b.doc_id
+  FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  WHERE levenshtein(a.pre, b.pre) <= 24),
+kept AS (SELECT d.* FROM documents d ANTI JOIN drops USING (doc_id)),
+surv AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text),
+curated AS (SELECT k.* FROM kept k JOIN surv USING (doc_id))"""
+    return textops._ctfidf_oracle("curated", prelude)
+
+
 def _wl_edit_distance(spark, sf_dir):
     from query_refinement_dsit_databases_2021_spark.operators.dedup import (
         edit_distance_pairs,
@@ -2102,6 +2143,12 @@ def pipeline_workloads():
             False,
         ),
         ("pipe_ctfidf_terms", _wl_ctfidf, textops.ORACLE_CTFIDF, False),
+        (
+            "pipe_curation_chain_v7",
+            _wl_curation_v7,
+            _oracle_curation_v7(),
+            False,
+        ),
         ("pipe_example_assembly", _wl_example_assembly, ORACLE_ASSEMBLY, False),
         ("pipe_decontaminate", _wl_decontaminate, ORACLE_DECON, False),
         ("pipe_scrub_pii", _wl_scrub_pii, ORACLE_SCRUB, False),

@@ -2016,10 +2016,15 @@ def class_tfidf_terms(
     )
 
 
-ORACLE_CTFIDF = f"""
-WITH toks AS (
+def _ctfidf_oracle(relation: str = "documents", prelude: str = "") -> str:
+    """The c-TF-IDF oracle over ``relation`` (a table or CTE name);
+    ``prelude`` injects upstream CTEs so chains can recompose this
+    certified stage over a curated corpus."""
+    sep = prelude + (",\n" if prelude else "")
+    return f"""
+WITH {sep}toks AS (
   SELECT source AS cls, t AS term
-  FROM (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS t FROM {relation})
   WHERE t <> ''),
 tf AS (SELECT cls, term, CAST(count(*) AS BIGINT) AS tf
        FROM toks GROUP BY 1, 2),
@@ -2038,3 +2043,6 @@ SELECT cls, rnk, term, tf, score_ppm FROM (
              ORDER BY score_ppm DESC, tf DESC, term)::BIGINT AS rnk
   FROM scored)
 WHERE rnk <= {CTFIDF_TOP_N} ORDER BY cls, rnk"""
+
+
+ORACLE_CTFIDF = _ctfidf_oracle()

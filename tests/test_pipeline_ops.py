@@ -1415,3 +1415,45 @@ def test_class_tfidf_terms_hand_values(spark):
     assert got[("c1", "y")] == (2, 1, 333333)
     assert got[("c2", "z")] == (1, 1, 1000000)
     assert got[("c2", "y")] == (2, 1, 500000)
+
+
+def test_curation_chain_v7_stage_monotonicity(spark, tmp_path):
+    """v7 stage contract: near-dup removal drops exactly the higher
+    doc of each within-distance pair, exact dedup keeps min-id per
+    surviving text, and the final c-TF-IDF manifest is computed over
+    the curated corpus only (a dropped doc's exclusive term never
+    appears)."""
+    from query_refinement_dsit_databases_2021_spark.operators.dedup import (
+        edit_distance_pairs,
+        exact_dedup,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        class_tfidf_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "s1"),
+            (2, "alpha beta gamms", "s1"),   # near-dup of 1 -> dropped
+            (3, "omega uniqueterm xi", "s2"),
+            (4, "omega uniqueterm xi", "s2"),  # exact dup of 3 -> dropped
+        ],
+        "doc_id long, text string, source string",
+    )
+    drops = {r["doc_id"] for r in edit_distance_pairs(docs, max_dist=3)
+             .select(F.col("b_id").alias("doc_id")).distinct().collect()}
+    # exact dups are edit-distance-0 pairs, so 4 already drops here;
+    # the downstream exact-dedup stage catches only dups whose prefixes
+    # landed in different blocks
+    assert drops == {2, 4}
+    kept = docs.join(
+        spark.createDataFrame([(i,) for i in drops], "doc_id long"),
+        "doc_id", "left_anti",
+    )
+    surv = exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))
+    curated = kept.join(surv, "doc_id")
+    assert {r["doc_id"] for r in curated.select("doc_id").collect()} == {1, 3}
+    manifest = class_tfidf_terms(curated)
+    terms = {(r["cls"], r["term"]) for r in manifest.collect()}
+    assert ("s1", "gamms") not in terms  # dropped doc's exclusive term
+    assert ("s2", "uniqueterm") in terms
