@@ -1467,6 +1467,67 @@ def equidepth_hist(
     )
 
 
+def selfjoin_profile(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
+    """Self-equi-join blow-up profile on ``key`` — the exact planning
+    statistic behind every posting-cap decision in the dedup family
+    (``ngram_jaccard_capped``'s ``max_posting``, the LSH band joins,
+    edit-distance blocking): candidate pairs = Σ_k c_k·(c_k−1)/2 over
+    per-key counts, with the top keys' contributions and shares. Run
+    it BEFORE a self-join to know whether a cap/salt is needed and
+    which keys force it.
+
+    All-integer: c·(c−1) is always even so the halving div is exact;
+    shares are int64 ppm floor divs. One map-combinable count agg +
+    one scalar broadcast. Returns the ``top_k`` keys by (pairs DESC,
+    key) with ``(key, c, pairs, share_ppm, total_pairs, n_keys)``.
+    """
+    counts = df.groupBy(F.col(key).alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per = counts.select(
+        "k", "c", F.expr("(c * (c - 1)) div 2").alias("pairs")
+    )
+    tot = per.agg(
+        F.sum("pairs").alias("total_pairs"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    return (
+        per.orderBy(F.desc("pairs"), "k")
+        .limit(top_k)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").alias(key),
+            "c",
+            "pairs",
+            F.expr("(1000000 * pairs) div total_pairs").alias("share_ppm"),
+            "total_pairs",
+            "n_keys",
+        )
+        .orderBy(F.desc("pairs"), key)
+    )
+
+
+def _wl_selfjoin_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    return selfjoin_profile(spark.table("lineitem"), "l_partkey")
+
+
+ORACLE_SELFJOIN_PROFILE = """
+WITH counts AS (
+  SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1),
+per AS (SELECT k, c, (c * (c - 1)) // 2 AS pairs FROM counts),
+tot AS (SELECT CAST(sum(pairs) AS BIGINT) AS total_pairs,
+               CAST(count(*) AS BIGINT) AS n_keys FROM per)
+SELECT k AS l_partkey, c, pairs,
+       CAST((1000000 * pairs) // total_pairs AS BIGINT) AS share_ppm,
+       total_pairs, n_keys
+FROM (SELECT * FROM per ORDER BY pairs DESC, k LIMIT 10), tot
+ORDER BY pairs DESC, l_partkey"""
+
+
 def _wl_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from query_refinement_dsit_databases_2021_spark.workloads import register_views
 
@@ -1936,6 +1997,9 @@ def scale_workloads():
         Workload("ops_hll_distinct", _wl_hll, ORACLE_HLL),
         Workload("ops_kmv_distinct", _wl_kmv, ORACLE_KMV),
         Workload("ops_equidepth_hist", _wl_equidepth, ORACLE_EQUIDEPTH),
+        Workload(
+            "ops_selfjoin_profile", _wl_selfjoin_profile, ORACLE_SELFJOIN_PROFILE
+        ),
         Workload(
             "ops_record_linkage", _wl_record_linkage, ORACLE_RECORD_LINKAGE
         ),

@@ -738,3 +738,24 @@ def test_equidepth_hist_partitions_and_tie_semantics(spark):
     assert sum(g[1] for g in got2) == 24
     fives = [g for g in got2 if g[2] <= 5 <= g[3]]
     assert len(fives) == 1 and fives[0][1] >= 20
+
+
+def test_selfjoin_profile_hand_counts(spark):
+    """pairs = c*(c-1)/2 per key, shares sum to <= 1e6, total is the
+    exact candidate count of the self-equi-join."""
+    from query_refinement_dsit_databases_2021_spark.operators.scale import (
+        selfjoin_profile,
+    )
+
+    rows = [(1, "hot")] * 4 + [(2, "warm")] * 2 + [(3, "cold")]
+    df = spark.createDataFrame(
+        [(i, k) for i, (orderkey, k) in enumerate(rows) for _ in [0]]
+        and [(i, r[1]) for i, r in enumerate(rows)],
+        "row_id long, key string",
+    )
+    got = {r["key"]: (r["c"], r["pairs"], r["share_ppm"], r["total_pairs"])
+           for r in selfjoin_profile(df, "key").collect()}
+    # hot: 4 rows -> 6 pairs; warm: 2 -> 1; cold: 1 -> 0; total 7
+    assert got["hot"] == (4, 6, (1000000 * 6) // 7, 7)
+    assert got["warm"] == (2, 1, (1000000 * 1) // 7, 7)
+    assert got["cold"][1] == 0
