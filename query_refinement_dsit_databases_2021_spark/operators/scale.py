@@ -1507,6 +1507,73 @@ def selfjoin_profile(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
     )
 
 
+def grouping_skew_gini(df: DataFrame, key: str) -> DataFrame:
+    """Gini coefficient of GROUP SIZES — the one-number inequality
+    fingerprint next to :func:`skew_profile`'s top-k heavy hitters and
+    :func:`selfjoin_profile`'s pair counts: 0 = perfectly uniform
+    groups, →1 = one group holds everything. The closed form over
+    sizes x_1 ≤ … ≤ x_n (ranked ascending, ties broken by key):
+
+        ``G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)``
+
+    reported as floor ppm. The rank window is a GLOBAL sort — over the
+    group-count frame (dim-sized), never the table; the products run
+    128-bit on both engines (decimal(38,0) ↔ HUGEINT — the corr_matrix
+    idiom) because n·Σx overflows int64 at real table sizes, while the
+    ppm QUOTIENT is ≤ 1e6 and lands exactly in BIGINT on both
+    (verified: identical 128-bit floor quotients).
+
+    Returns one row: ``(n_groups, total, gini_ppm)``.
+    """
+    counts = df.groupBy(F.col(key).alias("k")).agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    w = Window.orderBy("x", "k")
+    D = "decimal(38,0)"
+    ranked = counts.withColumn("i", F.row_number().over(w))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("x").alias("total"),
+        F.sum(F.col("i").cast(D) * F.col("x").cast(D)).alias("six"),
+    )
+    gini = (
+        f"CAST((CAST(1000000 AS {D}) * "
+        f"(CAST(2 AS {D}) * six "
+        f"- (CAST(n_groups AS {D}) + CAST(1 AS {D})) * CAST(total AS {D}))) "
+        f"DIV (CAST(n_groups AS {D}) * CAST(total AS {D})) AS BIGINT)"
+    )
+    return agg.select(
+        F.col("n_groups").cast("long").alias("n_groups"),
+        F.col("total").cast("long").alias("total"),
+        F.expr(gini).alias("gini_ppm"),
+    )
+
+
+def _wl_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    return grouping_skew_gini(spark.table("orders"), "o_custkey")
+
+
+ORACLE_GINI = """
+WITH counts AS (
+  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS x
+  FROM orders GROUP BY 1),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x, k) AS i FROM counts),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(sum(x) AS BIGINT) AS total,
+         sum(i::HUGEINT * x::HUGEINT) AS six
+  FROM ranked)
+SELECT n_groups, total,
+       CAST((1000000::HUGEINT
+             * (2::HUGEINT * six - (n_groups::HUGEINT + 1) * total::HUGEINT))
+            // (n_groups::HUGEINT * total::HUGEINT) AS BIGINT) AS gini_ppm
+FROM agg"""
+
+
 def _wl_selfjoin_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from query_refinement_dsit_databases_2021_spark.workloads import register_views
 
@@ -2000,6 +2067,7 @@ def scale_workloads():
         Workload(
             "ops_selfjoin_profile", _wl_selfjoin_profile, ORACLE_SELFJOIN_PROFILE
         ),
+        Workload("ops_gini_skew", _wl_gini, ORACLE_GINI),
         Workload(
             "ops_record_linkage", _wl_record_linkage, ORACLE_RECORD_LINKAGE
         ),

@@ -759,3 +759,35 @@ def test_selfjoin_profile_hand_counts(spark):
     assert got["hot"] == (4, 6, (1000000 * 6) // 7, 7)
     assert got["warm"] == (2, 1, (1000000 * 1) // 7, 7)
     assert got["cold"][1] == 0
+
+
+def test_grouping_skew_gini_known_distributions(spark):
+    """Gini contract: uniform group sizes -> 0; extreme concentration
+    -> close to (n-1)/n; a hand case matches the closed form."""
+    from query_refinement_dsit_databases_2021_spark.operators.scale import (
+        grouping_skew_gini,
+    )
+
+    # uniform: 4 groups x 3 rows -> G = 0
+    uni = spark.createDataFrame(
+        [(i, f"g{i % 4}") for i in range(12)], "row_id long, key string"
+    )
+    row = grouping_skew_gini(uni, "key").collect()[0]
+    assert (row["n_groups"], row["total"], row["gini_ppm"]) == (4, 12, 0)
+
+    # hand case: sizes 1, 3 ascending -> G = (2*(1*1+2*3) - 3*4) / (2*4)
+    # = (14 - 12) / 8 = 0.25
+    h = spark.createDataFrame(
+        [(0, "a"), (1, "b"), (2, "b"), (3, "b")], "row_id long, key string"
+    )
+    row = grouping_skew_gini(h, "key").collect()[0]
+    assert row["gini_ppm"] == 250000
+
+    # concentration: one group of 97 + 3 singletons -> G large
+    conc = spark.createDataFrame(
+        [(i, "big") for i in range(97)]
+        + [(100 + j, f"s{j}") for j in range(3)],
+        "row_id long, key string",
+    )
+    row = grouping_skew_gini(conc, "key").collect()[0]
+    assert row["gini_ppm"] > 700000
