@@ -366,6 +366,86 @@ WINDOW w AS (PARTITION BY event_type ORDER BY day
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 """
 
+def changepoint_cusum(
+    events: DataFrame,
+    ts: str = "ts",
+    key: str = "event_type",
+    value: str = "value",
+) -> DataFrame:
+    """Single change-point location per key via the CUSUM-argmax
+    statistic — where :func:`cusum_alerts` flags WHEN the cumulative
+    drift crosses a control band, this answers WHERE the level most
+    plausibly shifted (the AMOC/binary-segmentation primitive): the
+    day t maximizing |n·P_t − t·T| over daily integer-cent totals,
+    where P_t is the running prefix and T the key's total. Multiplying
+    the classic |P_t − t·T/n| through by n keeps the statistic EXACT
+    int64 (n·P_t ≤ days · cent-total — headroom at any SF), and ties
+    break (|S| DESC, day ASC). The last day is excluded (a "change
+    after everything" is not a segmentation). Pre/post level readouts
+    are floor-div cents.
+
+    One (day, key) agg + two windows over the per-key daily frame +
+    one key-sized join. Returns one row per key:
+    ``(key, cp_day, s_scaled, pre_mean_cents, post_mean_cents)``.
+    """
+    cents = F.floor(F.col(value) * 100 + F.lit(0.5)).cast("long")
+    daily = events.groupBy(F.to_date(ts).alias("day"), F.col(key)).agg(
+        F.sum(cents).alias("x")
+    )
+    w = Window.partitionBy(key).orderBy("day")
+    d2 = daily.withColumn("t", F.row_number().over(w)).withColumn(
+        "p", F.sum("x").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    tot = daily.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("tt")
+    )
+    scored = (
+        d2.join(tot, key)
+        .where(F.col("t") < F.col("n"))
+        .withColumn("s", F.abs(F.col("n") * F.col("p") - F.col("t") * F.col("tt")))
+    )
+    w2 = Window.partitionBy(key).orderBy(F.desc("s"), F.asc("day"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") == 1)
+        .select(
+            key,
+            F.col("day").alias("cp_day"),
+            F.col("s").alias("s_scaled"),
+            F.expr("p div t").alias("pre_mean_cents"),
+            F.expr("(tt - p) div (n - t)").alias("post_mean_cents"),
+        )
+        .orderBy(key)
+    )
+
+
+ORACLE_CHANGEPOINT = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2),
+d2 AS (
+  SELECT day, event_type, x,
+         row_number() OVER w AS t,
+         CAST(sum(x) OVER w AS BIGINT) AS p
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+tot AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS tt
+  FROM daily GROUP BY 1),
+scored AS (
+  SELECT d2.event_type, day, t, p, n, tt, abs(n * p - t * tt) AS s
+  FROM d2 JOIN tot USING (event_type) WHERE t < n)
+SELECT event_type, day AS cp_day, s AS s_scaled,
+       p // t AS pre_mean_cents,
+       (tt - p) // (n - t) AS post_mean_cents
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+          ORDER BY s DESC, day) AS rn FROM scored)
+WHERE rn = 1 ORDER BY event_type"""
+
+
 EWMA_FAST_ALPHA = 0.5
 EWMA_SLOW_ALPHA = 0.125
 
@@ -3231,6 +3311,7 @@ def timeseries_workloads():
         _w("ts_moving_stats", ORACLE_MOVING_STATS, moving_stats),
         _w("ts_ewma", ORACLE_EWMA, ewma),
         _w("ts_ewma_crossover", ORACLE_EWMA_CROSSOVER, ewma_crossover),
+        _w("ts_changepoint", ORACLE_CHANGEPOINT, changepoint_cusum),
         _w("ts_rate_of_change", ORACLE_RATE, rate_of_change),
         _w("ts_anomaly_zscore", _anomaly_oracle(), anomaly_zscore),
         _w("ts_histogram", ORACLE_HISTOGRAM, value_histogram),

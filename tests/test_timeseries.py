@@ -1060,3 +1060,27 @@ def test_ewma_crossover_detects_trend_flip(spark):
     assert all(k == "flip" for k, _, _ in got), got
     downs = [g for g in got if g[2] == -1]
     assert len(downs) == 1 and downs[0][1] == "2024-01-07", got
+
+
+def test_changepoint_cusum_locates_level_shift(spark):
+    """A series that jumps 10 -> 50 on day 6 puts the argmax of
+    |n*P_t - t*T| exactly at day 5 (the last pre-shift day); pre/post
+    floor-div means recover the two levels."""
+    from datetime import datetime
+
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        changepoint_cusum,
+    )
+
+    rows = []
+    for i in range(10):
+        v = 10.0 if i < 5 else 50.0
+        rows.append((i, datetime(2024, 3, 1 + i), 1, "shift", v))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    row = changepoint_cusum(df).collect()[0]
+    assert row["cp_day"].isoformat() == "2024-03-05"
+    assert row["pre_mean_cents"] == 1000
+    assert row["post_mean_cents"] == 5000
