@@ -1114,3 +1114,33 @@ def source_overlap_matrix(docs: DataFrame, top_k: int = 20) -> DataFrame:
         .orderBy(F.desc("overlap_ppm"), "sa", "sb")
         .limit(top_k)
     )
+
+
+def bag_dedup(docs: DataFrame) -> DataFrame:
+    """Order-insensitive duplicate groups — the bag-of-tokens key
+    catches template/reshuffle duplicates :func:`exact_dedup` misses
+    (same words, different order: list-shuffled boilerplate, reordered
+    metadata blocks). Key = sha2-256 of the SORTED token array joined
+    back — the 32-byte-key shuffle form of ``exact_dedup(by_hash=
+    True)``, so the 100 TB shape is identical: one hash-key groupBy,
+    no pairwise comparison. ``n_distinct_texts > 1`` inside a group is
+    the reorder-dup signal (texts that are bag-equal but not
+    string-equal).
+
+    Returns ``(keep_id, n_copies, n_distinct_texts)`` per bag group,
+    ordered by keep_id.
+    """
+    key = F.sha2(
+        F.array_join(F.sort_array(tokens(F.col("text"))), " "), 256
+    )
+    return (
+        docs.select("doc_id", key.alias("k"), "text")
+        .groupBy("k")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("text").alias("n_distinct_texts"),
+        )
+        .select("keep_id", "n_copies", "n_distinct_texts")
+        .orderBy("keep_id")
+    )

@@ -1074,6 +1074,32 @@ def _wl_edit_distance(spark, sf_dir):
     return edit_distance_pairs(_docs(spark, sf_dir))
 
 
+def _wl_bag_dedup(spark, sf_dir):
+    from query_refinement_dsit_databases_2021_spark.operators.dedup import (
+        bag_dedup,
+    )
+
+    return bag_dedup(_docs(spark, sf_dir))
+
+
+# the oracle groups by the sorted-token string itself — identical
+# groups to the Spark side's sha2 of that string (collisions
+# cryptographically negligible), same contract as ORACLE_DEDUP_EXACT
+# vs exact_dedup(by_hash=True)
+ORACLE_BAG_DEDUP = """
+WITH keyed AS (
+  SELECT doc_id, text,
+         array_to_string(list_sort(string_split(text, ' ')), ' ') AS k
+  FROM documents)
+SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_texts
+FROM keyed GROUP BY k ORDER BY keep_id"""
+
+
+def _wl_simpson(spark, sf_dir):
+    return textops.simpson_diversity(_docs(spark, sf_dir))
+
+
 def _wl_source_overlap(spark, sf_dir):
     from query_refinement_dsit_databases_2021_spark.operators.dedup import (
         source_overlap_matrix,
@@ -2142,6 +2168,8 @@ def pipeline_workloads():
             ORACLE_SOURCE_OVERLAP,
             False,
         ),
+        ("pipe_dedup_bag", _wl_bag_dedup, ORACLE_BAG_DEDUP, False),
+        ("pipe_text_simpson", _wl_simpson, textops.ORACLE_SIMPSON, False),
         ("pipe_ctfidf_terms", _wl_ctfidf, textops.ORACLE_CTFIDF, False),
         (
             "pipe_curation_chain_v7",

@@ -2046,3 +2046,60 @@ WHERE rnk <= {CTFIDF_TOP_N} ORDER BY cls, rnk"""
 
 
 ORACLE_CTFIDF = _ctfidf_oracle()
+
+
+def simpson_diversity(docs: DataFrame) -> DataFrame:
+    """Per-document lexical diversity as the Simpson/Rényi-2
+    collision index — the LOG-FREE diversity measure (Shannon entropy
+    needs ``ln``, which is not bit-portable): the probability two
+    token draws without replacement collide,
+
+        ``simpson_ppm = 1e6 · Σ c_i·(c_i−1) div (n·(n−1))``
+
+    over per-doc token counts c_i. 0 = all tokens distinct, 1e6 = one
+    token repeated throughout; the complement is the Gini-Simpson
+    diversity. Pure integer arithmetic (c·(c−1) products and ONE floor
+    div), everything partitioned by doc_id — two map-combinable aggs,
+    no cross-doc traffic. Single-token docs report NULL (undefined).
+
+    Returns ``(doc_id, n_tokens, n_types, simpson_ppm)``.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    ).where(F.length("t") > 0)
+    per = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.expr("c * (c - 1)")).alias("coll"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            F.when(
+                F.col("n_tokens") >= 2,
+                F.expr("(1000000 * coll) div (n_tokens * (n_tokens - 1))"),
+            ).alias("simpson_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SIMPSON = """
+WITH toks AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''),
+per AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CASE WHEN sum(c) >= 2 THEN
+         CAST((1000000 * sum(c * (c - 1)))
+              // (sum(c) * (sum(c) - 1)) AS BIGINT)
+       END AS simpson_ppm
+FROM per GROUP BY doc_id ORDER BY doc_id"""

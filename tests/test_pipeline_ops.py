@@ -1457,3 +1457,47 @@ def test_curation_chain_v7_stage_monotonicity(spark, tmp_path):
     terms = {(r["cls"], r["term"]) for r in manifest.collect()}
     assert ("s1", "gamms") not in terms  # dropped doc's exclusive term
     assert ("s2", "uniqueterm") in terms
+
+
+def test_bag_dedup_catches_reordered_duplicates(spark):
+    """Bag groups merge reordered texts that exact dedup keeps apart:
+    'a b c' and 'c b a' share a bag (n_distinct_texts = 2), while a
+    genuinely different doc stays its own group."""
+    from query_refinement_dsit_databases_2021_spark.operators.dedup import (
+        bag_dedup,
+        exact_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),
+            (2, "c b a"),      # reorder of 1 -> same bag
+            (3, "a b c"),      # exact dup of 1 -> same bag AND same text
+            (4, "x y z"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["keep_id"]: (r["n_copies"], r["n_distinct_texts"])
+           for r in bag_dedup(docs).collect()}
+    assert got == {1: (3, 2), 4: (1, 1)}
+    # exact dedup sees three groups for the same corpus
+    assert len(exact_dedup(docs).collect()) == 3
+
+
+def test_simpson_diversity_hand_values(spark):
+    """'a a a' -> collisions 3*2/(3*2) = 1e6 ppm; 'a b c' -> 0;
+    'a a b' -> 2/(3*2) ppm; single token -> NULL."""
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        simpson_diversity,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a a"), (2, "a b c"), (3, "a a b"), (4, "solo")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["n_types"], r["simpson_ppm"])
+           for r in simpson_diversity(docs).collect()}
+    assert got[1] == (3, 1, 1000000)
+    assert got[2] == (3, 3, 0)
+    assert got[3] == (3, 2, (1000000 * 2) // 6)
+    assert got[4] == (1, 1, None)
