@@ -999,15 +999,18 @@ def passage_dedup(docs: DataFrame, passage_tokens: int = PASSAGE_TOKENS) -> Data
 
 
 # blocked edit-distance defaults: compare the first EDIT_PREFIX chars,
-# block on the first token, report pairs within EDIT_MAX_DIST
+# block on the first token, report pairs within EDIT_MAX_DIST; a block
+# keeps at most EDIT_MAX_BLOCK members (lowest doc_ids) in the join
 EDIT_PREFIX = 48
 EDIT_MAX_DIST = 24
+EDIT_MAX_BLOCK = 64
 
 
 def edit_distance_pairs(
     docs: DataFrame,
     prefix_len: int = EDIT_PREFIX,
     max_dist: int = EDIT_MAX_DIST,
+    max_block: int = EDIT_MAX_BLOCK,
 ) -> DataFrame:
     """Blocked Levenshtein near-dup pairs — the fifth dedup family
     next to MinHash/SimHash/Jaccard/winnowing: EXACT edit distance,
@@ -1022,15 +1025,24 @@ def edit_distance_pairs(
 
     Scale shape: ONE self-equi-join on the block key, candidate count
     bounded by block sizes exactly like the LSH band join; a skewed
-    block (every doc starting with "the") is the same pathology as a
-    stop-shingle and takes the same cap/salt treatment
-    (``ngram_jaccard_capped``). Returns ``(a_id, b_id, dist)``,
-    ``a_id < b_id``, ``dist <= max_dist``, ordered.
+    block (every doc starting with "the") would otherwise be the same
+    quadratic pathology as a stop-shingle, so blocks are CAPPED at
+    ``max_block`` members — the lowest ``max_block`` doc_ids per block
+    participate, the rest are excluded from pairing (deterministic,
+    mirrored in the DuckDB oracle; same treatment as
+    ``ngram_jaccard``'s ``max_posting``). Returns ``(a_id, b_id,
+    dist)``, ``a_id < b_id``, ``dist <= max_dist``, ordered.
     """
     base = docs.select(
         "doc_id",
         F.substring(F.lower(F.col("text")), 1, int(prefix_len)).alias("p"),
     ).withColumn("blk", F.substring_index(F.col("p"), " ", 1))
+    wblk = Window.partitionBy("blk").orderBy("doc_id")
+    base = (
+        base.withColumn("_rnk", F.row_number().over(wblk))
+        .where(F.col("_rnk") <= int(max_block))
+        .drop("_rnk")
+    )
     a = base.select(
         F.col("doc_id").alias("a_id"), F.col("p").alias("pa"), "blk"
     )

@@ -1045,17 +1045,25 @@ def _wl_curation_v7(spark, sf_dir):
         .select(F.col("b_id").alias("doc_id"))
         .distinct()
     )
-    kept = docs.join(drops, "doc_id", "left_anti").persist()
+    # no persist: the frame is referenced only twice inside one plan
+    # and the caller's action happens outside this function, so a
+    # persist here would leak cached blocks across bench/gate passes
+    kept = docs.join(drops, "doc_id", "left_anti")
     survivors = exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))
     curated = kept.join(survivors, "doc_id")
     return textops.class_tfidf_terms(curated)
 
 
 def _oracle_curation_v7() -> str:
-    prelude = """p AS (
+    prelude = """p0 AS (
   SELECT doc_id, substr(lower(text), 1, 48) AS pre,
          string_split(substr(lower(text), 1, 48), ' ')[1] AS blk
   FROM documents),
+p AS (
+  SELECT doc_id, pre, blk FROM (
+    SELECT p0.*, row_number() OVER (PARTITION BY blk ORDER BY doc_id) AS rnk
+    FROM p0)
+  WHERE rnk <= 64),
 drops AS (
   SELECT DISTINCT b.doc_id
   FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id
@@ -1113,10 +1121,15 @@ def _wl_ctfidf(spark, sf_dir):
 
 
 ORACLE_EDIT_DISTANCE = """
-WITH p AS (
+WITH p0 AS (
   SELECT doc_id, substr(lower(text), 1, 48) AS pre,
          string_split(substr(lower(text), 1, 48), ' ')[1] AS blk
-  FROM documents)
+  FROM documents),
+p AS (
+  SELECT doc_id, pre, blk FROM (
+    SELECT p0.*, row_number() OVER (PARTITION BY blk ORDER BY doc_id) AS rnk
+    FROM p0)
+  WHERE rnk <= 64)
 SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS dist
 FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id

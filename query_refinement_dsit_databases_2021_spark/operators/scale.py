@@ -1516,25 +1516,51 @@ def grouping_skew_gini(df: DataFrame, key: str) -> DataFrame:
 
         ``G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)``
 
-    reported as floor ppm. The rank window is a GLOBAL sort — over the
-    group-count frame (dim-sized), never the table; the products run
-    128-bit on both engines (decimal(38,0) ↔ HUGEINT — the corr_matrix
-    idiom) because n·Σx overflows int64 at real table sizes, while the
-    ppm QUOTIENT is ≤ 1e6 and lands exactly in BIGINT on both
-    (verified: identical 128-bit floor quotients).
+    reported as floor ppm. Σ i·x_i is NOT computed by ranking each
+    group (a global row_number over the group frame funnels NDV(key)
+    rows through one partition — corpus-scale on a high-NDV key).
+    Within a run of tied sizes the rank sum is closed-form, so fold
+    the group frame to its COUNT-OF-COUNTS histogram first: with m_x
+    groups of size x and C_x = #groups of smaller size,
+
+        ``Σ i·x_i = Σ_x x · (m_x·C_x + m_x(m_x+1)/2)``
+
+    — exactly the tie-broken rank sum (equal values make the within-run
+    permutation irrelevant). The only global window runs over the size
+    histogram, whose row count is bounded by the number of DISTINCT
+    group sizes ≤ √(2·rowcount) (d distinct sizes need ≥ d(d+1)/2
+    rows): ≤ ~1.4e6 rows even for a 1e12-row table — inside the
+    single-partition-comfort band regardless of key NDV. The products
+    run 128-bit on both engines (decimal(38,0) ↔ HUGEINT — the
+    corr_matrix idiom) because n·Σx overflows int64 at real table
+    sizes, while the ppm QUOTIENT is ≤ 1e6 and lands exactly in BIGINT
+    on both (verified: identical 128-bit floor quotients).
 
     Returns one row: ``(n_groups, total, gini_ppm)``.
     """
     counts = df.groupBy(F.col(key).alias("k")).agg(
         F.count(F.lit(1)).alias("x")
     )
-    w = Window.orderBy("x", "k")
     D = "decimal(38,0)"
-    ranked = counts.withColumn("i", F.row_number().over(w))
+    hist = counts.groupBy("x").agg(F.count(F.lit(1)).alias("m"))
+    w_lt = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = hist.withColumn(
+        "c_lt", F.coalesce(F.sum("m").over(w_lt), F.lit(0))
+    )
+    # m(m+1)/2 stays in pure integer arithmetic: halve whichever of
+    # m, m+1 is even in BIGINT, then take the product in decimal —
+    # no decimal division (which widens scale and rounds)
+    tri = F.expr(
+        f"CAST(CASE WHEN m % 2 = 0 THEN m div 2 ELSE m END AS {D}) * "
+        f"CAST(CASE WHEN m % 2 = 0 THEN m + 1 ELSE (m + 1) div 2 END AS {D})"
+    )
+    run_six = F.col("x").cast(D) * (
+        F.col("m").cast(D) * F.col("c_lt").cast(D) + tri
+    )
     agg = ranked.agg(
-        F.count(F.lit(1)).alias("n_groups"),
-        F.sum("x").alias("total"),
-        F.sum(F.col("i").cast(D) * F.col("x").cast(D)).alias("six"),
+        F.sum("m").alias("n_groups"),
+        F.sum(F.col("x") * F.col("m")).alias("total"),
+        F.sum(run_six).alias("six"),
     )
     gini = (
         f"CAST((CAST(1000000 AS {D}) * "

@@ -2540,22 +2540,43 @@ def _wl_ivfpq_serve(spark, sf_dir):
     rebuilt only when missing or older than the source parquet. Every
     call after the first measures the pure serving path; output is
     identical to ``pipe_ann_ivfpq`` (same oracle; parity test-pinned),
-    so bench records serving ≪ build directly against that entry."""
+    so bench records serving ≪ build directly against that entry.
+
+    The layout is keyed by a fingerprint of the ABSOLUTE sf_dir plus
+    the source parquet's (mtime, size) — not the basename — so two
+    sf_dirs sharing a basename, or an in-place regeneration, can never
+    serve a layout built from different data. Builds land in a temp
+    sibling and are atomically renamed into place so a concurrent
+    builder can't expose a half-written layout."""
+    import hashlib
     import os
+    import shutil
 
     emb = _emb(spark, sf_dir)
     root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(root, "spark-warehouse", f"ivfpq_layout_{tag}")
-    marker = os.path.join(path, "_SUCCESS")
     src = os.path.join(sf_dir, "embeddings.parquet")
-    stale = not os.path.exists(marker) or (
-        os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(marker)
-    )
-    if stale:
-        write_ivfpq_layout(emb, path)
+    sig = os.path.abspath(sf_dir)
+    if os.path.exists(src):
+        st = os.stat(src)
+        sig += f"|{st.st_mtime_ns}|{st.st_size}"
+    tag = hashlib.sha256(sig.encode()).hexdigest()[:16]
+    # the layout spans three sibling paths (codes + __centroids +
+    # __codewords), so they are nested under ONE root dir whose atomic
+    # rename publishes all of them together
+    layout_root = os.path.join(root, "spark-warehouse", f"ivfpq_layout_{tag}")
+    path = os.path.join(layout_root, "layout")
+    if not os.path.isdir(layout_root):
+        tmp_root = f"{layout_root}.build-{os.getpid()}"
+        shutil.rmtree(tmp_root, ignore_errors=True)
+        write_ivfpq_layout(emb, os.path.join(tmp_root, "layout"))
+        try:
+            os.rename(tmp_root, layout_root)
+        except OSError:
+            # another builder won the race; its layout has the same
+            # fingerprint, so serving from it is equivalent
+            shutil.rmtree(tmp_root, ignore_errors=True)
     queries = emb.where(F.col("vec_id") < N_QUERIES)
     return ivfpq_topk_from_layout(spark, path, queries).orderBy("q_id", "rank")
 

@@ -470,11 +470,18 @@ def ewma_crossover(
     every key would otherwise "cross" on day 2). Sign compares the
     QUANTIZED values, so the signal is bit-portable.
 
+    Daily totals are integer cents (per-row floor-quantized, summed as
+    int64, scaled back) — the ``changepoint_cusum`` idiom — so the
+    total is exact under ANY partial-aggregation order; a float
+    ``round(sum(double), 2)`` landing near a .005 boundary could round
+    differently between Spark and the oracle and flip a crossover row.
+
     Returns crossover days only: ``(day, key, fast, slow, direction)``
     with direction ∈ {−1, 0, 1} = the NEW side of the cross.
     """
+    cents = F.floor(F.col(value) * 100 + F.lit(0.5)).cast("long")
     daily = events.groupBy(F.to_date(ts).alias("day"), F.col(key)).agg(
-        F.round(F.sum(value), 2).alias("total")
+        (F.sum(cents) / F.lit(100.0)).alias("total")
     )
     w = Window.partitionBy(key).orderBy("day")
 
@@ -537,7 +544,8 @@ def _ewma_crossover_oracle(
     return f"""
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS day, event_type,
-         round(sum(value), 2) AS total
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           / 100.0 AS total
   FROM events GROUP BY 1, 2),
 blend AS (
   SELECT day, event_type,

@@ -749,8 +749,7 @@ def test_selfjoin_profile_hand_counts(spark):
 
     rows = [(1, "hot")] * 4 + [(2, "warm")] * 2 + [(3, "cold")]
     df = spark.createDataFrame(
-        [(i, k) for i, (orderkey, k) in enumerate(rows) for _ in [0]]
-        and [(i, r[1]) for i, r in enumerate(rows)],
+        [(i, r[1]) for i, r in enumerate(rows)],
         "row_id long, key string",
     )
     got = {r["key"]: (r["c"], r["pairs"], r["share_ppm"], r["total_pairs"])

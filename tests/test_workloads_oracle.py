@@ -167,24 +167,25 @@ def test_workload_matches_duckdb(spark, duck, name):
 
 
 def test_gate_rotation_ledger_closes_registry():
-    """The r05/r06 rotation math (COVERAGE.md "Gate rotation ledger"):
-    the r05 window is exactly 50 names, the committed r06 window is
+    """The r06/r07 rotation math (COVERAGE.md "Gate rotation ledger"):
+    the r06 window is exactly 50 names, the committed r07 window is
     exactly 50, they are disjoint, every non-anchor entry in both
-    windows has NEVER had an external CORRECTNESS row (through r04),
-    and window-r05 ∪ window-r06 ∪ externally-gated covers the ENTIRE
-    registry — i.e. after r06 every workload holds an external row."""
+    windows has NEVER had an external CORRECTNESS row (through r05),
+    and window-r06 ∪ window-r07 ∪ externally-gated covers the ENTIRE
+    registry minus the r08 queue — i.e. after r07 every workload
+    registered by the r06 freeze holds an external row."""
     import json
     import pathlib
 
     from query_refinement_dsit_databases_2021_spark.workloads import (
         DRIVER_PRIORITY,
-        DRIVER_PRIORITY_R06,
-        DRIVER_QUEUE_R07,
+        DRIVER_PRIORITY_R07,
+        DRIVER_QUEUE_R08,
     )
 
     root = pathlib.Path(__file__).resolve().parent.parent
     gated: set[str] = set()
-    for r in (1, 2, 3, 4):
+    for r in (1, 2, 3, 4, 5):
         p = root / f"CORRECTNESS_r0{r}.json"
         if p.exists():
             gated.update(json.loads(p.read_text()).keys())
@@ -192,34 +193,41 @@ def test_gate_rotation_ledger_closes_registry():
         pytest.skip("no external CORRECTNESS records present")
 
     assert len(DRIVER_PRIORITY) == 50
-    assert len(DRIVER_PRIORITY_R06) == 50
+    assert len(DRIVER_PRIORITY_R07) == 50
     assert len(set(DRIVER_PRIORITY)) == 50
-    assert len(set(DRIVER_PRIORITY_R06)) == 50
-    assert not set(DRIVER_PRIORITY) & set(DRIVER_PRIORITY_R06)
+    assert len(set(DRIVER_PRIORITY_R07)) == 50
+    assert not set(DRIVER_PRIORITY) & set(DRIVER_PRIORITY_R07)
     missing = [
         n
-        for n in (*DRIVER_PRIORITY, *DRIVER_PRIORITY_R06)
+        for n in (*DRIVER_PRIORITY, *DRIVER_PRIORITY_R07)
         if n not in WORKLOADS
     ]
     assert not missing, missing
-    anchors_r05 = {"cp_refined_relax", "pipe_ann_cosine_topk"}
     anchors_r06 = {
         "cp_refined_tighten",
         "pipe_dedup_minhash_lsh",
         "sql_q1_pricing",
     }
+    # the 15 round-5 additions lead the r07 window; the other 35 are
+    # re-certification anchors and must already hold a green row
+    r07_leads = set(DRIVER_PRIORITY_R07[:15])
+    anchors_r07 = set(DRIVER_PRIORITY_R07) - r07_leads
     assert anchors_r06 <= gated, "r06 anchors must already be gated green"
-    already5 = (set(DRIVER_PRIORITY) - anchors_r05) & gated
-    assert not already5, f"r05 window wastes slots on gated names: {already5}"
-    already6 = (set(DRIVER_PRIORITY_R06) - anchors_r06) & gated
-    assert not already6, f"r06 window wastes slots on gated names: {already6}"
-    uncovered = (
-        set(WORKLOADS) - gated - set(DRIVER_PRIORITY) - set(DRIVER_PRIORITY_R06)
+    assert anchors_r07 <= gated, (
+        f"r07 anchors must already be gated green: {anchors_r07 - gated}"
     )
-    # post-r06-freeze additions must be queued for r07 — exactly them
-    assert uncovered == set(DRIVER_QUEUE_R07), (
-        f"not in any window or queue: {uncovered - set(DRIVER_QUEUE_R07)}; "
-        f"queued but covered: {set(DRIVER_QUEUE_R07) - uncovered}"
+    already6 = (set(DRIVER_PRIORITY) - anchors_r06) & gated
+    assert not already6, f"r06 window wastes slots on gated names: {already6}"
+    assert not r07_leads & gated, (
+        f"r07 leads waste slots on gated names: {r07_leads & gated}"
+    )
+    uncovered = (
+        set(WORKLOADS) - gated - set(DRIVER_PRIORITY) - set(DRIVER_PRIORITY_R07)
+    )
+    # post-r07-freeze additions must be queued for r08 — exactly them
+    assert uncovered == set(DRIVER_QUEUE_R08), (
+        f"not in any window or queue: {uncovered - set(DRIVER_QUEUE_R08)}; "
+        f"queued but covered: {set(DRIVER_QUEUE_R08) - uncovered}"
     )
 
 
@@ -231,11 +239,16 @@ def test_gate_window_schemas_are_scalar_only(spark):
     # window must therefore emit scalars only — this is the structural
     # form of the per-rotation hand audit (BASELINE.md gate-hardening
     # notes). Schema construction is lazy: nothing executes here.
-    from query_refinement_dsit_databases_2021_spark.workloads import DRIVER_PRIORITY
+    from query_refinement_dsit_databases_2021_spark.workloads import (
+        DRIVER_PRIORITY,
+        DRIVER_PRIORITY_R07,
+    )
 
     banned = ("array", "map", "struct", "binary", "decimal", "timestamp")
     offenders = []
-    for name in DRIVER_PRIORITY:
+    # audit the committed next window too, so the r07 rotation cannot
+    # land a non-scalar schema surprise
+    for name in (*DRIVER_PRIORITY, *DRIVER_PRIORITY_R07):
         df = WORKLOADS[name].fn(spark, SF_DIR)
         for f in df.schema.fields:
             t = f.dataType.simpleString()
