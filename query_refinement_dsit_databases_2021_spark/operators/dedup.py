@@ -223,12 +223,14 @@ def incremental_minhash_dedup(
     the full pairwise pass runs once, every later ingest only compares
     the shard against standing state.
 
-    Plan: ONE signature groupBy over base ∪ shard (in production the
-    base side's signatures are a standing artifact — persist `wide`
-    bucketed by (band, sig) and this recomputation disappears; the
-    shard-side cost is then shard-sized), band-bucket equi-join with
-    the shard on the probe side, signature-agreement estimate inline
-    on the two wide rows (no per-component join), min-partner rollup.
+    Plan: ONE signature groupBy over base ∪ shard, band-bucket
+    equi-join with the shard on the probe side, signature-agreement
+    estimate inline on the two wide rows (no per-component join),
+    min-partner rollup. This inline form recomputes base signatures
+    per call; the production steady state is the standing artifact
+    pair :func:`write_minhash_index` / :func:`incremental_dedup_from_index`
+    (bit-identical output, base side read from parquet instead of
+    re-shingled — parity test-pinned).
 
     Returns one row per shard doc: ``(doc_id, is_dup, dup_of)`` with
     ``dup_of`` = smallest qualifying partner id, −1 when none.
@@ -270,6 +272,144 @@ def incremental_minhash_dedup(
         *[F.col(f"mh{j}").alias(f"a{j}") for j in range(n_hashes)],
     )
     wb = wide.select(
+        F.col("doc_id").alias("pid"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(n_hashes)],
+    )
+    k = functools.reduce(
+        operator.add,
+        [(F.col(f"a{j}") == F.col(f"b{j}")).cast("int") for j in range(n_hashes)],
+    )
+    dups = (
+        cand.join(wa, "sid")
+        .join(wb, "pid")
+        .where(k / float(n_hashes) >= threshold)
+        .groupBy("sid")
+        .agg(F.min("pid").alias("dup_of"))
+    )
+    return (
+        shard.select("doc_id")
+        .join(dups, shard["doc_id"] == dups["sid"], "left")
+        .select(
+            "doc_id",
+            F.when(F.col("dup_of").isNotNull(), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_dup"),
+            F.coalesce("dup_of", F.lit(-1)).cast("long").alias("dup_of"),
+        )
+    )
+
+
+# sig_bucket fan for the standing MinHash index: band dirs split into
+# SIG_BUCKETS sub-dirs keyed by sig % SIG_BUCKETS, so a shard probe
+# can push an exact (band, sig_bucket) partition filter and scan only
+# the buckets its own signatures touch
+SIG_BUCKETS = 64
+
+
+def write_minhash_index(
+    docs: DataFrame,
+    path: str,
+    n_hashes: int = N_HASHES,
+    rows_per_band: int = LSH_ROWS,
+) -> None:
+    """Materialize the standing MinHash index — the build half of
+    steady-state near-dup ingest (the MinHash analogue of
+    :func:`simsearch.write_ivf_layout`'s build/serve split): ONE
+    corpus pass computes the wide signatures (``<path>/signatures``:
+    one row per doc, n_hashes int64 columns — the verify-side
+    artifact), then the band signatures derive from that WRITTEN
+    artifact (never re-shingled) and land ``partitionBy(band,
+    sig_bucket)`` (``<path>/bands``) so each LSH bucket group is its
+    own directory. A shard ingest then probes only the (band,
+    sig_bucket) partitions its own band keys touch — at 100 TB the
+    base corpus is never re-read beyond the probed bucket dirs, and
+    the signature table (n_hashes ints per doc, ~1e-4 of corpus bytes)
+    is the only full-width base artifact the verify join scans."""
+    spark = docs.sparkSession
+    wide = minhash_signatures_wide(
+        docs.select("doc_id", "text"), n_hashes
+    )
+    wide.write.mode("overwrite").parquet(f"{path}/signatures")
+    wide_r = spark.read.parquet(f"{path}/signatures")
+    bands = lsh_band_signatures(wide_r, rows_per_band, n_hashes).withColumn(
+        "sig_bucket", F.col("sig") % SIG_BUCKETS
+    )
+    bands.write.mode("overwrite").partitionBy("band", "sig_bucket").parquet(
+        f"{path}/bands"
+    )
+
+
+def incremental_dedup_from_index(
+    spark,
+    path: str,
+    shard_docs: DataFrame,
+    n_hashes: int = N_HASHES,
+    rows_per_band: int = LSH_ROWS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Serving half of :func:`write_minhash_index` — bit-identical to
+    :func:`incremental_minhash_dedup` (parity test-pinned), but the
+    base corpus side comes from the standing artifact: band buckets
+    are a PARTITION-PRUNED parquet scan (only the (band, sig_bucket)
+    dirs the shard's own band keys touch — the probe list is at most
+    n_bands × SIG_BUCKETS entries, collected bounded), and the verify
+    join reads the persisted signature table instead of re-shingling
+    the corpus. All per-call heavy work is shard-sized: one signature
+    groupBy over the shard, one band equi-join against the pruned
+    buckets, one wide-row agreement estimate.
+
+    Returns one row per shard doc: ``(doc_id, is_dup, dup_of)`` with
+    ``dup_of`` = smallest qualifying partner id, −1 when none."""
+    shard = shard_docs.select("doc_id", "text")
+    swide = minhash_signatures_wide(shard, n_hashes).persist()
+    sbands = lsh_band_signatures(swide, rows_per_band, n_hashes).withColumn(
+        "sig_bucket", F.col("sig") % SIG_BUCKETS
+    )
+    # bounded collect: ≤ n_bands × SIG_BUCKETS rows no matter the
+    # shard size — the partition-filter probe list, never data
+    touched = (
+        sbands.select("band", "sig_bucket").distinct().collect()
+    )
+    by_band: dict[int, list[int]] = {}
+    for r in touched:
+        by_band.setdefault(int(r["band"]), []).append(int(r["sig_bucket"]))
+    clauses = [
+        (F.col("band") == b) & F.col("sig_bucket").isin(bks)
+        for b, bks in sorted(by_band.items())
+    ]
+    base_bands = spark.read.parquet(f"{path}/bands")
+    if clauses:
+        base_bands = base_bands.where(
+            functools.reduce(operator.or_, clauses)
+        )
+    s = sbands.select(F.col("doc_id").alias("sid"), "band", "sig")
+    p_base = base_bands.select(
+        F.col("doc_id").alias("pid"), "band", F.col("sig").alias("sig_p")
+    )
+    cand_base = (
+        s.join(p_base, (s["band"] == p_base["band"]) & (s["sig"] == p_base["sig_p"]))
+        .where(F.col("pid") != F.col("sid"))
+        .select("sid", "pid")
+    )
+    p_shard = sbands.select(
+        F.col("doc_id").alias("pid"), "band", F.col("sig").alias("sig_p")
+    )
+    cand_shard = (
+        s.join(
+            p_shard, (s["band"] == p_shard["band"]) & (s["sig"] == p_shard["sig_p"])
+        )
+        .where(F.col("pid") < F.col("sid"))
+        .select("sid", "pid")
+    )
+    cand = cand_base.unionByName(cand_shard).distinct()
+    base_wide = spark.read.parquet(f"{path}/signatures")
+    wide_all = base_wide.unionByName(swide)
+    wa = swide.select(
+        F.col("doc_id").alias("sid"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(n_hashes)],
+    )
+    wb = wide_all.select(
         F.col("doc_id").alias("pid"),
         *[F.col(f"mh{j}").alias(f"b{j}") for j in range(n_hashes)],
     )

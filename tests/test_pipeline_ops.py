@@ -1097,6 +1097,41 @@ def test_incremental_minhash_flags_near_dups_against_base_and_earlier_shard(spar
     assert got[103] == (0, -1)
 
 
+def test_minhash_index_parity_and_partition_pruning(spark, tmp_path):
+    """The standing-artifact pair write_minhash_index /
+    incremental_dedup_from_index must be bit-identical to the inline
+    incremental_minhash_dedup on the sf0.001 documents split, AND the
+    base-bands scan must carry a non-empty PartitionFilters on (band,
+    sig_bucket) — the plan pin that the shard probe reads only the
+    bucket directories its own band keys touch, never the full index."""
+    import re as _re
+
+    from query_refinement_dsit_databases_2021_spark.operators.dedup import (
+        incremental_dedup_from_index,
+        incremental_minhash_dedup,
+        write_minhash_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    base = docs.where("doc_id % 10 < 8")
+    shard = docs.where("doc_id % 10 >= 8")
+    idx = str(tmp_path / "mh_index")
+    write_minhash_index(base, idx)
+
+    served = incremental_dedup_from_index(spark, idx, shard)
+    inline = incremental_minhash_dedup(base, shard)
+    got = sorted(map(tuple, served.collect()))
+    want = sorted(map(tuple, inline.collect()))
+    assert got == want
+    assert len(got) == shard.count()  # one row per shard doc
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    # the filter must be INSIDE PartitionFilters (an empty
+    # "PartitionFilters: []" plus the columns in the schema would also
+    # match a weaker assertion)
+    assert _re.search(r"PartitionFilters: \[[^\]]*band", plan), plan
+
+
 def test_blocklist_filter_tiers_and_token_boundaries(spark):
     from query_refinement_dsit_databases_2021_spark.operators.textops import (
         blocklist_filter,
