@@ -53,18 +53,54 @@ def main() -> None:
         sf = None
 
     all_w = workloads()
-    # non-headline workloads benched anyway: regression tripwires for
-    # paths with no other recorded throughput number (the Arrow
-    # applyInPandas escape hatch behind strategy P)
-    extra_bench = (
+    # The COMPARABLE set is FROZEN at its r06 composition (r05 verdict
+    # item 10): exactly these 24 names feed "queries"/"value" so
+    # successive rounds diff totals directly. New tripwires join
+    # EXTRA_BENCH below — timed identically but reported on the
+    # separate extras channel, never in the frozen total.
+    frozen_24 = (
+        # 20 headline workloads (flag-derived set as of r06, pinned)
+        "cp_filter_avg",
+        "cp_refined_tighten",
+        "cp_refined_relax",
+        "cp_three_constraints",
+        "cp_scale_avg_tighten",
+        "cp_scale_three",
+        "sql_q1_pricing",
+        "sql_q3_topk_join",
+        "sql_q5_local_supplier",
+        "sql_window_running",
+        "sql_events_rollup",
+        "pipe_dedup_minhash_lsh",
+        "pipe_dedup_ngram_jaccard",
+        "pipe_dsir_importance",
+        "pipe_ann_cosine_topk",
+        "pipe_ann_ivfpq",
+        "pipe_ann_ivfpq_serve",
+        "pipe_search_tfidf",
+        "stream_windowed_rollup",
+        "ops_sessionize",
+        # 4 r05 tripwires (paths with no other throughput number)
         "cp_ext_median_pandas",  # applyInPandas strategy-P kernel
         "ts_anomaly_mad",  # exact-median sort aggregate
         "pipe_unigram_segment",  # mapInPandas Viterbi DP (Arrow path)
         "graph_pagerank",  # iterative driver loop (r04 verdict item 7)
     )
-    names = [n for n, w in all_w.items() if w.headline] + [
-        n for n in extra_bench if not all_w[n].headline
-    ]
+    # drift tripwire: a headline-flag change that is NOT a deliberate
+    # re-freeze of the comparable set must fail here, loudly
+    flagged = {n for n, w in all_w.items() if w.headline}
+    assert flagged <= set(frozen_24), (
+        f"headline flags drifted outside the frozen r06 set: "
+        f"{sorted(flagged - set(frozen_24))} — either drop the flag or "
+        f"deliberately re-freeze frozen_24 AND note it in BASELINE.md"
+    )
+    # new tripwires (r06+): timed the same way, reported separately
+    extra_bench = tuple(
+        n
+        for n in ("pipe_dedup_minhash_index",)
+        if n in all_w and n not in frozen_24
+    )
+    names = list(frozen_24) + list(extra_bench)
 
     # untimed warm-up: session/JIT/codegen init and parquet footer reads
     # are one-time costs, not part of any query's steady-state time
@@ -74,6 +110,27 @@ def main() -> None:
     register_views(spark, sf_dir)
     spark.table("lineitem").limit(1000).count()
     all_w["cp_filter_avg"].fn(spark, sf_dir).count()
+    spark.catalog.clearCache()
+
+    # One-time artifact builds (IVF-PQ layout, standing MinHash index)
+    # are forced HERE, before any timed pass, and timed on their own
+    # channel (r05 verdict item 6: the ivfpq_serve build leaking into
+    # rep 1 made median 3.09 s / max 16.29 s — a phantom-regression
+    # trap). After this loop every timed rep measures the pure serving
+    # path; `prebuild_first_call` on the detail line carries the
+    # build+first-serve cost (≈serve when the artifact already existed
+    # from a prior run of the same data).
+    prebuild: dict[str, float] = {}
+    for name in ("pipe_ann_ivfpq_serve", "pipe_dedup_minhash_index"):
+        if name not in all_w:
+            continue
+        spark.catalog.clearCache()
+        t0 = time.time()
+        all_w[name].fn(spark, sf_dir).count()
+        prebuild[name] = round(time.time() - t0, 3)
+        print(
+            f"# prebuild {name}: {prebuild[name]:.3f}s", file=sys.stderr
+        )
     spark.catalog.clearCache()
 
     samples: dict[str, list[float]] = {n: [] for n in names}
@@ -96,6 +153,7 @@ def main() -> None:
     spread = {
         n: [round(min(ts), 3), round(max(ts), 3)] for n, ts in samples.items()
     }
+    extras = {n: times.pop(n) for n in extra_bench}
     total = round(sum(times.values()), 3)
     # Detail (spread/rows) goes on a PRECEDING line: the driver tails
     # stdout for ONE machine-readable JSON line, and the r04 combined
@@ -109,6 +167,8 @@ def main() -> None:
                 "rows": rows,
                 "repeat": repeat,
                 "aggregation": "median",
+                "extras": extras,  # new tripwires, NOT in the frozen total
+                "prebuild_first_call": prebuild,
             }
         )
     )

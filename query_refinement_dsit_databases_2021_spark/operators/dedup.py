@@ -163,6 +163,7 @@ def minhash_lsh_pairs(
     n_hashes: int = N_HASHES,
     rows_per_band: int = LSH_ROWS,
     threshold: float = 0.5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash+LSH: candidates share >=1 LSH
     band bucket; estimated Jaccard = fraction of equal signature
@@ -170,9 +171,30 @@ def minhash_lsh_pairs(
     (no per-component join). Returns (doc_a, doc_b, est_sim) with
     doc_a < doc_b; est_sim is k/n_hashes, exactly representable in
     double.
+
+    ``max_bucket`` caps the band self-join the way ``max_posting``
+    caps :func:`ngram_jaccard_pairs`' inverted index: (band, sig)
+    buckets holding more than that many documents — the boilerplate /
+    templated-page pathology, where one mega-bucket alone contributes
+    O(n²) candidate pairs — are dropped before the equi-join
+    (window-count in the SAME shuffle the join needs; no extra
+    exchange). A pair whose ONLY agreeing band was capped is lost, so
+    capped runs under-report, but near-dups above the threshold agree
+    on multiple bands with high probability and typically survive via
+    an uncapped one. The measured bucket-size distribution
+    (tools/dedup_scale.py: max bucket 3 at 100 k random docs) shows
+    organic buckets are tiny — the cap exists purely to bound the
+    adversarial/template tail at corpus scale.
     """
     wide = minhash_signatures_wide(docs, n_hashes).persist()
     bsig = lsh_band_signatures(wide, rows_per_band, n_hashes)
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "sig")
+        bsig = (
+            bsig.withColumn("_n", F.count("*").over(w))
+            .where(F.col("_n") <= max_bucket)
+            .drop("_n")
+        )
     b1 = bsig.select(F.col("doc_id").alias("doc_a"), "band", "sig")
     b2 = bsig.select(
         F.col("doc_id").alias("doc_b"), "band", F.col("sig").alias("sig_b")

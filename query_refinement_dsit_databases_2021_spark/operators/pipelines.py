@@ -126,6 +126,49 @@ _MH_EQ = " + ".join(
     f"(wa.mh{j} = wb.mh{j})::INT" for j in range(N_HASHES)
 )
 
+# Band-bucket cap for the skew-hardened LSH form (mirrors
+# JACCARD_MAX_POSTING's role on the inverted index; the measured
+# bucket distribution at 100k-10M random docs is max<=4, so the cap
+# only ever binds on template/boilerplate mega-buckets)
+MINHASH_MAX_BUCKET = 8
+
+ORACLE_MINHASH_CAPPED = f"""
+WITH {SQL_SHINGLES},
+{SQL_SHINGLE_HASHES},
+wide AS (SELECT doc_id, {_MH_MINS} FROM shr GROUP BY doc_id),
+bsig AS ({_MH_BANDS}),
+bcap AS (
+  SELECT doc_id, band, sig FROM (
+    SELECT doc_id, band, sig,
+           count(*) OVER (PARTITION BY band, sig) AS n
+    FROM bsig)
+  WHERE n <= {MINHASH_MAX_BUCKET}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bcap a JOIN bcap b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+est AS (
+  SELECT doc_a, doc_b,
+         ({_MH_EQ})::BIGINT / CAST({N_HASHES} AS DOUBLE) AS est_sim
+  FROM cand
+  JOIN wide wa ON wa.doc_id = doc_a
+  JOIN wide wb ON wb.doc_id = doc_b)
+SELECT doc_a, doc_b, round(est_sim, 6) AS est_sim
+FROM est WHERE est_sim >= 0.5"""
+
+
+def _wl_minhash_capped(spark, sf_dir):
+    """Skew-hardened headline form of pipe_dedup_minhash_lsh: the
+    (band, sig) mega-bucket pathology (boilerplate/templated pages,
+    which contribute O(n²) candidate pairs from ONE bucket) is bounded
+    by MINHASH_MAX_BUCKET before the band equi-join. Oracle carries
+    the identical cap, so the gate certifies the capped semantics
+    themselves, not just the no-op case."""
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), max_bucket=MINHASH_MAX_BUCKET
+    )
+
+
 # incremental near-dup: shard = doc_id % 10 >= 8 (same split as the
 # exact incremental workload); a shard doc is dup vs the base (any id)
 # or vs an earlier shard doc (lower id)
@@ -2106,6 +2149,12 @@ def pipeline_workloads():
             False,
         ),
         ("pipe_dedup_minhash_lsh", _wl_minhash, ORACLE_MINHASH, True),
+        (
+            "pipe_dedup_minhash_capped",
+            _wl_minhash_capped,
+            ORACLE_MINHASH_CAPPED,
+            False,
+        ),
         (
             "pipe_dedup_minhash_incremental",
             _wl_minhash_incremental,

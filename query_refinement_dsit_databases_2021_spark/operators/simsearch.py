@@ -2382,6 +2382,107 @@ SELECT q_id, vec_id, rank, adist FROM (
 WHERE rank <= {k} ORDER BY q_id, rank"""
 
 
+# IVFADC-R defaults (tools/ann_recall_curve.py, BASELINE.md): the
+# measured recall@5 grid over (nprobe, shortlist) puts the knee at
+# nprobe=16 / c=200 — raising the 0.588 raw-IVFADC floor past 0.8 for
+# one more probed cell-group and a shortlist that is still O(100)
+# rows/query at ANY corpus size.
+IVFPQ_RERANK_NPROBE = 16
+IVFPQ_RERANK_SHORTLIST = 200
+
+
+def ivfpq_rerank_topk(
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    c: int = IVFPQ_RERANK_SHORTLIST,
+    centroid_ids=IVF_CENTROID_IDS,
+    nprobe: int = IVFPQ_RERANK_NPROBE,
+    codeword_ids=PQ_CODEWORD_IDS,
+    m: int = PQ_M,
+    dim: int = DIM,
+) -> DataFrame:
+    """IVFADC-R (Jegou et al. 2011 §V): the IVF-PQ ADC scan shortlists
+    ``c`` candidates per query (:func:`ivfpq_topk` with k = c — codes
+    only, never raw vectors), then the shortlist alone is reranked by
+    EXACT squared L2 — :func:`pq_rerank_topk`'s recipe applied to the
+    residual-coded IVF index. This recovers the recall the int-coded
+    ADC ordering loses to quantization noise (measured 0.588 → the
+    probed-cells bound at c=200) while the rerank join stays
+    candidate-count-sized: n_queries · c rows keyed against the
+    corpus, a broadcast-able equi-join at any corpus scale.
+
+    Returns ``(q_id, vec_id, rank, d2_micro)`` — rank 1..k by exact
+    distance among the shortlist."""
+    shortlist = ivfpq_topk(
+        emb, n_queries, c, centroid_ids, nprobe, codeword_ids, m, dim
+    ).select("q_id", "vec_id")
+    v = _as_double(F.col("embedding"))
+    base = emb.select("vec_id", v.alias("v"))
+    q = base.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    d2 = _fold_sum(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y))
+    )
+    scored = (
+        shortlist.join(base, "vec_id")
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            F.floor(d2 * F.lit(1e6) + F.lit(0.5)).cast("long").alias("d2_micro"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("d2_micro"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "q_id", "vec_id", F.col("rank").cast("long").alias("rank"), "d2_micro"
+        )
+    )
+
+
+def oracle_ivfpq_rerank_topk(
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    c: int = IVFPQ_RERANK_SHORTLIST,
+    centroid_ids=IVF_CENTROID_IDS,
+    nprobe: int = IVFPQ_RERANK_NPROBE,
+    codeword_ids=PQ_CODEWORD_IDS,
+    m: int = PQ_M,
+    dim: int = DIM,
+) -> str:
+    """DuckDB mirror of :func:`ivfpq_rerank_topk`: the certified
+    IVF-PQ oracle (k = c) as the shortlist CTE, then the exact
+    full-dim d2 fold (same index order, same floor-micro lift)
+    reranks it."""
+    inner = oracle_ivfpq_topk(
+        n_queries, c, centroid_ids, nprobe, codeword_ids, m, dim
+    )
+    return f"""
+WITH shortlist AS (SELECT q_id, vec_id FROM ({inner}) iq),
+rbase AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+rr AS (
+  SELECT s.q_id, s.vec_id,
+         CAST(floor(list_reduce(list_prepend(0.0, list_transform(
+                range(1, {dim + 1}),
+                i -> (q.v[i] - b.v[i]) * (q.v[i] - b.v[i]))),
+              (acc, x) -> acc + x) * 1e6 + 0.5) AS BIGINT) AS d2_micro
+  FROM shortlist s
+  JOIN rbase b ON b.vec_id = s.vec_id
+  JOIN rbase q ON q.vec_id = s.q_id)
+SELECT q_id, vec_id, rank, d2_micro FROM (
+  SELECT q_id, vec_id, d2_micro,
+         row_number() OVER (PARTITION BY q_id
+             ORDER BY d2_micro, vec_id)::BIGINT AS rank
+  FROM rr)
+WHERE rank <= {k} ORDER BY q_id, rank"""
+
+
 def write_ivfpq_layout(
     emb: DataFrame,
     path: str,
@@ -2984,6 +3085,17 @@ def simsearch_workloads():
             _wl_ivfpq_serve,
             oracle_ivfpq_topk(),
             True,
+        ),
+        Workload(
+            # IVFADC-R: ADC shortlist + exact rerank — lifts the raw
+            # IVFADC recall@5 (0.175 measured) to the probed-cells
+            # bound (0.887 at nprobe=16/c=200; tools/ann_recall_curve)
+            "pipe_ann_ivfpq_rerank",
+            lambda spark, sf_dir: ivfpq_rerank_topk(
+                _emb(spark, sf_dir)
+            ).orderBy("q_id", "rank"),
+            oracle_ivfpq_rerank_topk(),
+            False,
         ),
     ]
 

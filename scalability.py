@@ -32,19 +32,29 @@ from query_refinement_dsit_databases_2021_spark.plans.spec import (
 )
 
 
-def base_spec(x_hi: int, lx_hi: int) -> QuerySpec:
+def base_spec(x_hi: int, lx_hi: int, measure: str = "native") -> QuerySpec:
     # reference:src/scalability_experiment_scipt.py:12-19 shape, on the
-    # synthetic series (values ~N(50,...)-ish sine blend)
+    # synthetic series (values ~N(50,...)-ish sine blend).
+    # measure="median" swaps the constraint set for a single median_amp
+    # constraint — the non-native measure that forces strategy P (the
+    # Arrow applyInPandas escape hatch), so its per-candidate cost can
+    # be curved against the native strategies on identical domains.
+    if measure == "median":
+        constraints = (
+            ConstraintSpec("median_amp", (), 40.0, 60.0, "maximization"),
+        )
+    else:
+        constraints = (
+            ConstraintSpec("avg_amp", (), 40.0, 60.0, "maximization"),
+            ConstraintSpec("max_amp_excess_left", (4,), -2.0, 0.0, "maximization"),
+            ConstraintSpec("max_amp_excess_right", (4,), -2.0, 0.0, "maximization"),
+        )
     return QuerySpec(
         table="series",
         column="y",
         x_domain=(1, x_hi),
         lx_domain=(5, lx_hi),
-        constraints=(
-            ConstraintSpec("avg_amp", (), 40.0, 60.0, "maximization"),
-            ConstraintSpec("max_amp_excess_left", (4,), -2.0, 0.0, "maximization"),
-            ConstraintSpec("max_amp_excess_right", (4,), -2.0, 0.0, "maximization"),
-        ),
+        constraints=constraints,
         cardinality=50,
         refined=True,
     )
@@ -63,6 +73,13 @@ def main() -> int:
     # data cost is visible without changing the default methodology.
     ap.add_argument("--grow-x", type=int, default=20)
     ap.add_argument("--grow-lx", type=int, default=20)
+    ap.add_argument(
+        "--measure",
+        choices=("native", "median"),
+        default="native",
+        help="'median' runs a median_amp constraint (non-native -> "
+        "strategy P, the Arrow applyInPandas path) on the same domains",
+    )
     args = ap.parse_args()
 
     spark = get_spark(
@@ -90,12 +107,12 @@ def main() -> int:
     engine.register_series("series", series)
 
     # warm-up (not recorded)
-    engine.execute(base_spec(10, 10))
+    engine.execute(base_spec(10, 10, args.measure))
 
     x_hi, lx_hi = 10, 10
     out_rows = []
     for it in range(args.max_iters):
-        spec = base_spec(x_hi, lx_hi)
+        spec = base_spec(x_hi, lx_hi, args.measure)
         t0 = time.time()
         n = engine.execute(spec).count()
         wall = time.time() - t0

@@ -98,6 +98,27 @@ def test_minhash_lsh_finds_exact_pair(docs):
     assert pairs[(1, 2)] == 1.0
 
 
+def test_minhash_max_bucket_caps_template_blowup(spark):
+    """max_bucket drops the (band, sig) mega-bucket a templated corpus
+    creates — the O(n²)-pairs-from-one-bucket pathology — while a
+    genuine near-dup pair (which agrees on every band, each bucket of
+    size 2) survives the cap."""
+    template = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, template) for i in range(100)]  # 100 identical docs
+    rows.append((200, "quick brown fox jumps over the lazy sleeping dog"))
+    rows.append((201, "quick brown fox jumps over the lazy sleeping dog"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = dedup.minhash_lsh_pairs(docs).count()
+    assert uncapped == 100 * 99 // 2 + 1  # template O(n²) + the pair
+
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["est_sim"]
+        for r in dedup.minhash_lsh_pairs(docs, max_bucket=8).collect()
+    }
+    assert capped == {(200, 201): 1.0}
+
+
 def test_simhash_exact_dup_hamming_zero(docs):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["hamming"]

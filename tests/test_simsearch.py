@@ -717,6 +717,60 @@ def test_ivfpq_candidates_respect_probes_and_recall_floor(spark):
     assert plan.count("Exchange hashpartitioning") <= 3, plan
 
 
+def test_ivfpq_rerank_recall_floor_and_plan(spark):
+    """IVFADC-R contract (r05 verdict item 5): the exact-reranked
+    shortlist at the tuned defaults (nprobe=16, c=200) recovers >= 0.8
+    of the exact L2 top-5 — vs 0.588 for the raw 50-candidate IVFADC
+    shortlist the previous floor attested (curve committed in
+    BASELINE.md from tools/ann_recall_curve.py). The rerank join must
+    stay broadcast/equi (candidate-count-sized, never a second corpus
+    scan shape)."""
+    from pyspark.sql import Window
+
+    from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
+        N_QUERIES,
+        TOP_K,
+        _as_double,
+        _fold_sum,
+        ivfpq_rerank_topk,
+    )
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, SF_DIR)
+    emb = spark.table("embeddings")
+    out = ivfpq_rerank_topk(emb)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["q_id"], set()).add(r["vec_id"])
+
+    v = _as_double(F.col("embedding"))
+    vb = emb.select("vec_id", v.alias("v"))
+    q = vb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    d2 = _fold_sum(
+        F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    ex = {}
+    for r in (
+        F.broadcast(q)
+        .crossJoin(vb)
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", d2.alias("d2"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .collect()
+    ):
+        ex.setdefault(r["q_id"], set()).add(r["vec_id"])
+    hits = sum(len(ex[qq] & got.get(qq, set())) for qq in ex)
+    tot = sum(len(ex[qq]) for qq in ex)
+    assert hits / tot >= 0.8, f"IVFADC-R recall regressed: {hits / tot:.3f}"
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
 def test_embedding_whitening_zero_mean_unit_scale(spark):
     from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
         embedding_whitening,
