@@ -93,6 +93,87 @@ def pagerank(
     return ranks
 
 
+# HITS fixed-point scale: scores rescale to max = HITS_SCALE after
+# every half-step, so int64 never overflows (edge-sum bound
+# n_edges * HITS_SCALE ~ 6e11 at sf0.1; * HITS_SCALE for the rescale
+# multiply stays < 2^63) and the result is partitioning-invariant.
+HITS_SCALE = 1_000_000
+HITS_ITERATIONS = 4
+
+
+def hits(edges: DataFrame, iterations: int = HITS_ITERATIONS) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over a directed edge
+    list ``(src, dst)`` — the authority-transfer companion to
+    :func:`pagerank`, and the same Spark iteration shape: a FIXED
+    number of synchronous rounds, each one edge-join + one groupBy
+    shuffle per half-step.
+
+    Exactness: textbook HITS L2-normalizes each half-step; floating
+    normalization is summation-order-sensitive, so this uses the
+    fixed-point analogue — integer scores rescaled to ``max =
+    HITS_SCALE`` by ``score * HITS_SCALE DIV max(score)`` (max is
+    order-free, int division exact), making every round bit-identical
+    across engines and partitionings while preserving the relative
+    magnitudes the rescale-invariant HITS iteration is defined by.
+
+    Each half-step's raw frame feeds BOTH the rescale join and its
+    max; the max is a bounded scalar collect (ONE row per half-step —
+    the BPE-argmax convention) off the persisted raw frame, which the
+    rescale join then reads from cache. Embedding the max as a 1-row
+    crossJoin instead was measured to DOUBLE the logical plan per
+    half-step (the agg subtree re-nests the whole prior lineage →
+    2^(2·iterations) plan growth; driver heap OOM at 4 iterations on a
+    6 k-edge graph), while the scalar literal keeps the plan linear in
+    iterations like :func:`pagerank`'s. Nodes without in-edges get
+    authority 0; without out-edges, hub 0.
+
+    Returns ``(node, authority, hub)`` for every node.
+    """
+    edges = edges.select("src", "dst").distinct()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hub = nodes.select("node", F.lit(HITS_SCALE).cast("long").alias("h"))
+    auth = None
+    for _ in range(iterations):
+        a_raw = (
+            edges.join(hub, edges.src == hub.node)
+            .select(F.col("dst").alias("node"), "h")
+            .groupBy("node")
+            .agg(F.sum("h").alias("raw"))
+        ).persist()
+        a_mx = a_raw.agg(F.max("raw")).collect()[0][0]
+        auth = nodes.join(a_raw, "node", "left").select(
+            "node",
+            F.expr(f"coalesce(raw, 0) * {HITS_SCALE} DIV {a_mx}")
+            .cast("long")
+            .alias("a"),
+        )
+        h_raw = (
+            edges.join(auth, edges.dst == auth.node)
+            .select(F.col("src").alias("node"), "a")
+            .groupBy("node")
+            .agg(F.sum("a").alias("raw"))
+        ).persist()
+        h_mx = h_raw.agg(F.max("raw")).collect()[0][0]
+        hub = nodes.join(h_raw, "node", "left").select(
+            "node",
+            F.expr(f"coalesce(raw, 0) * {HITS_SCALE} DIV {h_mx}")
+            .cast("long")
+            .alias("h"),
+        )
+    return (
+        auth.join(hub, "node")
+        .select(
+            "node",
+            F.col("a").alias("authority"),
+            F.col("h").alias("hub"),
+        )
+    )
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Exact triangle participation counts over an undirected graph.
 
@@ -185,6 +266,65 @@ ORDER BY rank DESC, node LIMIT 20"""
 
 
 ORACLE_PAGERANK = _pagerank_oracle()
+
+
+def _wl_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    scores = hits(_trade_edges(spark), HITS_ITERATIONS)
+    return scores.orderBy(
+        F.col("authority").desc(), F.col("hub").desc(), F.col("node")
+    ).limit(20)
+
+
+def _hits_oracle(iterations: int = HITS_ITERATIONS) -> str:
+    s = HITS_SCALE
+    # every CTE is explicitly MATERIALIZED: each level is referenced
+    # at least twice (rescale join + max, or the two half-steps), and
+    # DuckDB's default inlining re-evaluates the whole prior chain per
+    # reference — measured 280 s (exponential) vs sub-second
+    # materialized on the sf0.01 trade graph. Same fix class as the
+    # Spark side's persist-per-half-step.
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGES_SQL}),",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges),",
+        f"h0 AS MATERIALIZED (SELECT node, CAST({s} AS BIGINT) AS h"
+        " FROM nodes)",
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(
+            f""",
+ar{k} AS MATERIALIZED (
+    SELECT e.dst AS node, CAST(SUM(h.h) AS BIGINT) AS raw
+    FROM edges e JOIN h{k-1} h ON h.node = e.src GROUP BY e.dst),
+am{k} AS MATERIALIZED (SELECT MAX(raw) AS mx FROM ar{k}),
+a{k} AS MATERIALIZED (
+    SELECT n.node,
+           CAST(COALESCE(ar.raw, 0) * {s} // am.mx AS BIGINT) AS a
+    FROM nodes n LEFT JOIN ar{k} ar ON ar.node = n.node
+    CROSS JOIN am{k} am),
+hr{k} AS MATERIALIZED (
+    SELECT e.src AS node, CAST(SUM(a.a) AS BIGINT) AS raw
+    FROM edges e JOIN a{k} a ON a.node = e.dst GROUP BY e.src),
+hm{k} AS MATERIALIZED (SELECT MAX(raw) AS mx FROM hr{k}),
+h{k} AS MATERIALIZED (
+    SELECT n.node,
+           CAST(COALESCE(hr.raw, 0) * {s} // hm.mx AS BIGINT) AS h
+    FROM nodes n LEFT JOIN hr{k} hr ON hr.node = n.node
+    CROSS JOIN hm{k} hm)"""
+        )
+    parts.append(
+        f"""
+SELECT a.node, a.a AS authority, h.h AS hub
+FROM a{iterations} a JOIN h{iterations} h ON h.node = a.node
+ORDER BY authority DESC, hub DESC, a.node LIMIT 20"""
+    )
+    return "\n".join(parts)
+
+
+ORACLE_HITS = _hits_oracle()
 
 
 def _wl_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1532,6 +1672,7 @@ def graph_workloads():
         Workload("graph_reciprocity", _wl_reciprocity, ORACLE_RECIPROCITY),
         Workload("graph_katz", _wl_katz, ORACLE_KATZ),
         Workload("graph_pagerank", _wl_pagerank, ORACLE_PAGERANK),
+        Workload("graph_hits", _wl_hits, ORACLE_HITS),
         Workload("graph_triangles", _wl_triangles, ORACLE_TRIANGLES),
         Workload("graph_components", _wl_components, ORACLE_COMPONENTS),
         Workload("graph_bfs_levels", _wl_bfs, ORACLE_BFS),

@@ -207,6 +207,101 @@ def frame_sample(media: DataFrame, every: int = 10) -> DataFrame:
     )
 
 
+AHASH_BITS = 60  # < 63 so the bit-sum stays comfortably in int64
+
+
+def perceptual_ahash(media: DataFrame) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint over the decoded
+    payload — the embedding-free near-dup detector for media columns
+    (real deployments aHash the decoded 8×8 grayscale image; the FAKE
+    format aHashes the payload's first ``AHASH_BITS`` bytes, identical
+    dataflow). Bit *i* of the fingerprint is set when byte *i* exceeds
+    the mean of the sampled window, so re-encodes that preserve
+    content brightness structure collide while distinct content
+    scatters — coarser than byte-exact :func:`payload_dedup`, which
+    is the point.
+
+    Entirely JVM-side column algebra (header strip + one
+    ``transform``/``aggregate`` pass per row — no UDF, no shuffle
+    until the dup-group aggregation). Returns collision groups:
+    ``(media_type, fingerprint, keep_id, n_copies)`` with
+    ``n_copies >= 2``, the shape :func:`payload_dedup` reports.
+    """
+    payload = F.regexp_replace(
+        F.decode(F.col("content"), "utf-8"),
+        r"^FAKE\|[0-9]+\|[0-9]+\|",
+        "",
+    )
+    b = AHASH_BITS
+    fp = F.expr(
+        f"""
+        aggregate(
+          transform(sequence(1, {b}), i ->
+            CASE WHEN (CASE WHEN i <= length(p)
+                            THEN ascii(substring(p, i, 1))
+                            ELSE 0 END)
+                 > (aggregate(transform(sequence(1, {b}), j ->
+                        CASE WHEN j <= length(p)
+                             THEN ascii(substring(p, j, 1))
+                             ELSE 0 END),
+                    0L, (a, x) -> a + x) DIV {b})
+                 THEN shiftleft(1L, i - 1) ELSE 0L END),
+          0L, (a, x) -> a + x)
+        """
+    )
+    # the hash expression references `p`; bind the header-stripped
+    # payload in its own projection first (the shingles()
+    # materialize-then-use rule: referencing the regexp inside the
+    # lambdas would re-evaluate it per element)
+    hashed = media.select(
+        "doc_id", "media_type", payload.alias("p")
+    ).select("doc_id", "media_type", fp.alias("fingerprint"))
+    return (
+        hashed.groupBy("media_type", "fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .where(F.col("n_copies") >= 2)
+        .select("media_type", "fingerprint", "keep_id", "n_copies")
+    )
+
+
+ORACLE_MEDIA_AHASH = f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         text AS p
+  FROM documents),
+codes AS (
+  SELECT doc_id, media_type, u.i,
+         CASE WHEN u.i <= length(p) THEN ascii(substr(p, u.i, 1))
+              ELSE 0 END AS code
+  FROM m, unnest(range(1, {AHASH_BITS + 1})) u(i)),
+mean AS (
+  SELECT doc_id, media_type, sum(code) // {AHASH_BITS} AS mu
+  FROM codes GROUP BY 1, 2),
+fp AS (
+  SELECT c.doc_id, c.media_type,
+         CAST(sum(CASE WHEN c.code > mn.mu
+                       THEN (1::BIGINT << (c.i - 1)) ELSE 0 END)
+              AS BIGINT) AS fingerprint
+  FROM codes c JOIN mean mn USING (doc_id, media_type)
+  GROUP BY 1, 2)
+SELECT media_type, fingerprint,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM fp GROUP BY 1, 2 HAVING count(*) >= 2
+ORDER BY media_type, keep_id"""
+
+
+def _wl_media_ahash(spark, sf_dir):
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    return perceptual_ahash(
+        synthesize_media(spark.table("documents"))
+    ).orderBy("media_type", "keep_id")
+
+
 # ---------------------------------------------------------------------------
 # Workload: features extracted from BYTES in pandas, oracle recomputes
 # them from the source TEXT in SQL
@@ -440,6 +535,12 @@ def multimodal_workloads():
             "pipe_media_payload_dedup",
             _wl_media_dedup,
             ORACLE_MEDIA_PAYLOAD_DEDUP,
+            False,
+        ),
+        Workload(
+            "pipe_media_ahash",
+            _wl_media_ahash,
+            ORACLE_MEDIA_AHASH,
             False,
         ),
     ]

@@ -1190,6 +1190,10 @@ def _wl_simpson(spark, sf_dir):
     return textops.simpson_diversity(_docs(spark, sf_dir))
 
 
+def _wl_zipf(spark, sf_dir):
+    return textops.zipf_fit(_docs(spark, sf_dir))
+
+
 def _wl_source_overlap(spark, sf_dir):
     from query_refinement_dsit_databases_2021_spark.operators.dedup import (
         source_overlap_matrix,
@@ -2277,6 +2281,7 @@ def pipeline_workloads():
         ),
         ("pipe_dedup_bag", _wl_bag_dedup, ORACLE_BAG_DEDUP, False),
         ("pipe_text_simpson", _wl_simpson, textops.ORACLE_SIMPSON, False),
+        ("pipe_text_zipf", _wl_zipf, textops.ORACLE_ZIPF, False),
         ("pipe_ctfidf_terms", _wl_ctfidf, textops.ORACLE_CTFIDF, False),
         (
             "pipe_curation_chain_v7",

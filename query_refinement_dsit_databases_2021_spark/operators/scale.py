@@ -1600,6 +1600,150 @@ SELECT n_groups, total,
 FROM agg"""
 
 
+# zone-map skip simulation: file/predicate grid sizes. 64 files x 16
+# range predicates = a 1024-row dim-sized grid regardless of table size.
+PRUNE_FILES = 64
+PRUNE_PREDS = 16
+
+
+def zone_map_skip_sim(
+    df: DataFrame,
+    layout_name: str,
+    order_col,
+    value_col,
+    n_files: int = PRUNE_FILES,
+    n_preds: int = PRUNE_PREDS,
+) -> DataFrame:
+    """MEASURE a candidate layout's min/max pruning power instead of
+    guessing it — the missing evaluation half of
+    :func:`layout_advisor` / :func:`zorder_layout` (they *choose* a
+    layout; this says what a choice buys). Simulates the parquet
+    zone-map mechanics end to end:
+
+    1. rows are assigned to ``n_files`` equal-width "files" by their
+       position in the layout's ordering column (pure integer
+       arithmetic off the broadcast 1-row min/max — no global sort,
+       no unpartitioned window);
+    2. each file's zone map (min/max of ``value_col``) comes from ONE
+       groupBy(file_id) — the table's only shuffle;
+    3. an ``n_preds``-range predicate workload covering the value
+       span is tested against every zone map (a files × preds grid,
+       dim-sized) and the skipped fraction is reported.
+
+    All arithmetic is int64 ``DIV`` so Spark and the oracle agree
+    bit-exactly. Returns ONE row: ``(layout, n_files, n_preds,
+    pairs_scanned, skip_ppm)`` — ``skip_ppm`` is the fraction of
+    (file, predicate) reads min/max stats eliminate, the number a
+    table-layout decision at 100 TB actually turns on."""
+    t = df.select(
+        order_col.cast("long").alias("o"), value_col.cast("long").alias("v")
+    )
+    b = t.agg(
+        F.min("o").alias("omn"),
+        F.max("o").alias("omx"),
+        F.min("v").alias("vmn"),
+        F.max("v").alias("vmx"),
+    )
+    zones = (
+        t.crossJoin(F.broadcast(b))
+        .select(
+            F.expr(f"(o - omn) * {n_files} DIV (omx - omn + 1)").alias(
+                "file_id"
+            ),
+            "v",
+        )
+        .groupBy("file_id")
+        .agg(F.min("v").alias("zmn"), F.max("v").alias("zmx"))
+    )
+    spark = df.sparkSession
+    preds = (
+        spark.range(n_preds)
+        .select(F.col("id").alias("p"))
+        .crossJoin(F.broadcast(b))
+        .select(
+            F.expr(f"vmn + p * (vmx - vmn + 1) DIV {n_preds}").alias("plo"),
+            F.expr(
+                f"vmn + (p + 1) * (vmx - vmn + 1) DIV {n_preds} - 1"
+            ).alias("phi"),
+        )
+    )
+    hit = (F.col("zmx") >= F.col("plo")) & (F.col("zmn") <= F.col("phi"))
+    return (
+        zones.crossJoin(F.broadcast(preds))
+        .agg(
+            F.count(F.lit(1)).alias("pairs_total"),
+            F.sum(hit.cast("long")).alias("scanned"),
+        )
+        .select(
+            F.lit(layout_name).alias("layout"),
+            F.lit(n_files).cast("long").alias("n_files"),
+            F.lit(n_preds).cast("long").alias("n_preds"),
+            F.col("scanned").cast("long").alias("pairs_scanned"),
+            F.expr(
+                "(pairs_total - scanned) * 1000000 DIV pairs_total"
+            ).alias("skip_ppm"),
+        )
+    )
+
+
+def _wl_pruning_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem's shipdate pruning under two write layouts: natural
+    (orderkey ingestion order — shipdates land everywhere, zone maps
+    are useless) vs clustered-by-shipdate (each file owns a narrow
+    date band — most files skip for any date-range predicate). The
+    side-by-side number is the case FOR running the re-layout."""
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    l = spark.table("lineitem").select(
+        "l_orderkey",
+        F.datediff(
+            F.col("l_shipdate"), F.to_date(F.lit("1992-01-01"))
+        ).alias("sd"),
+    )
+    nat = zone_map_skip_sim(l, "natural_orderkey", F.col("l_orderkey"), F.col("sd"))
+    clu = zone_map_skip_sim(l, "clustered_shipdate", F.col("sd"), F.col("sd"))
+    return nat.unionByName(clu).orderBy("layout")
+
+
+def _pruning_oracle_layout(name: str, ord_expr: str) -> str:
+    nf, np_ = PRUNE_FILES, PRUNE_PREDS
+    return f"""
+SELECT '{name}' AS layout, CAST({nf} AS BIGINT) AS n_files,
+       CAST({np_} AS BIGINT) AS n_preds,
+       CAST(sum(CASE WHEN zmx >= plo AND zmn <= phi THEN 1 ELSE 0 END)
+            AS BIGINT) AS pairs_scanned,
+       CAST((count(*) - sum(CASE WHEN zmx >= plo AND zmn <= phi
+                                 THEN 1 ELSE 0 END)) * 1000000 // count(*)
+            AS BIGINT) AS skip_ppm
+FROM (
+  WITH t AS (
+    SELECT {ord_expr} AS o,
+           date_diff('day', DATE '1992-01-01', l_shipdate) AS v
+    FROM lineitem),
+  b AS (SELECT min(o) AS omn, max(o) AS omx,
+               min(v) AS vmn, max(v) AS vmx FROM t),
+  zones AS (
+    SELECT (t.o - b.omn) * {nf} // (b.omx - b.omn + 1) AS file_id,
+           min(t.v) AS zmn, max(t.v) AS zmx
+    FROM t CROSS JOIN b GROUP BY 1),
+  preds AS (
+    SELECT b.vmn + pp.p * (b.vmx - b.vmn + 1) // {np_} AS plo,
+           b.vmn + (pp.p + 1) * (b.vmx - b.vmn + 1) // {np_} - 1 AS phi
+    FROM (SELECT unnest(range(0, {np_})) AS p) pp CROSS JOIN b)
+  SELECT * FROM zones CROSS JOIN preds)"""
+
+
+ORACLE_PRUNING_SIM = (
+    _pruning_oracle_layout("natural_orderkey", "l_orderkey")
+    + "\nUNION ALL\n"
+    + _pruning_oracle_layout(
+        "clustered_shipdate", "date_diff('day', DATE '1992-01-01', l_shipdate)"
+    )
+    + "\nORDER BY layout"
+)
+
+
 def _wl_selfjoin_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from query_refinement_dsit_databases_2021_spark.workloads import register_views
 
@@ -2094,6 +2238,7 @@ def scale_workloads():
             "ops_selfjoin_profile", _wl_selfjoin_profile, ORACLE_SELFJOIN_PROFILE
         ),
         Workload("ops_gini_skew", _wl_gini, ORACLE_GINI),
+        Workload("ops_pruning_sim", _wl_pruning_sim, ORACLE_PRUNING_SIM),
         Workload(
             "ops_record_linkage", _wl_record_linkage, ORACLE_RECORD_LINKAGE
         ),

@@ -2103,3 +2103,91 @@ SELECT doc_id,
               // (sum(c) * (sum(c) - 1)) AS BIGINT)
        END AS simpson_ppm
 FROM per GROUP BY doc_id ORDER BY doc_id"""
+
+
+ZIPF_TOP_N = 100
+
+
+def zipf_fit(docs: DataFrame, top_n: int = ZIPF_TOP_N) -> DataFrame:
+    """Zipf's-law fit of the corpus token-frequency distribution —
+    the one-number corpus-health check (natural text fits
+    ``freq ∝ rank^s`` with s ≈ −1; templated/machine-generated or
+    over-deduplicated corpora drift toward flatter or steeper slopes,
+    and a broken tokenizer shows up as a collapsed r²).
+
+    OLS of ``ln(freq)`` on ``ln(rank)`` over the ``top_n``
+    most-frequent tokens (ranked count desc, token asc — a total
+    order, so both engines fit the identical point set). The corpus
+    contributes ONE count groupBy; the ranked head is ``top_n`` rows
+    (dim-sized) through an ordered LIMIT, never a global sort of the
+    vocabulary, and the five OLS sums aggregate that head only.
+    Slope/intercept/r² are rounded to 6 dp (the repo's float-idiom
+    contract, same as :func:`lm_score`'s ln).
+
+    Returns ONE row: ``(n_top, zipf_slope, intercept, r2)``.
+    """
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("t")).where(
+        F.length("t") > 0
+    )
+    cnt = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    head = (
+        cnt.orderBy(F.desc("c"), F.asc("t"))
+        .limit(top_n)
+        .select("c")
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.desc("c"))
+            ),
+        )
+    )
+    xy = head.select(
+        F.log(F.col("r").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    slope = F.expr("(n * sxy - sx * sy) / (n * sxx - sx * sx)")
+    return s.select(
+        F.col("n").cast("long").alias("n_top"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(
+            F.expr(
+                "(n * sxy - sx * sy) * (n * sxy - sx * sy) "
+                "/ ((n * sxx - sx * sx) * (n * syy - sy * sy))"
+            ),
+            6,
+        ).alias("r2"),
+    )
+
+
+ORACLE_ZIPF = f"""
+WITH toks AS (
+  SELECT t FROM (
+    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''),
+cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY t),
+head AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, t) AS r
+  FROM cnt ORDER BY c DESC, t LIMIT {ZIPF_TOP_N}),
+xy AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+       FROM head),
+s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM xy)
+SELECT n AS n_top,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM s"""

@@ -441,3 +441,58 @@ def test_association_rules_hand_baskets(spark):
     # lift = ((1e6 div 4) * 4) div 1 = 1_000_000
     assert got[(1, 3)] == (1, 250000, 250000, 1000000, 1000000)
     assert set(got) == {(1, 2), (1, 3)}
+
+
+def _hits_ref(edges, iterations):
+    """Sequential fixed-point HITS reference in pure Python ints."""
+    from query_refinement_dsit_databases_2021_spark.operators.graph import (
+        HITS_SCALE,
+    )
+
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    h = {n: HITS_SCALE for n in nodes}
+    a = {}
+    for _ in range(iterations):
+        raw_a = {n: 0 for n in nodes}
+        for s, d in edges:
+            raw_a[d] += h[s]
+        mx = max(raw_a.values())
+        a = {n: raw_a[n] * HITS_SCALE // mx for n in nodes}
+        raw_h = {n: 0 for n in nodes}
+        for s, d in edges:
+            raw_h[s] += a[d]
+        mx = max(raw_h.values())
+        h = {n: raw_h[n] * HITS_SCALE // mx for n in nodes}
+    return a, h
+
+
+@pytest.mark.parametrize("iterations", [1, 2, 4])
+def test_hits_matches_sequential_reference(spark, iterations):
+    from query_refinement_dsit_databases_2021_spark.operators.graph import hits
+
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {
+        r.node: (r["authority"], r["hub"])
+        for r in hits(df, iterations).collect()
+    }
+    ref_a, ref_h = _hits_ref(EDGES, iterations)
+    assert got == {n: (ref_a[n], ref_h[n]) for n in ref_a}
+
+
+def test_hits_structure(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.graph import (
+        HITS_SCALE,
+        hits,
+    )
+
+    # hub 1 points at three targets; 5 only points at 1; 4 is a sink
+    df = spark.createDataFrame(EDGES, "src long, dst long")
+    got = {
+        r.node: (r["authority"], r["hub"]) for r in hits(df, 4).collect()
+    }
+    assert max(v[0] for v in got.values()) == HITS_SCALE
+    assert max(v[1] for v in got.values()) == HITS_SCALE
+    assert got[4][1] == 0  # sink: no out-edges -> hub 0
+    assert got[5][0] == 0  # source: no in-edges -> authority 0
+    assert got[1][1] == HITS_SCALE  # the hub

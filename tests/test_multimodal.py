@@ -174,3 +174,26 @@ def test_shard_balance_hand_manifest(spark):
     assert out["image"]["max_bytes"] == 100
     assert out["image"]["balance_ppm"] == 800_000
     assert out["audio"]["balance_ppm"] == 1_000_000
+
+
+def test_perceptual_ahash_groups_identical_payloads(spark):
+    """Identical payloads under different container headers collide
+    (the header is stripped before hashing); structurally different
+    payloads do not join the group."""
+    from query_refinement_dsit_databases_2021_spark.operators.multimodal import (
+        perceptual_ahash,
+    )
+
+    rows = [
+        (1, "image", b"FAKE|16|16|spark shuffles the sorted rows"),
+        (2, "image", b"FAKE|99|40|spark shuffles the sorted rows"),
+        (3, "image", b"FAKE|16|16|ZZZZ aaaa ZZZZ aaaa ZZZZ aaaa"),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, content binary"
+    )
+    got = {
+        (r["media_type"], r["keep_id"]): r["n_copies"]
+        for r in perceptual_ahash(media).collect()
+    }
+    assert got == {("image", 1): 2}

@@ -1557,3 +1557,25 @@ def test_simpson_diversity_hand_values(spark):
     assert got[2] == (3, 3, 0)
     assert got[3] == (3, 2, (1000000 * 2) // 6)
     assert got[4] == (1, 1, None)
+
+
+def test_zipf_fit_recovers_power_law(spark):
+    """A corpus built with freq(rank i) = floor(2000/i) IS Zipfian with
+    exponent -1; the OLS fit over the top-100 must recover slope ~ -1
+    with near-perfect r² (floor() quantization is the only noise)."""
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        zipf_fit,
+    )
+
+    words = []
+    for i in range(1, 101):
+        words.extend([f"w{i:03d}"] * (2000 // i))
+    # split into multiple docs to prove corpus-level (not per-doc) counting
+    docs = spark.createDataFrame(
+        [(d, " ".join(words[d::7])) for d in range(7)],
+        "doc_id long, text string",
+    )
+    row = zipf_fit(docs).collect()[0]
+    assert row["n_top"] == 100
+    assert -1.05 < row["zipf_slope"] < -0.95, row
+    assert row["r2"] > 0.995, row
