@@ -1706,7 +1706,11 @@ def _wl_pruning_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nat.unionByName(clu).orderBy("layout")
 
 
-def _pruning_oracle_layout(name: str, ord_expr: str) -> str:
+def _pruning_oracle_layout(
+    name: str,
+    ord_expr: str,
+    val_expr: str = "date_diff('day', DATE '1992-01-01', l_shipdate)",
+) -> str:
     nf, np_ = PRUNE_FILES, PRUNE_PREDS
     return f"""
 SELECT '{name}' AS layout, CAST({nf} AS BIGINT) AS n_files,
@@ -1719,7 +1723,7 @@ SELECT '{name}' AS layout, CAST({nf} AS BIGINT) AS n_files,
 FROM (
   WITH t AS (
     SELECT {ord_expr} AS o,
-           date_diff('day', DATE '1992-01-01', l_shipdate) AS v
+           {val_expr} AS v
     FROM lineitem),
   b AS (SELECT min(o) AS omn, max(o) AS omx,
                min(v) AS vmn, max(v) AS vmx FROM t),
@@ -1740,6 +1744,48 @@ ORACLE_PRUNING_SIM = (
     + _pruning_oracle_layout(
         "clustered_shipdate", "date_diff('day', DATE '1992-01-01', l_shipdate)"
     )
+    + "\nORDER BY layout"
+)
+
+
+def _wl_pruning_sim_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 2-D layout decision measured: a lexicographic sort on
+    (x, y) prunes predicates on the LEADING column only; the Z-order
+    interleave trades some of that for real pruning on BOTH columns.
+    Four simulator rows — {lex, zorder} × {x-predicates,
+    y-predicates} — make the trade quantitative (the number
+    `zorder_layout` deployments are justified by)."""
+    from functools import reduce as _reduce
+
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    l = spark.table("lineitem").select(
+        (F.col("l_partkey") % 256).alias("x"),
+        (F.col("l_suppkey") % 256).alias("y"),
+    )
+    lex = l.withColumn("o", F.col("x") * 256 + F.col("y"))
+    zed = l.withColumn("o", zorder_key(F.col("x"), F.col("y"), 8))
+    parts = [
+        zone_map_skip_sim(lex, "lex_xy|pred_x", F.col("o"), F.col("x")),
+        zone_map_skip_sim(lex, "lex_xy|pred_y", F.col("o"), F.col("y")),
+        zone_map_skip_sim(zed, "zorder|pred_x", F.col("o"), F.col("x")),
+        zone_map_skip_sim(zed, "zorder|pred_y", F.col("o"), F.col("y")),
+    ]
+    return _reduce(lambda a, b: a.unionByName(b), parts).orderBy("layout")
+
+
+_ZX = "(l_partkey % 256)"
+_ZY = "(l_suppkey % 256)"
+
+ORACLE_PRUNING_SIM_ZORDER = (
+    _pruning_oracle_layout("lex_xy|pred_x", f"{_ZX} * 256 + {_ZY}", _ZX)
+    + "\nUNION ALL\n"
+    + _pruning_oracle_layout("lex_xy|pred_y", f"{_ZX} * 256 + {_ZY}", _ZY)
+    + "\nUNION ALL\n"
+    + _pruning_oracle_layout("zorder|pred_x", zorder_sql(_ZX, _ZY, 8), _ZX)
+    + "\nUNION ALL\n"
+    + _pruning_oracle_layout("zorder|pred_y", zorder_sql(_ZX, _ZY, 8), _ZY)
     + "\nORDER BY layout"
 )
 
@@ -2239,6 +2285,11 @@ def scale_workloads():
         ),
         Workload("ops_gini_skew", _wl_gini, ORACLE_GINI),
         Workload("ops_pruning_sim", _wl_pruning_sim, ORACLE_PRUNING_SIM),
+        Workload(
+            "ops_pruning_sim_zorder",
+            _wl_pruning_sim_zorder,
+            ORACLE_PRUNING_SIM_ZORDER,
+        ),
         Workload(
             "ops_record_linkage", _wl_record_linkage, ORACLE_RECORD_LINKAGE
         ),
