@@ -3097,6 +3097,120 @@ def simsearch_workloads():
             oracle_ivfpq_rerank_topk(),
             False,
         ),
+        Workload(
+            # greedy k-center coreset: diversity-first subset selection
+            "pipe_sample_kcenter",
+            lambda spark, sf_dir: kcenter_select(
+                _emb(spark, sf_dir)
+            ).orderBy("pick_order"),
+            oracle_kcenter(),
+            False,
+        ),
     ]
 
 
+
+
+# Greedy k-center (Gonzalez/farthest-point) coreset size
+KCENTER_K = 8
+
+
+def kcenter_select(emb: DataFrame, k: int = KCENTER_K, dim: int = DIM) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985, the 2-approx
+    farthest-point traversal) — the diversity-first subset selector a
+    curation pipeline runs to seed labeling / eval panels / cluster
+    initializations: each round picks the vector FARTHEST from every
+    already-chosen center, so the selection spreads over the corpus
+    instead of oversampling its dense core (what uniform sampling
+    does).
+
+    Determinism: the seed is the smallest vec_id; distances are the
+    repo's exact-lift idiom (index-order float fold → floor-micro
+    int64, the PQ contract), so the argmax each round — ordered
+    (dmin desc, vec_id asc) — is engine-invariant. Already-chosen
+    centers have dmin = 0 and can never win again.
+
+    Plan: k−1 corpus scans, each evaluating ≤ k inline literal-center
+    distance folds and collecting ONE row (the argmax — the HITS /
+    BPE-argmax bounded-collect convention). O(k²·n) kernel work total:
+    the known cost of exact greedy k-center, embarrassingly parallel
+    per scan; at larger k the production variant persists the running
+    dmin column instead of re-folding (documented trade, same
+    output).
+
+    Returns ``(pick_order, vec_id, radius_micro)`` — ``radius_micro``
+    is the chosen point's distance to the prior centers (the max-min
+    covering radius curve; the seed reports 0).
+    """
+    v = _as_double(F.col("embedding"))
+    base = emb.select("vec_id", v.alias("v"))
+    seed = base.orderBy("vec_id").limit(1).collect()[0]
+    centers = [(int(seed["vec_id"]), [float(x) for x in seed["v"]], 0)]
+    for _t in range(1, k):
+        dexprs = []
+        for _cid, cv, _r in centers:
+            carr = F.array(*[F.lit(float(x)) for x in cv])
+            d2 = _fold_sum(
+                F.zip_with(F.col("v"), carr, lambda x, y: (x - y) * (x - y))
+            )
+            dexprs.append(
+                F.floor(d2 * F.lit(1e6) + F.lit(0.5)).cast("long")
+            )
+        dmin = dexprs[0] if len(dexprs) == 1 else F.least(*dexprs)
+        nxt = (
+            base.select("vec_id", "v", dmin.alias("dmin"))
+            .orderBy(F.desc("dmin"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append(
+            (int(nxt["vec_id"]), [float(x) for x in nxt["v"]], int(nxt["dmin"]))
+        )
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(t, cid, r) for t, (cid, _v, r) in enumerate(centers)],
+        "pick_order long, vec_id long, radius_micro long",
+    )
+
+
+def oracle_kcenter(k: int = KCENTER_K, dim: int = DIM) -> str:
+    """DuckDB mirror of :func:`kcenter_select`: k−1 unrolled
+    MATERIALIZED argmax levels (the :func:`graph.hits` oracle
+    pattern), each folding the same index-order micro-lifted
+    distance."""
+    def dist(a: str, b: str) -> str:
+        return (
+            f"CAST(floor(list_reduce(list_prepend(0.0, list_transform("
+            f"range(1, {dim + 1}), i -> ({a}.v[i] - {b}.v[i]) * "
+            f"({a}.v[i] - {b}.v[i]))), (acc, x) -> acc + x) * 1e6 + 0.5) "
+            f"AS BIGINT)"
+        )
+
+    parts = [
+        "WITH kb AS MATERIALIZED (SELECT vec_id, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM embeddings),",
+        "c0 AS MATERIALIZED (SELECT vec_id, v FROM kb "
+        "ORDER BY vec_id LIMIT 1),",
+        f"d1 AS MATERIALIZED (SELECT b.vec_id, b.v, {dist('b', 'c')} AS dmin "
+        "FROM kb b CROSS JOIN c0 c)",
+    ]
+    for t in range(1, k):
+        parts.append(
+            f", c{t} AS MATERIALIZED (SELECT vec_id, v, dmin FROM d{t} "
+            f"ORDER BY dmin DESC, vec_id LIMIT 1)"
+        )
+        if t < k - 1:
+            parts.append(
+                f", d{t + 1} AS MATERIALIZED (SELECT p.vec_id, p.v, "
+                f"LEAST(p.dmin, {dist('p', 'c')}) AS dmin "
+                f"FROM d{t} p CROSS JOIN c{t} c)"
+            )
+    sel = ["SELECT 0 AS pick_order, vec_id, CAST(0 AS BIGINT) AS radius_micro FROM c0"]
+    for t in range(1, k):
+        sel.append(
+            f"SELECT {t} AS pick_order, vec_id, "
+            f"CAST(dmin AS BIGINT) AS radius_micro FROM c{t}"
+        )
+    parts.append("\n" + "\nUNION ALL\n".join(sel) + "\nORDER BY pick_order")
+    return "\n".join(parts)

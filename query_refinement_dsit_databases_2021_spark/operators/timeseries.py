@@ -3299,6 +3299,122 @@ SELECT event_type,
 FROM events GROUP BY 1, 2 ORDER BY event_type, day_epoch"""
 
 
+# Banded matrix profile: subsequence length, neighbor band, series
+# cap, and discord count. The band bounds the pair join at
+# O(n · band); the cap bounds the ordered-window frame (the repo's
+# bounded-frame convention — this is a per-series diagnostic, sharded
+# by key in production, not a corpus-wide sort).
+MP_M = 8
+MP_BAND = 128
+MP_CAP = 2048
+MP_TOP = 10
+
+
+def matrix_profile_discords(
+    events: DataFrame,
+    m: int = MP_M,
+    band: int = MP_BAND,
+    cap: int = MP_CAP,
+    top: int = MP_TOP,
+) -> DataFrame:
+    """Banded matrix profile over the event-value series → top
+    discords (Yeh et al. 2016's profile restricted to a ±``band``
+    neighbor horizon): for every length-``m`` window, the squared-L2
+    distance to its nearest non-trivial neighbor (|i−j| ≥ m, the
+    standard exclusion zone) within the band; windows whose nearest
+    neighbor is FARTHEST are the discords — the strongest
+    subsequence-anomaly signal a TSDB offers (novel shapes, not just
+    novel levels, which is what the z-score/MAD family sees).
+
+    Exactness: values lift to integer cents once, so every distance is
+    an exact int64 — no float summation anywhere. Plan: windows build
+    from ONE ordered frame over the capped series (``cap`` rows,
+    bounded); the pair join is (bucket, neighbor-bucket) EQUI on
+    ``i DIV band`` fanned to the 3 adjacent buckets — O(n·band) pairs
+    by construction, never all-pairs; nearest neighbor and the discord
+    head are two dim-sized window ranks.
+
+    Returns ``(i, nn_j, nn_d2)`` for the ``top`` discords, ordered
+    (nn_d2 desc, i asc)."""
+    s = (
+        events.where(F.col("event_id") < cap)
+        .select(
+            F.col("event_id").alias("i"),
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    w = Window.orderBy("i").rowsBetween(0, m - 1)
+    win = (
+        s.select("i", F.collect_list("c").over(w).alias("w"))
+        .where(F.size("w") == m)
+    )
+    a = win.select(
+        F.col("i"),
+        F.col("w").alias("wa"),
+        F.explode(
+            F.array(
+                F.expr(f"i DIV {band} - 1"),
+                F.expr(f"i DIV {band}"),
+                F.expr(f"i DIV {band} + 1"),
+            )
+        ).alias("bk"),
+    )
+    b = win.select(
+        F.col("i").alias("j"),
+        F.col("w").alias("wb"),
+        F.expr(f"i DIV {band}").alias("bk"),
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(wa, wb, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    pairs = (
+        a.join(b, "bk")
+        .where(
+            (F.abs(F.col("i") - F.col("j")) >= m)
+            & (F.abs(F.col("i") - F.col("j")) <= band)
+        )
+        .select("i", "j", d2.alias("d2"))
+    )
+    nn = Window.partitionBy("i").orderBy(F.asc("d2"), F.asc("j"))
+    profile = (
+        pairs.withColumn("rn", F.row_number().over(nn))
+        .where(F.col("rn") == 1)
+        .select("i", F.col("j").alias("nn_j"), F.col("d2").alias("nn_d2"))
+    )
+    return profile.orderBy(F.desc("nn_d2"), F.asc("i")).limit(top)
+
+
+ORACLE_MATRIX_PROFILE = f"""
+WITH s AS (
+  SELECT event_id AS i, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events WHERE event_id < {MP_CAP}),
+win AS (
+  SELECT i, w FROM (
+    SELECT i, list(c) OVER (ORDER BY i
+        ROWS BETWEEN CURRENT ROW AND {MP_M - 1} FOLLOWING) AS w
+    FROM s)
+  WHERE len(w) = {MP_M}),
+pairs AS (
+  SELECT a.i, b.i AS j,
+         list_reduce(list_prepend(0::BIGINT, list_transform(
+             range(1, {MP_M + 1}),
+             k -> (a.w[k] - b.w[k]) * (a.w[k] - b.w[k]))),
+           (acc, v) -> acc + v) AS d2
+  FROM win a JOIN win b
+    ON b.i BETWEEN a.i - {MP_BAND} AND a.i + {MP_BAND}
+   AND abs(a.i - b.i) >= {MP_M}),
+profile AS (
+  SELECT i, j AS nn_j, d2 AS nn_d2,
+         row_number() OVER (PARTITION BY i ORDER BY d2, j) AS rn
+  FROM pairs)
+SELECT i, nn_j, CAST(nn_d2 AS BIGINT) AS nn_d2
+FROM profile WHERE rn = 1
+ORDER BY nn_d2 DESC, i LIMIT {MP_TOP}"""
+
+
 def timeseries_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import (
         Workload,
@@ -3354,6 +3470,7 @@ def timeseries_workloads():
         _w("ts_forecast_model_select", ORACLE_MODEL_SELECT, forecast_model_select),
         _w("ts_dominant_period", ORACLE_DOMINANT_PERIOD, dominant_period),
         _w("ts_acf_profile", ORACLE_ACF_PROFILE, acf_profile),
+        _w("ts_matrix_profile", ORACLE_MATRIX_PROFILE, matrix_profile_discords),
         _w(
             "ts_stl_decompose",
             ORACLE_STL,

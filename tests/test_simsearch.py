@@ -792,3 +792,35 @@ def test_embedding_whitening_zero_mean_unit_scale(spark):
     assert z[0] == exp
     assert z[1] == 0.0
     assert z[2] == -exp  # symmetric around the mean
+
+
+def test_kcenter_select_hand_graph(spark):
+    """Greedy farthest-point on 5 hand-placed 2-D points: seed 0,
+    then the far outlier (2), then the mid point (3), then the
+    best-of-the-near-cluster (4) — with the exact micro radii."""
+    from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
+        kcenter_select,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),
+            (1, [0.1, 0.0]),
+            (2, [10.0, 0.0]),
+            (3, [5.0, 5.0]),
+            (4, [0.2, 0.1]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = [
+        (r["pick_order"], r["vec_id"], r["radius_micro"])
+        for r in kcenter_select(emb, k=4, dim=2).orderBy("pick_order").collect()
+    ]
+    # d2(0,2)=100 -> 1e8 micro; d2(3,{0,2}) = 50 both -> 5e7;
+    # d2(4,0)=0.05 -> 50000 (float32 lift rounds just above)
+    assert got == [
+        (0, 0, 0),
+        (1, 2, 100000000),
+        (2, 3, 50000000),
+        (3, 4, 50000),
+    ], got

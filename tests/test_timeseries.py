@@ -1084,3 +1084,39 @@ def test_changepoint_cusum_locates_level_shift(spark):
     assert row["cp_day"].isoformat() == "2024-03-05"
     assert row["pre_mean_cents"] == 1000
     assert row["post_mean_cents"] == 5000
+
+
+def test_matrix_profile_finds_planted_discord(spark):
+    """A perfectly period-8 series has an exact twin for every window
+    (nn_d2 = 0 everywhere); corrupting positions 100-103 makes exactly
+    the windows overlapping the spike unable to find a close neighbor.
+    The top discord must overlap the corruption, and a clean window's
+    profile entry must be 0."""
+    from datetime import datetime, timedelta
+
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        matrix_profile_discords,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for i in range(512):
+        v = 10.0 + (i % 8)
+        if 100 <= i <= 103:
+            v = 99.0
+        rows.append((i, t0 + timedelta(minutes=i), 1, "click", v, "{}"))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = matrix_profile_discords(events, m=8, band=64, cap=512, top=5).collect()
+    assert len(got) == 5
+    top = got[0]
+    # top discord window overlaps the corrupted span [100, 103]
+    assert top["i"] <= 103 and top["i"] + 7 >= 100, top
+    assert top["nn_d2"] > 0
+    # every reported discord here overlaps the spike (the rest of the
+    # series is exactly periodic, nn_d2 = 0, so it can't outrank them)
+    for r in got:
+        assert r["i"] <= 103 and r["i"] + 7 >= 100, r

@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Steady-state MinHash ingest at scale: build the standing index ONCE
+over the 10M-doc synthetic corpus (tools/dedup_scale.py's data), then
+measure a 100k-doc shard ingest through the partition-pruned artifact
+(`incremental_dedup_from_index`) vs the inline form that re-shingles
+the whole base corpus (`incremental_minhash_dedup`). The gap between
+those two numbers is the case for the standing artifact — at 100 TB
+the inline form is a full-corpus job per shard, the artifact form is
+shard-sized.
+
+Usage: python tools/minhash_ingest_scale.py [--base-n 10000000]
+       [--shard-n 100000] [--cpus 24] [--data-root /tmp/dedup_scale]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from query_refinement_dsit_databases_2021_spark.session import get_spark  # noqa: E402
+from query_refinement_dsit_databases_2021_spark.operators import dedup  # noqa: E402
+from tools.dedup_scale import synthesize  # noqa: E402
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base-n", type=int, default=10_000_000)
+    ap.add_argument("--shard-n", type=int, default=100_000)
+    ap.add_argument("--cpus", type=int, default=24)
+    ap.add_argument("--data-root", default="/tmp/dedup_scale")
+    args = ap.parse_args()
+
+    spark = get_spark(
+        app_name="qr-minhash-ingest",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=args.cpus * 4,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base_path = os.path.join(
+        args.data_root, f"n{args.base_n}", "documents.parquet"
+    )
+    if not os.path.isdir(base_path):
+        synthesize(spark, args.base_n).write.mode("overwrite").parquet(
+            base_path
+        )
+    base = spark.read.parquet(base_path)
+
+    # shard: fresh doc ids above the base range, texts from the same
+    # generator keyed at 0..shard_n — so every shard doc exactly
+    # duplicates base doc (id − base_n): a worst-case 100%-dup shard,
+    # which maximizes the verify-join work while staying shard-sized
+    # (each shard doc matches ~1 partner, never a fan-out).
+    shard_ids = synthesize(spark, args.shard_n).selectExpr(
+        f"doc_id + {args.base_n} AS doc_id", "text", "lang", "source",
+        "n_chars",
+    )
+    shard_path = os.path.join(
+        args.data_root, f"shard{args.shard_n}", "documents.parquet"
+    )
+    if not os.path.isdir(shard_path):
+        shard_ids.write.mode("overwrite").parquet(shard_path)
+    shard = spark.read.parquet(shard_path)
+
+    index_path = os.path.join(args.data_root, f"mh_index_n{args.base_n}")
+    t0 = time.time()
+    if not os.path.isdir(index_path):
+        dedup.write_minhash_index(base, index_path)
+    build_s = time.time() - t0
+    print(f"index build (once): {build_s:.1f}s", flush=True)
+
+    t0 = time.time()
+    n_served = dedup.incremental_dedup_from_index(
+        spark, index_path, shard
+    ).count()
+    served_s = time.time() - t0
+    print(f"artifact-served shard ingest: {served_s:.1f}s "
+          f"({n_served} rows)", flush=True)
+
+    t0 = time.time()
+    n_inline = dedup.incremental_minhash_dedup(base, shard).count()
+    inline_s = time.time() - t0
+    print(f"inline (re-shingle base) ingest: {inline_s:.1f}s "
+          f"({n_inline} rows)", flush=True)
+    print(
+        f"SUMMARY base={args.base_n} shard={args.shard_n} "
+        f"build={build_s:.1f} served={served_s:.1f} inline={inline_s:.1f} "
+        f"speedup={inline_s / served_s:.1f}x rows_match={n_served == n_inline}"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
