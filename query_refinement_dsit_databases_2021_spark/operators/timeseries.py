@@ -3299,6 +3299,114 @@ SELECT event_type,
 FROM events GROUP BY 1, 2 ORDER BY event_type, day_epoch"""
 
 
+# the certified holt-residual recursion as a composable fragment
+# (DuckDB allows a WITH RECURSIVE inside a derived table)
+_HOLT_RESID_SQL = (
+    "SELECT key, t, resid_cents AS e FROM ("
+    + _holt_residuals_oracle()
+    + ") hr"
+)
+
+LB_LAGS = 5
+# chi-square 95th percentile at df = LB_LAGS — the fixed decision
+# threshold (df adjustment for fitted params is the caller's concern;
+# documented, not silently applied)
+LB_CRIT_MICRO = 11_070_498  # 11.070498 in 1e-6 units
+
+
+def ljung_box(events: DataFrame, h: int = LB_LAGS) -> DataFrame:
+    """Ljung–Box residual-whiteness test over :func:`holt_linear`'s
+    one-step residuals — the model-diagnostic that closes the
+    forecasting loop (:func:`holt_residuals` shows the trace; this
+    says whether what's left is noise): per key,
+    ``Q = n(n+2) Σ_{k=1..h} r_k² / (n−k)`` with r_k the lag-k
+    autocorrelation of the residuals, compared against the fixed
+    χ²₀.₉₅(h) critical value.
+
+    Exactness: the autocovariance numerators and denominator are
+    exact int64 built from integer-cents sums
+    (``A_k = n²·Σe_t e_{t+k} − n·S·(H_k+T_k) + (n−k)·S²``,
+    ``D = n²·Σe² − n·S²``), so the only float work is h fixed-order
+    divisions and the final Q — rounded to 6 dp, the repo's float
+    idiom. Plan: ONE window pass (h leads over (key, t)) and ONE
+    groupBy(key); everything after is per-key scalar arithmetic.
+
+    Returns ``(key, n, q_stat, white_noise)`` ordered by key; keys
+    need n > h residuals.
+    """
+    r = holt_residuals(events).select(
+        "key", "t", F.col("resid_cents").alias("e")
+    )
+    w = Window.partitionBy("key").orderBy("t")
+    proj = [F.col("key"), F.col("e")]
+    for k in range(1, h + 1):
+        proj.append(F.lead("e", k).over(w).alias(f"e{k}"))
+    lagged = r.select(*proj)
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("e").alias("s"),
+        F.sum(F.expr("e * e")).alias("ss"),
+    ]
+    for k in range(1, h + 1):
+        aggs.append(F.sum(F.expr(f"e * e{k}")).alias(f"p{k}"))
+        aggs.append(
+            F.sum(F.when(F.col(f"e{k}").isNotNull(), F.col("e"))).alias(
+                f"h{k}"
+            )
+        )
+        aggs.append(F.sum(f"e{k}").alias(f"t{k}"))
+    g = lagged.groupBy("key").agg(*aggs).where(F.col("n") > h)
+    d = F.expr("n * n * ss - n * s * s").cast("double")
+    q = None
+    for k in range(1, h + 1):
+        ak = F.expr(
+            f"n * n * p{k} - n * s * (h{k} + t{k}) + (n - {k}) * s * s"
+        ).cast("double")
+        rk2 = (ak / d) * (ak / d)
+        term = rk2 / (F.col("n") - F.lit(k)).cast("double")
+        q = term if q is None else q + term
+    q = F.round(F.col("n").cast("double") * (F.col("n") + 2) * q, 6)
+    return g.select(
+        "key",
+        "n",
+        q.alias("q_stat"),
+        (q < F.lit(LB_CRIT_MICRO / 1e6)).alias("white_noise"),
+    ).orderBy("key")
+
+
+def _ljung_box_oracle(h: int = LB_LAGS) -> str:
+    # holt residuals come from the certified recursive-CTE oracle
+    # fragment; whiteness statistics mirror the integer closed forms
+    leads = ", ".join(
+        f"lead(e, {k}) OVER (PARTITION BY key ORDER BY t) AS e{k}"
+        for k in range(1, h + 1)
+    )
+    aggs = ", ".join(
+        f"CAST(sum(e * e{k}) AS BIGINT) AS p{k}, "
+        f"CAST(sum(CASE WHEN e{k} IS NOT NULL THEN e END) AS BIGINT) AS h{k}, "
+        f"CAST(sum(e{k}) AS BIGINT) AS t{k}"
+        for k in range(1, h + 1)
+    )
+    terms = " + ".join(
+        f"pow(CAST(n * n * p{k} - n * s * (h{k} + t{k}) "
+        f"+ (n - {k}) * s * s AS DOUBLE) "
+        f"/ CAST(n * n * ss - n * s * s AS DOUBLE), 2) / (n - {k})"
+        for k in range(1, h + 1)
+    )
+    return f"""
+WITH resid AS ({_HOLT_RESID_SQL}),
+lagged AS (SELECT key, e, {leads} FROM resid),
+g AS (
+  SELECT key, CAST(count(*) AS BIGINT) AS n, CAST(sum(e) AS BIGINT) AS s,
+         CAST(sum(e * e) AS BIGINT) AS ss, {aggs}
+  FROM lagged GROUP BY key)
+SELECT key, n,
+       round(n * (n + 2) * ({terms}), 6) AS q_stat,
+       round(n * (n + 2) * ({terms}), 6) < {LB_CRIT_MICRO / 1e6}
+         AS white_noise
+FROM g WHERE n > {h} ORDER BY key"""
+
+
 # Banded matrix profile: subsequence length, neighbor band, series
 # cap, and discord count. The band bounds the pair join at
 # O(n · band); the cap bounds the ordered-window frame (the repo's
@@ -3471,6 +3579,7 @@ def timeseries_workloads():
         _w("ts_dominant_period", ORACLE_DOMINANT_PERIOD, dominant_period),
         _w("ts_acf_profile", ORACLE_ACF_PROFILE, acf_profile),
         _w("ts_matrix_profile", ORACLE_MATRIX_PROFILE, matrix_profile_discords),
+        _w("ts_ljung_box", _ljung_box_oracle(), ljung_box),
         _w(
             "ts_stl_decompose",
             ORACLE_STL,

@@ -1120,3 +1120,48 @@ def test_matrix_profile_finds_planted_discord(spark):
     # series is exactly periodic, nn_d2 = 0, so it can't outrank them)
     for r in got:
         assert r["i"] <= 103 and r["i"] + 7 >= 100, r
+
+
+def test_ljung_box_matches_python_reference(spark):
+    """Q and the whiteness flag recomputed in plain Python from the
+    (already certified) holt residuals must agree with the in-engine
+    statistic to the same 6 dp on the sf0.001 events."""
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        LB_CRIT_MICRO,
+        LB_LAGS,
+        holt_residuals,
+        ljung_box,
+    )
+    from query_refinement_dsit_databases_2021_spark.workloads import (
+        register_views,
+    )
+
+    register_views(spark, "/root/testdata/sf0.001")
+    events = spark.table("events")
+    per_key: dict[str, list[int]] = {}
+    for r in holt_residuals(events).orderBy("key", "t").collect():
+        per_key.setdefault(r["key"], []).append(int(r["resid_cents"]))
+
+    want = {}
+    for key, es in per_key.items():
+        n = len(es)
+        if n <= LB_LAGS:
+            continue
+        s, ss = sum(es), sum(x * x for x in es)
+        d = n * n * ss - n * s * s
+        q = 0.0
+        for k in range(1, LB_LAGS + 1):
+            p = sum(es[t] * es[t + k] for t in range(n - k))
+            hd = sum(es[: n - k])
+            tl = sum(es[k:])
+            a = n * n * p - n * s * (hd + tl) + (n - k) * s * s
+            q += (a / d) ** 2 / (n - k)
+        q = round(n * (n + 2) * q, 6)
+        want[key] = (n, q, q < LB_CRIT_MICRO / 1e6)
+
+    got = {
+        r["key"]: (r["n"], r["q_stat"], r["white_noise"])
+        for r in ljung_box(events).collect()
+    }
+    assert got == want, (got, want)
+    assert got  # non-empty

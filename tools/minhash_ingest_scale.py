@@ -73,19 +73,32 @@ def main() -> int:
     build_s = time.time() - t0
     print(f"index build (once): {build_s:.1f}s", flush=True)
 
-    t0 = time.time()
-    n_served = dedup.incremental_dedup_from_index(
-        spark, index_path, shard
-    ).count()
-    served_s = time.time() - t0
-    print(f"artifact-served shard ingest: {served_s:.1f}s "
-          f"({n_served} rows)", flush=True)
+    # force FULL evaluation: count() on the one-row-per-shard-doc
+    # left join lets Catalyst eliminate the dedup work entirely
+    # (unique-key outer-join elimination), so aggregate the VALUES
+    from pyspark.sql import functions as F
+
+    def checksum(df):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("is_dup").alias("dups"),
+            F.sum("dup_of").alias("chk"),
+        ).collect()[0]
 
     t0 = time.time()
-    n_inline = dedup.incremental_minhash_dedup(base, shard).count()
+    r_served = checksum(
+        dedup.incremental_dedup_from_index(spark, index_path, shard)
+    )
+    served_s = time.time() - t0
+    print(f"artifact-served shard ingest: {served_s:.1f}s "
+          f"({r_served['n']} rows, {r_served['dups']} dups)", flush=True)
+
+    t0 = time.time()
+    r_inline = checksum(dedup.incremental_minhash_dedup(base, shard))
     inline_s = time.time() - t0
     print(f"inline (re-shingle base) ingest: {inline_s:.1f}s "
-          f"({n_inline} rows)", flush=True)
+          f"({r_inline['n']} rows, {r_inline['dups']} dups)", flush=True)
+    n_served, n_inline = tuple(r_served), tuple(r_inline)
     print(
         f"SUMMARY base={args.base_n} shard={args.shard_n} "
         f"build={build_s:.1f} served={served_s:.1f} inline={inline_s:.1f} "
