@@ -637,6 +637,113 @@ def _wl_cdc_apply(spark, sf_dir):
     return cdc_apply_fold(_events(spark, sf_dir))
 
 
+ALERT_Z10 = 20  # 2.0 sigma, in tenths
+
+
+def type_baseline(
+    history: DataFrame, window: str = "10 minutes", z10: int = ALERT_Z10
+) -> DataFrame:
+    """Static per-type alert thresholds from a HISTORY table: the mean
+    and deviation of per-window cent totals, threshold =
+    mean + (z10/10)·σ. Integer-exact: totals are cents, the variance
+    numerator is the n·Σx²−S² closed form (int64), and σ enters
+    through ``floor(sqrt(int))`` — IEEE-754 sqrt is correctly rounded,
+    so the floor is bit-stable across engines. Returns
+    ``(event_type, thr_cents)`` — a dim-sized frame."""
+    win = F.window("ts", window)
+    totals = (
+        history.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("c")
+        )
+    )
+    return (
+        totals.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("s"),
+            F.sum(F.expr("c * c")).alias("ss"),
+        )
+        .select(
+            "event_type",
+            F.expr(
+                f"s DIV n + ({z10} * CAST(floor(sqrt(n * ss - s * s)) AS BIGINT))"
+                f" DIV (10 * n)"
+            ).alias("thr_cents"),
+        )
+    )
+
+
+def windowed_alerts(
+    events: DataFrame,
+    baseline: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming windowed anomaly alerts: per (event-time window,
+    type) cent totals, joined against the STATIC per-type thresholds
+    of :func:`type_baseline` — the alerting composition of
+    :func:`windowed_rollup` + the stream-static enrich pattern
+    (chained aggregations are illegal in one streaming query, so the
+    baseline is a batch artifact refreshed out-of-band, exactly how a
+    production detector holds its thresholds). Emits ONLY the alert
+    rows. Integer cents end-to-end → the alert set is bit-stable.
+
+    Returns ``(window_start, event_type, total_cents, thr_cents)``.
+    """
+    win = F.window("ts", window)
+    totals = (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("total_cents")
+        )
+    )
+    return (
+        totals.join(F.broadcast(baseline), "event_type")
+        .where(F.col("total_cents") > F.col("thr_cents"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "total_cents",
+            "thr_cents",
+        )
+    )
+
+
+def _wl_windowed_alerts(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return windowed_alerts(ev, type_baseline(ev)).orderBy(
+        "window_start", "event_type"
+    )
+
+
+ORACLE_WINDOWED_ALERTS = """
+WITH totals AS (
+  SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+         event_type,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_cents
+  FROM events GROUP BY 1, 2),
+base AS (
+  SELECT event_type,
+         CAST(s // n + (20 * CAST(floor(sqrt(CAST(n * ss - s * s AS DOUBLE)))
+                                  AS BIGINT)) // (10 * n) AS BIGINT)
+             AS thr_cents
+  FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(total_cents) AS BIGINT) AS s,
+               CAST(sum(total_cents * total_cents) AS BIGINT) AS ss
+        FROM totals GROUP BY 1))
+SELECT t.window_start, t.event_type, t.total_cents, b.thr_cents
+FROM totals t JOIN base b USING (event_type)
+WHERE t.total_cents > b.thr_cents
+ORDER BY window_start, event_type"""
+
+
 def streaming_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
@@ -669,6 +776,12 @@ def streaming_workloads():
             "stream_lateness_profile", _wl_lateness_profile, ORACLE_LATENESS, False
         ),
         Workload("stream_cdc_apply", _wl_cdc_apply, ORACLE_CDC_APPLY, False),
+        Workload(
+            "stream_windowed_alerts",
+            _wl_windowed_alerts,
+            ORACLE_WINDOWED_ALERTS,
+            False,
+        ),
     ]
 
 

@@ -455,3 +455,48 @@ def test_cdc_apply_fold_equals_one_shot_latest(spark):
     # one-shot latest per key: week 2, day 5
     expect_ts = base + timedelta(weeks=2, days=5)
     assert got == {1: (expect_ts, 205.0), 2: (expect_ts, 205.0)}
+
+
+def test_windowed_alerts_stream_matches_batch_finalized(spark, events_dir):
+    """The streaming alert query (windowed cent totals joined against
+    the static per-type threshold dim, append mode) must emit exactly
+    the batch alert set restricted to watermark-FINALIZED windows —
+    stream-static join after aggregation is the one composition shape
+    append mode allows, and the watermark decides which windows have
+    been emitted when the input is bounded."""
+    from datetime import timedelta
+
+    batch = _batch_events(spark, events_dir)
+    baseline = W.type_baseline(batch)
+    stream = W.read_event_stream(spark, events_dir)
+    W.run_to_memory_sink(
+        W.windowed_alerts(stream, baseline), "alerts", output_mode="append"
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (
+            r["total_cents"],
+            r["thr_cents"],
+        )
+        for r in spark.table("alerts").collect()
+    }
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - timedelta(minutes=30)
+    expected = {
+        (r["window_start"], r["event_type"]): (
+            r["total_cents"],
+            r["thr_cents"],
+        )
+        for r in W.windowed_alerts(batch, baseline).collect()
+        # append emits once the watermark passes window END (start+10m)
+        if r["window_start"] + timedelta(minutes=10) <= cutoff
+    }
+    assert len(got) > 0
+    assert expected.items() <= got.items(), (
+        set(expected) - set(got)
+    )
+    # nothing emitted that the batch query wouldn't alert on
+    batch_all = {
+        (r["window_start"], r["event_type"])
+        for r in W.windowed_alerts(batch, baseline).collect()
+    }
+    assert set(got) <= batch_all
