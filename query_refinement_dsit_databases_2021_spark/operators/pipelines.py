@@ -1136,6 +1136,81 @@ def _wl_curation_v7(spark, sf_dir):
     return textops.class_tfidf_terms(curated)
 
 
+def _wl_curation_v8(spark, sf_dir):
+    """Curation chain v8 — the round-6 dedup stage composed into a
+    corpus manifest: bucket-capped MinHash-LSH near-dup removal (the
+    HIGHER doc_id of every est_sim >= 0.5 pair drops — min-id-survivor
+    convention, with the template mega-bucket bounded by
+    MINHASH_MAX_BUCKET), then a per-source manifest of the curated
+    corpus carrying each source's dominant token. Each stage is
+    oracle-certified alone; the chain's oracle recomposes their SQL so
+    the COMPOSITION is what the differential checks."""
+    docs = _docs(spark, sf_dir)
+    drops = (
+        dedup.minhash_lsh_pairs(docs, max_bucket=MINHASH_MAX_BUCKET)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    curated = docs.join(drops, "doc_id", "left_anti")
+    toks = curated.select(
+        "source", F.explode(textops.tokens(F.col("text"))).alias("t")
+    ).where(F.length("t") > 0)
+    cnt = toks.groupBy("source", "t").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("t"))
+    top = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("source", F.col("t").alias("top_token"), F.col("n").alias("top_token_n"))
+    )
+    man = curated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return man.join(top, "source").orderBy("source")
+
+
+ORACLE_CURATION_V8 = f"""
+WITH {SQL_SHINGLES},
+{SQL_SHINGLE_HASHES},
+wide AS (SELECT doc_id, {_MH_MINS} FROM shr GROUP BY doc_id),
+bsig AS ({_MH_BANDS}),
+bcap AS (
+  SELECT doc_id, band, sig FROM (
+    SELECT doc_id, band, sig,
+           count(*) OVER (PARTITION BY band, sig) AS n
+    FROM bsig)
+  WHERE n <= {MINHASH_MAX_BUCKET}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bcap a JOIN bcap b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+drops AS (
+  SELECT DISTINCT doc_b AS doc_id
+  FROM cand
+  JOIN wide wa ON wa.doc_id = doc_a
+  JOIN wide wb ON wb.doc_id = doc_b
+  WHERE ({_MH_EQ})::BIGINT / CAST({N_HASHES} AS DOUBLE) >= 0.5),
+curated AS (SELECT d.* FROM documents d ANTI JOIN drops USING (doc_id)),
+toks AS (
+  SELECT source, t FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS t FROM curated)
+  WHERE t <> ''),
+cnt AS (SELECT source, t, CAST(count(*) AS BIGINT) AS n
+        FROM toks GROUP BY 1, 2),
+top AS (
+  SELECT source, t AS top_token, n AS top_token_n FROM (
+    SELECT cnt.*, row_number() OVER (PARTITION BY source
+        ORDER BY n DESC, t) AS rn
+    FROM cnt)
+  WHERE rn = 1),
+man AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM curated GROUP BY 1)
+SELECT m.source, m.n_docs, m.total_chars, t.top_token, t.top_token_n
+FROM man m JOIN top t USING (source)
+ORDER BY source"""
+
+
 def _oracle_curation_v7() -> str:
     prelude = """p0 AS (
   SELECT doc_id, substr(lower(text), 1, 48) AS pre,
@@ -2287,6 +2362,12 @@ def pipeline_workloads():
             "pipe_curation_chain_v7",
             _wl_curation_v7,
             _oracle_curation_v7(),
+            False,
+        ),
+        (
+            "pipe_curation_chain_v8",
+            _wl_curation_v8,
+            ORACLE_CURATION_V8,
             False,
         ),
         ("pipe_example_assembly", _wl_example_assembly, ORACLE_ASSEMBLY, False),
