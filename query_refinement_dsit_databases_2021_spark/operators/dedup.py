@@ -176,9 +176,11 @@ def minhash_lsh_pairs(
     caps :func:`ngram_jaccard_pairs`' inverted index: (band, sig)
     buckets holding more than that many documents — the boilerplate /
     templated-page pathology, where one mega-bucket alone contributes
-    O(n²) candidate pairs — are dropped before the equi-join
-    (window-count in the SAME shuffle the join needs; no extra
-    exchange). A pair whose ONLY agreeing band was capped is lost, so
+    O(n²) candidate pairs — are dropped before the equi-join via a
+    (band, sig)-keyed window count (a bounded-constant exchange cost:
+    +2 in the measured plan, pinned in test_plan_budgets; never a
+    per-pair filter or extra self-join). A pair whose ONLY agreeing
+    band was capped is lost, so
     capped runs under-report, but near-dups above the threshold agree
     on multiple bands with high probability and typically survive via
     an uncapped one. The measured bucket-size distribution

@@ -117,15 +117,19 @@ def hits(edges: DataFrame, iterations: int = HITS_ITERATIONS) -> DataFrame:
     magnitudes the rescale-invariant HITS iteration is defined by.
 
     Each half-step's raw frame feeds BOTH the rescale join and its
-    max; the max is a bounded scalar collect (ONE row per half-step —
-    the BPE-argmax convention) off the persisted raw frame, which the
-    rescale join then reads from cache. Embedding the max as a 1-row
-    crossJoin instead was measured to DOUBLE the logical plan per
-    half-step (the agg subtree re-nests the whole prior lineage →
-    2^(2·iterations) plan growth; driver heap OOM at 4 iterations on a
-    6 k-edge graph), while the scalar literal keeps the plan linear in
-    iterations like :func:`pagerank`'s. Nodes without in-edges get
-    authority 0; without out-edges, hub 0.
+    max — the dual-consumer shape that distinguishes this loop from
+    :func:`pagerank`'s single-consumer chain, and the reason the raw
+    frames are eagerly ``localCheckpoint``-ed (node-sized — cheap):
+    without truncation each reference re-embeds the whole prior
+    lineage and the PLAN grows ~5.5× per iteration (measured; the
+    crossJoin(max) variant additionally OOM'd the driver at 4
+    iterations on a 6 k-edge graph), while the checkpointed form is
+    plan-linear — pinned in test_plan_budgets. The max itself is a
+    bounded scalar collect (ONE row per half-step, the BPE-argmax
+    convention). Nodes without in-edges get authority 0; without
+    out-edges, hub 0. (pagerank's fixed-depth loop measured
+    localCheckpoint as a net LOSS — that guidance is for linear
+    chains; dual-consumer rescale loops need the truncation.)
 
     Returns ``(node, authority, hub)`` for every node.
     """
@@ -143,7 +147,7 @@ def hits(edges: DataFrame, iterations: int = HITS_ITERATIONS) -> DataFrame:
             .select(F.col("dst").alias("node"), "h")
             .groupBy("node")
             .agg(F.sum("h").alias("raw"))
-        ).persist()
+        ).localCheckpoint()
         a_mx = a_raw.agg(F.max("raw")).collect()[0][0]
         auth = nodes.join(a_raw, "node", "left").select(
             "node",
@@ -156,7 +160,7 @@ def hits(edges: DataFrame, iterations: int = HITS_ITERATIONS) -> DataFrame:
             .select(F.col("src").alias("node"), "a")
             .groupBy("node")
             .agg(F.sum("a").alias("raw"))
-        ).persist()
+        ).localCheckpoint()
         h_mx = h_raw.agg(F.max("raw")).collect()[0][0]
         hub = nodes.join(h_raw, "node", "left").select(
             "node",

@@ -1125,3 +1125,93 @@ def test_round5_operator_exchange_budgets(pdocs, spark):
         "BroadcastNestedLoopJoin", ""
     ), cp
     assert cp.count("BroadcastNestedLoopJoin") <= 1, cp
+
+
+def test_round6_operator_exchange_budgets(pdocs, pevents, spark):
+    from query_refinement_dsit_databases_2021_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.graph import hits
+    from query_refinement_dsit_databases_2021_spark.operators.scale import (
+        zone_map_skip_sim,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
+        ivfpq_rerank_topk,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        zipf_fit,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        matrix_profile_discords,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.multimodal import (
+        perceptual_ahash,
+        synthesize_media,
+    )
+
+    # bucket-capped LSH: the cap costs a bounded constant number of
+    # extra (band, sig)-keyed exchanges (measured: +2 — the count
+    # window, plus the probe side re-partitioning under its renamed
+    # key) and never a cartesian; the pin catches a refactor turning
+    # the cap into a per-pair filter or an extra self-join
+    capped = _plan(minhash_lsh_pairs(pdocs, max_bucket=8))
+    plain = _plan(minhash_lsh_pairs(pdocs))
+    assert "CartesianProduct" not in capped, capped
+    assert capped.count("Exchange hashpartitioning") <= plain.count(
+        "Exchange hashpartitioning"
+    ) + 2, (capped.count("Exchange hashpartitioning"),
+            plain.count("Exchange hashpartitioning"))
+
+    # zone-map simulator: the table contributes exactly ONE
+    # hashpartitioning exchange (the file-zone groupBy); file
+    # assignment is broadcast min/max arithmetic — the ORDER column
+    # must never range-partition (that would be the global sort the
+    # operator exists to avoid)
+    zp = _plan(
+        zone_map_skip_sim(
+            pevents.select(
+                F.col("event_id").alias("o"),
+                F.col("event_id").alias("v"),
+            ),
+            "t",
+            F.col("o"),
+            F.col("v"),
+        )
+    )
+    assert "rangepartitioning" not in zp.lower(), zp
+    assert zp.count("Exchange hashpartitioning") <= 1, zp
+
+    # HITS: the plan must stay LINEAR in iterations (the scalar-max
+    # collect replaced the crossJoin(agg) form that doubled the plan
+    # per half-step) — proxy: the 4-iteration plan is < 4x the
+    # 1-iteration plan's length, instead of ~2^6 x
+    edges = spark.createDataFrame(
+        [(i % 5, (i * 3) % 7 + 10) for i in range(30)], "src long, dst long"
+    )
+    p1 = len(_plan(hits(edges, 1)))
+    p4 = len(_plan(hits(edges, 4)))
+    assert p4 < 4 * p1, (p1, p4)
+
+    # IVFADC-R: the exact rerank join must be broadcast/equi only
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rp = _plan(ivfpq_rerank_topk(emb))
+    assert "SortMergeJoin" not in rp and "CartesianProduct" not in rp, rp
+
+    # Zipf fit: one corpus count groupBy; the vocabulary must never
+    # globally sort (the ordered head is a TakeOrdered, not a
+    # rangepartitioning)
+    zf = _plan(zipf_fit(pdocs))
+    assert "rangepartitioning" not in zf.lower(), zf
+    assert "TakeOrdered" in zf, zf
+
+    # matrix profile: pair generation via the 3-bucket equi-join —
+    # no cartesian, no NLJ on the window frames
+    mp = _plan(matrix_profile_discords(pevents, m=4, band=16, cap=60))
+    assert "CartesianProduct" not in mp, mp
+    assert "BroadcastNestedLoopJoin" not in mp, mp
+
+    # perceptual aHash: JVM-only map + ONE groupBy — no UDF (no
+    # ArrowEvalPython / BatchEvalPython), one exchange
+    ah = _plan(perceptual_ahash(synthesize_media(pdocs)))
+    assert "EvalPython" not in ah, ah
+    assert ah.count("Exchange hashpartitioning") <= 1, ah
