@@ -3299,6 +3299,122 @@ SELECT event_type,
 FROM events GROUP BY 1, 2 ORDER BY event_type, day_epoch"""
 
 
+DTW_INF = 1_000_000_000_000_000  # 1e15: >> any path cost, no overflow
+
+
+def dtw_distances(events: DataFrame) -> DataFrame:
+    """Exact dynamic time warping distance between every pair of
+    event-type daily series — THE classic time-series similarity
+    measure (alignment-elastic, unlike lock-step L2/correlation): the
+    minimum total |a_i − b_j| cost over monotone alignments, via the
+    full O(n·m) DP.
+
+    Engine shape: the DP runs entirely JVM-side as NESTED higher-order
+    folds — the outer ``aggregate`` walks series A carrying the
+    previous DP row as its accumulator array, the inner ``aggregate``
+    walks series B appending ``cost + min(up, left, diag)`` — so the
+    whole matrix evaluates inside codegen'd expression machinery with
+    no UDF and no Python. Costs are integer cents, so every cell (and
+    the result) is exact int64 — bit-identical to the DuckDB oracle's
+    identical ``list_reduce`` nesting. Series are day-count-sized
+    (ordered collect_list over a per-key window, bounded by the
+    calendar); the pair table is |event_types|² — dim-sized. Per-pair
+    cost is O(n·m): fine for daily/hourly rollups; long raw series
+    take the banded variant (matrix_profile's treatment) or PAA
+    downsampling (:func:`sax_symbols`'s front half) first.
+
+    Returns ``(key_a, key_b, n_a, n_b, dtw_cents)`` for key_a < key_b,
+    ordered by (key_a, key_b).
+    """
+    daily = (
+        events.groupBy(
+            F.col("event_type").alias("key"), F.to_date("ts").alias("day")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("c")
+        )
+    )
+    # day-ordered series without a window: sort_array over (day, c)
+    # structs is deterministic under any partitioning
+    series = daily.groupBy("key").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "c"))),
+            lambda s: s["c"],
+        ).alias("s")
+    )
+    a = series.select(
+        F.col("key").alias("key_a"), F.col("s").alias("sa")
+    )
+    b = series.select(
+        F.col("key").alias("key_b"), F.col("s").alias("sb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
+    inf = f"{DTW_INF}L"
+    dtw = F.expr(
+        f"""
+        element_at(
+          aggregate(
+            sa,
+            concat(array(0L), transform(sb, x -> {inf})),
+            (prev, ai) -> aggregate(
+              sb,
+              array({inf}),
+              (acc, bj) -> concat(
+                acc,
+                array(
+                  abs(ai - bj) + least(
+                    element_at(prev, size(acc) + 1),
+                    element_at(acc, size(acc)),
+                    element_at(prev, size(acc)))))),
+            row -> row),
+          -1)
+        """
+    )
+    return pairs.select(
+        "key_a",
+        "key_b",
+        F.size("sa").cast("long").alias("n_a"),
+        F.size("sb").cast("long").alias("n_b"),
+        dtw.cast("long").alias("dtw_cents"),
+    ).orderBy("key_a", "key_b")
+
+
+# DuckDB's list_reduce seeds the fold with the FIRST element (no init
+# parameter), so the DP-row accumulator rides as a prepended list and
+# series A's elements enter as singletons; the inner fold smuggles
+# `ai` into its elements as [bj, ai] pairs (outer lambda capture of
+# `prev` is supported, mirrored here for belt-and-braces portability).
+ORACLE_DTW = f"""
+WITH daily AS (
+  SELECT event_type AS key, CAST(ts AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2),
+series AS (
+  SELECT key, list(c ORDER BY day) AS s FROM daily GROUP BY key),
+pairs AS (
+  SELECT a.key AS key_a, b.key AS key_b, a.s AS sa, b.s AS sb
+  FROM series a JOIN series b ON a.key < b.key)
+SELECT key_a, key_b,
+       CAST(len(sa) AS BIGINT) AS n_a, CAST(len(sb) AS BIGINT) AS n_b,
+       CAST(list_reduce(
+         list_prepend(
+           list_prepend(0::BIGINT,
+                        list_transform(sb, x -> {DTW_INF}::BIGINT)),
+           list_transform(sa, x -> [x])),
+         (prev, ai_l) -> list_reduce(
+             list_prepend([{DTW_INF}::BIGINT],
+                          list_transform(sb, bj -> [bj, ai_l[1]])),
+             (acc, bj_l) -> list_append(acc,
+                abs(bj_l[2] - bj_l[1]) + least(
+                  prev[len(acc) + 1],
+                  acc[len(acc)],
+                  prev[len(acc)]))))[len(sb) + 1] AS BIGINT) AS dtw_cents
+FROM pairs
+ORDER BY key_a, key_b"""
+
+
 # the certified holt-residual recursion as a composable fragment
 # (DuckDB allows a WITH RECURSIVE inside a derived table)
 _HOLT_RESID_SQL = (
@@ -3580,6 +3696,7 @@ def timeseries_workloads():
         _w("ts_acf_profile", ORACLE_ACF_PROFILE, acf_profile),
         _w("ts_matrix_profile", ORACLE_MATRIX_PROFILE, matrix_profile_discords),
         _w("ts_ljung_box", _ljung_box_oracle(), ljung_box),
+        _w("ts_dtw", ORACLE_DTW, dtw_distances),
         _w(
             "ts_stl_decompose",
             ORACLE_STL,

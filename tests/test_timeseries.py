@@ -1165,3 +1165,54 @@ def test_ljung_box_matches_python_reference(spark):
     }
     assert got == want, (got, want)
     assert got  # non-empty
+
+
+def test_dtw_matches_python_dp(spark):
+    """The nested-fold DTW must equal a plain-Python DP on hand
+    series, including the alignment-elastic case where lock-step L2
+    would overpenalize a shifted copy."""
+    from datetime import datetime, timedelta
+
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        dtw_distances,
+    )
+
+    def dtw_ref(a, b):
+        inf = float("inf")
+        prev = [0] + [inf] * len(b)
+        for ai in a:
+            cur = [inf]
+            for j, bj in enumerate(b, start=1):
+                cur.append(abs(ai - bj) + min(prev[j], cur[j - 1], prev[j - 1]))
+            prev = cur
+        return prev[-1]
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    series = {
+        "a": [1.0, 2.0, 3.0, 4.0, 3.0],
+        "b": [1.0, 1.0, 2.0, 3.0, 4.0],  # 'a' delayed one step
+        "c": [9.0, 1.0, 9.0, 1.0, 9.0],
+    }
+    for key, vals in series.items():
+        for d, v in enumerate(vals):
+            rows.append((len(rows), t0 + timedelta(days=d), 1, key, v, "{}"))
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {
+        (r["key_a"], r["key_b"]): (r["n_a"], r["n_b"], r["dtw_cents"])
+        for r in dtw_distances(events).collect()
+    }
+    cents = {k: [int(v * 100) for v in vs] for k, vs in series.items()}
+    want = {
+        (ka, kb): (len(cents[ka]), len(cents[kb]), dtw_ref(cents[ka], cents[kb]))
+        for ka in cents
+        for kb in cents
+        if ka < kb
+    }
+    assert got == want, (got, want)
+    # the shifted copy aligns nearly free: far cheaper than vs 'c'
+    assert got[("a", "b")][2] < got[("a", "c")][2]
