@@ -2273,6 +2273,14 @@ def pipeline_workloads():
         ("pipe_text_fingerprints", _wl_fingerprints, ORACLE_FINGERPRINTS, False),
         ("pipe_text_repetition", _wl_repetition, ORACLE_REPETITION, False),
         ("pipe_text_lm_score", _wl_lm_score, ORACLE_LM_SCORE, False),
+        (
+            "pipe_text_lm_interp",
+            lambda spark, sf_dir: textops.interpolated_lm_scores(
+                _docs(spark, sf_dir)
+            ),
+            textops.ORACLE_LM_INTERP,
+            False,
+        ),
         ("pipe_quality_ccnet_buckets", _wl_ccnet_buckets, ORACLE_CCNET_BUCKETS, False),
         ("pipe_filter_boilerplate", _wl_boilerplate, ORACLE_BOILERPLATE, False),
         ("pipe_filter_gopher", _wl_gopher, ORACLE_GOPHER, False),

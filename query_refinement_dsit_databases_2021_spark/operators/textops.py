@@ -572,6 +572,92 @@ def bigram_lm_scores(docs: DataFrame) -> DataFrame:
     )
 
 
+LM_LAMBDA10 = 7  # Jelinek–Mercer mixing weight λ = 0.7, in tenths
+
+
+def interpolated_lm_scores(
+    docs: DataFrame, lam10: int = LM_LAMBDA10
+) -> DataFrame:
+    """Jelinek–Mercer–interpolated bigram LM score per document —
+    :func:`bigram_lm_scores` with unigram backoff:
+    ``avg_logp = mean ln(λ·P(w2|w1) + (1−λ)·P(w2))``. The backoff is
+    what makes the model portable: trained on corpus A and scoring
+    corpus B, unseen bigrams get the unigram floor instead of −∞ (the
+    raw model's same-corpus-only restriction), so this is the form a
+    deployed quality gate actually ships. λ in tenths keeps the blend
+    a rational with an exact decimal (the 6 dp round covers the ln).
+
+    Plan: the same vocab²-bounded bigram aggregates as the raw model
+    plus ONE vocab-bounded unigram aggregate and a 1-row broadcast
+    total — all shuffle equi-joins, no broadcast assumption on the
+    model side.
+
+    Returns ``(doc_id, n_bigrams, avg_logp_interp)`` for docs with
+    >= 2 tokens, ordered by doc_id.
+    """
+    base = docs.select("doc_id", tokens(F.col("text")).alias("ws")).where(
+        F.size("ws") >= 2
+    )
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1), "
+                "i -> struct(ws[i-1] AS w1, ws[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = c2.groupBy("w1").agg(F.sum("n2").alias("n1"))
+    toks = docs.select(
+        F.explode(tokens(F.col("text"))).alias("w2")
+    ).where(F.length("w2") > 0)
+    cu = toks.groupBy("w2").agg(F.count(F.lit(1)).alias("nu"))
+    tot = toks.agg(F.count(F.lit(1)).alias("nt"))
+    lam = int(lam10)
+    p = (
+        F.lit(lam) * F.col("n2") / F.col("n1")
+        + F.lit(10 - lam) * F.col("nu") / F.col("nt")
+    ) / F.lit(10)
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .join(cu, ["w2"])
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log(p)), 6).alias("avg_logp_interp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_LM_INTERP = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE len(string_split(text, ' ')) >= 2),
+bg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM base)),
+c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, CAST(sum(n2) AS BIGINT) AS n1 FROM c2 GROUP BY 1),
+toks AS (
+  SELECT t AS w2 FROM (
+    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''),
+cu AS (SELECT w2, CAST(count(*) AS BIGINT) AS nu FROM toks GROUP BY 1),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM toks)
+SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln(({LM_LAMBDA10} * CAST(c2.n2 AS DOUBLE) / c1.n1
+                     + {10 - LM_LAMBDA10} * CAST(cu.nu AS DOUBLE) / tot.nt)
+                    / 10)), 6) AS avg_logp_interp
+FROM bg
+JOIN c2 USING (w1, w2) JOIN c1 USING (w1) JOIN cu USING (w2)
+CROSS JOIN tot
+GROUP BY bg.doc_id ORDER BY bg.doc_id"""
+
+
 def langid_confusion(docs: DataFrame, top_n: int = 20) -> DataFrame:
     """Confusion matrix over :func:`langid_predictions` — the
     evaluation surface for the classifier: per (actual, predicted)

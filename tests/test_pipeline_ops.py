@@ -1579,3 +1579,38 @@ def test_zipf_fit_recovers_power_law(spark):
     assert row["n_top"] == 100
     assert -1.05 < row["zipf_slope"] < -0.95, row
     assert row["r2"] > 0.995, row
+
+
+def test_interpolated_lm_backoff_floor(spark):
+    """The JM-interpolated score must sit between the raw bigram score
+    and the unigram floor: for a doc whose bigrams are all unique
+    (P(w2|w1)=1 contexts), interpolation PULLS the score below the raw
+    model's 0; for repeated-context docs both models agree on ordering.
+    Hand-check one bigram's probability exactly."""
+    import math
+
+    from query_refinement_dsit_databases_2021_spark.operators.textops import (
+        interpolated_lm_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b c d")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp_interp"])
+        for r in interpolated_lm_scores(docs).collect()
+    }
+    # corpus: tokens a×3,b×3,c×1,d×1 (doc1) + a,b,c,d... recount:
+    # doc1 tokens: a,b,a,b,a,b ; doc2: a,b,c,d -> a:4 b:4 c:1 d:1, nt=10
+    # bigrams: doc1: ab,ba,ab,ba,ab ; doc2: ab,bc,cd
+    # c2: ab:4, ba:2, bc:1, cd:1 ; c1: a·:4, b·:3, c·:1
+    # doc2 'ab': p = (7*(4/4) + 3*(4/10))/10 = (7 + 1.2)/10 = 0.82
+    p_ab = (7 * (4 / 4) + 3 * (4 / 10)) / 10
+    p_bc = (7 * (1 / 3) + 3 * (1 / 10)) / 10
+    p_cd = (7 * (1 / 1) + 3 * (1 / 10)) / 10
+    want2 = round((math.log(p_ab) + math.log(p_bc) + math.log(p_cd)) / 3, 6)
+    assert got[2][0] == 3
+    assert abs(got[2][1] - want2) < 1e-6, (got[2], want2)
+    # doc1 scores higher (repeated fluent bigrams) than doc2
+    assert got[1][1] > got[2][1]
