@@ -178,6 +178,52 @@ def hits(edges: DataFrame, iterations: int = HITS_ITERATIONS) -> DataFrame:
     )
 
 
+HARMONIC_MAX_DIST = 12
+HARMONIC_SEEDS = (1, 2, 100001, 100002)
+
+
+def harmonic_centrality_sampled(
+    edges: DataFrame,
+    seeds: tuple[int, ...] = HARMONIC_SEEDS,
+    max_dist: int = HARMONIC_MAX_DIST,
+) -> DataFrame:
+    """Exact harmonic centrality for a SAMPLED seed set —
+    ``H(s) = Σ_{v≠s} 1/d(s,v)`` over nodes within ``max_dist`` —
+    composed from the certified :func:`bfs_distances` machinery (one
+    convergence BFS per seed). Sampling is the production form:
+    all-pairs centrality is O(V·E), per-seed is one BFS, and harmonic
+    (unlike closeness) handles disconnected remainders gracefully
+    (absent nodes contribute 0, no infinite-distance special case).
+
+    Exactness: contributions are ``floor(1e6 / d)`` — integer
+    division, so the sum is exact int64 and engine-invariant; the
+    ``max_dist`` horizon is part of the contract (mirrored in the
+    oracle's recursion bound).
+
+    Returns ``(seed, n_reached, harmonic_micro)`` ordered by seed.
+    """
+    spark = edges.sparkSession
+    outs = []
+    for s in seeds:
+        src = spark.createDataFrame([(int(s),)], "node long")
+        d = bfs_distances(edges, src)
+        outs.append(
+            d.where(
+                (F.col("dist") > 0) & (F.col("dist") <= max_dist)
+            ).agg(
+                F.lit(int(s)).alias("seed"),
+                F.count(F.lit(1)).alias("n_reached"),
+                F.sum(F.expr("1000000 DIV dist")).cast("long").alias(
+                    "harmonic_micro"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("seed")
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Exact triangle participation counts over an undirected graph.
 
@@ -329,6 +375,37 @@ ORDER BY authority DESC, hub DESC, a.node LIMIT 20"""
 
 
 ORACLE_HITS = _hits_oracle()
+
+
+def _wl_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    return harmonic_centrality_sampled(_trade_edges(spark))
+
+
+_HARMONIC_SEED_VALUES = ", ".join(f"({s})" for s in HARMONIC_SEEDS)
+
+# recursive BFS walk with UNION dedup on (seed, node, dist) states and
+# the max_dist bound as the termination guarantee; min(dist) per node
+# recovers the BFS level
+ORACLE_HARMONIC = f"""
+WITH RECURSIVE und AS (
+  SELECT src, dst FROM ({_EDGES_SQL}) e0
+  UNION
+  SELECT dst AS src, src AS dst FROM ({_EDGES_SQL}) e1),
+walk(seed, node, dist) AS (
+  SELECT s, s, 0 FROM (VALUES {_HARMONIC_SEED_VALUES}) v(s)
+  UNION
+  SELECT w.seed, e.dst, w.dist + 1
+  FROM walk w JOIN und e ON e.src = w.node
+  WHERE w.dist < {HARMONIC_MAX_DIST}),
+d AS (SELECT seed, node, min(dist) AS dist FROM walk GROUP BY 1, 2)
+SELECT CAST(seed AS BIGINT) AS seed,
+       CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_micro
+FROM d WHERE dist > 0 AND dist <= {HARMONIC_MAX_DIST}
+GROUP BY seed ORDER BY seed"""
 
 
 def _wl_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1677,6 +1754,7 @@ def graph_workloads():
         Workload("graph_katz", _wl_katz, ORACLE_KATZ),
         Workload("graph_pagerank", _wl_pagerank, ORACLE_PAGERANK),
         Workload("graph_hits", _wl_hits, ORACLE_HITS),
+        Workload("graph_harmonic", _wl_harmonic, ORACLE_HARMONIC),
         Workload("graph_triangles", _wl_triangles, ORACLE_TRIANGLES),
         Workload("graph_components", _wl_components, ORACLE_COMPONENTS),
         Workload("graph_bfs_levels", _wl_bfs, ORACLE_BFS),

@@ -496,3 +496,22 @@ def test_hits_structure(spark):
     assert got[4][1] == 0  # sink: no out-edges -> hub 0
     assert got[5][0] == 0  # source: no in-edges -> authority 0
     assert got[1][1] == HITS_SCALE  # the hub
+
+
+def test_harmonic_centrality_hand_path(spark):
+    """Path graph 1-2-3-4-5 with seeds 1 and 3: H(1) over {2,3,4,5} at
+    dists {1,2,3,4} = 1e6 + 5e5 + 333333 + 250000; H(3) sees two at 1
+    and two at 2."""
+    from query_refinement_dsit_databases_2021_spark.operators.graph import (
+        harmonic_centrality_sampled,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {
+        r["seed"]: (r["n_reached"], r["harmonic_micro"])
+        for r in harmonic_centrality_sampled(edges, seeds=(1, 3)).collect()
+    }
+    assert got[1] == (4, 1000000 + 500000 + 333333 + 250000)
+    assert got[3] == (4, 2 * 1000000 + 2 * 500000)
