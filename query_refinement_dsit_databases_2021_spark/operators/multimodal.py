@@ -233,29 +233,34 @@ def perceptual_ahash(media: DataFrame) -> DataFrame:
         "",
     )
     b = AHASH_BITS
+    # staged projections (the shingles() materialize-then-use rule):
+    # payload -> byte-code window -> window mean -> bit fold. Each
+    # stage binds the previous one to a column, so the mean is
+    # computed ONCE per row instead of re-folded per bit position
+    # (the collapsed single expression was O(bits²) per row)
+    codes = F.expr(
+        f"""
+        transform(sequence(1, {b}), i ->
+          CASE WHEN i <= length(p) THEN ascii(substring(p, i, 1))
+               ELSE 0 END)
+        """
+    )
+    mu = F.expr(f"aggregate(cs, 0L, (a, x) -> a + x) DIV {b}")
     fp = F.expr(
         f"""
         aggregate(
           transform(sequence(1, {b}), i ->
-            CASE WHEN (CASE WHEN i <= length(p)
-                            THEN ascii(substring(p, i, 1))
-                            ELSE 0 END)
-                 > (aggregate(transform(sequence(1, {b}), j ->
-                        CASE WHEN j <= length(p)
-                             THEN ascii(substring(p, j, 1))
-                             ELSE 0 END),
-                    0L, (a, x) -> a + x) DIV {b})
+            CASE WHEN element_at(cs, i) > mu
                  THEN shiftleft(1L, i - 1) ELSE 0L END),
           0L, (a, x) -> a + x)
         """
     )
-    # the hash expression references `p`; bind the header-stripped
-    # payload in its own projection first (the shingles()
-    # materialize-then-use rule: referencing the regexp inside the
-    # lambdas would re-evaluate it per element)
-    hashed = media.select(
-        "doc_id", "media_type", payload.alias("p")
-    ).select("doc_id", "media_type", fp.alias("fingerprint"))
+    hashed = (
+        media.select("doc_id", "media_type", payload.alias("p"))
+        .select("doc_id", "media_type", codes.alias("cs"))
+        .select("doc_id", "media_type", "cs", mu.alias("mu"))
+        .select("doc_id", "media_type", fp.alias("fingerprint"))
+    )
     return (
         hashed.groupBy("media_type", "fingerprint")
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
