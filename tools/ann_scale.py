@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""ANN family data-bound-regime harness — the embedding analogue of
+tools/dedup_scale.py: synthesize a 100k/1M-vector corpus (64-dim,
+deterministic hash floats) and measure the three serving tiers at each
+size — exact brute force, IVF (exact within probed cells), and the
+materialized IVF-PQ layout's build + serve halves. The committed test
+SFs top out at 2,000 vectors (fixed-cost regime); this is where the
+brute/indexed separation actually appears.
+
+Usage::
+
+    python tools/ann_scale.py [--sizes 100000,1000000] [--cpus 24]
+        [--data-root /tmp/ann_scale] [--out ann_scale.csv]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from query_refinement_dsit_databases_2021_spark.session import get_spark  # noqa: E402
+from query_refinement_dsit_databases_2021_spark.operators import simsearch  # noqa: E402
+
+DIM = 64
+
+
+def synthesize(spark, n: int):
+    """(vec_id, embedding array<float>): deterministic hash floats in
+    [-0.5, 0.5) — JVM-side, no driver loop, no randomness."""
+    base = spark.range(0, n, 1, spark.sparkContext.defaultParallelism)
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda d: (
+            F.pmod(F.xxhash64(F.col("id"), d), F.lit(1000)).cast("double")
+            / F.lit(1000.0)
+            - F.lit(0.5)
+        ).cast("float"),
+    )
+    return base.select(F.col("id").alias("vec_id"), emb.alias("embedding"))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="100000,1000000")
+    ap.add_argument("--cpus", type=int, default=24)
+    ap.add_argument("--data-root", default="/tmp/ann_scale")
+    ap.add_argument("--out", default="ann_scale.csv")
+    args = ap.parse_args()
+
+    spark = get_spark(
+        app_name="qr-ann-scale",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=args.cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    rows = []
+    for n in (int(s) for s in args.sizes.split(",")):
+        path = os.path.join(args.data_root, f"n{n}", "embeddings.parquet")
+        if not os.path.isdir(path):
+            synthesize(spark, n).write.mode("overwrite").parquet(path)
+        emb = spark.read.parquet(path)
+
+        t0 = time.time()
+        n_brute = simsearch.cosine_topk(emb).count()
+        t_brute = time.time() - t0
+        spark.catalog.clearCache()
+
+        t0 = time.time()
+        n_ivf = simsearch.ivf_ann_topk(emb).count()
+        t_ivf = time.time() - t0
+        spark.catalog.clearCache()
+
+        layout = os.path.join(args.data_root, f"n{n}", "ivfpq_layout")
+        shutil.rmtree(layout, ignore_errors=True)
+        t0 = time.time()
+        simsearch.write_ivfpq_layout(emb, layout)
+        t_build = time.time() - t0
+        spark.catalog.clearCache()
+
+        queries = emb.where(F.col("vec_id") < simsearch.N_QUERIES)
+        t0 = time.time()
+        n_serve = simsearch.ivfpq_topk_from_layout(
+            spark, layout, queries
+        ).count()
+        t_serve = time.time() - t0
+        spark.catalog.clearCache()
+
+        row = {
+            "n_vectors": n,
+            "brute_s": round(t_brute, 1),
+            "ivf_s": round(t_ivf, 1),
+            "ivfpq_build_s": round(t_build, 1),
+            "ivfpq_serve_s": round(t_serve, 1),
+            "rows": (n_brute, n_ivf, n_serve),
+        }
+        rows.append(row)
+        print(f"# {row}", flush=True)
+
+    with open(args.out, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
