@@ -1600,6 +1600,104 @@ SELECT n_groups, total,
 FROM agg"""
 
 
+# shuffle advisor targets: in-memory partition budget and the skew
+# share above which a key needs salting / AQE skew-join
+SHUFFLE_TARGET_PARTITION_BYTES = 128 * 1024 * 1024
+SHUFFLE_SKEW_TOP1_PPM = 200_000
+# per-cell width model: 8 bytes for every numeric/temporal cell; string
+# cells cost their measured average length + 4 (offset). Deliberately
+# the UNCOMPRESSED in-memory row shape — shuffle spill sizing cares
+# about the deserialized width, not the parquet-encoded one.
+_FIXED_CELL_BYTES = 8
+
+
+def shuffle_advisor(
+    df: DataFrame,
+    key: str,
+    target_bytes: int = SHUFFLE_TARGET_PARTITION_BYTES,
+) -> DataFrame:
+    """Size the shuffle BEFORE running it — the "would this partition
+    fit in executor memory at the target SF" decision as a measured
+    query instead of a guess: one stats pass estimates the
+    deserialized table bytes (fixed 8 B per numeric/temporal cell +
+    measured average string lengths), divides by the per-partition
+    budget for the recommended ``spark.sql.shuffle.partitions``, and
+    profiles the shuffle key's heaviest group so the salting / AQE
+    skew-join call is part of the same answer (a recommended partition
+    count is useless if ONE key owns 20 % of the rows).
+
+    Everything integer: byte estimates are exact sums, the
+    recommendation is a ceiling division, the skew share is ppm.
+    Plan: ONE row-level agg (string lengths) + ONE groupBy(key) for
+    the skew profile + 1-row broadcast combine.
+
+    Returns ONE row: ``(n_rows, est_bytes, target_partition_bytes,
+    recommended_partitions, skew_key_top1_ppm, needs_salting)``.
+    """
+    str_cols = [
+        f.name for f in df.schema.fields if f.dataType.simpleString() == "string"
+    ]
+    other_n = len(df.schema.fields) - len(str_cols)
+    row_bytes = F.lit(other_n * _FIXED_CELL_BYTES).cast("long")
+    for c in str_cols:
+        row_bytes = row_bytes + F.coalesce(
+            F.length(F.col(c)).cast("long"), F.lit(0)
+        ) + F.lit(4)
+    size = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_bytes).alias("est_bytes"),
+    )
+    skew = (
+        df.groupBy(F.col(key).alias("_k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("top1"), F.sum("c").alias("n"))
+        .select(
+            F.expr("top1 * 1000000 DIV n").alias("skew_key_top1_ppm")
+        )
+    )
+    return size.crossJoin(F.broadcast(skew)).select(
+        "n_rows",
+        "est_bytes",
+        F.lit(target_bytes).cast("long").alias("target_partition_bytes"),
+        F.expr(
+            f"greatest(1L, (est_bytes + {target_bytes} - 1) DIV {target_bytes})"
+        ).alias("recommended_partitions"),
+        "skew_key_top1_ppm",
+        (F.col("skew_key_top1_ppm") > SHUFFLE_SKEW_TOP1_PPM).alias(
+            "needs_salting"
+        ),
+    )
+
+
+def _wl_shuffle_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    return shuffle_advisor(spark.table("lineitem"), "l_orderkey")
+
+
+# lineitem: 8 numeric/temporal cols + 2 string cols (flag, status)
+ORACLE_SHUFFLE_ADVISOR = f"""
+WITH size AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(9 * {_FIXED_CELL_BYTES}
+                  + length(l_returnflag) + 4
+                  + length(l_linestatus) + 4) AS BIGINT) AS est_bytes
+  FROM lineitem),
+skew AS (
+  SELECT CAST(max(c) * 1000000 // sum(c) AS BIGINT) AS skew_key_top1_ppm
+  FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey))
+SELECT n_rows, est_bytes,
+       CAST({SHUFFLE_TARGET_PARTITION_BYTES} AS BIGINT)
+         AS target_partition_bytes,
+       CAST(greatest(1, (est_bytes + {SHUFFLE_TARGET_PARTITION_BYTES} - 1)
+                        // {SHUFFLE_TARGET_PARTITION_BYTES}) AS BIGINT)
+         AS recommended_partitions,
+       skew_key_top1_ppm,
+       skew_key_top1_ppm > {SHUFFLE_SKEW_TOP1_PPM} AS needs_salting
+FROM size CROSS JOIN skew"""
+
+
 # zone-map skip simulation: file/predicate grid sizes. 64 files x 16
 # range predicates = a 1024-row dim-sized grid regardless of table size.
 PRUNE_FILES = 64
@@ -2285,6 +2383,9 @@ def scale_workloads():
         ),
         Workload("ops_gini_skew", _wl_gini, ORACLE_GINI),
         Workload("ops_pruning_sim", _wl_pruning_sim, ORACLE_PRUNING_SIM),
+        Workload(
+            "ops_shuffle_advisor", _wl_shuffle_advisor, ORACLE_SHUFFLE_ADVISOR
+        ),
         Workload(
             "ops_pruning_sim_zorder",
             _wl_pruning_sim_zorder,

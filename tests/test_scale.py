@@ -822,3 +822,24 @@ def test_zone_map_skip_sim_clustered_vs_scrambled(spark):
     # 101562 ppm — a whisker above zero, an order of magnitude under
     # the clustered layout's 937500)
     assert row["skip_ppm"] < 150000
+
+
+def test_shuffle_advisor_hand_values(spark):
+    """Exact byte model and recommendation on a hand table: 4 rows x
+    (1 long + 1 string) with known lengths, a tiny target budget, and
+    a deliberately skewed key."""
+    from query_refinement_dsit_databases_2021_spark.operators.scale import (
+        shuffle_advisor,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aa"), (1, "bbbb"), (1, "c"), (2, "dd")],
+        "k long, s string",
+    )
+    row = shuffle_advisor(df, "k", target_bytes=20).collect()[0]
+    # est = 4 rows * 8 (long) + (2+4)+(4+4)+(1+4)+(2+4) = 32 + 25 = 57
+    assert row["n_rows"] == 4
+    assert row["est_bytes"] == 57
+    assert row["recommended_partitions"] == (57 + 19) // 20  # ceil = 3
+    assert row["skew_key_top1_ppm"] == 750000  # key 1 owns 3 of 4 rows
+    assert bool(row["needs_salting"]) is True
