@@ -201,6 +201,12 @@ def harmonic_centrality_sampled(
     oracle's recursion bound).
 
     Returns ``(seed, n_reached, harmonic_micro)`` ordered by seed.
+    Seeds that reach NO node within ``max_dist`` (isolated or absent
+    from the graph) are omitted entirely — a global agg would still
+    emit a ``(seed, 0, NULL)`` row, but the oracle's GROUP BY over the
+    ``dist > 0`` frontier produces no group for them, so both engines
+    must agree on "no row" (advice r06: latent divergence on sparse
+    graphs; benign on the dense trade graph but pinned by test now).
     """
     spark = edges.sparkSession
     outs = []
@@ -216,7 +222,7 @@ def harmonic_centrality_sampled(
                 F.sum(F.expr("1000000 DIV dist")).cast("long").alias(
                     "harmonic_micro"
                 ),
-            )
+            ).where(F.col("n_reached") > 0)
         )
     out = outs[0]
     for o in outs[1:]:

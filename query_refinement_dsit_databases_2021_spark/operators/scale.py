@@ -1676,7 +1676,8 @@ def _wl_shuffle_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_advisor(spark.table("lineitem"), "l_orderkey")
 
 
-# lineitem: 8 numeric/temporal cols + 2 string cols (flag, status)
+# lineitem: 9 non-string cols (8 numeric + 1 timestamp) + 2 string
+# cols (flag, status) — the oracle's 9 multiplier matches that count
 ORACLE_SHUFFLE_ADVISOR = f"""
 WITH size AS (
   SELECT CAST(count(*) AS BIGINT) AS n_rows,

@@ -638,10 +638,11 @@ def _wl_cdc_apply(spark, sf_dir):
 
 
 ALERT_Z10 = 20  # 2.0 sigma, in tenths
+ALERT_WINDOW = "10 minutes"  # shared by engine AND oracle (advice r06)
 
 
 def type_baseline(
-    history: DataFrame, window: str = "10 minutes", z10: int = ALERT_Z10
+    history: DataFrame, window: str = ALERT_WINDOW, z10: int = ALERT_Z10
 ) -> DataFrame:
     """Static per-type alert thresholds from a HISTORY table: the mean
     and deviation of per-window cent totals, threshold =
@@ -679,7 +680,7 @@ def type_baseline(
 def windowed_alerts(
     events: DataFrame,
     baseline: DataFrame,
-    window: str = "10 minutes",
+    window: str = ALERT_WINDOW,
     watermark: str = "30 minutes",
 ) -> DataFrame:
     """Streaming windowed anomaly alerts: per (event-time window,
@@ -722,16 +723,19 @@ def _wl_windowed_alerts(spark, sf_dir):
     )
 
 
-ORACLE_WINDOWED_ALERTS = """
+# Parameterized on ALERT_Z10 / ALERT_WINDOW so changing a default in
+# type_baseline/windowed_alerts cannot silently desynchronize the
+# oracle (advice r06) — same pattern as ORACLE_ZIPF et al.
+ORACLE_WINDOWED_ALERTS = f"""
 WITH totals AS (
-  SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+  SELECT time_bucket(INTERVAL '{ALERT_WINDOW}', ts) AS window_start,
          event_type,
          CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
              AS total_cents
   FROM events GROUP BY 1, 2),
 base AS (
   SELECT event_type,
-         CAST(s // n + (20 * CAST(floor(sqrt(CAST(n * ss - s * s AS DOUBLE)))
+         CAST(s // n + ({ALERT_Z10} * CAST(floor(sqrt(CAST(n * ss - s * s AS DOUBLE)))
                                   AS BIGINT)) // (10 * n) AS BIGINT)
              AS thr_cents
   FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS n,

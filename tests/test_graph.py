@@ -515,3 +515,20 @@ def test_harmonic_centrality_hand_path(spark):
     }
     assert got[1] == (4, 1000000 + 500000 + 333333 + 250000)
     assert got[3] == (4, 2 * 1000000 + 2 * 500000)
+
+
+def test_harmonic_zero_reach_seed_omitted(spark):
+    """A seed absent from the graph (or isolated) must produce NO row
+    — matching the oracle's GROUP BY over the dist>0 frontier, which
+    emits no group for it (advice r06: the global agg otherwise emits
+    a (seed, 0, NULL) row and the differential gate diverges on
+    sparse graphs)."""
+    from query_refinement_dsit_databases_2021_spark.operators.graph import (
+        harmonic_centrality_sampled,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    rows = harmonic_centrality_sampled(edges, seeds=(1, 999)).collect()
+    assert [r["seed"] for r in rows] == [1]

@@ -167,25 +167,26 @@ def test_workload_matches_duckdb(spark, duck, name):
 
 
 def test_gate_rotation_ledger_closes_registry():
-    """The r06/r07 rotation math (COVERAGE.md "Gate rotation ledger"):
-    the r06 window is exactly 50 names, the committed r07 window is
-    exactly 50, they are disjoint, every non-anchor entry in both
-    windows has NEVER had an external CORRECTNESS row (through r05),
-    and window-r06 ∪ window-r07 ∪ externally-gated covers the ENTIRE
-    registry minus the r08 queue — i.e. after r07 every workload
-    registered by the r06 freeze holds an external row."""
+    """The r07/r08 rotation math (COVERAGE.md "Gate rotation ledger"):
+    the r07 window is exactly 50 names (15 never-gated round-5 leads +
+    the sql_q12_priority_case stale-red re-present + 34 green anchors),
+    the committed r08 window is exactly 50 (17 never-gated round-6
+    leads + 33 green anchors), they are disjoint, and window-r07 ∪
+    window-r08 ∪ externally-gated covers the ENTIRE registry minus the
+    r09 queue — i.e. after r08 every workload registered by the r07
+    freeze holds an external row."""
     import json
     import pathlib
 
     from query_refinement_dsit_databases_2021_spark.workloads import (
         DRIVER_PRIORITY,
-        DRIVER_PRIORITY_R07,
-        DRIVER_QUEUE_R08,
+        DRIVER_PRIORITY_R08,
+        DRIVER_QUEUE_R09,
     )
 
     root = pathlib.Path(__file__).resolve().parent.parent
     gated: set[str] = set()
-    for r in (1, 2, 3, 4, 5):
+    for r in (1, 2, 3, 4, 5, 6):
         p = root / f"CORRECTNESS_r0{r}.json"
         if p.exists():
             gated.update(json.loads(p.read_text()).keys())
@@ -193,41 +194,49 @@ def test_gate_rotation_ledger_closes_registry():
         pytest.skip("no external CORRECTNESS records present")
 
     assert len(DRIVER_PRIORITY) == 50
-    assert len(DRIVER_PRIORITY_R07) == 50
+    assert len(DRIVER_PRIORITY_R08) == 50
     assert len(set(DRIVER_PRIORITY)) == 50
-    assert len(set(DRIVER_PRIORITY_R07)) == 50
-    assert not set(DRIVER_PRIORITY) & set(DRIVER_PRIORITY_R07)
+    assert len(set(DRIVER_PRIORITY_R08)) == 50
+    assert not set(DRIVER_PRIORITY) & set(DRIVER_PRIORITY_R08)
     missing = [
         n
-        for n in (*DRIVER_PRIORITY, *DRIVER_PRIORITY_R07)
+        for n in (*DRIVER_PRIORITY, *DRIVER_PRIORITY_R08)
         if n not in WORKLOADS
     ]
     assert not missing, missing
-    anchors_r06 = {
-        "cp_refined_tighten",
-        "pipe_dedup_minhash_lsh",
-        "sql_q1_pricing",
-    }
-    # the 15 round-5 additions lead the r07 window; the other 35 are
-    # re-certification anchors and must already hold a green row
-    r07_leads = set(DRIVER_PRIORITY_R07[:15])
-    anchors_r07 = set(DRIVER_PRIORITY_R07) - r07_leads
-    assert anchors_r06 <= gated, "r06 anchors must already be gated green"
-    assert anchors_r07 <= gated, (
-        f"r07 anchors must already be gated green: {anchors_r07 - gated}"
+    # the 15 round-5 additions lead the r07 window and must never have
+    # held an external row; slot 16 is the deliberate stale-red
+    # re-present (r01 hash mismatch, fixed in r02, never re-gated
+    # externally); the remaining 34 are green re-certification anchors
+    r07_leads = set(DRIVER_PRIORITY[:15])
+    assert DRIVER_PRIORITY[15] == "sql_q12_priority_case"
+    assert "sql_q12_priority_case" in gated, (
+        "the stale-red slot only makes sense for an externally-seen name"
     )
-    already6 = (set(DRIVER_PRIORITY) - anchors_r06) & gated
-    assert not already6, f"r06 window wastes slots on gated names: {already6}"
+    anchors_r07 = set(DRIVER_PRIORITY[16:])
     assert not r07_leads & gated, (
         f"r07 leads waste slots on gated names: {r07_leads & gated}"
     )
-    uncovered = (
-        set(WORKLOADS) - gated - set(DRIVER_PRIORITY) - set(DRIVER_PRIORITY_R07)
+    assert anchors_r07 <= gated, (
+        f"r07 anchors must already be gated: {anchors_r07 - gated}"
     )
-    # post-r07-freeze additions must be queued for r08 — exactly them
-    assert uncovered == set(DRIVER_QUEUE_R08), (
-        f"not in any window or queue: {uncovered - set(DRIVER_QUEUE_R08)}; "
-        f"queued but covered: {set(DRIVER_QUEUE_R08) - uncovered}"
+    # the 17 round-6 additions lead the committed r08 window; the
+    # other 33 are green anchors
+    r08_leads = set(DRIVER_PRIORITY_R08[:17])
+    anchors_r08 = set(DRIVER_PRIORITY_R08) - r08_leads
+    assert not r08_leads & gated, (
+        f"r08 leads waste slots on gated names: {r08_leads & gated}"
+    )
+    assert anchors_r08 <= gated, (
+        f"r08 anchors must already be gated: {anchors_r08 - gated}"
+    )
+    uncovered = (
+        set(WORKLOADS) - gated - set(DRIVER_PRIORITY) - set(DRIVER_PRIORITY_R08)
+    )
+    # post-r08-freeze additions must be queued for r09 — exactly them
+    assert uncovered == set(DRIVER_QUEUE_R09), (
+        f"not in any window or queue: {uncovered - set(DRIVER_QUEUE_R09)}; "
+        f"queued but covered: {set(DRIVER_QUEUE_R09) - uncovered}"
     )
 
 
@@ -241,14 +250,14 @@ def test_gate_window_schemas_are_scalar_only(spark):
     # notes). Schema construction is lazy: nothing executes here.
     from query_refinement_dsit_databases_2021_spark.workloads import (
         DRIVER_PRIORITY,
-        DRIVER_PRIORITY_R07,
+        DRIVER_PRIORITY_R08,
     )
 
     banned = ("array", "map", "struct", "binary", "decimal", "timestamp")
     offenders = []
-    # audit the committed next window too, so the r07 rotation cannot
+    # audit the committed next window too, so the r08 rotation cannot
     # land a non-scalar schema surprise
-    for name in (*DRIVER_PRIORITY, *DRIVER_PRIORITY_R07):
+    for name in (*DRIVER_PRIORITY, *DRIVER_PRIORITY_R08):
         df = WORKLOADS[name].fn(spark, SF_DIR)
         for f in df.schema.fields:
             t = f.dataType.simpleString()
