@@ -7,12 +7,19 @@ Per-query time is wall-clock for plan + execution to a count/collect
 action (results are not retained). Caches are cleared between queries
 so each measures its own full pipeline.
 
-Median-of-N protocol: this machine's ambient swing is large (15-43 s
-totals on identical code, BASELINE.md), so a single run is noise.
-Each query is timed ``--repeat`` times (default 3, round-robin across
-the whole suite so repeats of one query never ride the same transient)
-and the reported per-query number is the MEDIAN; ``value`` is the sum
-of medians. ``spread`` carries per-query min/max for honesty.
+Min+median-of-N protocol (r06 verdict item 2): this machine's ambient
+swing is large (15-43 s totals on identical code, BASELINE.md), so a
+single run is noise and even a median-of-3 left three >30% per-query
+swings unadjudicable in r06. Each query is timed ``--repeat`` times
+(default 5, round-robin across the whole suite so repeats of one query
+never ride the same transient); the reported per-query number is the
+MEDIAN and the final line ALSO carries the per-query MIN ("queries_min"
+/ "value_min") — with caches cleared per pass the min is the
+low-ambient estimate and is far more comparable across rounds.
+``spread`` carries per-query min/max for honesty. For code-change
+adjudication, ``tools/bench_ab.py`` interleaves this HEAD against a
+reference commit query-by-query in one session (ambient cancels); its
+committed summary is echoed on the final line as ``ab`` when present.
 """
 
 from __future__ import annotations
@@ -26,13 +33,51 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# The COMPARABLE set is FROZEN at its r06 composition (r05 verdict
+# item 10): exactly these 24 names feed "queries"/"value" so
+# successive rounds diff totals directly. New tripwires join
+# EXTRA_BENCH below — timed identically but reported on the
+# separate extras channel, never in the frozen total. Module-level so
+# tools/bench_ab.py drives the IDENTICAL set on both sides.
+FROZEN_24 = (
+    # 20 headline workloads (flag-derived set as of r06, pinned)
+    "cp_filter_avg",
+    "cp_refined_tighten",
+    "cp_refined_relax",
+    "cp_three_constraints",
+    "cp_scale_avg_tighten",
+    "cp_scale_three",
+    "sql_q1_pricing",
+    "sql_q3_topk_join",
+    "sql_q5_local_supplier",
+    "sql_window_running",
+    "sql_events_rollup",
+    "pipe_dedup_minhash_lsh",
+    "pipe_dedup_ngram_jaccard",
+    "pipe_dsir_importance",
+    "pipe_ann_cosine_topk",
+    "pipe_ann_ivfpq",
+    "pipe_ann_ivfpq_serve",
+    "pipe_search_tfidf",
+    "stream_windowed_rollup",
+    "ops_sessionize",
+    # 4 r05 tripwires (paths with no other throughput number)
+    "cp_ext_median_pandas",  # applyInPandas strategy-P kernel
+    "ts_anomaly_mad",  # exact-median sort aggregate
+    "pipe_unigram_segment",  # mapInPandas Viterbi DP (Arrow path)
+    "graph_pagerank",  # iterative driver loop (r04 verdict item 7)
+)
+
+# one-time artifacts forced before any timed pass (see prebuild below)
+PREBUILD_NAMES = ("pipe_ann_ivfpq_serve", "pipe_dedup_minhash_index")
+
 
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--repeat",
         type=int,
-        default=int(os.environ.get("SPARK_GRAFT_REPEAT", "3")),
+        default=int(os.environ.get("SPARK_GRAFT_REPEAT", "5")),
         help="timed passes per query; reported time is the median",
     )
     args = parser.parse_args()
@@ -53,39 +98,7 @@ def main() -> None:
         sf = None
 
     all_w = workloads()
-    # The COMPARABLE set is FROZEN at its r06 composition (r05 verdict
-    # item 10): exactly these 24 names feed "queries"/"value" so
-    # successive rounds diff totals directly. New tripwires join
-    # EXTRA_BENCH below — timed identically but reported on the
-    # separate extras channel, never in the frozen total.
-    frozen_24 = (
-        # 20 headline workloads (flag-derived set as of r06, pinned)
-        "cp_filter_avg",
-        "cp_refined_tighten",
-        "cp_refined_relax",
-        "cp_three_constraints",
-        "cp_scale_avg_tighten",
-        "cp_scale_three",
-        "sql_q1_pricing",
-        "sql_q3_topk_join",
-        "sql_q5_local_supplier",
-        "sql_window_running",
-        "sql_events_rollup",
-        "pipe_dedup_minhash_lsh",
-        "pipe_dedup_ngram_jaccard",
-        "pipe_dsir_importance",
-        "pipe_ann_cosine_topk",
-        "pipe_ann_ivfpq",
-        "pipe_ann_ivfpq_serve",
-        "pipe_search_tfidf",
-        "stream_windowed_rollup",
-        "ops_sessionize",
-        # 4 r05 tripwires (paths with no other throughput number)
-        "cp_ext_median_pandas",  # applyInPandas strategy-P kernel
-        "ts_anomaly_mad",  # exact-median sort aggregate
-        "pipe_unigram_segment",  # mapInPandas Viterbi DP (Arrow path)
-        "graph_pagerank",  # iterative driver loop (r04 verdict item 7)
-    )
+    frozen_24 = FROZEN_24
     # drift tripwire: a headline-flag change that is NOT a deliberate
     # re-freeze of the comparable set must fail here, loudly
     flagged = {n for n, w in all_w.items() if w.headline}
@@ -121,7 +134,7 @@ def main() -> None:
     # build+first-serve cost (≈serve when the artifact already existed
     # from a prior run of the same data).
     prebuild: dict[str, float] = {}
-    for name in ("pipe_ann_ivfpq_serve", "pipe_dedup_minhash_index"):
+    for name in PREBUILD_NAMES:
         if name not in all_w:
             continue
         spark.catalog.clearCache()
@@ -150,11 +163,30 @@ def main() -> None:
             )
 
     times = {n: round(statistics.median(ts), 3) for n, ts in samples.items()}
+    mins = {n: round(min(ts), 3) for n, ts in samples.items()}
     spread = {
         n: [round(min(ts), 3), round(max(ts), 3)] for n, ts in samples.items()
     }
     extras = {n: times.pop(n) for n in extra_bench}
+    extras_min = {n: mins.pop(n) for n in extra_bench}
     total = round(sum(times.values()), 3)
+    total_min = round(sum(mins.values()), 3)
+
+    # Echo the committed same-session A/B adjudication (tools/
+    # bench_ab.py writes bench_ab_summary.json) so the recorded bench
+    # line carries the code-vs-ambient verdict for this HEAD. The
+    # object names both commits and the run date — it is a record of
+    # the interleaved A/B session, not of this timing run.
+    ab = None
+    ab_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_ab_summary.json"
+    )
+    if os.path.exists(ab_path):
+        try:
+            with open(ab_path) as fh:
+                ab = json.load(fh)
+        except (OSError, ValueError):
+            ab = None
     # Detail (spread/rows) goes on a PRECEDING line: the driver tails
     # stdout for ONE machine-readable JSON line, and the r04 combined
     # payload (~2.9 KB) overflowed its capture -> BENCH_r04 parsed:null
@@ -168,22 +200,24 @@ def main() -> None:
                 "repeat": repeat,
                 "aggregation": "median",
                 "extras": extras,  # new tripwires, NOT in the frozen total
+                "extras_min": extras_min,
                 "prebuild_first_call": prebuild,
             }
         )
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_workloads_total_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": times,  # per-query MEDIAN over `repeat` passes
-                "sf": sf,
-                "cpus": cpus,
-            }
-        )
-    )
+    final = {
+        "metric": "headline_workloads_total_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,  # per-query MEDIAN over `repeat` passes
+        "value_min": total_min,
+        "queries_min": mins,  # per-query MIN — the low-ambient estimate
+        "sf": sf,
+        "cpus": cpus,
+    }
+    if ab is not None:
+        final["ab"] = ab
+    print(json.dumps(final))
 
 
 if __name__ == "__main__":
