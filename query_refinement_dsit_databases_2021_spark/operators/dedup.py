@@ -232,6 +232,113 @@ def minhash_lsh_pairs(
     return est.select("doc_a", "doc_b", F.round("est_sim", 6).alias("est_sim"))
 
 
+# lsh_bucket_advisor decision constants (r06 verdict item 7). The
+# measured 1M-10M-doc curve (dedup_scale.csv) shows organic corpora
+# hold p99 band-bucket = 2 and max <= 4 at every size, while templated
+# corpora grow mega-buckets that alone contribute O(n²) candidate
+# pairs. The cap-needed signal is PAIR-MASS CONCENTRATION, not a
+# bucket-count percentile (on a corpus that is MOSTLY template, the
+# mega-bucket IS the p99): cap when one bucket holds ≥ 20% of all
+# candidate pairs — the same top1 share at which shuffle_advisor
+# prescribes salting (scale.SHUFFLE_SKEW_TOP1_PPM) — AND the largest
+# bucket actually exceeds the default cap (so a 2-doc bucket that is
+# 100% of a tiny corpus's pairs never triggers). The recommended cap
+# value clips to the organic tail: MARGIN × the MEDIAN bucket size
+# (median is immune to the mega-bucket mass, unlike p99), floored at
+# MINHASH_MAX_BUCKET's default (pipelines.py), so a recommended cap
+# is always safe to apply verbatim.
+ADVISOR_BUCKET_MARGIN = 4
+ADVISOR_TOP_SHARE_PPM = 200_000  # == scale.SHUFFLE_SKEW_TOP1_PPM
+ADVISOR_CAP_FLOOR = 8  # == pipelines.MINHASH_MAX_BUCKET (import cycle)
+
+
+def lsh_bucket_advisor(
+    docs: DataFrame,
+    n_hashes: int = N_HASHES,
+    rows_per_band: int = LSH_ROWS,
+    margin: int = ADVISOR_BUCKET_MARGIN,
+    cap_floor: int = ADVISOR_CAP_FLOOR,
+) -> DataFrame:
+    """One-pass cap-on/off advisor for :func:`minhash_lsh_pairs`'s
+    ``max_bucket`` — the band-key analogue of ``scale.shuffle_advisor``
+    (which recommends salting from one profile pass): run it BEFORE
+    the O(pairs) band self-join to learn whether this corpus is
+    organic (cap unnecessary — the measured 10M-doc regime) or
+    templated (cap mandatory — one mega-bucket is about to emit a
+    quadratic pair blow-up), and what cap value clips only the
+    pathological tail.
+
+    Plan shape: signatures → band keys → ONE (band, sig) count
+    aggregation (map-combinable) — the self-join itself never runs.
+    The median bucket size folds the count frame to its
+    count-of-counts histogram first (the ``grouping_skew_gini``
+    idiom), so the only global window is over ≤ √(2·n_buckets) rows
+    and the whole statistic is integer-exact: median = smallest size
+    with cumulative bucket count ≥ ceil(n_buckets/2). The ppm shares
+    run 128-bit (decimal(38,0) ↔ HUGEINT) because 1e6·Σ c(c−1)/2
+    overflows int64 at real corpus sizes.
+
+    Decision rule (constants above): cap ON iff the top bucket holds
+    ≥ ``ADVISOR_TOP_SHARE_PPM`` of all candidate pairs AND
+    ``max_bucket > cap_floor``; recommended value =
+    ``greatest(margin · median_bucket, cap_floor)``.
+
+    Returns ONE row: ``(n_docs, n_buckets, total_pairs, max_bucket,
+    median_bucket, top_share_ppm, pairs_per_doc_ppm, cap_recommended,
+    recommended_cap)`` — ``recommended_cap`` is NULL when the corpus
+    is organic.
+    """
+    n_bands = n_hashes // rows_per_band
+    wide = minhash_signatures_wide(docs, n_hashes)
+    bsig = lsh_band_signatures(wide, rows_per_band, n_hashes)
+    cnt = bsig.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(
+        F.sum("c").cast("long").alias("n_entries"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(F.expr("(c * (c - 1)) div 2")).cast("long").alias("total_pairs"),
+        F.max("c").cast("long").alias("max_bucket"),
+        F.max(F.expr("(c * (c - 1)) div 2")).cast("long").alias("top_pairs"),
+    )
+    hist = cnt.groupBy(F.col("c").alias("x")).agg(F.count(F.lit(1)).alias("m"))
+    w_le = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cm", F.sum("m").over(w_le))
+    med = (
+        cum.crossJoin(F.broadcast(tot.select("n_buckets")))
+        .where(F.expr("cm >= (n_buckets + 1) div 2"))
+        .agg(F.min("x").cast("long").alias("median_bucket"))
+    )
+    D = "decimal(38,0)"
+    share = (
+        f"CASE WHEN total_pairs > 0 THEN "
+        f"CAST((CAST(1000000 AS {D}) * CAST(top_pairs AS {D})) "
+        f"DIV CAST(total_pairs AS {D}) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    )
+    cap_on = (
+        f"({share}) >= {ADVISOR_TOP_SHARE_PPM} AND max_bucket > {cap_floor}"
+    )
+    return (
+        tot.crossJoin(F.broadcast(med))
+        .select(
+            F.expr(f"n_entries div {n_bands}").alias("n_docs"),
+            "n_buckets",
+            "total_pairs",
+            "max_bucket",
+            "median_bucket",
+            F.expr(share).alias("top_share_ppm"),
+            F.expr(
+                f"CAST((CAST(1000000 AS {D}) * CAST(total_pairs AS {D})) "
+                f"DIV CAST(n_entries div {n_bands} AS {D}) AS BIGINT)"
+            ).alias("pairs_per_doc_ppm"),
+            F.expr(cap_on).alias("cap_recommended"),
+            F.expr(
+                f"CASE WHEN {cap_on} THEN "
+                f"greatest({margin} * median_bucket, {cap_floor}) "
+                f"ELSE CAST(NULL AS BIGINT) END"
+            ).alias("recommended_cap"),
+        )
+    )
+
+
 def incremental_minhash_dedup(
     base_docs: DataFrame,
     shard_docs: DataFrame,

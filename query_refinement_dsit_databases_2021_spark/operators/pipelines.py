@@ -169,6 +169,59 @@ def _wl_minhash_capped(spark, sf_dir):
     )
 
 
+# One-pass max_bucket advisor (r06 verdict item 7): same band keys as
+# the LSH join, but only the (band, sig) count aggregation runs — the
+# oracle mirrors the histogram-fold median and the 128-bit ppm shares
+# and interpolates the SAME decision constants as the Spark side.
+_ADV_SHARE = (
+    "CASE WHEN total_pairs > 0"
+    " THEN CAST((1000000::HUGEINT * top_pairs::HUGEINT)"
+    " // total_pairs::HUGEINT AS BIGINT)"
+    " ELSE CAST(0 AS BIGINT) END"
+)
+_ADV_CAP_ON = (
+    f"({_ADV_SHARE}) >= {dedup.ADVISOR_TOP_SHARE_PPM} "
+    f"AND max_bucket > {dedup.ADVISOR_CAP_FLOOR}"
+)
+ORACLE_BUCKET_ADVISOR = f"""
+WITH {SQL_SHINGLES},
+{SQL_SHINGLE_HASHES},
+wide AS (SELECT doc_id, {_MH_MINS} FROM shr GROUP BY doc_id),
+bsig AS ({_MH_BANDS}),
+cnt AS (SELECT band, sig, CAST(count(*) AS BIGINT) AS c
+        FROM bsig GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_entries,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS total_pairs,
+               CAST(max(c) AS BIGINT) AS max_bucket,
+               CAST(max((c * (c - 1)) // 2) AS BIGINT) AS top_pairs
+        FROM cnt),
+hist AS (SELECT c AS x, CAST(count(*) AS BIGINT) AS m FROM cnt GROUP BY 1),
+cum AS (SELECT x, sum(m) OVER (ORDER BY x) AS cm FROM hist),
+med AS (SELECT CAST(min(x) AS BIGINT) AS median_bucket FROM cum, tot
+        WHERE cm >= (n_buckets + 1) // 2)
+SELECT n_entries // {N_HASHES // LSH_ROWS} AS n_docs,
+       n_buckets, total_pairs, max_bucket, median_bucket,
+       {_ADV_SHARE} AS top_share_ppm,
+       CAST((1000000::HUGEINT * total_pairs::HUGEINT)
+            // (n_entries // {N_HASHES // LSH_ROWS})::HUGEINT AS BIGINT)
+           AS pairs_per_doc_ppm,
+       {_ADV_CAP_ON} AS cap_recommended,
+       CASE WHEN {_ADV_CAP_ON}
+            THEN greatest({dedup.ADVISOR_BUCKET_MARGIN} * median_bucket,
+                          {dedup.ADVISOR_CAP_FLOOR})
+            ELSE NULL END AS recommended_cap
+FROM tot, med"""
+
+
+def _wl_bucket_advisor(spark, sf_dir):
+    """Cap-on/off + value advisor for the LSH band join, certified on
+    the same corpus the capped workload runs on — the gate pins the
+    whole decision rule (counts, histogram p99, 128-bit shares, the
+    margin comparison) bit-for-bit against DuckDB."""
+    return dedup.lsh_bucket_advisor(_docs(spark, sf_dir))
+
+
 # incremental near-dup: shard = doc_id % 10 >= 8 (same split as the
 # exact incremental workload); a shard doc is dup vs the base (any id)
 # or vs an earlier shard doc (lower id)
@@ -2232,6 +2285,12 @@ def pipeline_workloads():
             "pipe_dedup_minhash_capped",
             _wl_minhash_capped,
             ORACLE_MINHASH_CAPPED,
+            False,
+        ),
+        (
+            "pipe_dedup_bucket_advisor",
+            _wl_bucket_advisor,
+            ORACLE_BUCKET_ADVISOR,
             False,
         ),
         (

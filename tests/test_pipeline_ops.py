@@ -119,6 +119,47 @@ def test_minhash_max_bucket_caps_template_blowup(spark):
     assert capped == {(200, 201): 1.0}
 
 
+def test_bucket_advisor_flags_template_recommends_safe_cap(spark):
+    """On the templated fixture the advisor must say cap-ON with a cap
+    that keeps the genuine near-dup pair (bucket size 2) and drops the
+    100-doc template bucket; applying the recommended cap verbatim
+    must reproduce exactly the capped result. On an organic corpus
+    (all-distinct texts) it must say cap-OFF."""
+    template = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, template) for i in range(100)]
+    rows.append((200, "quick brown fox jumps over the lazy sleeping dog"))
+    rows.append((201, "quick brown fox jumps over the lazy sleeping dog"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    adv = dedup.lsh_bucket_advisor(docs).collect()
+    assert len(adv) == 1
+    a = adv[0]
+    assert a["n_docs"] == 102
+    assert a["max_bucket"] == 100  # the template mega-bucket
+    assert a["cap_recommended"] is True
+    # cap keeps organic buckets (near-dup pair agrees at size 2) and
+    # drops the size-100 bucket
+    assert 2 <= a["recommended_cap"] < 100
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, max_bucket=a["recommended_cap"]
+        ).collect()
+    }
+    assert capped == {(200, 201)}
+
+    organic = spark.createDataFrame(
+        [
+            (i, f"doc {i} talks about topic{i} and subject{i * 7} only")
+            for i in range(60)
+        ],
+        "doc_id long, text string",
+    )
+    o = dedup.lsh_bucket_advisor(organic).collect()[0]
+    assert o["cap_recommended"] is False
+    assert o["recommended_cap"] is None
+
+
 def test_simhash_exact_dup_hamming_zero(docs):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
