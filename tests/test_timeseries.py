@@ -1216,3 +1216,127 @@ def test_dtw_matches_python_dp(spark):
     assert got == want, (got, want)
     # the shifted copy aligns nearly free: far cheaper than vs 'c'
     assert got[("a", "b")][2] < got[("a", "c")][2]
+
+
+def test_dtw_paa_strategy_switch_and_exactness(spark):
+    """The r06-item-8 strategy switch, pinned on both sides of the
+    threshold: short series -> exact DP (auto == dtw_distances
+    bit-for-bit); past DTW_MAX_EXACT_LEN the probe says "paa" and the
+    PAA fold reproduces a plain-Python PAA+DP reference exactly
+    (floor means, integer cents)."""
+    from datetime import datetime, timedelta
+
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        dtw_distances,
+        dtw_distances_auto,
+        dtw_distances_paa,
+        pick_dtw_strategy,
+    )
+
+    t0 = datetime(2024, 1, 1)
+
+    def mk(series):
+        rows = []
+        for key, vals in series.items():
+            for d, v in enumerate(vals):
+                rows.append(
+                    (len(rows), t0 + timedelta(days=d), 1, key, v, "{}")
+                )
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+
+    short = mk({"a": [1.0, 2.0, 3.0], "b": [3.0, 2.0, 1.0]})
+    assert pick_dtw_strategy(short) == ("exact", 3)
+    want = [tuple(r) for r in dtw_distances(short).collect()]
+    got = [tuple(r) for r in dtw_distances_auto(short).collect()]
+    assert got == want
+
+    # 600-day series crosses the 512 threshold -> paa; verify the
+    # PAA fold against a python reference (k=8 segments)
+    long_series = {
+        "x": [float((i * 7) % 23) for i in range(600)],
+        "y": [float((i * 5) % 19) for i in range(600)],
+    }
+    long_df = mk(long_series)
+    strategy, n = pick_dtw_strategy(long_df)
+    assert (strategy, n) == ("paa", 600)
+
+    def paa_ref(vals, k):
+        cents = [int(v * 100) for v in vals]
+        n = len(cents)
+        out = []
+        for b in range(k):
+            lo, hi = b * n // k, (b + 1) * n // k
+            seg = cents[lo:hi]
+            out.append(sum(seg) // max(len(seg), 1))
+        return out
+
+    def dtw_ref(a, b):
+        inf = float("inf")
+        prev = [0] + [inf] * len(b)
+        for ai in a:
+            cur = [inf]
+            for j, bj in enumerate(b, start=1):
+                cur.append(abs(ai - bj) + min(prev[j], cur[j - 1], prev[j - 1]))
+            prev = cur
+        return prev[-1]
+
+    got = dtw_distances_paa(long_df, k=8).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["key_a"], r["key_b"], r["n_a"], r["n_b"]) == ("x", "y", 600, 600)
+    assert r["dtw_cents"] == dtw_ref(
+        paa_ref(long_series["x"], 8), paa_ref(long_series["y"], 8)
+    )
+
+
+def test_matrix_profile_auto_switch_covers_full_series(spark):
+    """Within cap the auto profile IS the exact profile (factor 1);
+    past cap it PAA-compresses the WHOLE series (factor = ceil(n/cap))
+    instead of truncating, so a discord planted BEYOND the exact
+    path's cap horizon is still found."""
+    from datetime import datetime, timedelta
+
+    from query_refinement_dsit_databases_2021_spark.operators.timeseries import (
+        matrix_profile_discords,
+        matrix_profile_discords_auto,
+    )
+
+    t0 = datetime(2024, 1, 1)
+
+    def mk(n, spike_at=None):
+        rows = []
+        for i in range(n):
+            v = 10.0 + (i % 8)
+            if spike_at is not None and spike_at <= i <= spike_at + 15:
+                v = 99.0
+            rows.append((i, t0 + timedelta(minutes=i), 1, "click", v, "{}"))
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        )
+
+    small = mk(256, spike_at=100)
+    df, strategy, factor = matrix_profile_discords_auto(
+        small, m=8, band=64, cap=512, top=3
+    )
+    assert (strategy, factor) == ("exact", 1)
+    want = [tuple(r) for r in
+            matrix_profile_discords(small, m=8, band=64, cap=512, top=3)
+            .collect()]
+    assert [tuple(r) for r in df.collect()] == want
+
+    # 2048-long series, spike at 1500 — PAST the cap=512 horizon the
+    # exact path truncates to; factor = 4, spike lands near PAA i=375
+    big = mk(2048, spike_at=1500)
+    df, strategy, factor = matrix_profile_discords_auto(
+        big, m=8, band=64, cap=512, top=3
+    )
+    assert (strategy, factor) == ("paa", 4)
+    top = df.collect()[0]
+    assert top["nn_d2"] > 0
+    assert 1500 // 4 - 8 <= top["i"] <= (1500 + 15) // 4, top
