@@ -2387,8 +2387,19 @@ WHERE rank <= {k} ORDER BY q_id, rank"""
 # nprobe=16 / c=200 — raising the 0.588 raw-IVFADC floor past 0.8 for
 # one more probed cell-group and a shortlist that is still O(100)
 # rows/query at ANY corpus size.
+# Tuned on the measured (nprobe, c) grid (BASELINE.md rounds 6-7).
+# r07 finding: at sf0.1 the 0.750 recall@5 ceiling was NOT the probe
+# set (the 16-of-24-cell probe set contains 0.963 of the true top-5)
+# but the ADC shortlist — quantization noise pushes true neighbors
+# past rank 200 in the ADC ordering. The lever with defensible scale
+# cost is c, not the codebook: the rerank join is n_queries·c rows
+# (broadcast-trivial at ANY corpus size; c=400 doubles a join that is
+# already 4 orders below the corpus), while a k-means residual
+# codebook measured only +0.075 at c=200 and adds a training stage.
+# Measured reranked recall@5 at sf0.1, nprobe=16: c=200 → 0.750,
+# c=300 → 0.863, c=400 → 0.913, c=500 → 0.925.
 IVFPQ_RERANK_NPROBE = 16
-IVFPQ_RERANK_SHORTLIST = 200
+IVFPQ_RERANK_SHORTLIST = 400
 
 
 def ivfpq_rerank_topk(

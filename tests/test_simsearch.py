@@ -718,13 +718,15 @@ def test_ivfpq_candidates_respect_probes_and_recall_floor(spark):
 
 
 def test_ivfpq_rerank_recall_floor_and_plan(spark):
-    """IVFADC-R contract (r05 verdict item 5): the exact-reranked
-    shortlist at the tuned defaults (nprobe=16, c=200) recovers >= 0.8
-    of the exact L2 top-5 — vs 0.588 for the raw 50-candidate IVFADC
-    shortlist the previous floor attested (curve committed in
-    BASELINE.md from tools/ann_recall_curve.py). The rerank join must
-    stay broadcast/equi (candidate-count-sized, never a second corpus
-    scan shape)."""
+    """IVFADC-R contract (r05 item 5, tightened r07 item 4): the
+    exact-reranked shortlist at the tuned defaults (nprobe=16, c=400 —
+    the r07 retune after the 0.750 sf0.1 ceiling was traced to the ADC
+    shortlist, not the probe set) recovers >= 0.9 of the exact L2
+    top-5 — vs 0.588 for the raw 50-candidate IVFADC shortlist the
+    original floor attested (curves in BASELINE.md from
+    tools/ann_recall_curve.py). The rerank join must stay
+    broadcast/equi (candidate-count-sized, never a second corpus scan
+    shape)."""
     from pyspark.sql import Window
 
     from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
@@ -765,7 +767,12 @@ def test_ivfpq_rerank_recall_floor_and_plan(spark):
         ex.setdefault(r["q_id"], set()).add(r["vec_id"])
     hits = sum(len(ex[qq] & got.get(qq, set())) for qq in ex)
     tot = sum(len(ex[qq]) for qq in ex)
-    assert hits / tot >= 0.8, f"IVFADC-R recall regressed: {hits / tot:.3f}"
+    # at sf0.001 c=400 exceeds every probed cell's population, so the
+    # shortlist captures ALL probed candidates and the measurement IS
+    # the probe-set ceiling (deterministically 0.875 = 70/80 here);
+    # the c lever's sf0.1 effect (0.750 -> 0.913) is attested by the
+    # BASELINE.md grid from tools/ann_recall_curve.py
+    assert hits / tot >= 0.85, f"IVFADC-R recall regressed: {hits / tot:.3f}"
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
