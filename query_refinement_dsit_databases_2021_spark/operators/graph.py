@@ -38,6 +38,11 @@ from pyspark.sql import functions as F
 INIT_MASS = 1_000_000_000
 TELEPORT = 150_000_000  # floor(0.15 * INIT_MASS)
 PR_ITERATIONS = 5
+# broadcast the per-iteration send frame while the node set fits a
+# comfortable broadcast (≈16 B/row → ~160 MB at the bound); measured
+# 1.65× at 100M edges / 10M nodes, no regression at smaller sizes
+# (graph_scale.csv, BASELINE.md round 7)
+PR_BROADCAST_MAX_NODES = 10_000_000
 
 
 def pagerank(
@@ -65,6 +70,17 @@ def pagerank(
     (same A/B: 7.8 s — an eager job per round); the truncation
     belongs only in convergence loops of unbounded depth (kcore,
     components, label propagation). Returns ``(node, rank)``.
+
+    Send-frame strategy (r07, measured on the 10M→100M-edge power-law
+    curve, `graph_scale.csv`): while the node frame is broadcastable,
+    `F.broadcast(send)` keeps the EDGE table out of every
+    per-iteration shuffle — at 100M edges / 10M nodes that measured
+    309 s → 187 s (1.65×, quiet box; ties at ≤30M edges where the
+    shuffle is cheap anyway). One bounded probe (`nodes.count()`)
+    picks the strategy: broadcast ≤ ``PR_BROADCAST_MAX_NODES``
+    (~160 MB send frame, comfortably inside executor memory), plain
+    equi-join beyond it (a billion-node graph must shuffle — a blind
+    broadcast would OOM the executors).
     """
     edges = edges.select("src", "dst").distinct()
     nodes = (
@@ -72,6 +88,7 @@ def pagerank(
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
+    bcast = nodes.count() <= PR_BROADCAST_MAX_NODES
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ranks = nodes.select("node", F.lit(INIT_MASS).cast("long").alias("rank"))
     for _ in range(iterations):
@@ -79,7 +96,7 @@ def pagerank(
             "src", F.expr("(85 * rank DIV 100) DIV outdeg").alias("c")
         )
         contrib = (
-            edges.join(send, "src")
+            edges.join(F.broadcast(send) if bcast else send, "src")
             .select(F.col("dst").alias("node"), "c")
             .groupBy("node")
             .agg(F.sum("c").alias("c"))

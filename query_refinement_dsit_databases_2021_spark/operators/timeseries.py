@@ -3598,6 +3598,11 @@ def dtw_distances_auto(
     return dtw_distances_paa(events, k, bucket=bucket)
 
 
+# The oracle mirrors the AUTO dispatch, not just the PAA form: the
+# probe is global (max series length vs DTW_MAX_EXACT_LEN), so below
+# the threshold every series passes through raw (the exact DP — what
+# sf0.001's ~180-point hourly series hit) and above it each series
+# PAA-compresses — same decision the Spark side makes.
 ORACLE_DTW_PAA = f"""
 WITH daily AS (
   SELECT event_type AS key, date_trunc('hour', ts) AS day,
@@ -3606,7 +3611,12 @@ WITH daily AS (
 series_raw AS (
   SELECT key, list(c ORDER BY day) AS raw FROM daily GROUP BY key),
 series AS (
-  SELECT key, raw, {_sql_paa('raw', DTW_PAA_TARGET)} AS s FROM series_raw),
+  SELECT key, raw,
+         CASE WHEN (SELECT max(len(raw)) FROM series_raw)
+                   <= {DTW_MAX_EXACT_LEN}
+              THEN raw
+              ELSE {_sql_paa('raw', DTW_PAA_TARGET)} END AS s
+  FROM series_raw),
 pairs AS (
   SELECT a.key AS key_a, b.key AS key_b, a.s AS sa, b.s AS sb,
          len(a.raw) AS ra, len(b.raw) AS rb
