@@ -46,7 +46,9 @@ PR_BROADCAST_MAX_NODES = 10_000_000
 
 
 def pagerank(
-    edges: DataFrame, iterations: int = PR_ITERATIONS
+    edges: DataFrame,
+    iterations: int = PR_ITERATIONS,
+    broadcast_send: bool | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list ``(src, dst)``.
 
@@ -76,11 +78,16 @@ def pagerank(
     `F.broadcast(send)` keeps the EDGE table out of every
     per-iteration shuffle — at 100M edges / 10M nodes that measured
     309 s → 187 s (1.65×, quiet box; ties at ≤30M edges where the
-    shuffle is cheap anyway). One bounded probe (`nodes.count()`)
-    picks the strategy: broadcast ≤ ``PR_BROADCAST_MAX_NODES``
+    shuffle is cheap anyway). ``broadcast_send=None`` probes once
+    (`nodes.count()`) and broadcasts ≤ ``PR_BROADCAST_MAX_NODES``
     (~160 MB send frame, comfortably inside executor memory), plain
     equi-join beyond it (a billion-node graph must shuffle — a blind
-    broadcast would OOM the executors).
+    broadcast would OOM the executors). The probe is itself a job (it
+    re-runs the edge derivation), and the r07 interleaved A/B caught
+    it costing +1.4 s on the dim-sized sf0.1 trade graph — so callers
+    that KNOW their node scale pass ``broadcast_send`` explicitly (the
+    workload passes True: its co-trading graph is dim-sized by
+    construction) and only genuinely unknown inputs pay the probe.
     """
     edges = edges.select("src", "dst").distinct()
     nodes = (
@@ -88,7 +95,11 @@ def pagerank(
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    bcast = nodes.count() <= PR_BROADCAST_MAX_NODES
+    bcast = (
+        broadcast_send
+        if broadcast_send is not None
+        else nodes.count() <= PR_BROADCAST_MAX_NODES
+    )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     ranks = nodes.select("node", F.lit(INIT_MASS).cast("long").alias("rank"))
     for _ in range(iterations):
@@ -305,7 +316,10 @@ def _wl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from query_refinement_dsit_databases_2021_spark.workloads import register_views
 
     register_views(spark, sf_dir)
-    ranks = pagerank(_trade_edges(spark), PR_ITERATIONS)
+    # broadcast_send=True without the probe: the co-trading graph is
+    # dim-sized by construction (suppliers + customers), and the probe
+    # job measurably costs more than it informs here (r07 A/B)
+    ranks = pagerank(_trade_edges(spark), PR_ITERATIONS, broadcast_send=True)
     return ranks.orderBy(F.col("rank").desc(), F.col("node")).limit(20)
 
 
