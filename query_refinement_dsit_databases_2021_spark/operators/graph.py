@@ -84,10 +84,13 @@ def pagerank(
     equi-join beyond it (a billion-node graph must shuffle — a blind
     broadcast would OOM the executors). The probe is itself a job (it
     re-runs the edge derivation), and the r07 interleaved A/B caught
-    it costing +1.4 s on the dim-sized sf0.1 trade graph — so callers
-    that KNOW their node scale pass ``broadcast_send`` explicitly (the
-    workload passes True: its co-trading graph is dim-sized by
-    construction) and only genuinely unknown inputs pay the probe.
+    it costing +1.4 s on the dim-sized sf0.1 trade graph, then caught
+    broadcast itself costing ~10% there (five per-iteration broadcast
+    builds vs an already-trivial shuffle) — so callers that KNOW their
+    scale pass ``broadcast_send`` explicitly (the workload passes
+    False: dim-sized graph, shuffle already trivial; large-graph
+    callers pass True for the measured 1.65×) and only genuinely
+    unknown inputs pay the probe.
     """
     edges = edges.select("src", "dst").distinct()
     nodes = (
@@ -316,10 +319,13 @@ def _wl_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from query_refinement_dsit_databases_2021_spark.workloads import register_views
 
     register_views(spark, sf_dir)
-    # broadcast_send=True without the probe: the co-trading graph is
-    # dim-sized by construction (suppliers + customers), and the probe
-    # job measurably costs more than it informs here (r07 A/B)
-    ranks = pagerank(_trade_edges(spark), PR_ITERATIONS, broadcast_send=True)
+    # broadcast_send=False, no probe: the co-trading graph is
+    # dim-sized by construction (suppliers + customers) — here the
+    # per-iteration shuffle is already trivial and the five broadcast
+    # builds measurably cost ~10% (r07 A/B, 5.50 vs 4.96 s min), while
+    # the probe job alone cost +1.4 s. Broadcast pays only where the
+    # edge-table shuffle dominates (~100M edges: 1.65×, BASELINE.md).
+    ranks = pagerank(_trade_edges(spark), PR_ITERATIONS, broadcast_send=False)
     return ranks.orderBy(F.col("rank").desc(), F.col("node")).limit(20)
 
 
