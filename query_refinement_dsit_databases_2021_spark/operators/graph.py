@@ -132,7 +132,11 @@ HITS_SCALE = 1_000_000
 HITS_ITERATIONS = 4
 
 
-def hits(edges: DataFrame, iterations: int = HITS_ITERATIONS) -> DataFrame:
+def hits(
+    edges: DataFrame,
+    iterations: int = HITS_ITERATIONS,
+    broadcast_scores: bool | None = None,
+) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg 1999) over a directed edge
     list ``(src, dst)`` — the authority-transfer companion to
     :func:`pagerank`, and the same Spark iteration shape: a FIXED
@@ -162,6 +166,17 @@ def hits(edges: DataFrame, iterations: int = HITS_ITERATIONS) -> DataFrame:
     localCheckpoint as a net LOSS — that guidance is for linear
     chains; dual-consumer rescale loops need the truncation.)
 
+    Score-frame strategy (r07, same question as :func:`pagerank`'s
+    send frame, same measurement discipline): each half-step joins the
+    edge table against a node-sized score frame; broadcasting that
+    frame keeps the edges out of the join shuffle — a same-session A/B
+    at 100M edges / 10M nodes measured **485.7 s vs 1036.8 s (2.13×)**
+    with identical checksums. ``broadcast_scores``: True/False when
+    the caller knows the node scale (the workload passes False — its
+    trade graph is dim-sized, where pagerank measured broadcast builds
+    as a ~10% loss); None probes `nodes.count()` once and broadcasts
+    ≤ ``PR_BROADCAST_MAX_NODES``.
+
     Returns ``(node, authority, hub)`` for every node.
     """
     edges = edges.select("src", "dst").distinct()
@@ -170,11 +185,17 @@ def hits(edges: DataFrame, iterations: int = HITS_ITERATIONS) -> DataFrame:
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
+    bcast = (
+        broadcast_scores
+        if broadcast_scores is not None
+        else nodes.count() <= PR_BROADCAST_MAX_NODES
+    )
+    hint = F.broadcast if bcast else (lambda df: df)
     hub = nodes.select("node", F.lit(HITS_SCALE).cast("long").alias("h"))
     auth = None
     for _ in range(iterations):
         a_raw = (
-            edges.join(hub, edges.src == hub.node)
+            edges.join(hint(hub), edges.src == hub.node)
             .select(F.col("dst").alias("node"), "h")
             .groupBy("node")
             .agg(F.sum("h").alias("raw"))
@@ -187,7 +208,7 @@ def hits(edges: DataFrame, iterations: int = HITS_ITERATIONS) -> DataFrame:
             .alias("a"),
         )
         h_raw = (
-            edges.join(auth, edges.dst == auth.node)
+            edges.join(hint(auth), edges.dst == auth.node)
             .select(F.col("src").alias("node"), "a")
             .groupBy("node")
             .agg(F.sum("a").alias("raw"))
@@ -365,7 +386,9 @@ def _wl_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from query_refinement_dsit_databases_2021_spark.workloads import register_views
 
     register_views(spark, sf_dir)
-    scores = hits(_trade_edges(spark), HITS_ITERATIONS)
+    # broadcast_scores=False, no probe: dim-sized trade graph (same
+    # measured reasoning as _wl_pagerank's broadcast_send=False)
+    scores = hits(_trade_edges(spark), HITS_ITERATIONS, broadcast_scores=False)
     return scores.orderBy(
         F.col("authority").desc(), F.col("hub").desc(), F.col("node")
     ).limit(20)
