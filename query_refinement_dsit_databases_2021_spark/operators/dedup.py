@@ -339,6 +339,30 @@ def lsh_bucket_advisor(
     )
 
 
+def minhash_lsh_pairs_advised(
+    docs: DataFrame,
+    n_hashes: int = N_HASHES,
+    rows_per_band: int = LSH_ROWS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """ADAPTIVE near-dup pairs: :func:`lsh_bucket_advisor` decides,
+    then :func:`minhash_lsh_pairs` runs with the recommendation — the
+    end-to-end composition of r06 item 7 ("ship a one-pass advisor")
+    with the certified capped join. On an organic corpus this is
+    bit-identical to the uncapped form (the advisor says OFF — the
+    measured 10M-doc regime); on a templated corpus the recommended
+    cap bounds the mega-bucket blow-up BEFORE the O(pairs) join runs.
+    The dispatch is one bounded 1-row collect (the advisor output);
+    the DuckDB oracle carries the identical dynamic decision, so the
+    differential gate certifies the whole adaptive pipeline, not just
+    each branch."""
+    adv = lsh_bucket_advisor(docs, n_hashes, rows_per_band).collect()[0]
+    cap = int(adv["recommended_cap"]) if adv["cap_recommended"] else None
+    return minhash_lsh_pairs(
+        docs, n_hashes, rows_per_band, threshold, max_bucket=cap
+    )
+
+
 def incremental_minhash_dedup(
     base_docs: DataFrame,
     shard_docs: DataFrame,

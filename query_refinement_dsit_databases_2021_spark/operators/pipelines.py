@@ -222,6 +222,61 @@ def _wl_bucket_advisor(spark, sf_dir):
     return dedup.lsh_bucket_advisor(_docs(spark, sf_dir))
 
 
+# Adaptive composition: the advisor's verdict drives the join. The
+# dynamic cap lives in ONE oracle as an effective bound — when the
+# advisor says OFF the bound equals max_bucket (a no-op filter,
+# exactly the Spark branch's max_bucket=None), when ON it is the
+# recommended value. Heavily-shared CTEs are MATERIALIZED (DuckDB
+# inlines multi-referenced CTEs; the wide signature is referenced 3×).
+ORACLE_MINHASH_ADVISED = f"""
+WITH {SQL_SHINGLES},
+{SQL_SHINGLE_HASHES},
+wide AS MATERIALIZED (SELECT doc_id, {_MH_MINS} FROM shr GROUP BY doc_id),
+bsig AS MATERIALIZED ({_MH_BANDS}),
+cnt AS MATERIALIZED (
+  SELECT band, sig, CAST(count(*) AS BIGINT) AS c
+  FROM bsig GROUP BY 1, 2),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS total_pairs,
+               CAST(max(c) AS BIGINT) AS max_bucket,
+               CAST(max((c * (c - 1)) // 2) AS BIGINT) AS top_pairs
+        FROM cnt),
+hist AS (SELECT c AS x, CAST(count(*) AS BIGINT) AS m FROM cnt GROUP BY 1),
+cum AS (SELECT x, sum(m) OVER (ORDER BY x) AS cm FROM hist),
+med AS (SELECT CAST(min(x) AS BIGINT) AS median_bucket FROM cum, tot
+        WHERE cm >= (n_buckets + 1) // 2),
+adv AS (SELECT CASE WHEN {_ADV_CAP_ON}
+                    THEN greatest({dedup.ADVISOR_BUCKET_MARGIN}
+                                  * median_bucket,
+                                  {dedup.ADVISOR_CAP_FLOOR})
+                    ELSE max_bucket END AS eff_cap
+        FROM tot, med),
+bcap AS (
+  SELECT doc_id, band, sig
+  FROM bsig JOIN cnt USING (band, sig)
+  WHERE c <= (SELECT eff_cap FROM adv)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bcap a JOIN bcap b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+est AS (
+  SELECT doc_a, doc_b,
+         ({_MH_EQ})::BIGINT / CAST({N_HASHES} AS DOUBLE) AS est_sim
+  FROM cand
+  JOIN wide wa ON wa.doc_id = doc_a
+  JOIN wide wb ON wb.doc_id = doc_b)
+SELECT doc_a, doc_b, round(est_sim, 6) AS est_sim
+FROM est WHERE est_sim >= 0.5"""
+
+
+def _wl_minhash_advised(spark, sf_dir):
+    """End-to-end adaptive dedup: advisor verdict (one bounded 1-row
+    collect) drives the band join's cap. The oracle makes the SAME
+    decision from the same statistics inside one SQL query, so the
+    gate certifies decision + join together."""
+    return dedup.minhash_lsh_pairs_advised(_docs(spark, sf_dir))
+
+
 # incremental near-dup: shard = doc_id % 10 >= 8 (same split as the
 # exact incremental workload); a shard doc is dup vs the base (any id)
 # or vs an earlier shard doc (lower id)
@@ -2291,6 +2346,12 @@ def pipeline_workloads():
             "pipe_dedup_bucket_advisor",
             _wl_bucket_advisor,
             ORACLE_BUCKET_ADVISOR,
+            False,
+        ),
+        (
+            "pipe_dedup_minhash_advised",
+            _wl_minhash_advised,
+            ORACLE_MINHASH_ADVISED,
             False,
         ),
         (

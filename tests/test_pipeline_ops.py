@@ -159,6 +159,22 @@ def test_bucket_advisor_flags_template_recommends_safe_cap(spark):
     assert o["cap_recommended"] is False
     assert o["recommended_cap"] is None
 
+    # the ADVISED composition takes the capped branch on the template
+    # fixture (only the genuine pair survives) and the uncapped branch
+    # on the organic fixture (identical to plain minhash_lsh_pairs)
+    advised_t = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_pairs_advised(docs).collect()
+    }
+    assert advised_t == {(200, 201)}
+    advised_o = sorted(
+        tuple(r) for r in dedup.minhash_lsh_pairs_advised(organic).collect()
+    )
+    plain_o = sorted(
+        tuple(r) for r in dedup.minhash_lsh_pairs(organic).collect()
+    )
+    assert advised_o == plain_o
+
 
 def test_simhash_exact_dup_hamming_zero(docs):
     pairs = {
