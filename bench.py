@@ -28,6 +28,7 @@ import argparse
 import json
 import os
 import statistics
+import subprocess
 import sys
 import time
 
@@ -187,6 +188,21 @@ def main() -> None:
                 ab = json.load(fh)
         except (OSError, ValueError):
             ab = None
+    # A committed summary from an EARLIER commit must not ride along
+    # as if it adjudicated this HEAD: mark it stale when its cur sha
+    # is not the sha being benchmarked (r07 advice item).
+    if ab is not None:
+        try:
+            head = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True, text=True, check=True,
+            ).stdout.strip()
+        except (OSError, subprocess.CalledProcessError):
+            head = None
+        if head and ab.get("cur") != head:
+            ab["stale"] = True
+            ab["stale_note"] = f"ab ran at {ab.get('cur')}, HEAD is {head}"
     # Detail (spread/rows) goes on a PRECEDING line: the driver tails
     # stdout for ONE machine-readable JSON line, and the r04 combined
     # payload (~2.9 KB) overflowed its capture -> BENCH_r04 parsed:null

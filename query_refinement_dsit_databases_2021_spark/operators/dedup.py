@@ -164,6 +164,7 @@ def minhash_lsh_pairs(
     rows_per_band: int = LSH_ROWS,
     threshold: float = 0.5,
     max_bucket: int | None = None,
+    sig_wide: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash+LSH: candidates share >=1 LSH
     band bucket; estimated Jaccard = fraction of equal signature
@@ -188,7 +189,11 @@ def minhash_lsh_pairs(
     organic buckets are tiny — the cap exists purely to bound the
     adversarial/template tail at corpus scale.
     """
-    wide = minhash_signatures_wide(docs, n_hashes).persist()
+    wide = (
+        sig_wide
+        if sig_wide is not None
+        else minhash_signatures_wide(docs, n_hashes).persist()
+    )
     bsig = lsh_band_signatures(wide, rows_per_band, n_hashes)
     if max_bucket is not None:
         w = Window.partitionBy("band", "sig")
@@ -258,6 +263,7 @@ def lsh_bucket_advisor(
     rows_per_band: int = LSH_ROWS,
     margin: int = ADVISOR_BUCKET_MARGIN,
     cap_floor: int = ADVISOR_CAP_FLOOR,
+    sig_wide: DataFrame | None = None,
 ) -> DataFrame:
     """One-pass cap-on/off advisor for :func:`minhash_lsh_pairs`'s
     ``max_bucket`` — the band-key analogue of ``scale.shuffle_advisor``
@@ -289,7 +295,13 @@ def lsh_bucket_advisor(
     is organic.
     """
     n_bands = n_hashes // rows_per_band
-    wide = minhash_signatures_wide(docs, n_hashes)
+    # sig_wide: precomputed (persisted) signature frame, so an adaptive
+    # caller pays the most expensive stage ONCE for advisor + join
+    wide = (
+        sig_wide
+        if sig_wide is not None
+        else minhash_signatures_wide(docs, n_hashes)
+    )
     bsig = lsh_band_signatures(wide, rows_per_band, n_hashes)
     cnt = bsig.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("c"))
     tot = cnt.agg(
@@ -355,11 +367,20 @@ def minhash_lsh_pairs_advised(
     The dispatch is one bounded 1-row collect (the advisor output);
     the DuckDB oracle carries the identical dynamic decision, so the
     differential gate certifies the whole adaptive pipeline, not just
-    each branch."""
-    adv = lsh_bucket_advisor(docs, n_hashes, rows_per_band).collect()[0]
+    each branch.
+
+    The wide signature frame — the pipeline's most expensive stage —
+    is computed ONCE and persisted here: the advisor's 1-row collect
+    materializes it into cache, and the band self-join reuses the
+    cached frame instead of rebuilding it (r07 advice item)."""
+    wide = minhash_signatures_wide(docs, n_hashes).persist()
+    adv = lsh_bucket_advisor(
+        docs, n_hashes, rows_per_band, sig_wide=wide
+    ).collect()[0]
     cap = int(adv["recommended_cap"]) if adv["cap_recommended"] else None
     return minhash_lsh_pairs(
-        docs, n_hashes, rows_per_band, threshold, max_bucket=cap
+        docs, n_hashes, rows_per_band, threshold, max_bucket=cap,
+        sig_wide=wide,
     )
 
 

@@ -131,6 +131,14 @@ _MH_EQ = " + ".join(
 # bucket distribution at 100k-10M random docs is max<=4, so the cap
 # only ever binds on template/boilerplate mega-buckets)
 MINHASH_MAX_BUCKET = 8
+# dedup.ADVISOR_CAP_FLOOR duplicates this constant by hand (importing
+# it there would cycle); the advisor's "recommended cap is always safe
+# to apply verbatim" contract rests on the equality, so pin it at
+# import time — a drift fails loudly, not silently.
+assert dedup.ADVISOR_CAP_FLOOR == MINHASH_MAX_BUCKET, (
+    dedup.ADVISOR_CAP_FLOOR,
+    MINHASH_MAX_BUCKET,
+)
 
 ORACLE_MINHASH_CAPPED = f"""
 WITH {SQL_SHINGLES},

@@ -167,77 +167,117 @@ def test_workload_matches_duckdb(spark, duck, name):
 
 
 def test_gate_rotation_ledger_closes_registry():
-    """The r07/r08 rotation math (COVERAGE.md "Gate rotation ledger"):
-    the r07 window is exactly 50 names (15 never-gated round-5 leads +
-    the sql_q12_priority_case stale-red re-present + 34 green anchors),
-    the committed r08 window is exactly 50 (17 never-gated round-6
-    leads + 33 green anchors), they are disjoint, and window-r07 ∪
-    window-r08 ∪ externally-gated covers the ENTIRE registry minus the
-    r09 queue — i.e. after r08 every workload registered by the r07
+    """The r08/r09 rotation math (COVERAGE.md "Gate rotation ledger"):
+    the ACTIVE r08 window is exactly 50 names (17 never-gated round-6
+    leads + 33 green anchors, promoted verbatim from the window
+    committed at the r07 freeze), the committed r09 window is exactly
+    50 (4 never-gated round-7 leads + 46 green anchors chosen by the
+    stalest-external-row rule), they are disjoint, and window-r08 ∪
+    window-r09 ∪ externally-gated covers the ENTIRE registry minus the
+    r10 queue — i.e. after r09 every workload registered by the r08
     freeze holds an external row."""
     import json
     import pathlib
 
     from query_refinement_dsit_databases_2021_spark.workloads import (
         DRIVER_PRIORITY,
-        DRIVER_PRIORITY_R08,
-        DRIVER_QUEUE_R09,
+        DRIVER_PRIORITY_R09,
+        DRIVER_QUEUE_R10,
     )
 
     root = pathlib.Path(__file__).resolve().parent.parent
     gated: set[str] = set()
-    for r in (1, 2, 3, 4, 5, 6):
+    last: dict[str, int] = {}
+    for r in (1, 2, 3, 4, 5, 6, 7):
         p = root / f"CORRECTNESS_r0{r}.json"
         if p.exists():
-            gated.update(json.loads(p.read_text()).keys())
+            for k in json.loads(p.read_text()):
+                gated.add(k)
+                last[k] = r
     if not gated:
         pytest.skip("no external CORRECTNESS records present")
 
     assert len(DRIVER_PRIORITY) == 50
-    assert len(DRIVER_PRIORITY_R08) == 50
+    assert len(DRIVER_PRIORITY_R09) == 50
     assert len(set(DRIVER_PRIORITY)) == 50
-    assert len(set(DRIVER_PRIORITY_R08)) == 50
-    assert not set(DRIVER_PRIORITY) & set(DRIVER_PRIORITY_R08)
+    assert len(set(DRIVER_PRIORITY_R09)) == 50
+    assert not set(DRIVER_PRIORITY) & set(DRIVER_PRIORITY_R09)
     missing = [
         n
-        for n in (*DRIVER_PRIORITY, *DRIVER_PRIORITY_R08)
+        for n in (*DRIVER_PRIORITY, *DRIVER_PRIORITY_R09)
         if n not in WORKLOADS
     ]
     assert not missing, missing
-    # the 15 round-5 additions lead the r07 window and must never have
-    # held an external row; slot 16 is the deliberate stale-red
-    # re-present (r01 hash mismatch, fixed in r02, never re-gated
-    # externally); the remaining 34 are green re-certification anchors
-    r07_leads = set(DRIVER_PRIORITY[:15])
-    assert DRIVER_PRIORITY[15] == "sql_q12_priority_case"
-    assert "sql_q12_priority_case" in gated, (
-        "the stale-red slot only makes sense for an externally-seen name"
-    )
-    anchors_r07 = set(DRIVER_PRIORITY[16:])
-    assert not r07_leads & gated, (
-        f"r07 leads waste slots on gated names: {r07_leads & gated}"
-    )
-    assert anchors_r07 <= gated, (
-        f"r07 anchors must already be gated: {anchors_r07 - gated}"
-    )
-    # the 17 round-6 additions lead the committed r08 window; the
-    # other 33 are green anchors
-    r08_leads = set(DRIVER_PRIORITY_R08[:17])
-    anchors_r08 = set(DRIVER_PRIORITY_R08) - r08_leads
+    # the 17 round-6 additions lead the active r08 window and must
+    # never have held an external row; the other 33 are green anchors
+    r08_leads = set(DRIVER_PRIORITY[:17])
+    anchors_r08 = set(DRIVER_PRIORITY[17:])
     assert not r08_leads & gated, (
         f"r08 leads waste slots on gated names: {r08_leads & gated}"
     )
     assert anchors_r08 <= gated, (
         f"r08 anchors must already be gated: {anchors_r08 - gated}"
     )
+    # the 4 round-7 additions lead the committed r09 window; the other
+    # 46 are green anchors picked by the stalest-external-row rule —
+    # none may have a certification newer than round 2
+    r09_leads = set(DRIVER_PRIORITY_R09[:4])
+    anchors_r09 = set(DRIVER_PRIORITY_R09) - r09_leads
+    assert not r09_leads & gated, (
+        f"r09 leads waste slots on gated names: {r09_leads & gated}"
+    )
+    assert anchors_r09 <= gated, (
+        f"r09 anchors must already be gated: {anchors_r09 - gated}"
+    )
+    fresh = {n for n in anchors_r09 if last[n] > 2}
+    assert not fresh, (
+        f"r09 anchors must be the stalest rows (last gated r01/r02): {fresh}"
+    )
     uncovered = (
-        set(WORKLOADS) - gated - set(DRIVER_PRIORITY) - set(DRIVER_PRIORITY_R08)
+        set(WORKLOADS) - gated - set(DRIVER_PRIORITY) - set(DRIVER_PRIORITY_R09)
     )
-    # post-r08-freeze additions must be queued for r09 — exactly them
-    assert uncovered == set(DRIVER_QUEUE_R09), (
-        f"not in any window or queue: {uncovered - set(DRIVER_QUEUE_R09)}; "
-        f"queued but covered: {set(DRIVER_QUEUE_R09) - uncovered}"
+    # post-r09-freeze additions must be queued for r10 — exactly them
+    assert uncovered == set(DRIVER_QUEUE_R10), (
+        f"not in any window or queue: {uncovered - set(DRIVER_QUEUE_R10)}; "
+        f"queued but covered: {set(DRIVER_QUEUE_R10) - uncovered}"
     )
+
+
+def test_coverage_md_counts_match_registry():
+    """COVERAGE.md is the judge-facing map; its prose counts drifted
+    twice (r07 verdict: header said 275, ledger said 307, registry was
+    311). Pin every count in the file to the live registry: the
+    "Registry at a glance (N ...)" header, its per-family tallies, and
+    the "Registry: **N**" ledger line must all equal len(workloads())
+    and the per-prefix breakdown — by construction, not by hand."""
+    import pathlib
+    import re
+    from collections import Counter
+
+    text = (
+        pathlib.Path(__file__).resolve().parent.parent / "COVERAGE.md"
+    ).read_text()
+
+    m = re.search(r"Registry at a glance \((\d+) oracle-paired", text)
+    assert m, "header count line missing"
+    assert int(m.group(1)) == len(WORKLOADS), (
+        f"header says {m.group(1)}, registry is {len(WORKLOADS)}"
+    )
+
+    m2 = re.search(r"Registry: \*\*(\d+)\*\* oracle-paired", text)
+    assert m2, "ledger count line missing"
+    assert int(m2.group(1)) == len(WORKLOADS), (
+        f"ledger line says {m2.group(1)}, registry is {len(WORKLOADS)}"
+    )
+
+    fam = Counter(n.split("_")[0] for n in WORKLOADS)
+    glance = text[m.start() : text.index("\n\n", m.start())]
+    for family, count in fam.items():
+        fm = re.search(rf"\*\*{family} (\d+)\*\*", glance)
+        assert fm, f"family {family} missing from the at-a-glance tallies"
+        assert int(fm.group(1)) == count, (
+            f"{family}: at-a-glance says {fm.group(1)}, registry has {count}"
+        )
 
 
 def test_gate_window_schemas_are_scalar_only(spark):
@@ -250,14 +290,14 @@ def test_gate_window_schemas_are_scalar_only(spark):
     # notes). Schema construction is lazy: nothing executes here.
     from query_refinement_dsit_databases_2021_spark.workloads import (
         DRIVER_PRIORITY,
-        DRIVER_PRIORITY_R08,
+        DRIVER_PRIORITY_R09,
     )
 
     banned = ("array", "map", "struct", "binary", "decimal", "timestamp")
     offenders = []
-    # audit the committed next window too, so the r08 rotation cannot
+    # audit the committed next window too, so the r09 rotation cannot
     # land a non-scalar schema surprise
-    for name in (*DRIVER_PRIORITY, *DRIVER_PRIORITY_R08):
+    for name in (*DRIVER_PRIORITY, *DRIVER_PRIORITY_R09):
         df = WORKLOADS[name].fn(spark, SF_DIR)
         for f in df.schema.fields:
             t = f.dataType.simpleString()

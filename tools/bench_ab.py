@@ -102,7 +102,21 @@ def main() -> None:
         "--flag-pct", type=float, default=20.0,
         help="|min ratio - 1| above this %% flags the query",
     )
+    ap.add_argument(
+        "--names", nargs="+", default=None,
+        help="restrict to these frozen-set names (adjudication runs); "
+        "the compact summary is skipped so a subset run never "
+        "masquerades as a full-set comparison on bench.py's echo line",
+    )
     args = ap.parse_args()
+
+    names = list(FROZEN_24)
+    if args.names:
+        unknown = [n for n in args.names if n not in FROZEN_24]
+        if unknown:
+            ap.error(f"not in FROZEN_24: {unknown}")
+        names = list(args.names)
+        args.summary_out = ""
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
@@ -135,17 +149,34 @@ def main() -> None:
         for w in (cur, ref):
             assert w.cmd("WARM") == "READY", w.label
             for name in PREBUILD_NAMES:
+                if name not in names:
+                    continue
                 resp = w.cmd(f"PREBUILD {name}")
                 print(f"# {w.label} prebuild: {resp}", file=sys.stderr)
 
         samples: dict[str, dict[str, list[float]]] = {
-            n: {"cur": [], "ref": []} for n in FROZEN_24
+            n: {"cur": [], "ref": []} for n in names
         }
+        errors: list[dict[str, object]] = []
         for rep in range(args.repeat):
             order = (cur, ref) if rep % 2 == 0 else (ref, cur)
-            for name in FROZEN_24:
+            for name in names:
                 for w in order:
-                    dt, _ = w.time(name)
+                    # a transient per-query failure must not abort a
+                    # multi-hour interleaved session: record and move on
+                    try:
+                        dt, _ = w.time(name)
+                    except RuntimeError as exc:
+                        errors.append(
+                            {"query": name, "side": w.label,
+                             "rep": rep + 1, "err": str(exc)[:500]}
+                        )
+                        print(
+                            f"# rep {rep + 1}/{args.repeat} {w.label} "
+                            f"{name}: ERROR {exc}",
+                            file=sys.stderr,
+                        )
+                        continue
                     samples[name][w.label].append(dt)
                     print(
                         f"# rep {rep + 1}/{args.repeat} {w.label} "
@@ -163,6 +194,14 @@ def main() -> None:
 
     per_query = {}
     flagged = []
+    dead = [
+        n for n, s in samples.items() if not s["cur"] or not s["ref"]
+    ]
+    if dead:
+        raise SystemExit(
+            f"zero successful samples on at least one side for {dead}; "
+            f"errors: {errors}"
+        )
     for name, s in samples.items():
         cmin, rmin = min(s["cur"]), min(s["ref"])
         ratio = round(cmin / rmin, 3) if rmin > 0 else None
@@ -191,6 +230,7 @@ def main() -> None:
         "total_min_ratio": round(total_cur_min / total_ref_min, 3),
         "flagged_over_pct": args.flag_pct,
         "flagged": sorted(flagged),
+        "errors": errors,
         "per_query": per_query,
     }
     out = args.out or os.path.join(REPO, f"BENCH_AB_{cur_sha}.json")
