@@ -972,6 +972,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_posting: int | None = None,
     cap_strategy: str = "window",
+    shingle_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram (shingle-set) Jaccard similarity for all pairs
     sharing >=1 shingle, through the inverted index: join the shingle
@@ -996,7 +997,12 @@ def ngram_jaccard_pairs(
     it when a mega-shingle would straggle the window task."""
     if cap_strategy not in ("window", "join"):
         raise ValueError("cap_strategy must be 'window' or 'join'")
-    sh = shingles(docs).persist()
+    # shingle_rows: precomputed (persisted) shingle frame, so an
+    # adaptive caller pays the tokenize+distinct stage ONCE for
+    # advisor + join (mirrors minhash_lsh_pairs' sig_wide seam)
+    sh = (
+        shingle_rows if shingle_rows is not None else shingles(docs).persist()
+    )
     if max_posting is not None and cap_strategy == "window":
         w = Window.partitionBy("s")
         joined_sh = (
@@ -1031,6 +1037,141 @@ def ngram_jaccard_pairs(
         .join(nb, "doc_b")
         .where(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# posting_advisor decision constants (r07 verdict item 5 — unify the
+# self-join advisor pattern across the dedup family). Same machinery
+# as lsh_bucket_advisor, re-keyed from (band, sig) buckets to the
+# shingle inverted index, with ONE deliberate change to the signal: a
+# template's pair mass splits across ALL its shingles (a 10-word
+# template spreads over 8 posting lists at k=3, each holding ~12.5% —
+# under any top-1 threshold), so the cap-needed signal here is the
+# pair mass held by posting lists LONGER than the cap floor
+# (heavy_share), which is exactly the mass a cap at the floor would
+# remove: 0 ppm on organic corpora (max DF 25 at sf0.1 << 64), ~1e6 on
+# templated ones. The LSH advisor keeps its top-1 rule — bands FOLD a
+# whole template into one bucket per band, so top-1 concentration is
+# the right signal there. The value clips to MARGIN × the MEDIAN
+# posting length (immune to the stop-shingle mass), floored at
+# JACCARD_MAX_POSTING's default so a recommended cap is always safe to
+# apply verbatim.
+ADVISOR_POSTING_MARGIN = 4
+ADVISOR_POSTING_FLOOR = 64  # == pipelines.JACCARD_MAX_POSTING (import
+# cycle — pinned by an import-time assert in pipelines.py)
+
+
+def posting_advisor(
+    docs: DataFrame,
+    margin: int = ADVISOR_POSTING_MARGIN,
+    cap_floor: int = ADVISOR_POSTING_FLOOR,
+    shingle_rows: DataFrame | None = None,
+) -> DataFrame:
+    """One-pass cap-on/off advisor for :func:`ngram_jaccard_pairs`'s
+    ``max_posting`` — :func:`lsh_bucket_advisor`'s decision rule
+    applied to the shingle inverted index: run it BEFORE the
+    O(Σ posting²) self-join to learn whether this corpus is organic
+    (cap unnecessary — max observed DF is 25 at sf0.1) or templated
+    (cap mandatory — one stop-shingle posting list is about to emit a
+    quadratic pair blow-up), and what cap value clips only the
+    pathological tail.
+
+    Plan shape: shingles → ONE per-shingle count aggregation
+    (map-combinable) + one countDistinct(doc_id) — the self-join never
+    runs. Median posting length folds the count frame to its
+    count-of-counts histogram (window over ≤ √(2·n_shingles) rows);
+    ppm shares run 128-bit (decimal(38,0)) because 1e6·Σ c(c−1)/2
+    overflows int64 at real corpus sizes.
+
+    Decision rule (constants above; the share threshold is the LSH
+    advisor's ``ADVISOR_TOP_SHARE_PPM``): cap ON iff posting lists
+    longer than ``cap_floor`` hold ≥ 20% of all candidate pairs AND
+    ``max_posting > cap_floor``; recommended value =
+    ``greatest(margin · median_posting, cap_floor)``.
+
+    Returns ONE row: ``(n_docs, n_shingles, total_pairs, max_posting,
+    median_posting, heavy_share_ppm, pairs_per_doc_ppm,
+    cap_recommended, recommended_cap)`` — ``recommended_cap`` is NULL
+    when the corpus is organic."""
+    sh = shingle_rows if shingle_rows is not None else shingles(docs)
+    cnt = sh.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.expr("(c * (c - 1)) div 2")).cast("long").alias("total_pairs"),
+        F.max("c").cast("long").alias("max_posting"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN c > {cap_floor} THEN (c * (c - 1)) div 2 "
+                f"ELSE 0 END"
+            )
+        ).cast("long").alias("heavy_pairs"),
+    )
+    nd = sh.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    hist = cnt.groupBy(F.col("c").alias("x")).agg(F.count(F.lit(1)).alias("m"))
+    w_le = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cm", F.sum("m").over(w_le))
+    med = (
+        cum.crossJoin(F.broadcast(tot.select("n_shingles")))
+        .where(F.expr("cm >= (n_shingles + 1) div 2"))
+        .agg(F.min("x").cast("long").alias("median_posting"))
+    )
+    D = "decimal(38,0)"
+    share = (
+        f"CASE WHEN total_pairs > 0 THEN "
+        f"CAST((CAST(1000000 AS {D}) * CAST(heavy_pairs AS {D})) "
+        f"DIV CAST(total_pairs AS {D}) AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    )
+    cap_on = (
+        f"({share}) >= {ADVISOR_TOP_SHARE_PPM} AND max_posting > {cap_floor}"
+    )
+    return (
+        tot.crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(med))
+        .select(
+            "n_docs",
+            "n_shingles",
+            "total_pairs",
+            "max_posting",
+            "median_posting",
+            F.expr(share).alias("heavy_share_ppm"),
+            F.expr(
+                f"CAST((CAST(1000000 AS {D}) * CAST(total_pairs AS {D})) "
+                f"DIV CAST(n_docs AS {D}) AS BIGINT)"
+            ).alias("pairs_per_doc_ppm"),
+            F.expr(cap_on).alias("cap_recommended"),
+            F.expr(
+                f"CASE WHEN {cap_on} THEN "
+                f"greatest({margin} * median_posting, {cap_floor}) "
+                f"ELSE CAST(NULL AS BIGINT) END"
+            ).alias("recommended_cap"),
+        )
+    )
+
+
+def ngram_jaccard_pairs_advised(
+    docs: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """ADAPTIVE exact-Jaccard pairs: :func:`posting_advisor` decides,
+    then :func:`ngram_jaccard_pairs` runs with the recommendation —
+    the jaccard-family sibling of :func:`minhash_lsh_pairs_advised`
+    (r07 verdict item 5). On an organic corpus this is bit-identical
+    to the uncapped exact form (the advisor says OFF); on a templated
+    corpus the recommended posting cap bounds the stop-shingle blow-up
+    BEFORE the inverted-index self-join runs. The dispatch is one
+    bounded 1-row collect; the DuckDB oracle replays the identical
+    dynamic decision, so the differential gate certifies decision +
+    join together.
+
+    The shingle frame — the pipeline's shared expensive stage — is
+    computed ONCE and persisted: the advisor's collect materializes it
+    into cache, and both the capped index and the union-size
+    denominators reuse the cached frame."""
+    sh = shingles(docs).persist()
+    adv = posting_advisor(docs, shingle_rows=sh).collect()[0]
+    cap = int(adv["recommended_cap"]) if adv["cap_recommended"] else None
+    return ngram_jaccard_pairs(
+        docs, threshold, max_posting=cap, cap_strategy="window",
+        shingle_rows=sh,
     )
 
 

@@ -432,6 +432,14 @@ WHERE c / (na.n + nb.n - c) >= 0.5"""
 # sf0.1), i.e. capped == exact there, while a skewed shingle at 100 TB
 # contributes at most 64^2 candidate pairs instead of millions.
 JACCARD_MAX_POSTING = 64
+# dedup.ADVISOR_POSTING_FLOOR duplicates this constant by hand (import
+# cycle); the posting advisor's "recommended cap is always safe to
+# apply verbatim" contract rests on the equality — pin it here like
+# the ADVISOR_CAP_FLOOR/MINHASH_MAX_BUCKET pair above.
+assert dedup.ADVISOR_POSTING_FLOOR == JACCARD_MAX_POSTING, (
+    dedup.ADVISOR_POSTING_FLOOR,
+    JACCARD_MAX_POSTING,
+)
 
 # Oracle mirror of the cap: intersections count only shingles with
 # DF <= cap; union sizes keep ALL shingles (the documented
@@ -452,6 +460,108 @@ FROM inter
 JOIN sizes na ON na.doc_id = doc_a
 JOIN sizes nb ON nb.doc_id = doc_b
 WHERE c / (na.n + nb.n - c) >= 0.5"""
+
+# One-pass max_posting advisor (r07 verdict item 5 — the LSH bucket
+# advisor's machinery re-keyed to the shingle inverted index; the
+# decision signal is the HEAVY share — pair mass in posting lists
+# longer than the cap floor — because a template's mass splits across
+# all its shingles, defeating any top-1 rule; see dedup.py). The
+# oracle mirrors the histogram-fold median and the 128-bit ppm shares
+# and interpolates the SAME decision constants as the Spark side.
+_ADV_P_SHARE = (
+    "CASE WHEN total_pairs > 0"
+    " THEN CAST((1000000::HUGEINT * heavy_pairs::HUGEINT)"
+    " // total_pairs::HUGEINT AS BIGINT)"
+    " ELSE CAST(0 AS BIGINT) END"
+)
+_ADV_P_CAP_ON = (
+    f"({_ADV_P_SHARE}) >= {dedup.ADVISOR_TOP_SHARE_PPM} "
+    f"AND max_posting > {dedup.ADVISOR_POSTING_FLOOR}"
+)
+_ADV_P_TOT = f"""
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS total_pairs,
+               CAST(max(c) AS BIGINT) AS max_posting,
+               CAST(sum(CASE WHEN c > {dedup.ADVISOR_POSTING_FLOOR}
+                             THEN (c * (c - 1)) // 2
+                             ELSE 0 END) AS BIGINT) AS heavy_pairs
+        FROM cnt)"""
+ORACLE_POSTING_ADVISOR = f"""
+WITH {SQL_SHINGLES},
+cnt AS (SELECT s, CAST(count(*) AS BIGINT) AS c FROM sh GROUP BY 1),
+{_ADV_P_TOT},
+nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM sh),
+hist AS (SELECT c AS x, CAST(count(*) AS BIGINT) AS m FROM cnt GROUP BY 1),
+cum AS (SELECT x, sum(m) OVER (ORDER BY x) AS cm FROM hist),
+med AS (SELECT CAST(min(x) AS BIGINT) AS median_posting FROM cum, tot
+        WHERE cm >= (n_shingles + 1) // 2)
+SELECT n_docs, n_shingles, total_pairs, max_posting, median_posting,
+       {_ADV_P_SHARE} AS heavy_share_ppm,
+       CAST((1000000::HUGEINT * total_pairs::HUGEINT)
+            // n_docs::HUGEINT AS BIGINT) AS pairs_per_doc_ppm,
+       {_ADV_P_CAP_ON} AS cap_recommended,
+       CASE WHEN {_ADV_P_CAP_ON}
+            THEN greatest({dedup.ADVISOR_POSTING_MARGIN} * median_posting,
+                          {dedup.ADVISOR_POSTING_FLOOR})
+            ELSE NULL END AS recommended_cap
+FROM tot, nd, med"""
+
+
+def _wl_posting_advisor(spark, sf_dir):
+    """Cap-on/off + value advisor for the jaccard inverted-index
+    self-join, certified on the same corpus the capped workload runs
+    on — the gate pins the whole decision rule (per-shingle counts,
+    histogram median, 128-bit shares, the margin comparison)
+    bit-for-bit against DuckDB."""
+    return dedup.posting_advisor(_docs(spark, sf_dir))
+
+
+# Adaptive composition: the advisor's verdict drives the posting cap.
+# The dynamic cap lives in ONE oracle as an effective bound — when the
+# advisor says OFF the bound equals max_posting (a no-op filter,
+# exactly the Spark branch's max_posting=None), when ON it is the
+# recommended value. sh is referenced 4× → MATERIALIZED copy (DuckDB
+# inlines multi-referenced CTEs).
+ORACLE_JACCARD_ADVISED = f"""
+WITH {SQL_SHINGLES},
+shm AS MATERIALIZED (SELECT doc_id, s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM shm GROUP BY doc_id),
+cnt AS MATERIALIZED (
+  SELECT s, CAST(count(*) AS BIGINT) AS c FROM shm GROUP BY 1),
+{_ADV_P_TOT},
+hist AS (SELECT c AS x, CAST(count(*) AS BIGINT) AS m FROM cnt GROUP BY 1),
+cum AS (SELECT x, sum(m) OVER (ORDER BY x) AS cm FROM hist),
+med AS (SELECT CAST(min(x) AS BIGINT) AS median_posting FROM cum, tot
+        WHERE cm >= (n_shingles + 1) // 2),
+adv AS (SELECT CASE WHEN {_ADV_P_CAP_ON}
+                    THEN greatest({dedup.ADVISOR_POSTING_MARGIN}
+                                  * median_posting,
+                                  {dedup.ADVISOR_POSTING_FLOOR})
+                    ELSE max_posting END AS eff_cap
+        FROM tot, med),
+shc AS (
+  SELECT shm.doc_id, shm.s
+  FROM shm JOIN cnt USING (s)
+  WHERE c <= (SELECT eff_cap FROM adv)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       round(c / (na.n + nb.n - c), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE c / (na.n + nb.n - c) >= 0.5"""
+
+
+def _wl_jaccard_advised(spark, sf_dir):
+    """End-to-end adaptive exact dedup: advisor verdict (one bounded
+    1-row collect) drives the inverted index's posting cap. The oracle
+    makes the SAME decision from the same statistics inside one SQL
+    query, so the gate certifies decision + join together."""
+    return dedup.ngram_jaccard_pairs_advised(_docs(spark, sf_dir))
+
 
 _STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
 ORACLE_QUALITY = f"""
@@ -2377,6 +2487,18 @@ def pipeline_workloads():
         ("pipe_dedup_simhash", _wl_simhash, ORACLE_SIMHASH, False),
         ("pipe_dedup_ngram_jaccard", _wl_jaccard, ORACLE_JACCARD_CAPPED, True),
         ("pipe_dedup_ngram_jaccard_exact", _wl_jaccard_exact, ORACLE_JACCARD, False),
+        (
+            "pipe_dedup_posting_advisor",
+            _wl_posting_advisor,
+            ORACLE_POSTING_ADVISOR,
+            False,
+        ),
+        (
+            "pipe_dedup_jaccard_advised",
+            _wl_jaccard_advised,
+            ORACLE_JACCARD_ADVISED,
+            False,
+        ),
         ("pipe_dedup_containment", _wl_containment, ORACLE_CONTAINMENT, False),
         ("pipe_dup_ngram_spans", _wl_dup_spans, ORACLE_DUP_SPANS, False),
         ("pipe_split_leakage", _wl_split_leakage, _oracle_split_leakage(), False),

@@ -303,13 +303,23 @@ def _nearest_cells(
     )
 
 
-def ivf_assign(emb: DataFrame, centroid_ids=IVF_CENTROID_IDS) -> DataFrame:
+def ivf_assign(
+    emb: DataFrame, centroid_ids=IVF_CENTROID_IDS, assignments: int = 1
+) -> DataFrame:
     """IVF coarse assignment: (vec_id, cell) — each vector belongs to
-    exactly ONE cell, its nearest centroid by rounded cosine (ties ->
-    smallest centroid id). The cell id is the centroid's vec_id."""
+    its ``assignments`` nearest centroids by rounded cosine (ties ->
+    smallest centroid id). The cell id is the centroid's vec_id.
+
+    ``assignments`` = 1 is classic IVF (exactly one cell per vector);
+    a > 1 is multi-assignment (Jégou et al.'s IVFADC variant): a
+    boundary vector is stored in each of its a nearest cells, so a
+    query whose probe set misses the vector's primary cell can still
+    find it — probe-set recall rises at the cost of an a× index. The
+    serve side must dedup candidates (a vector reached via two probed
+    cells appears twice)."""
     base = _with_norm(emb)
     cents = _centroid_literals(emb, centroid_ids)
-    return _nearest_cells(base, cents, 1).select("vec_id", "cell")
+    return _nearest_cells(base, cents, assignments).select("vec_id", "cell")
 
 
 def ivf_ann_topk(
@@ -694,8 +704,31 @@ def _cell_projection(cents) -> "Column":
     return (-best["negcell"]).cast("long")
 
 
+def _cells_projection(cents, assignments: int) -> "Column":
+    """Top-``assignments`` nearest cells as ONE array-valued per-row
+    expression (the multi-assignment build form of
+    :func:`_cell_projection` — still no join, no shuffle)."""
+    entries = F.array(
+        *[
+            F.struct(
+                F.round(
+                    _dot_lits(F.col("v"), cv) / (F.col("nrm") * F.lit(cn)),
+                    6,
+                ).alias("cos"),
+                F.lit(-cell).alias("negcell"),
+            )
+            for cell, cv, cn in cents
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(entries)), 1, assignments)
+    return F.transform(top, lambda e: (-e["negcell"]).cast("long"))
+
+
 def write_ivf_layout(
-    emb: DataFrame, path: str, centroid_ids=IVF_CENTROID_IDS
+    emb: DataFrame,
+    path: str,
+    centroid_ids=IVF_CENTROID_IDS,
+    assignments: int = 1,
 ) -> None:
     """Materialize the IVF index as a hive layout: the corpus written
     ``partitionBy(cell)`` so each cell is its own directory, plus a
@@ -707,21 +740,30 @@ def write_ivf_layout(
     than brute force at low query counts) — assign ONCE at write time.
 
     The assignment is a pure projection fused into the single write
-    scan (no join, no shuffle before partitionBy's task-side split).
-    """
+    scan (no join, no shuffle before partitionBy's task-side split) —
+    with ``assignments`` > 1 (multi-assignment, see
+    :func:`ivf_assign`) the projection is array-valued and exploded,
+    an a× row fan-out that stays map-side. The sidecar records the
+    build's ``assignments`` so serving knows whether candidate dedup
+    is needed; layouts written before the column existed read as
+    a = 1."""
     spark = emb.sparkSession
     cents = _centroid_literals(emb, centroid_ids)
     spark.createDataFrame(
-        [(cell, cv, cn) for cell, cv, cn in cents],
-        "cell long, cv array<double>, cn double",
+        [(cell, cv, cn, assignments) for cell, cv, cn in cents],
+        "cell long, cv array<double>, cn double, a int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}__centroids")
     v = _as_double(F.col("embedding"))
     nrm = F.sqrt(_fold_sum(F.transform(v, lambda x: x * x)))
+    staged = emb.withColumn("v", v).withColumn("nrm", nrm)
+    if assignments == 1:
+        staged = staged.withColumn("cell", _cell_projection(cents))
+    else:
+        staged = staged.withColumn(
+            "cell", F.explode(_cells_projection(cents, assignments))
+        )
     (
-        emb.withColumn("v", v)
-        .withColumn("nrm", nrm)
-        .withColumn("cell", _cell_projection(cents))
-        .drop("v", "nrm")
+        staged.drop("v", "nrm")
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(path)
@@ -752,11 +794,14 @@ def ivf_topk_from_layout(
     the distinct probed-cell set for the static partition filter,
     which is bounded by |centroids| (metadata scale), not by
     |queries|; the test pins that bound by intercepting collect()."""
+    crows = spark.read.parquet(f"{path}__centroids").collect()
     cents = [
         (int(r["cell"]), [float(x) for x in r["cv"]], float(r["cn"]))
-        for r in spark.read.parquet(f"{path}__centroids").collect()
+        for r in crows
     ]
     cents.sort()
+    # pre-"a"-column layouts are single-assignment by construction
+    layout_a = int(crows[0]["a"]) if "a" in crows[0].__fields__ else 1
     qbase = _with_norm(queries)
     probes = _nearest_cells(qbase, cents, nprobe).select(
         F.col("vec_id").alias("q_id"), "cell"
@@ -782,6 +827,12 @@ def ivf_topk_from_layout(
         .where(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id", "v", "nrm")
     )
+    if layout_a > 1:
+        # multi-assignment stores a vector in a cells: a candidate
+        # reached through two probed cells appears twice with FULLY
+        # identical rows, so the dedup is deterministic. Skipped
+        # entirely on single-assignment layouts (no extra exchange).
+        cand = cand.dropDuplicates(["q_id", "vec_id"])
     q = qbase.select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )

@@ -176,6 +176,69 @@ def test_bucket_advisor_flags_template_recommends_safe_cap(spark):
     assert advised_o == plain_o
 
 
+def test_posting_advisor_flags_template_recommends_safe_cap(spark):
+    """Jaccard-family sibling of the bucket-advisor test: on a
+    templated corpus (100 identical docs → one posting list of 100,
+    heavy share ≈ 1e6 ppm) the advisor must say cap-ON with a value
+    that keeps the genuine near-dup pair (DF 2) and drops the template
+    posting list; on a corpus whose postings all sit under the floor
+    it must say cap-OFF and the advised composition must equal the
+    plain uncapped form bit-for-bit."""
+    rows = [(i, "lorem ipsum dolor") for i in range(100)]  # one shingle
+    rows.append((200, "quick brown fox jumps over the lazy sleeping dog now"))
+    rows.append((201, "quick brown fox jumps over the lazy sleeping dog now"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    a = dedup.posting_advisor(docs).collect()
+    assert len(a) == 1
+    a = a[0]
+    assert a["n_docs"] == 102
+    assert a["max_posting"] == 100  # the template posting list
+    assert a["cap_recommended"] is True
+    assert a["heavy_share_ppm"] > 900_000  # template holds ~all pairs
+    assert 2 <= a["recommended_cap"] < 100
+    capped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, max_posting=a["recommended_cap"]
+        ).collect()
+    }
+    assert capped == {(200, 201): 1.0}
+
+    # the ADVISED composition takes the capped branch on the template
+    # fixture (only the genuine pair survives; the 100·99/2 template
+    # pairs never reach the self-join)
+    advised_t = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs_advised(docs).collect()
+    }
+    assert advised_t == {(200, 201): 1.0}
+
+    # organic: shared postings exist (the duplicate pair) but nothing
+    # exceeds the floor → heavy share is 0 → cap OFF, advised ==
+    # plain uncapped
+    organic = spark.createDataFrame(
+        [
+            (i, f"doc {i} talks about topic{i} and subject{i * 7} only")
+            for i in range(60)
+        ]
+        + [(300, "pack my box with five dozen liquor jugs today"),
+           (301, "pack my box with five dozen liquor jugs today")],
+        "doc_id long, text string",
+    )
+    o = dedup.posting_advisor(organic).collect()[0]
+    assert o["cap_recommended"] is False
+    assert o["recommended_cap"] is None
+    assert o["heavy_share_ppm"] == 0
+    advised_o = sorted(
+        tuple(r) for r in dedup.ngram_jaccard_pairs_advised(organic).collect()
+    )
+    plain_o = sorted(
+        tuple(r) for r in dedup.ngram_jaccard_pairs(organic).collect()
+    )
+    assert advised_o == plain_o == [(300, 301, 1.0)]
+
+
 def test_simhash_exact_dup_hamming_zero(docs):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["hamming"]

@@ -247,6 +247,70 @@ def test_ivf_layout_serving_matches_inline_and_prunes(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_ivf_layout_multi_assignment_dedup_and_recall(spark, tmp_path):
+    """assignments=2 (multi-assignment build): every vector is stored
+    in exactly TWO distinct cells, the serve path dedups candidates (no
+    (q_id, vec_id) appears twice; ranks stay dense), recall against
+    the exact cosine top-k can only rise vs the a=1 layout at the same
+    nprobe, and with nprobe == |centroids| the served result equals
+    the exact brute-force top-k (the probe set covers the corpus, so
+    multi-assignment dedup must be exact, not approximate)."""
+    from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
+        IVF_CENTROID_IDS,
+        N_QUERIES,
+        TOP_K,
+        cosine_topk,
+        ivf_topk_from_layout,
+        write_ivf_layout,
+    )
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, SF_DIR)
+    emb = spark.table("embeddings")
+    p1 = str(tmp_path / "ivf_a1")
+    p2 = str(tmp_path / "ivf_a2")
+    write_ivf_layout(emb, p1)
+    write_ivf_layout(emb, p2, assignments=2)
+
+    stored = (
+        spark.read.parquet(p2)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("cell").alias("nc"),
+        )
+        .collect()
+    )
+    assert all(r["n"] == 2 and r["nc"] == 2 for r in stored)
+
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    s1 = ivf_topk_from_layout(spark, p1, queries)
+    s2 = ivf_topk_from_layout(spark, p2, queries)
+    rows2 = s2.collect()
+    keys2 = [(r["q_id"], r["vec_id"]) for r in rows2]
+    assert len(keys2) == len(set(keys2))  # dedup held
+    per_q: dict[int, list[int]] = {}
+    for r in rows2:
+        per_q.setdefault(r["q_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+    exact = {
+        (r["q_id"], r["vec_id"]) for r in cosine_topk(emb).collect()
+    }
+    hit1 = len({(r["q_id"], r["vec_id"]) for r in s1.collect()} & exact)
+    hit2 = len(set(keys2) & exact)
+    assert hit2 >= hit1
+
+    # full probe set: multi-assignment + dedup must reproduce the
+    # exact result bit-for-bit
+    full = ivf_topk_from_layout(
+        spark, p2, queries, nprobe=len(IVF_CENTROID_IDS)
+    )
+    got = sorted(tuple(r) for r in full.collect())
+    want = sorted(tuple(r) for r in cosine_topk(emb).collect())
+    assert got == want and len(got) > 0
+
+
 def test_ivfpq_layout_serving_matches_inline_and_prunes(spark, tmp_path):
     """write_ivfpq_layout + ivfpq_topk_from_layout ≡ the inline
     ivfpq_topk (same codebooks, residual encode, ADC scoring and

@@ -1,0 +1,322 @@
+#!/usr/bin/env python
+"""Watermark DROP-semantics measurement (r07 verdict item 3): the
+other half of the watermark contract. tools/stream_scale.py measured
+state and latency but recorded rows_dropped_late = 0 at every delay —
+its 72-min-of-event-time triggers swallow the 30-min arrival jitter
+inside one batch, and a row is only dropped when its WINDOW END falls
+below the watermark (jitter must exceed window + delay). Here the
+triggers are FINE (one file = 1 minute of event time, >= 100
+triggers), so the jitter crosses many batch boundaries and a tight
+delay actually drops rows — and the run then PROVES the drop
+semantics: the append-mode (finalized-window) output must equal a
+batch aggregation over exactly the rows the stream ADMITTED.
+
+The admitted subset is reconstructed exactly, not approximated:
+  * the file-source checkpoint log (<chk>/sources/0/<batch>) maps
+    every input file to the trigger that consumed it;
+  * query.recentProgress maps every trigger to the watermark that was
+    in force while it ran;
+  * a row is admitted iff window_end(ts) > watermark(trigger(file)).
+Batch-aggregating the admitted rows per (window, type) and comparing
+to the memory-sink append output (restricted to windows finalized
+before end-of-stream) is a bit-level parity statement about WHAT the
+watermark dropped, per delay.
+
+Also runs the windowed_alerts append path (the r07 verdict's named
+harness): same admitted-subset reconstruction, plus the stream-static
+baseline join and threshold filter.
+
+Output rows -> stream_late_drop.csv:
+  workload,n_events,window,watermark,triggers,rows_total,
+  rows_dropped_late,emitted_rows,finalized_batch_rows,parity_ok
+
+Usage:
+  python tools/stream_late_drop.py [--events 2000000] [--files 120]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SPAN_MINUTES = 120  # 120 one-minute files: jitter spans ~30 triggers
+N_TYPES = 8
+N_USERS = 100_000
+JITTER_MIN = 30
+
+
+def gen_corpus(spark, path: str, n_events: int, n_files: int) -> None:
+    from pyspark.sql import functions as F
+
+    per = n_events // n_files
+    block_s = SPAN_MINUTES * 60.0 / n_files
+    for b in range(n_files):
+        base = b * block_s
+        (
+            spark.range(per)
+            .select(
+                F.to_timestamp(
+                    F.lit("2026-01-01 06:00:00").cast("timestamp")
+                    + F.make_dt_interval(
+                        F.lit(0), F.lit(0), F.lit(0),
+                        F.lit(base)
+                        + F.rand(b) * F.lit(block_s)
+                        - F.rand(b + 1000) * F.lit(JITTER_MIN * 60.0),
+                    )
+                ).alias("ts"),
+                (F.col("id") + b * per).alias("event_id"),
+                F.floor(F.rand(b + 2000) * N_USERS).cast("long").alias("user_id"),
+                F.element_at(
+                    F.array(*[F.lit(f"type{i}") for i in range(N_TYPES)]),
+                    (F.floor(F.rand(b + 3000) * N_TYPES) + 1).cast("int"),
+                ).alias("event_type"),
+                F.round(F.rand(b + 4000) * 100, 2).alias("value"),
+                F.lit("{}").alias("props"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(path)
+        )
+        # the file source orders new files by modification time; a
+        # strictly increasing mtime sequence keeps trigger order ==
+        # event-time block order, like a real arrival log
+        time.sleep(0.02)
+
+
+def file_to_batch(chk: str) -> dict[str, int]:
+    """Parse the file-source compact log: batch id -> files consumed."""
+    out: dict[str, int] = {}
+    for p in glob.glob(os.path.join(chk, "sources", "0", "*")):
+        name = os.path.basename(p)
+        if not name.isdigit():
+            continue
+        b = int(name)
+        with open(p) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or line.startswith("v"):
+                    continue
+                entry = json.loads(line)
+                out[entry["path"]] = b
+    return out
+
+
+def batch_watermarks(progress: list) -> dict[int, str]:
+    """batch id -> ISO watermark in force during that batch."""
+    out: dict[int, str] = {}
+    for p in progress:
+        wm = (p.get("eventTime") or {}).get("watermark")
+        if wm is not None:
+            out[int(p["batchId"])] = wm
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=2_000_000)
+    ap.add_argument("--files", type=int, default=SPAN_MINUTES)
+    ap.add_argument("--out", default=os.path.join(REPO, "stream_late_drop.csv"))
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from query_refinement_dsit_databases_2021_spark.session import get_spark
+    from query_refinement_dsit_databases_2021_spark.streaming import windows as W
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark = get_spark(
+        app_name="stream_late_drop",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+
+    path = f"/tmp/stream_late_drop/events_{args.events}_{args.files}"
+    if not os.path.exists(path):
+        t0 = time.time()
+        gen_corpus(spark, path, args.events, args.files)
+        print(f"# corpus {args.events} events in {time.time() - t0:.1f}s",
+              flush=True)
+
+    # normalize file-URI spellings on BOTH sides (input_file_name and
+    # the checkpoint log may disagree on file:/ vs file:///)
+    batch_all = spark.read.parquet(path).withColumn(
+        "file", F.regexp_replace(F.input_file_name(), "^file:/+", "/")
+    )
+
+    header = not os.path.exists(args.out)
+    out = open(args.out, "a")
+    if header:
+        out.write(
+            "workload,n_events,window,watermark,triggers,rows_total,"
+            "rows_dropped_late,emitted_rows,finalized_batch_rows,parity_ok\n"
+        )
+
+    def admitted_frame(chk: str, progress: list):
+        """Rows the stream admitted, via the checkpoint's file->batch
+        log and the per-batch watermark (exact, not approximated)."""
+        import re
+
+        f2b = file_to_batch(chk)
+        wms = batch_watermarks(progress)
+        rows = [
+            (re.sub("^file:/+", "/", p), b, wms.get(b))
+            for p, b in f2b.items()
+        ]
+        m = spark.createDataFrame(
+            rows, "file string, batch int, wm_iso string"
+        ).withColumn(
+            "wm",
+            F.coalesce(
+                F.to_timestamp(
+                    F.regexp_replace("wm_iso", "[TZ]", " ")
+                ),
+                F.lit("1970-01-01 00:00:00").cast("timestamp"),
+            ),
+        )
+        win_end = F.window("ts", "10 minutes").end
+        return (
+            batch_all.join(F.broadcast(m), "file")
+            .where(win_end > F.col("wm"))
+        )
+
+    def run(name, mk, batch_from_admitted, watermark):
+        chk = f"/tmp/stream_late_drop/chk_{name}_{watermark.replace(' ', '')}"
+        shutil.rmtree(chk, ignore_errors=True)
+        src = W.read_event_stream(spark, path, max_files_per_trigger=1)
+        qname = f"sink_{name}_{watermark.replace(' ', '')}"
+        q = (
+            mk(src)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        progress = [
+            json.loads(p.json) if hasattr(p, "json") else p
+            for p in (q.recentProgress or [])
+        ]
+        q.stop()
+        dropped = sum(
+            p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+            for p in progress
+            if p.get("stateOperators")
+        )
+        triggers = len(
+            [p for p in progress if p.get("numInputRows", 0) > 0]
+        )
+        final_wm = None
+        for p in progress:
+            wm = (p.get("eventTime") or {}).get("watermark")
+            if wm:
+                final_wm = wm
+        emitted = spark.table(qname)
+        # finalized windows only: append emits once window_end <= wm
+        adm = admitted_frame(chk, progress)
+        want = batch_from_admitted(adm).where(
+            F.col("window_end")
+            <= F.to_timestamp(F.regexp_replace(F.lit(final_wm), "[TZ]", " "))
+        )
+        got_rows = sorted(tuple(r) for r in emitted.collect())
+        want_rows = sorted(tuple(r) for r in want.collect())
+        parity = got_rows == want_rows
+        line = (
+            f"{name},{args.events},10 minutes,{watermark},{triggers},"
+            f"{args.events},{dropped},{len(got_rows)},{len(want_rows)},"
+            f"{parity}"
+        )
+        out.write(line + "\n")
+        out.flush()
+        print("RESULT " + line, flush=True)
+        if not parity:
+            only_got = [r for r in got_rows if r not in want_rows][:5]
+            only_want = [r for r in want_rows if r not in got_rows][:5]
+            print(f"# PARITY FAIL got-only={only_got} want-only={only_want}",
+                  flush=True)
+
+    def rollup_batch(adm):
+        return (
+            adm.groupBy(F.window("ts", "10 minutes").alias("win"), "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+            .select(
+                F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"),
+                "event_type",
+                "n",
+                "total_value",
+            )
+        )
+
+    for wm in ("1 minutes", "5 minutes", "31 minutes"):
+        run(
+            "windowed_rollup_append",
+            lambda s, w=wm: W.windowed_rollup(s, watermark=w),
+            rollup_batch,
+            wm,
+        )
+
+    # the alerts append path (r07 verdict's named harness): static
+    # baseline from the batch corpus, stream-static join + threshold
+    baseline = W.type_baseline(spark.read.parquet(path)).persist()
+    baseline.count()
+
+    def alerts_batch(adm):
+        win = F.window("ts", W.ALERT_WINDOW)
+        totals = adm.groupBy(win.alias("w"), "event_type").agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).alias("total_cents")
+        )
+        return (
+            totals.join(F.broadcast(baseline), "event_type")
+            .where(F.col("total_cents") > F.col("thr_cents"))
+            .select(
+                F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type",
+                "total_cents",
+                "thr_cents",
+            )
+        )
+
+    def alerts_stream(s):
+        win = F.window("ts", W.ALERT_WINDOW)
+        totals = (
+            s.withWatermark("ts", "5 minutes")
+            .groupBy(win.alias("w"), "event_type")
+            .agg(
+                F.sum(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                ).alias("total_cents")
+            )
+        )
+        return totals.join(F.broadcast(baseline), "event_type").where(
+            F.col("total_cents") > F.col("thr_cents")
+        ).select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "total_cents",
+            "thr_cents",
+        )
+
+    run("windowed_alerts_append", alerts_stream, alerts_batch, "5 minutes")
+
+    out.close()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
