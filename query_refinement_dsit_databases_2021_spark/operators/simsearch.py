@@ -328,6 +328,7 @@ def ivf_ann_topk(
     k: int = TOP_K,
     centroid_ids=IVF_CENTROID_IDS,
     nprobe: int = IVF_NPROBE,
+    assignments: int = 1,
 ) -> DataFrame:
     """IVF-style ANN (the second scale path next to LSH): corpus
     partitioned into |centroids| cells by nearest-centroid assignment;
@@ -341,10 +342,20 @@ def ivf_ann_topk(
     projection on the corpus scan (centroids broadcast as literals),
     the corpus can be written bucketed by cell, and only probed cells
     are read. Same output shape as :func:`cosine_topk`.
+
+    ``assignments`` > 1 stores each corpus vector in its a nearest
+    cells (multi-assignment, see :func:`ivf_assign`) and dedups the
+    candidate set — the measured sf0.1 trade (ann_multiassign.csv):
+    a=2/nprobe=16 lifts recall@5 0.9625 → 0.9875 at 2× index rows and
+    ~1.5× candidates; a=1 stays the default because equal recall is
+    cheaper via nprobe (a=1/np=16 == a=2/np=12 at 0.9625, but the
+    latter scans 1.5× the candidates and doubles storage).
     """
     base = _with_norm(emb)
     cents = _centroid_literals(emb, centroid_ids)
-    assign = _nearest_cells(base, cents, 1).select("vec_id", "cell")
+    assign = _nearest_cells(base, cents, assignments).select(
+        "vec_id", "cell"
+    )
     probes = (
         _nearest_cells(base.where(F.col("vec_id") < n_queries), cents, nprobe)
         .select(F.col("vec_id").alias("q_id"), "cell")
@@ -355,6 +366,8 @@ def ivf_ann_topk(
         .where(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id")
     )
+    if assignments > 1:
+        cand = cand.distinct()
     q = base.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
@@ -503,8 +516,13 @@ def oracle_ivf_ann_topk(
     centroid_ids=IVF_CENTROID_IDS,
     nprobe: int = IVF_NPROBE,
     dim: int = DIM,
+    assignments: int = 1,
 ) -> str:
     ids = ", ".join(str(i) for i in centroid_ids)
+    # multi-assignment (a > 1) stores each vector in its a nearest
+    # cells; the candidate set then needs DISTINCT (a vector reached
+    # via two probed cells). a = 1 keeps the original plain join.
+    distinct = "DISTINCT " if assignments > 1 else ""
     return f"""
 WITH {_SQL_BASE},
 cent AS (SELECT vec_id AS cell, v AS cv, nrm AS cn FROM base
@@ -515,11 +533,11 @@ dists AS (
              ORDER BY round({_sql_dot("b.v", "cv", dim)} / (b.nrm * cn), 6) DESC,
                       cent.cell ASC) AS rnk
   FROM base b CROSS JOIN cent),
-assign AS (SELECT vec_id, cell FROM dists WHERE rnk = 1),
+assign AS (SELECT vec_id, cell FROM dists WHERE rnk <= {assignments}),
 probes AS (SELECT vec_id AS q_id, cell FROM dists
            WHERE vec_id < {n_queries} AND rnk <= {nprobe}),
 cand AS (
-  SELECT q_id, assign.vec_id
+  SELECT {distinct}q_id, assign.vec_id
   FROM probes JOIN assign USING (cell) WHERE assign.vec_id <> q_id),
 q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM base WHERE vec_id < {n_queries}),
 scored AS (
@@ -2765,6 +2783,14 @@ def _wl_ivf(spark, sf_dir):
     return ivf_ann_topk(_emb(spark, sf_dir))
 
 
+def _wl_ivf_multiassign(spark, sf_dir):
+    """Multi-assignment IVF (a=2): each corpus vector lives in its TWO
+    nearest cells, candidates dedup'd — the measured recall-ceiling
+    option (0.9625 → 0.9875 at nprobe=16, ann_multiassign.csv). The
+    oracle replays the a=2 assignment rule + DISTINCT identically."""
+    return ivf_ann_topk(_emb(spark, sf_dir), assignments=2)
+
+
 def _wl_emb_neardup(spark, sf_dir):
     return embedding_neardup_pairs(_emb(spark, sf_dir))
 
@@ -3064,6 +3090,12 @@ def simsearch_workloads():
         ),
         Workload("pipe_ann_lsh_topk", _wl_lsh, oracle_lsh_ann_topk(), False),
         Workload("pipe_ann_ivf_topk", _wl_ivf, oracle_ivf_ann_topk(), False),
+        Workload(
+            "pipe_ann_ivf_multiassign",
+            _wl_ivf_multiassign,
+            oracle_ivf_ann_topk(assignments=2),
+            False,
+        ),
         Workload("pipe_ann_recall", _wl_ann_recall, oracle_ann_recall(), False),
         Workload(
             "pipe_dedup_embedding_cosine",
