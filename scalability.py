@@ -111,6 +111,15 @@ def main() -> int:
 
     x_hi, lx_hi = 10, 10
     out_rows = []
+    # write incrementally: a crash mid-curve (e.g. disk-full on a
+    # 194M-candidate shuffle spill, r08) must not lose finished iters
+    fields = [
+        "iter", "x_hi", "lx_hi", "udf_size", "strategy", "action",
+        "n_results", "seconds",
+    ]
+    f_out = open(args.out, "w", newline="")
+    w = csv.DictWriter(f_out, fieldnames=fields)
+    w.writeheader()
     for it in range(args.max_iters):
         spec = base_spec(x_hi, lx_hi, args.measure)
         t0 = time.time()
@@ -129,6 +138,8 @@ def main() -> int:
                 "seconds": round(wall, 3),
             }
         )
+        w.writerow(out_rows[-1])
+        f_out.flush()
         print(
             f"iter={it} udf_size={info.udf_size} strategy={info.strategy} "
             f"action={info.action} n={n} t={wall:.2f}s",
@@ -143,10 +154,7 @@ def main() -> int:
         if x_hi >= args.rows:
             break
 
-    with open(args.out, "w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=list(out_rows[0].keys()))
-        w.writeheader()
-        w.writerows(out_rows)
+    f_out.close()
     print(f"wrote {args.out} ({len(out_rows)} iterations)")
     return 0
 
