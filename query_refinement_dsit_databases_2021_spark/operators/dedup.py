@@ -1263,6 +1263,7 @@ def ngram_containment_pairs(
     docs: DataFrame,
     threshold_ppm: int = 500_000,
     max_posting: int | None = None,
+    shingle_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Shingle-set CONTAINMENT near-dup detection: ``cont =
     |A∩B| / min(|A|, |B|)`` — the sub-document-duplication score.
@@ -1282,7 +1283,9 @@ def ngram_containment_pairs(
     shingles, sizes keep them), same documented contract. Returns
     ``(doc_a, doc_b, inter_size, cont_ppm)`` with doc_a < doc_b.
     """
-    sh = shingles(docs).persist()
+    sh = (
+        shingle_rows if shingle_rows is not None else shingles(docs).persist()
+    )
     if max_posting is not None:
         w = Window.partitionBy("s")
         joined_sh = (
@@ -1314,6 +1317,24 @@ def ngram_containment_pairs(
             .alias("cont_ppm"),
         )
         .where(F.col("cont_ppm") >= threshold_ppm)
+    )
+
+
+def ngram_containment_pairs_advised(
+    docs: DataFrame, threshold_ppm: int = 500_000
+) -> DataFrame:
+    """ADAPTIVE containment pairs: the same :func:`posting_advisor`
+    verdict that drives :func:`ngram_jaccard_pairs_advised` drives the
+    containment join's ``max_posting`` — both operators share the
+    shingle inverted index, so one advisor rule covers the family
+    (r07 verdict item 5's "unify"). Shingle frame computed ONCE for
+    advisor + join; the oracle replays the identical dynamic
+    decision."""
+    sh = shingles(docs).persist()
+    adv = posting_advisor(docs, shingle_rows=sh).collect()[0]
+    cap = int(adv["recommended_cap"]) if adv["cap_recommended"] else None
+    return ngram_containment_pairs(
+        docs, threshold_ppm, max_posting=cap, shingle_rows=sh
     )
 
 

@@ -563,6 +563,48 @@ def _wl_jaccard_advised(spark, sf_dir):
     return dedup.ngram_jaccard_pairs_advised(_docs(spark, sf_dir))
 
 
+# Containment shares the shingle inverted index, so the SAME advisor
+# rule (heavy share over posting lists) drives its cap — one decision
+# procedure for the whole exact-shingle dedup family.
+ORACLE_CONTAINMENT_ADVISED = f"""
+WITH {SQL_SHINGLES},
+shm AS MATERIALIZED (SELECT doc_id, s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM shm GROUP BY doc_id),
+cnt AS MATERIALIZED (
+  SELECT s, CAST(count(*) AS BIGINT) AS c FROM shm GROUP BY 1),
+{_ADV_P_TOT},
+hist AS (SELECT c AS x, CAST(count(*) AS BIGINT) AS m FROM cnt GROUP BY 1),
+cum AS (SELECT x, sum(m) OVER (ORDER BY x) AS cm FROM hist),
+med AS (SELECT CAST(min(x) AS BIGINT) AS median_posting FROM cum, tot
+        WHERE cm >= (n_shingles + 1) // 2),
+adv AS (SELECT CASE WHEN {_ADV_P_CAP_ON}
+                    THEN greatest({dedup.ADVISOR_POSTING_MARGIN}
+                                  * median_posting,
+                                  {dedup.ADVISOR_POSTING_FLOOR})
+                    ELSE max_posting END AS eff_cap
+        FROM tot, med),
+shc AS (
+  SELECT shm.doc_id, shm.s
+  FROM shm JOIN cnt USING (s)
+  WHERE c <= (SELECT eff_cap FROM adv)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, CAST(c AS BIGINT) AS inter_size,
+       CAST((1000000 * c) // least(na.n, nb.n) AS BIGINT) AS cont_ppm
+FROM inter
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE (1000000 * c) // least(na.n, nb.n) >= 500000"""
+
+
+def _wl_containment_advised(spark, sf_dir):
+    """Adaptive containment: same advisor, same dynamic oracle — the
+    jaccard-family unification extended to the containment score."""
+    return dedup.ngram_containment_pairs_advised(_docs(spark, sf_dir))
+
+
 _STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
 ORACLE_QUALITY = f"""
 WITH t AS (
@@ -2500,6 +2542,12 @@ def pipeline_workloads():
             False,
         ),
         ("pipe_dedup_containment", _wl_containment, ORACLE_CONTAINMENT, False),
+        (
+            "pipe_dedup_containment_advised",
+            _wl_containment_advised,
+            ORACLE_CONTAINMENT_ADVISED,
+            False,
+        ),
         ("pipe_dup_ngram_spans", _wl_dup_spans, ORACLE_DUP_SPANS, False),
         ("pipe_split_leakage", _wl_split_leakage, _oracle_split_leakage(), False),
         ("pipe_dedup_winnowing", _wl_winnow, ORACLE_WINNOW, False),

@@ -238,6 +238,23 @@ def test_posting_advisor_flags_template_recommends_safe_cap(spark):
     )
     assert advised_o == plain_o == [(300, 301, 1.0)]
 
+    # containment shares the index and the advisor: capped branch on
+    # the template fixture (only the genuine pair), uncapped-equals-
+    # plain on the organic one
+    adv_ct = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_containment_pairs_advised(docs).collect()
+    }
+    assert adv_ct == {(200, 201)}
+    adv_co = sorted(
+        tuple(r)
+        for r in dedup.ngram_containment_pairs_advised(organic).collect()
+    )
+    plain_co = sorted(
+        tuple(r) for r in dedup.ngram_containment_pairs(organic).collect()
+    )
+    assert adv_co == plain_co and len(adv_co) == 1
+
 
 def test_simhash_exact_dup_hamming_zero(docs):
     pairs = {
