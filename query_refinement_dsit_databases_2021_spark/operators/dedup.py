@@ -1179,36 +1179,23 @@ WINNOW_W = 4  # winnowing window (guarantee: any match >= w+k-1 tokens
 # shares a fingerprint)
 WINNOW_MIN_SHARED = 2
 WINNOW_MAX_POSTING = 64
+# winnow_pairs_advised reuses posting_advisor with its DEFAULT floor,
+# so the static winnow cap and the advisor floor must agree
+assert WINNOW_MAX_POSTING == ADVISOR_POSTING_FLOOR, (
+    WINNOW_MAX_POSTING,
+    ADVISOR_POSTING_FLOOR,
+)
 _WINNOW_PACK = 2_147_483_648  # 2^31: hash and position both fit 31 bits
 
 
-def winnow_pairs(
-    docs: DataFrame,
-    k: int | None = None,
-    w: int = WINNOW_W,
-    min_shared: int = WINNOW_MIN_SHARED,
-    max_posting: int = WINNOW_MAX_POSTING,
+def winnow_fingerprints(
+    docs: DataFrame, k: int | None = None, w: int = WINNOW_W
 ) -> DataFrame:
-    """Winnowing fingerprint near-dup detection (Schleimer/Wilkerson/
-    Aiken 2003, the MOSS algorithm): hash every positional k-gram,
-    slide a w-window over the hash sequence, keep each window's
-    minimum (rightmost on ties) — the selected fingerprints GUARANTEE
-    that any shared run of >= w+k-1 tokens surfaces, a positional
-    robustness property MinHash's whole-document sketch does not give.
-    Pairs sharing >= ``min_shared`` distinct fingerprint hashes are
-    reported.
-
-    Determinism: the window argmin is ONE integer min over the packed
-    key ``h·2³¹ + (2³¹−1−pos)`` (both fit 31 bits) — min key ⇔
-    (min h, then max pos) — the same expression on both engines, no
-    struct/argmin dialect differences. Everything downstream is the
-    capped inverted-index shape of :func:`ngram_jaccard_pairs`.
-
-    Plan: one posexplode + ONE per-doc window pass (frame = w
-    following rows, same (doc, pos) ordering the explode already
-    has), distinct fingerprints, stop-fingerprint cap, equi self-join.
-    Returns ``(doc_a, doc_b, n_shared)``, doc_a < doc_b, ordered.
-    """
+    """(doc_id, h): the distinct winnowing fingerprints — the posting
+    index :func:`winnow_pairs` self-joins, extracted so an adaptive
+    caller (or the advisor) computes it once. One posexplode + one
+    per-doc window pass; the window argmin is the packed-key integer
+    min documented on :func:`winnow_pairs`."""
     from query_refinement_dsit_databases_2021_spark.operators.textops import (
         SHINGLE_K,
         gram_array,
@@ -1233,7 +1220,7 @@ def winnow_pairs(
         Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     )
     cnt = Window.partitionBy("doc_id")
-    sel = (
+    return (
         hp.withColumn("_n", F.count("*").over(cnt))
         .withColumn("_m", F.min("pk").over(win))
         .where(F.col("pos") <= F.col("_n") - w)
@@ -1242,12 +1229,50 @@ def winnow_pairs(
         )
         .distinct()
     )
-    wdf = Window.partitionBy("h")
-    capped = (
-        sel.withColumn("_df", F.count("*").over(wdf))
-        .where(F.col("_df") <= max_posting)
-        .drop("_df")
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int | None = None,
+    w: int = WINNOW_W,
+    min_shared: int = WINNOW_MIN_SHARED,
+    max_posting: int | None = WINNOW_MAX_POSTING,
+    fingerprint_rows: DataFrame | None = None,
+) -> DataFrame:
+    """Winnowing fingerprint near-dup detection (Schleimer/Wilkerson/
+    Aiken 2003, the MOSS algorithm): hash every positional k-gram,
+    slide a w-window over the hash sequence, keep each window's
+    minimum (rightmost on ties) — the selected fingerprints GUARANTEE
+    that any shared run of >= w+k-1 tokens surfaces, a positional
+    robustness property MinHash's whole-document sketch does not give.
+    Pairs sharing >= ``min_shared`` distinct fingerprint hashes are
+    reported.
+
+    Determinism: the window argmin is ONE integer min over the packed
+    key ``h·2³¹ + (2³¹−1−pos)`` (both fit 31 bits) — min key ⇔
+    (min h, then max pos) — the same expression on both engines, no
+    struct/argmin dialect differences. Everything downstream is the
+    capped inverted-index shape of :func:`ngram_jaccard_pairs`.
+
+    Plan: one posexplode + ONE per-doc window pass (frame = w
+    following rows, same (doc, pos) ordering the explode already
+    has), distinct fingerprints, stop-fingerprint cap, equi self-join.
+    Returns ``(doc_a, doc_b, n_shared)``, doc_a < doc_b, ordered.
+    """
+    sel = (
+        fingerprint_rows
+        if fingerprint_rows is not None
+        else winnow_fingerprints(docs, k, w)
     )
+    if max_posting is not None:
+        wdf = Window.partitionBy("h")
+        capped = (
+            sel.withColumn("_df", F.count("*").over(wdf))
+            .where(F.col("_df") <= max_posting)
+            .drop("_df")
+        )
+    else:
+        capped = sel
     a = capped.select(F.col("doc_id").alias("doc_a"), "h")
     b = capped.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
     return (
@@ -1256,6 +1281,39 @@ def winnow_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def winnow_pairs_advised(
+    docs: DataFrame,
+    k: int | None = None,
+    w: int = WINNOW_W,
+    min_shared: int = WINNOW_MIN_SHARED,
+) -> DataFrame:
+    """ADAPTIVE winnowing: :func:`posting_advisor`'s heavy-share rule
+    applied to the FINGERPRINT posting lists (the advisor is
+    index-agnostic — it reads any (doc_id, key) frame; the winnow
+    floor equals the shingle floor, 64). Completes the r07 item-5
+    unification: jaccard, containment and winnowing now share one
+    decision procedure. Fingerprints computed ONCE for advisor +
+    join; the oracle replays the identical dynamic decision.
+
+    Caveat shared with the whole advisor family: the value rule clips
+    to 4× the MEDIAN posting list, which is immune to the template
+    mass only while organic lists dominate the list COUNT — a corpus
+    that is MOSTLY template (winnowing compresses a 10-word template
+    to ~3 distinct fingerprints, so this happens sooner than for raw
+    shingles) yields a median-sized template list and a cap that
+    clips nothing; cap_recommended still reads True with the
+    heavy-share evidence, so callers needing a hard bound can apply
+    ``cap_floor`` directly."""
+    sel = winnow_fingerprints(docs, k, w).persist()
+    adv = posting_advisor(
+        docs, shingle_rows=sel.select("doc_id", F.col("h").alias("s"))
+    ).collect()[0]
+    cap = int(adv["recommended_cap"]) if adv["cap_recommended"] else None
+    return winnow_pairs(
+        docs, k, w, min_shared, max_posting=cap, fingerprint_rows=sel
     )
 
 

@@ -832,6 +832,57 @@ def _wl_winnow(spark, sf_dir):
     return dedup.winnow_pairs(_docs(spark, sf_dir))
 
 
+# Adaptive winnowing: the SAME advisor decision rule (heavy share),
+# re-keyed to the FINGERPRINT posting lists. sel is referenced by the
+# advisor chain AND the capped join -> MATERIALIZED.
+ORACLE_WINNOW_ADVISED = f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+g AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         CAST({_sql_rolling_hash(_SHINGLE_EXPR)} AS BIGINT)
+           * {_WINNOW_PACK_SQL}
+           + ({_WINNOW_PACK_SQL - 1} - CAST(i - 1 AS BIGINT)) AS pk
+  FROM tok, unnest(range(1, greatest(len(ws) - {SHINGLE_K - 2}, 1))) u(i)),
+sel AS MATERIALIZED (
+  SELECT DISTINCT doc_id, m // {_WINNOW_PACK_SQL} AS h FROM (
+    SELECT doc_id, pos,
+           count(*) OVER (PARTITION BY doc_id) AS n,
+           min(pk) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND {dedup.WINNOW_W - 1} FOLLOWING)
+             AS m
+    FROM g) t
+  WHERE pos <= n - {dedup.WINNOW_W}),
+cnt AS MATERIALIZED (
+  SELECT h, CAST(count(*) AS BIGINT) AS c FROM sel GROUP BY 1),
+{_ADV_P_TOT},
+hist AS (SELECT c AS x, CAST(count(*) AS BIGINT) AS m FROM cnt GROUP BY 1),
+cum AS (SELECT x, sum(m) OVER (ORDER BY x) AS cm FROM hist),
+med AS (SELECT CAST(min(x) AS BIGINT) AS median_posting FROM cum, tot
+        WHERE cm >= (n_shingles + 1) // 2),
+adv AS (SELECT CASE WHEN {_ADV_P_CAP_ON}
+                    THEN greatest({dedup.ADVISOR_POSTING_MARGIN}
+                                  * median_posting,
+                                  {dedup.ADVISOR_POSTING_FLOOR})
+                    ELSE max_posting END AS eff_cap
+        FROM tot, med),
+sc AS (
+  SELECT sel.doc_id, sel.h
+  FROM sel JOIN cnt USING (h)
+  WHERE c <= (SELECT eff_cap FROM adv))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM sc a JOIN sc b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {dedup.WINNOW_MIN_SHARED}
+ORDER BY doc_a, doc_b"""
+
+
+def _wl_winnow_advised(spark, sf_dir):
+    """Adaptive winnowing: advisor verdict over fingerprint posting
+    lists drives the cap; oracle replays the identical decision."""
+    return dedup.winnow_pairs_advised(_docs(spark, sf_dir))
+
+
 ORACLE_CONTAINMENT = f"""
 WITH {SQL_SHINGLES},
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -2551,6 +2602,12 @@ def pipeline_workloads():
         ("pipe_dup_ngram_spans", _wl_dup_spans, ORACLE_DUP_SPANS, False),
         ("pipe_split_leakage", _wl_split_leakage, _oracle_split_leakage(), False),
         ("pipe_dedup_winnowing", _wl_winnow, ORACLE_WINNOW, False),
+        (
+            "pipe_dedup_winnow_advised",
+            _wl_winnow_advised,
+            ORACLE_WINNOW_ADVISED,
+            False,
+        ),
         ("pipe_dedup_consensus", _wl_dedup_consensus, ORACLE_CONSENSUS, False),
         ("pipe_dedup_pr_attestation", _wl_dedup_pr, _oracle_dedup_pr(), False),
         ("pipe_curation_chain_v4", _wl_curation_v4, _oracle_curation_v4(), False),

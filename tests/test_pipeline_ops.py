@@ -255,6 +255,42 @@ def test_posting_advisor_flags_template_recommends_safe_cap(spark):
     )
     assert adv_co == plain_co and len(adv_co) == 1
 
+    # winnowing shares the advisor too (fingerprint posting lists;
+    # docs need >= w+k-1 tokens to emit fingerprints, so the template
+    # here is the 10-word one). Organic filler docs carry the median:
+    # the value rule clips to 4x the MEDIAN list, which is only immune
+    # to the template mass when organic lists dominate the list COUNT
+    # — true of any real corpus, made true here by the filler (a
+    # 10-word template emits just 3 distinct fingerprints, so without
+    # filler the 3 template lists ARE the median).
+    wrows = [
+        (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+        for i in range(100)
+    ]
+    wrows += [
+        (
+            300 + i,
+            " ".join(f"w{i}t{j}" for j in range(10)),  # all-unique grams
+        )
+        for i in range(60)
+    ]
+    wrows.append((200, "quick brown fox jumps over the lazy sleeping dog now"))
+    wrows.append((201, "quick brown fox jumps over the lazy sleeping dog now"))
+    wdocs = spark.createDataFrame(wrows, "doc_id long, text string")
+    adv_wt = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.winnow_pairs_advised(wdocs).collect()
+    }
+    assert adv_wt == {(200, 201)}
+    adv_wo = sorted(
+        tuple(r) for r in dedup.winnow_pairs_advised(organic).collect()
+    )
+    plain_wo = sorted(
+        tuple(r)
+        for r in dedup.winnow_pairs(organic, max_posting=None).collect()
+    )
+    assert adv_wo == plain_wo and len(adv_wo) == 1
+
 
 def test_simhash_exact_dup_hamming_zero(docs):
     pairs = {
