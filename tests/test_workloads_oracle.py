@@ -167,28 +167,29 @@ def test_workload_matches_duckdb(spark, duck, name):
 
 
 def test_gate_rotation_ledger_closes_registry():
-    """The r08/r09 rotation math (COVERAGE.md "Gate rotation ledger"):
-    the ACTIVE r08 window is exactly 50 names (17 never-gated round-6
-    leads + 33 green anchors, promoted verbatim from the window
-    committed at the r07 freeze), the committed r09 window is exactly
-    50 (4 never-gated round-7 leads + 46 green anchors chosen by the
-    stalest-external-row rule), they are disjoint, and window-r08 ∪
-    window-r09 ∪ externally-gated covers the ENTIRE registry minus the
-    r10 queue — i.e. after r09 every workload registered by the r08
-    freeze holds an external row."""
+    """The r09/r10 rotation math (COVERAGE.md "Gate rotation ledger"):
+    the ACTIVE r09 window is exactly 50 names (4 never-gated round-7
+    leads + 46 green anchors whose last external row is r01/r02,
+    promoted verbatim from the window committed at the r08 freeze), the
+    committed r10 window is exactly 50 (5 never-gated round-8 leads +
+    45 green anchors chosen by the stalest-external-row rule over the
+    r01-r08 ledger excluding the active window), they are disjoint, and
+    window-r09 ∪ window-r10 ∪ externally-gated covers the ENTIRE
+    registry minus the r11 queue — i.e. after r10 every workload
+    registered by the r09 freeze holds an external row."""
     import json
     import pathlib
 
     from query_refinement_dsit_databases_2021_spark.workloads import (
         DRIVER_PRIORITY,
-        DRIVER_PRIORITY_R09,
-        DRIVER_QUEUE_R10,
+        DRIVER_PRIORITY_R10,
+        DRIVER_QUEUE_R11,
     )
 
     root = pathlib.Path(__file__).resolve().parent.parent
     gated: set[str] = set()
     last: dict[str, int] = {}
-    for r in (1, 2, 3, 4, 5, 6, 7):
+    for r in (1, 2, 3, 4, 5, 6, 7, 8):
         p = root / f"CORRECTNESS_r0{r}.json"
         if p.exists():
             for k in json.loads(p.read_text()):
@@ -198,48 +199,66 @@ def test_gate_rotation_ledger_closes_registry():
         pytest.skip("no external CORRECTNESS records present")
 
     assert len(DRIVER_PRIORITY) == 50
-    assert len(DRIVER_PRIORITY_R09) == 50
+    assert len(DRIVER_PRIORITY_R10) == 50
     assert len(set(DRIVER_PRIORITY)) == 50
-    assert len(set(DRIVER_PRIORITY_R09)) == 50
-    assert not set(DRIVER_PRIORITY) & set(DRIVER_PRIORITY_R09)
+    assert len(set(DRIVER_PRIORITY_R10)) == 50
+    assert not set(DRIVER_PRIORITY) & set(DRIVER_PRIORITY_R10)
     missing = [
         n
-        for n in (*DRIVER_PRIORITY, *DRIVER_PRIORITY_R09)
+        for n in (*DRIVER_PRIORITY, *DRIVER_PRIORITY_R10)
         if n not in WORKLOADS
     ]
     assert not missing, missing
-    # the 17 round-6 additions lead the active r08 window and must
-    # never have held an external row; the other 33 are green anchors
-    r08_leads = set(DRIVER_PRIORITY[:17])
-    anchors_r08 = set(DRIVER_PRIORITY[17:])
-    assert not r08_leads & gated, (
-        f"r08 leads waste slots on gated names: {r08_leads & gated}"
-    )
-    assert anchors_r08 <= gated, (
-        f"r08 anchors must already be gated: {anchors_r08 - gated}"
-    )
-    # the 4 round-7 additions lead the committed r09 window; the other
-    # 46 are green anchors picked by the stalest-external-row rule —
-    # none may have a certification newer than round 2
-    r09_leads = set(DRIVER_PRIORITY_R09[:4])
-    anchors_r09 = set(DRIVER_PRIORITY_R09) - r09_leads
+    # the 4 round-7 additions lead the active r09 window and must
+    # never have held an external row; the other 46 are green anchors
+    # picked at the r08 freeze by the stalest rule (last gated r01/r02)
+    r09_leads = set(DRIVER_PRIORITY[:4])
+    anchors_r09 = set(DRIVER_PRIORITY[4:])
     assert not r09_leads & gated, (
         f"r09 leads waste slots on gated names: {r09_leads & gated}"
     )
     assert anchors_r09 <= gated, (
         f"r09 anchors must already be gated: {anchors_r09 - gated}"
     )
-    fresh = {n for n in anchors_r09 if last[n] > 2}
+    stale_r09 = {n for n in anchors_r09 if last[n] > 2}
+    assert not stale_r09, (
+        f"r09 anchors must be the stalest rows (last gated r01/r02): "
+        f"{stale_r09}"
+    )
+    # the 5 round-8 additions lead the committed r10 window; the other
+    # 45 are green anchors picked by the stalest-external-row rule over
+    # names NOT already in the active window — that consumes every
+    # remaining r02/r03-last row, so no anchor may be newer than r04
+    # and every r02/r03-last name must sit in one window or the other
+    r10_leads = set(DRIVER_PRIORITY_R10[:5])
+    anchors_r10 = set(DRIVER_PRIORITY_R10) - r10_leads
+    assert not r10_leads & gated, (
+        f"r10 leads waste slots on gated names: {r10_leads & gated}"
+    )
+    assert anchors_r10 <= gated, (
+        f"r10 anchors must already be gated: {anchors_r10 - gated}"
+    )
+    fresh = {n for n in anchors_r10 if last[n] > 4}
     assert not fresh, (
-        f"r09 anchors must be the stalest rows (last gated r01/r02): {fresh}"
+        f"r10 anchors must be the stalest rows (last gated <= r04): {fresh}"
+    )
+    skipped_stale = {
+        n
+        for n in gated
+        if last[n] <= 3
+        and n in WORKLOADS
+        and n not in set(DRIVER_PRIORITY) | anchors_r10
+    }
+    assert not skipped_stale, (
+        f"stalest-first violated; r02/r03-last rows left out: {skipped_stale}"
     )
     uncovered = (
-        set(WORKLOADS) - gated - set(DRIVER_PRIORITY) - set(DRIVER_PRIORITY_R09)
+        set(WORKLOADS) - gated - set(DRIVER_PRIORITY) - set(DRIVER_PRIORITY_R10)
     )
-    # post-r09-freeze additions must be queued for r10 — exactly them
-    assert uncovered == set(DRIVER_QUEUE_R10), (
-        f"not in any window or queue: {uncovered - set(DRIVER_QUEUE_R10)}; "
-        f"queued but covered: {set(DRIVER_QUEUE_R10) - uncovered}"
+    # post-r10-freeze additions must be queued for r11 — exactly them
+    assert uncovered == set(DRIVER_QUEUE_R11), (
+        f"not in any window or queue: {uncovered - set(DRIVER_QUEUE_R11)}; "
+        f"queued but covered: {set(DRIVER_QUEUE_R11) - uncovered}"
     )
 
 
@@ -290,14 +309,14 @@ def test_gate_window_schemas_are_scalar_only(spark):
     # notes). Schema construction is lazy: nothing executes here.
     from query_refinement_dsit_databases_2021_spark.workloads import (
         DRIVER_PRIORITY,
-        DRIVER_PRIORITY_R09,
+        DRIVER_PRIORITY_R10,
     )
 
     banned = ("array", "map", "struct", "binary", "decimal", "timestamp")
     offenders = []
-    # audit the committed next window too, so the r09 rotation cannot
+    # audit the committed next window too, so the r10 rotation cannot
     # land a non-scalar schema surprise
-    for name in (*DRIVER_PRIORITY, *DRIVER_PRIORITY_R09):
+    for name in (*DRIVER_PRIORITY, *DRIVER_PRIORITY_R10):
         df = WORKLOADS[name].fn(spark, SF_DIR)
         for f in df.schema.fields:
             t = f.dataType.simpleString()
