@@ -200,9 +200,20 @@ def main() -> None:
             ).stdout.strip()
         except (OSError, subprocess.CalledProcessError):
             head = None
-        if head and ab.get("cur") != head:
+        # prefix match, not equality: --short abbreviation length can
+        # grow with the object count between when the A/B summary was
+        # written and now, which would falsely mark the same commit
+        # stale
+        cur = ab.get("cur")
+        same = bool(
+            head
+            and isinstance(cur, str)
+            and cur
+            and (cur.startswith(head) or head.startswith(cur))
+        )
+        if head and not same:
             ab["stale"] = True
-            ab["stale_note"] = f"ab ran at {ab.get('cur')}, HEAD is {head}"
+            ab["stale_note"] = f"ab ran at {cur}, HEAD is {head}"
     # Detail (spread/rows) goes on a PRECEDING line: the driver tails
     # stdout for ONE machine-readable JSON line, and the r04 combined
     # payload (~2.9 KB) overflowed its capture -> BENCH_r04 parsed:null

@@ -41,6 +41,19 @@ from query_refinement_dsit_databases_2021_spark.plans.spec import QuerySpec
 # Auto strategy: W while the offset domain stays small (every committed
 # reference query has <= 46 offsets), else S.
 WINDOW_STRATEGY_MAX_OFFSETS = 64
+
+# Sparse-path scratch pre-flight (r08 verdict item 5). Measured on the
+# third-decade runs (BASELINE.md "Third decade"): the candidate shuffle
+# stays in memory through ~34M candidates on local[32] and past that
+# spills ~0.45 GB of scratch per million candidates at this operator
+# shape; the 194M attempt died `No space left on device` mid-shuffle
+# (46 GB of spill, 25 GB free). So when the candidate-count upper
+# bound crosses the measured spill onset, compare the estimated spill
+# against free scratch BEFORE dispatch and fail typed instead of
+# mid-job. 536 B/candidate ≈ the BASELINE sizing rule's 0.5 GB/M
+# (measured 0.45 + headroom).
+SPARSE_SPILL_ONSET_CANDIDATES = 34_000_000
+SPARSE_SCRATCH_BYTES_PER_CANDIDATE = 536
 # Rows per range-partition block of the series segment. Halo overhead
 # is O(reach/block); 64k keeps it <1% for reference-sized reaches while
 # giving a 32-way local executor real parallelism. On a 1000-executor
@@ -58,6 +71,53 @@ def _dedup_constraints(spec: QuerySpec):
         if con.column not in seen:
             seen[con.column] = (REGISTRY[con.name], con.args)
     return seen
+
+
+def _free_scratch_bytes(spark) -> int:
+    """Free bytes on the first configured Spark scratch dir (where
+    shuffle spill lands). Returns -1 when unknowable — the pre-flight
+    then skips rather than false-positives."""
+    import shutil
+    import tempfile
+
+    try:
+        local_dir = spark.conf.get("spark.local.dir", None)
+    except Exception:
+        local_dir = None
+    path = (local_dir or tempfile.gettempdir()).split(",")[0]
+    try:
+        return shutil.disk_usage(path).free
+    except OSError:
+        return -1
+
+
+def sparse_scratch_preflight(
+    est_candidates: int, free_bytes: int
+) -> int:
+    """Pure decision core (unit-testable without a filesystem): given
+    the candidate-count upper bound and the free scratch bytes, return
+    the estimated spill bytes, raising :class:`ScratchSpaceError` when
+    the job would plausibly die ENOSPC mid-shuffle. Below the measured
+    spill onset the sparse shuffle stays in memory and the estimate is
+    0; an unknown probe (free_bytes < 0) skips the check."""
+    from query_refinement_dsit_databases_2021_spark.errors import (
+        ScratchSpaceError,
+    )
+
+    if est_candidates <= SPARSE_SPILL_ONSET_CANDIDATES:
+        return 0
+    need = est_candidates * SPARSE_SCRATCH_BYTES_PER_CANDIDATE
+    if 0 <= free_bytes < need:
+        raise ScratchSpaceError(
+            f"sparse-path pre-flight: ~{est_candidates:,} candidates "
+            f"would spill ~{need / 1e9:.1f} GB of shuffle scratch but "
+            f"only {free_bytes / 1e9:.1f} GB is free on the Spark "
+            "local dir (measured rule: ~0.5 GB per million candidates "
+            "past the 34M spill onset — BASELINE.md 'Third decade'). "
+            "Free scratch space, point spark.local.dir at a larger "
+            "volume, or shrink the decision domains."
+        )
+    return need
 
 
 def pick_strategy(spec: QuerySpec) -> str:
@@ -256,6 +316,16 @@ def _build_sparse(
     l0, l1 = spec.lx_domain
     measures = _dedup_constraints(spec)
     _require_native(measures, "sparse")
+
+    # scratch pre-flight: candidate-count UPPER bound (per-lx end
+    # clipping only removes rows) × the measured per-candidate spill
+    # rule, vs free space where shuffle spill lands — fail typed now,
+    # not ENOSPC after minutes of shuffle
+    n_x = min(x1, t_end) - max(x0, t_start) + 1
+    if n_x > 0:
+        sparse_scratch_preflight(
+            n_x * (l1 - l0 + 1), _free_scratch_bytes(spark)
+        )
 
     # sparse-table depth: longest max/min interval any measure queries
     longest_max, longest_min = 1, 1

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import functools
 import operator
+import weakref
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -49,6 +50,28 @@ LSH_ROWS = 4  # N_HASHES = LSH_BANDS * LSH_ROWS
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 4  # 8 bits per band; hamming<=3 => >=1 band equal
 SIMHASH_MOD = 1 << SIMHASH_BITS
+
+
+def _release_with(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Tie the lifetime of internally ``persist()``-ed frames to the
+    returned result: the cache stays hot while the caller holds (and
+    may re-materialize) the result, and is unpersisted when the result
+    frame is garbage-collected. DataFrame ``persist`` registers the
+    plan in the JVM CacheManager, which the ContextCleaner never
+    GC-collects — so in a long-lived session repeated advised calls
+    would otherwise accumulate cached signature/shingle frames until
+    LRU eviction. The finalizer closes over only the cached frames
+    (never ``result``), so the result itself stays collectable."""
+
+    def _release(frames=tuple(cached)) -> None:
+        for f in frames:
+            try:
+                f.unpersist(blocking=False)
+            except Exception:  # session already stopped / interpreter exit
+                pass
+
+    weakref.finalize(result, _release)
+    return result
 
 
 def exact_dedup(docs: DataFrame, by_hash: bool = False) -> DataFrame:
@@ -378,9 +401,12 @@ def minhash_lsh_pairs_advised(
         docs, n_hashes, rows_per_band, sig_wide=wide
     ).collect()[0]
     cap = int(adv["recommended_cap"]) if adv["cap_recommended"] else None
-    return minhash_lsh_pairs(
-        docs, n_hashes, rows_per_band, threshold, max_bucket=cap,
-        sig_wide=wide,
+    return _release_with(
+        minhash_lsh_pairs(
+            docs, n_hashes, rows_per_band, threshold, max_bucket=cap,
+            sig_wide=wide,
+        ),
+        wide,
     )
 
 
@@ -1169,9 +1195,12 @@ def ngram_jaccard_pairs_advised(
     sh = shingles(docs).persist()
     adv = posting_advisor(docs, shingle_rows=sh).collect()[0]
     cap = int(adv["recommended_cap"]) if adv["cap_recommended"] else None
-    return ngram_jaccard_pairs(
-        docs, threshold, max_posting=cap, cap_strategy="window",
-        shingle_rows=sh,
+    return _release_with(
+        ngram_jaccard_pairs(
+            docs, threshold, max_posting=cap, cap_strategy="window",
+            shingle_rows=sh,
+        ),
+        sh,
     )
 
 
@@ -1312,8 +1341,11 @@ def winnow_pairs_advised(
         docs, shingle_rows=sel.select("doc_id", F.col("h").alias("s"))
     ).collect()[0]
     cap = int(adv["recommended_cap"]) if adv["cap_recommended"] else None
-    return winnow_pairs(
-        docs, k, w, min_shared, max_posting=cap, fingerprint_rows=sel
+    return _release_with(
+        winnow_pairs(
+            docs, k, w, min_shared, max_posting=cap, fingerprint_rows=sel
+        ),
+        sel,
     )
 
 
@@ -1391,8 +1423,11 @@ def ngram_containment_pairs_advised(
     sh = shingles(docs).persist()
     adv = posting_advisor(docs, shingle_rows=sh).collect()[0]
     cap = int(adv["recommended_cap"]) if adv["cap_recommended"] else None
-    return ngram_containment_pairs(
-        docs, threshold_ppm, max_posting=cap, shingle_rows=sh
+    return _release_with(
+        ngram_containment_pairs(
+            docs, threshold_ppm, max_posting=cap, shingle_rows=sh
+        ),
+        sh,
     )
 
 

@@ -256,3 +256,38 @@ def test_register_measure_extends_parser(spark, series_tiny):
             "SELECT time_id, offset IN_DOMAIN [2, 6], [2, 3]\n"
             "FROM t.y\nWHERE sum_amp(3) in [9.5, 10.5] MAX\n"
         )
+
+
+def test_sparse_scratch_preflight(spark, series_tiny, monkeypatch):
+    """r08 verdict item 5: the W→S path estimates spill BEFORE
+    dispatch (measured rule: spill onset ~34M candidates, ~0.5 GB/M
+    past it — BASELINE.md 'Third decade') and raises the typed
+    ScratchSpaceError instead of dying ENOSPC mid-shuffle."""
+    from query_refinement_dsit_databases_2021_spark.errors import (
+        ScratchSpaceError,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators import (
+        candidates as cand,
+    )
+
+    # pure decision core: below onset → no estimate, no raise
+    assert cand.sparse_scratch_preflight(1_000_000, 0) == 0
+    # above onset with room → returns the estimate
+    need = cand.sparse_scratch_preflight(100_000_000, 1 << 60)
+    assert need == 100_000_000 * cand.SPARSE_SCRATCH_BYTES_PER_CANDIDATE
+    # unknown probe (-1) skips rather than false-positives
+    assert cand.sparse_scratch_preflight(100_000_000, -1) == need
+    # above onset without room → typed error
+    with pytest.raises(ScratchSpaceError):
+        cand.sparse_scratch_preflight(100_000_000, 10**9)
+
+    # wired into _build_sparse: a domain product past the onset with a
+    # mocked tiny free-space probe fails fast, before any Spark job
+    monkeypatch.setattr(cand, "_free_scratch_bytes", lambda _s: 10**9)
+    big = _spec((1, 40_000_000), (1, 2), CONS_ALL[:1])
+    with pytest.raises(ScratchSpaceError):
+        build_candidates(series_tiny, big, 1, 40_000_000, "sparse")
+    # reference-sized domains are untouched by the mocked probe
+    small = _spec((1, 15), (0, 5), CONS_ALL[:1])
+    got = build_candidates(series_tiny, small, 1, 20, "sparse").collect()
+    assert len(got) > 0

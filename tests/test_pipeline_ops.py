@@ -292,6 +292,48 @@ def test_posting_advisor_flags_template_recommends_safe_cap(spark):
     assert adv_wo == plain_wo and len(adv_wo) == 1
 
 
+def test_advised_paths_release_caches_on_gc(spark):
+    """The advised forms persist their shingle/signature/fingerprint
+    frame for advisor+join reuse; the cache's lifetime is tied to the
+    returned frame (r08 verdict item 6) — after the caller
+    materializes and drops the result, no net persisted RDDs remain
+    (DataFrame.persist registers in the JVM CacheManager, which GC
+    never clears, so without the tie a long-lived session accumulates
+    caches until LRU eviction). Data is unique to this test: the JVM
+    CacheManager keys entries by logical plan, so reusing the shared
+    fixture would alias cache entries persisted (untied) by other
+    tests and make the count deltas order-dependent."""
+    import gc
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cachegc alpha beta gamma delta epsilon"),
+            (2, "cachegc alpha beta gamma delta epsilon"),
+            (3, "cachegc alpha beta gamma delta zeta"),
+            (4, "unrelated words entirely here instead now"),
+        ],
+        "doc_id long, text string",
+    )
+
+    def n_persistent() -> int:
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    gc.collect()
+    base = n_persistent()
+    for fn in (
+        dedup.minhash_lsh_pairs_advised,
+        dedup.ngram_jaccard_pairs_advised,
+        dedup.ngram_containment_pairs_advised,
+        dedup.winnow_pairs_advised,
+    ):
+        res = fn(docs)
+        res.collect()
+        assert n_persistent() > base, fn.__name__  # cache hot while held
+        del res
+        gc.collect()
+        assert n_persistent() == base, fn.__name__
+
+
 def test_simhash_exact_dup_hamming_zero(docs):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["hamming"]

@@ -164,9 +164,13 @@ def main() -> None:
                 for w in order:
                     # a transient per-query failure must not abort a
                     # multi-hour interleaved session: record and move on
+                    # RuntimeError: worker-reported query failure;
+                    # OSError/EOFError: the worker process itself died
+                    # mid-call and the pipe broke — both must be
+                    # recorded-and-skipped, not abort the session
                     try:
                         dt, _ = w.time(name)
-                    except RuntimeError as exc:
+                    except (RuntimeError, OSError, EOFError) as exc:
                         errors.append(
                             {"query": name, "side": w.label,
                              "rep": rep + 1, "err": str(exc)[:500]}

@@ -85,10 +85,16 @@ def gen_corpus(spark, path: str, n_events: int, n_files: int) -> None:
             .write.mode("append")
             .parquet(path)
         )
-        # the file source orders new files by modification time; a
-        # strictly increasing mtime sequence keeps trigger order ==
-        # event-time block order, like a real arrival log
-        time.sleep(0.02)
+        # the file source orders new files by modification time; set
+        # mtimes to an explicit strictly increasing sequence so
+        # trigger order == event-time block order even on filesystems
+        # with coarse (1 s) mtime granularity, where a sleep-based
+        # ordering ties arbitrarily and silently breaks the
+        # alerts-vs-rollup same-admitted-subset assumption
+        stamp = 1_700_000_000.0 + b
+        for f in glob.glob(os.path.join(path, "*.parquet")):
+            if os.path.getmtime(f) > stamp:
+                os.utime(f, (stamp, stamp))
 
 
 def file_to_batch(chk: str) -> dict[str, int]:
