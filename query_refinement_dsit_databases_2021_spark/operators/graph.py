@@ -945,6 +945,104 @@ FROM ne JOIN deg da ON da.n = ne.a JOIN deg db ON db.n = ne.b
 ORDER BY cn DESC, node_a, node_b LIMIT 20"""
 
 
+def resource_allocation(edges: DataFrame, k: int = 20) -> DataFrame:
+    """Link prediction by the Resource-Allocation index (Zhou, Lü &
+    Zhang 2009): for every NON-adjacent pair sharing ≥ 1 neighbor,
+    ``ra = Σ_{c ∈ N(a)∩N(b)} 1/deg(c)`` — the center-weighted
+    refinement of :func:`link_prediction`'s common-neighbor count that
+    discounts hub-mediated wedges (a shared million-degree hub carries
+    ~0 evidence; a shared degree-2 node carries 1/2). Adamic–Adar's
+    ``1/ln(deg)`` is float-transcendental and engine-divergent; RA's
+    ``1/deg`` keeps the repo's all-integer contract:
+    ``ra_ppm = Σ floor(1e6 / deg(c))`` — exact, bit-identical across
+    engines and partitionings.
+
+    Plan: the same Σ deg(c)² wedge enumeration as
+    :func:`link_prediction` with the CENTER degree broadcast-joined
+    before the (a, b) rollup (so the per-wedge weight is map-side),
+    one map-combinable groupBy, a left-anti join against the edge
+    set, and a global top-k. The 100 TB refinement is identical —
+    orient/cap hubs — and RA needs it LESS: capped hubs change
+    near-zero-weight wedges only.
+
+    Returns ``(node_a, node_b, cn, ra_ppm)``, top-k by
+    (ra_ppm desc, node_a, node_b).
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    adj = und.select(F.col("a").alias("n"), F.col("b").alias("nb")).unionByName(
+        und.select(F.col("b").alias("n"), F.col("a").alias("nb"))
+    )
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    w1 = adj.select(F.col("n").alias("c"), F.col("nb").alias("a"))
+    w2 = adj.select(F.col("n").alias("c"), F.col("nb").alias("b"))
+    scores = (
+        w1.join(w2, (w1.c == w2.c) & (F.col("a") < F.col("b")))
+        .join(F.broadcast(deg.select(F.col("n").alias("c"), "d")), "c")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum(F.expr("1000000 div d")).alias("ra_ppm"),
+        )
+    )
+    non_edges = scores.join(und, ["a", "b"], "left_anti")
+    return (
+        non_edges.select(
+            F.col("a").alias("node_a"),
+            F.col("b").alias("node_b"),
+            F.col("cn").cast("long").alias("cn"),
+            F.col("ra_ppm").cast("long").alias("ra_ppm"),
+        )
+        .orderBy(F.desc("ra_ppm"), "node_a", "node_b")
+        .limit(k)
+    )
+
+
+def _wl_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sell candidates, hub-discounted: same bulk co-purchase
+    graph as ``graph_link_prediction``, scored by RA instead of raw
+    common-neighbor count."""
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    li = spark.table("lineitem").where(
+        F.col("l_quantity") >= LINK_PRED_MIN_QTY
+    ).select("l_orderkey", "l_partkey")
+    r = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2"))
+    edges = li.join(r, (li.l_orderkey == r.o2) & (li.l_partkey < r.p2)).select(
+        F.col("l_partkey").alias("src"), F.col("p2").alias("dst")
+    )
+    return resource_allocation(edges)
+
+
+ORACLE_RESOURCE_ALLOC = f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem
+  WHERE l_quantity >= {LINK_PRED_MIN_QTY}),
+sp AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+adj AS (SELECT a AS n, b AS nb FROM sp UNION ALL SELECT b, a FROM sp),
+deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY n),
+sc AS (
+  SELECT w1.nb AS a, w2.nb AS b, CAST(count(*) AS BIGINT) AS cn,
+         CAST(sum(1000000 // deg.d) AS BIGINT) AS ra_ppm
+  FROM adj w1 JOIN adj w2 ON w1.n = w2.n AND w1.nb < w2.nb
+  JOIN deg ON deg.n = w1.n
+  GROUP BY w1.nb, w2.nb),
+ne AS (
+  SELECT sc.* FROM sc
+  WHERE NOT EXISTS (SELECT 1 FROM sp WHERE sp.a = sc.a AND sp.b = sc.b))
+SELECT a AS node_a, b AS node_b, cn, ra_ppm
+FROM ne ORDER BY ra_ppm DESC, node_a, node_b LIMIT 20"""
+
+
 def clustering_coefficient(edges: DataFrame) -> DataFrame:
     """Global clustering coefficient: ``3·triangles / wedges`` — the
     fraction of open two-paths that close, the second one-number
@@ -1847,6 +1945,9 @@ def graph_workloads():
         Workload("graph_bfs_levels", _wl_bfs, ORACLE_BFS),
         Workload(
             "graph_link_prediction", _wl_link_prediction, ORACLE_LINK_PREDICTION
+        ),
+        Workload(
+            "graph_resource_alloc", _wl_resource_alloc, ORACLE_RESOURCE_ALLOC
         ),
         Workload("graph_personalized_pagerank", _wl_ppr, ORACLE_PPR),
         Workload("graph_kcore", _wl_kcore, ORACLE_KCORE),

@@ -2497,6 +2497,19 @@ def ivfpq_rerank_topk(
     shortlist = ivfpq_topk(
         emb, n_queries, c, centroid_ids, nprobe, codeword_ids, m, dim
     ).select("q_id", "vec_id")
+    return _exact_rerank(shortlist, emb, n_queries, k)
+
+
+def _exact_rerank(
+    shortlist: DataFrame, emb: DataFrame, n_queries: int, k: int
+) -> DataFrame:
+    """EXACT squared-L2 rerank of a (q_id, vec_id) shortlist against
+    the raw vectors — the recall-recovery half of IVFADC-R, shared by
+    the inline (:func:`ivfpq_rerank_topk`) and layout-served
+    (:func:`ivfpq_rerank_from_layout`) forms. The rerank join is
+    shortlist-sized (n_queries · c rows) against the corpus — a
+    broadcast-able equi-join at any corpus scale; the query side stays
+    a pushed-down ``vec_id < n_queries`` scan."""
     v = _as_double(F.col("embedding"))
     base = emb.select("vec_id", v.alias("v"))
     q = base.where(F.col("vec_id") < n_queries).select(
@@ -2707,6 +2720,34 @@ def ivfpq_topk_from_layout(
     )
 
 
+def ivfpq_rerank_from_layout(
+    spark,
+    path: str,
+    emb: DataFrame,
+    n_queries: int = N_QUERIES,
+    k: int = TOP_K,
+    c: int = IVFPQ_RERANK_SHORTLIST,
+    nprobe: int = IVFPQ_RERANK_NPROBE,
+    m: int = PQ_M,
+    dim: int = DIM,
+) -> DataFrame:
+    """IVFADC-R served from a :func:`write_ivfpq_layout` index — the
+    production shape of :func:`ivfpq_rerank_topk`: the ADC shortlist
+    (k = c) comes from the partition-pruned CODES scan
+    (:func:`ivfpq_topk_from_layout` — no per-search assignment or
+    encode), then :func:`_exact_rerank` recovers the recall the
+    int-coded ordering loses to quantization noise with one
+    shortlist-sized join against the raw vectors. Output is identical
+    to the inline form when the layout was built with the same
+    codebooks (parity test-pinned); at 10M vectors this is the
+    serving-tier recall referee path (ann_scale.csv)."""
+    queries = emb.where(F.col("vec_id") < n_queries)
+    shortlist = ivfpq_topk_from_layout(
+        spark, path, queries, k=c, nprobe=nprobe, m=m, dim=dim
+    ).select("q_id", "vec_id")
+    return _exact_rerank(shortlist, emb, n_queries, k)
+
+
 def _emb(spark, sf_dir):
     from query_refinement_dsit_databases_2021_spark.workloads import register_views
 
@@ -2729,11 +2770,20 @@ def _wl_ivfpq_serve(spark, sf_dir):
     serve a layout built from different data. Builds land in a temp
     sibling and are atomically renamed into place so a concurrent
     builder can't expose a half-written layout."""
+    emb = _emb(spark, sf_dir)
+    path = _cached_layout_path(emb, sf_dir)
+    queries = emb.where(F.col("vec_id") < N_QUERIES)
+    return ivfpq_topk_from_layout(spark, path, queries).orderBy("q_id", "rank")
+
+
+def _cached_layout_path(emb: DataFrame, sf_dir: str) -> str:
+    """Build-once IVF-PQ layout for a sf_dir (see
+    :func:`_wl_ivfpq_serve`'s contract docstring): fingerprinted by
+    absolute path + source (mtime, size), atomically published."""
     import hashlib
     import os
     import shutil
 
-    emb = _emb(spark, sf_dir)
     root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
@@ -2758,8 +2808,17 @@ def _wl_ivfpq_serve(spark, sf_dir):
             # another builder won the race; its layout has the same
             # fingerprint, so serving from it is equivalent
             shutil.rmtree(tmp_root, ignore_errors=True)
-    queries = emb.where(F.col("vec_id") < N_QUERIES)
-    return ivfpq_topk_from_layout(spark, path, queries).orderBy("q_id", "rank")
+    return path
+
+
+def _wl_ivfpq_rerank_serve(spark, sf_dir):
+    """IVFADC-R from the materialized layout (build amortized exactly
+    as ``pipe_ann_ivfpq_serve``): ADC shortlist from the pruned codes
+    scan, exact rerank of the shortlist only. Output — and oracle —
+    identical to the inline ``pipe_ann_ivfpq_rerank``."""
+    emb = _emb(spark, sf_dir)
+    path = _cached_layout_path(emb, sf_dir)
+    return ivfpq_rerank_from_layout(spark, path, emb).orderBy("q_id", "rank")
 
 
 def _wl_filtered_topk(spark, sf_dir):
@@ -3188,6 +3247,16 @@ def simsearch_workloads():
             lambda spark, sf_dir: ivfpq_rerank_topk(
                 _emb(spark, sf_dir)
             ).orderBy("q_id", "rank"),
+            oracle_ivfpq_rerank_topk(),
+            False,
+        ),
+        Workload(
+            # IVFADC-R from the MATERIALIZED layout (r09): the
+            # production serving shape of the rerank tier — pruned
+            # codes scan shortlists, exact rerank recovers recall;
+            # same oracle as the inline form
+            "pipe_ann_ivfpq_rerank_serve",
+            _wl_ivfpq_rerank_serve,
             oracle_ivfpq_rerank_topk(),
             False,
         ),

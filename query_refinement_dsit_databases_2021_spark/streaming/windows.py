@@ -786,7 +786,323 @@ def streaming_workloads():
             ORACLE_WINDOWED_ALERTS,
             False,
         ),
+        Workload(
+            "stream_admission_sim",
+            _wl_admission_sim,
+            ORACLE_ADMISSION_SIM,
+            False,
+        ),
     ]
+
+
+ADMISSION_BATCH_ROWS = 1000  # arrival rows per simulated trigger
+ADMISSION_DELAY_MS = 5 * 60_000
+ADMISSION_WINDOW_MS = 10 * 60_000
+
+
+def admission_sim(
+    events: DataFrame,
+    batch_rows: int = ADMISSION_BATCH_ROWS,
+    delay_ms: int = ADMISSION_DELAY_MS,
+    window_ms: int = ADMISSION_WINDOW_MS,
+) -> DataFrame:
+    """Watermark-admission accounting as a BATCH replay of Spark's
+    trigger-granular rule — the oracle-checkable face of
+    :func:`late_drop_audit` (which needs a real checkpoint): arrival
+    order is the ``event_id`` ingestion offset, rows group into
+    simulated triggers of ``batch_rows``, the watermark in force for a
+    trigger is the max event time of all EARLIER triggers minus the
+    delay (exactly the re-derivation rule
+    :func:`planned_watermarks_ms` self-checks against the offsets
+    log), and a row is admitted iff its tumbling ``window_ms`` window
+    END is above that watermark. All arithmetic is integer epoch-ms.
+
+    Returns one row per ``event_type``: ``(event_type, n, n_admitted,
+    n_dropped_late)``, ordered by type.
+
+    Plan: ONE map-combinable per-trigger max, a running max over the
+    bounded trigger frame (|triggers| = n/batch_rows rows — the only
+    window sort, never corpus-scale), broadcast back, then one
+    map-side admission flag + groupBy(event_type). No corpus-scale
+    sort, no skew: at 100 TB the trigger frame is still metadata-sized
+    relative to the events scan."""
+    ms = (F.unix_micros(F.col("ts").cast("timestamp")) / 1000).cast("long")
+    ev = events.select(
+        "event_type",
+        ms.alias("ms"),
+        F.expr(f"event_id div {batch_rows}").alias("b"),
+    )
+    bmax = ev.groupBy("b").agg(F.max("ms").alias("mx"))
+    w_prev = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wm = bmax.select(
+        "b",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.coalesce(F.max("mx").over(w_prev) - delay_ms, F.lit(0)),
+        ).alias("wm"),
+    )
+    win_end = (F.expr(f"ms div {window_ms}") + 1) * window_ms
+    admitted = (win_end > F.col("wm")).cast("long")
+    return (
+        ev.join(F.broadcast(wm), "b")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(admitted).alias("n_admitted"),
+            (F.count(F.lit(1)) - F.sum(admitted)).alias("n_dropped_late"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_ADMISSION_SIM = f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 1000 AS ms,
+         event_id // {ADMISSION_BATCH_ROWS} AS b
+  FROM events),
+bmax AS (SELECT b, max(ms) AS mx FROM ev GROUP BY b),
+wm AS (
+  SELECT b, greatest(0, coalesce(max(mx) OVER (
+           ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - {ADMISSION_DELAY_MS}, 0)) AS wm
+  FROM bmax)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN (ms // {ADMISSION_WINDOW_MS} + 1)
+                          * {ADMISSION_WINDOW_MS} > wm
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+       CAST(count(*) - sum(CASE WHEN (ms // {ADMISSION_WINDOW_MS} + 1)
+                                    * {ADMISSION_WINDOW_MS} > wm
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_late
+FROM ev JOIN wm USING (b)
+GROUP BY event_type ORDER BY event_type"""
+
+
+def _wl_admission_sim(spark, sf_dir):
+    return admission_sim(_events(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Late-data audit: reconstruct what the watermark dropped from the
+# checkpoint logs (r08 verdict item 8). The built-in
+# `numRowsDroppedByWatermark` metric counts ONLY state-operator drops;
+# the map-side late filter (the pre-shuffle twin Spark plants in front
+# of the shuffle) drops most late rows WITHOUT incrementing it — the
+# measured undercount on the 2M-event harness was ~680× (2,128
+# reported vs 1,446,087 reconstructed bit-exactly,
+# stream_late_drop.csv). These operators make the offsets-log
+# reconstruction — the ONLY trustworthy late-data accounting — a
+# first-class library surface instead of a one-off harness.
+# ---------------------------------------------------------------------------
+
+
+def checkpoint_file_batches(checkpoint_dir: str) -> dict[str, int]:
+    """File-source checkpoint log → {file path: batchId that consumed
+    it}. The log COMPACTS every 10 batches (plain digit files replaced
+    by ``N.compact`` holding the union, each entry carrying its
+    original ``batchId``) — both forms are parsed, else every 10th
+    batch's files silently vanish from the mapping."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    out: dict[str, int] = {}
+    for p in _glob.glob(_os.path.join(checkpoint_dir, "sources", "0", "*")):
+        name = _os.path.basename(p)
+        base = name[: -len(".compact")] if name.endswith(".compact") else name
+        if not base.isdigit():
+            continue
+        b = int(base)
+        with open(p) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or line.startswith("v"):
+                    continue
+                entry = _json.loads(line)
+                out[entry["path"]] = int(entry.get("batchId", b))
+    return out
+
+
+def checkpoint_batch_watermarks_ms(checkpoint_dir: str) -> dict[int, int]:
+    """Offsets log → {batchId: batchWatermarkMs} — the watermark
+    PLANNED for batch b (computed from data through b−1; used for
+    state eviction in b). The late-events filter in batch b uses the
+    PREVIOUS batch's value (Spark's two-watermark design, SPARK-24634)
+    — consumers shift by one. The log retains only the last ~100
+    batches; :func:`planned_watermarks_ms` re-derives the full history
+    and self-checks against whatever IS retained."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    out: dict[int, int] = {}
+    for p in _glob.glob(_os.path.join(checkpoint_dir, "offsets", "*")):
+        name = _os.path.basename(p)
+        if not name.isdigit():
+            continue
+        with open(p) as fh:
+            lines = fh.read().splitlines()
+        if len(lines) >= 2:
+            out[int(name)] = int(
+                _json.loads(lines[1]).get("batchWatermarkMs", 0)
+            )
+    return out
+
+
+def planned_watermarks_ms(
+    batch_max_event_ms: dict[int, int],
+    delay_ms: int,
+    logged: dict[int, int] | None = None,
+) -> dict[int, int]:
+    """Re-derive the planned watermark per batch from per-batch max
+    event time (ms — Spark's event-time stats floor micros to millis):
+    exactly Spark's update rule, ``wm(b) = max event-time ms through
+    b−1, minus delay, floored at 0``. When ``logged`` (retained
+    offsets entries) is given, every overlapping batch is checked
+    bit-for-bit — a mismatch raises, because a silently wrong
+    watermark history would fabricate the audit."""
+    batches = sorted(batch_max_event_ms)
+    planned: dict[int, int] = {}
+    running = 0
+    for b in batches:
+        planned[b] = max(0, running - delay_ms) if running else 0
+        running = max(running, batch_max_event_ms[b])
+    if batches:
+        planned[batches[-1] + 1] = max(0, running - delay_ms)
+    if logged:
+        bad = {
+            b: (logged[b], planned.get(b))
+            for b in logged
+            if b in planned and logged[b] != planned[b]
+        }
+        if bad:
+            raise ValueError(
+                f"watermark re-derivation disagrees with offsets log: {bad}"
+            )
+    return planned
+
+
+def _delay_to_ms(delay: str | int) -> int:
+    if isinstance(delay, int):
+        return delay
+    qty, unit = delay.split(None, 1)
+    unit = unit.strip().rstrip("s")
+    scale = {"millisecond": 1, "second": 1000, "minute": 60_000,
+             "hour": 3_600_000, "day": 86_400_000}[unit]
+    return int(qty) * scale
+
+
+def admitted_events(
+    events: DataFrame,
+    checkpoint_dir: str,
+    delay: str | int,
+    window_duration: str,
+    time_col: str = "ts",
+) -> DataFrame:
+    """The rows a file-source windowed-aggregation stream ADMITTED —
+    exact, not approximated: ``events`` is the same source path read
+    as a batch frame; each row maps to its consuming trigger through
+    the checkpoint's file→batch log, and is admitted iff its window
+    END exceeds the late-events watermark of that trigger (the
+    watermark planned for the previous batch — the L=1 shift the
+    harness fitted 112/112 bit-exact). File-URI spellings are
+    normalized on both sides (``input_file_name`` and the checkpoint
+    log can disagree on ``file:/`` vs ``file:///``).
+
+    The mapping side is one bounded |files|-row local build broadcast
+    into the join; the events side never shuffles — at 100 TB this is
+    a map-only filter over the source scan."""
+    import re as _re
+
+    spark = events.sparkSession
+    delay_ms = _delay_to_ms(delay)
+    f2b = {
+        _re.sub("^file:/+", "/", p): b
+        for p, b in checkpoint_file_batches(checkpoint_dir).items()
+    }
+    if not f2b:
+        raise ValueError(f"no file-source log under {checkpoint_dir!r}")
+    ev = events.withColumn(
+        "_file", F.regexp_replace(F.input_file_name(), "^file:/+", "/")
+    )
+    # per-file max event time in ms: bounded |files|-row collect
+    per_file_max = {
+        r["_file"]: int(r["mx"])
+        for r in ev.groupBy("_file")
+        .agg(
+            (F.max(F.unix_micros(F.col(time_col).cast("timestamp"))) / 1000)
+            .cast("long")
+            .alias("mx")
+        )
+        .collect()
+    }
+    bmax: dict[int, int] = {}
+    for p, b in f2b.items():
+        if p in per_file_max:
+            bmax[b] = max(bmax.get(b, 0), per_file_max[p])
+    planned = planned_watermarks_ms(
+        bmax, delay_ms, logged=checkpoint_batch_watermarks_ms(checkpoint_dir)
+    )
+    rows = [(p, b, planned.get(b - 1, 0)) for p, b in f2b.items()]
+    m = spark.createDataFrame(
+        rows, "_file string, _batch int, _wm_ms long"
+    )
+    win_end = F.window(F.col(time_col), window_duration).end
+    return (
+        ev.join(F.broadcast(m), "_file")
+        .where(win_end > F.timestamp_millis(F.col("_wm_ms")))
+        .drop("_file", "_batch", "_wm_ms")
+    )
+
+
+def late_drop_audit(
+    events: DataFrame,
+    checkpoint_dir: str,
+    delay: str | int,
+    window_duration: str,
+    time_col: str = "ts",
+) -> DataFrame:
+    """ONE-row late-data accounting for a finished (or quiesced)
+    file-source windowed stream: how many source rows the watermark
+    actually dropped, reconstructed from the checkpoint logs — the
+    number ``numRowsDroppedByWatermark`` undercounts ~680× because the
+    map-side late filter is invisible to it. Returns
+    ``(n_files, n_batches, final_watermark_ms, rows_total,
+    rows_admitted, rows_dropped_late)``; production guidance is to run
+    this after every stream epoch and alert on drift, never to trust
+    the metric."""
+    import re as _re
+
+    spark = events.sparkSession
+    f2b = checkpoint_file_batches(checkpoint_dir)
+    adm = admitted_events(
+        events, checkpoint_dir, delay, window_duration, time_col
+    )
+    final_wm = max(
+        checkpoint_batch_watermarks_ms(checkpoint_dir).values() or [0]
+    )
+    files = spark.createDataFrame(
+        [(_re.sub("^file:/+", "/", p),) for p in f2b], "_file string"
+    )
+    ev = events.withColumn(
+        "_file", F.regexp_replace(F.input_file_name(), "^file:/+", "/")
+    ).join(F.broadcast(files), "_file")
+    totals = ev.agg(F.count(F.lit(1)).alias("rows_total"))
+    admitted = adm.agg(F.count(F.lit(1)).alias("rows_admitted"))
+    return (
+        totals.crossJoin(F.broadcast(admitted))
+        .select(
+            F.lit(len(f2b)).alias("n_files"),
+            F.lit(len(set(f2b.values()))).alias("n_batches"),
+            F.lit(final_wm).cast("long").alias("final_watermark_ms"),
+            "rows_total",
+            "rows_admitted",
+            (F.col("rows_total") - F.col("rows_admitted")).alias(
+                "rows_dropped_late"
+            ),
+        )
+    )
 
 
 def run_to_memory_sink(

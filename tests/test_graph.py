@@ -532,3 +532,36 @@ def test_harmonic_zero_reach_seed_omitted(spark):
     )
     rows = harmonic_centrality_sampled(edges, seeds=(1, 999)).collect()
     assert [r["seed"] for r in rows] == [1]
+
+
+def test_resource_allocation_hand_graph(spark):
+    """RA index on a hand graph: edges (1,2),(2,3),(3,4),(2,4) —
+    non-adjacent pairs are (1,3) and (1,4), each through the single
+    center 2 with deg(2)=3, so ra_ppm = floor(1e6/3) = 333333; a
+    second graph shows hub discounting: the pair sharing a degree-2
+    center outranks the pair sharing a degree-4 hub even at equal
+    common-neighbor count."""
+    from query_refinement_dsit_databases_2021_spark.operators.graph import (
+        resource_allocation,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (2, 4)], "src long, dst long"
+    )
+    rows = {
+        (r["node_a"], r["node_b"]): (r["cn"], r["ra_ppm"])
+        for r in resource_allocation(edges).collect()
+    }
+    assert rows == {(1, 3): (1, 333333), (1, 4): (1, 333333)}
+
+    # hub graph: center 10 links 1,2,3,4 (deg 4); center 20 links 5,6
+    # (deg 2). cn=1 for (1,2)... via 10 and (5,6) via 20; RA ranks
+    # (5,6) (500000) above every hub-mediated pair (250000)
+    hub = spark.createDataFrame(
+        [(10, 1), (10, 2), (10, 3), (10, 4), (20, 5), (20, 6)],
+        "src long, dst long",
+    )
+    ranked = resource_allocation(hub).collect()
+    assert (ranked[0]["node_a"], ranked[0]["node_b"]) == (5, 6)
+    assert ranked[0]["ra_ppm"] == 500000
+    assert all(r["ra_ppm"] == 250000 for r in ranked[1:])

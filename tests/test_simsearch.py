@@ -895,3 +895,27 @@ def test_kcenter_select_hand_graph(spark):
         (2, 3, 50000000),
         (3, 4, 50000),
     ], got
+
+
+def test_ivfpq_rerank_from_layout_matches_inline(spark, tmp_path):
+    """ivfpq_rerank_from_layout (r09: IVFADC-R served from the
+    materialized layout) ≡ the inline ivfpq_rerank_topk bit-for-bit:
+    same ADC shortlist (layout-serve parity is already pinned above),
+    same exact-L2 rerank, same (d2_micro, vec_id) tie-breaks."""
+    from query_refinement_dsit_databases_2021_spark.operators.simsearch import (
+        ivfpq_rerank_from_layout,
+        ivfpq_rerank_topk,
+        write_ivfpq_layout,
+    )
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, SF_DIR)
+    emb = spark.table("embeddings")
+    path = str(tmp_path / "ivfpq_layout")
+    write_ivfpq_layout(emb, path)
+
+    got = sorted(
+        tuple(r) for r in ivfpq_rerank_from_layout(spark, path, emb).collect()
+    )
+    want = sorted(tuple(r) for r in ivfpq_rerank_topk(emb).collect())
+    assert got == want and len(got) > 0

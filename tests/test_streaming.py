@@ -500,3 +500,209 @@ def test_windowed_alerts_stream_matches_batch_finalized(spark, events_dir):
         for r in W.windowed_alerts(batch, baseline).collect()
     }
     assert set(got) <= batch_all
+
+
+def _write_block(spark, dirpath, name, rows, stamp):
+    """One parquet file with given (ts, event_type, value) rows and an
+    explicit mtime so the file source's mtime ordering is exact."""
+    import glob
+    import os
+
+    tmp = f"{dirpath}_tmp_{name}"
+    spark.createDataFrame(
+        rows, "ts timestamp, event_type string, value double"
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    src = glob.glob(f"{tmp}/part-*.parquet")[0]
+    dst = os.path.join(dirpath, f"{name}.parquet")
+    os.rename(src, dst)
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.utime(dst, (stamp, stamp))
+    return dst
+
+
+def test_late_drop_audit_synthetic_checkpoint(spark, tmp_path):
+    """r08 verdict item 8: the offsets-log reconstruction as a library
+    operator, pinned on a fully synthetic checkpoint with hand-computed
+    drop counts. 4 one-batch files, 10-minute windows, 5-minute delay;
+    the 3 late rows in batch 3 (ts 00:01, window end 00:10) fall below
+    that batch's late-events watermark (planned(2) = 00:19:30 − 5 min
+    = 00:14:30 — the L=1 shift) and are dropped; every other row's
+    window end is ahead of its batch's watermark. Also exercises the
+    compaction-aware source-log parse and the bit-for-bit offsets
+    self-check (a corrupted entry must raise, not silently fabricate
+    the audit)."""
+    import json
+    import os
+    from datetime import datetime, timedelta
+
+    base = datetime(2026, 1, 1, 0, 0, 0)
+    ev_dir = str(tmp_path / "events")
+    os.makedirs(ev_dir)
+    files = []
+    for b in range(4):
+        rows = [
+            (base + timedelta(minutes=10 * b + m, seconds=30), "a", 1.0)
+            for m in range(10)
+        ]  # block max = 00:{10b+9}:30
+        if b == 3:
+            rows += [(base + timedelta(minutes=1), "a", 1.0)] * 3  # late
+        files.append(
+            _write_block(spark, ev_dir, f"{b:04d}", rows, 1_700_000_000 + b)
+        )
+
+    chk = str(tmp_path / "chk")
+    os.makedirs(os.path.join(chk, "sources", "0"))
+    os.makedirs(os.path.join(chk, "offsets"))
+    # batches 0-1 live in a compact file (entries carry batchId),
+    # batches 2-3 as plain digit files — both forms must parse
+    with open(os.path.join(chk, "sources", "0", "1.compact"), "w") as f:
+        f.write("v1\n")
+        for b in (0, 1):
+            f.write(
+                json.dumps(
+                    {"path": f"file://{files[b]}", "timestamp": b, "batchId": b}
+                )
+                + "\n"
+            )
+    for b in (2, 3):
+        with open(os.path.join(chk, "sources", "0", str(b)), "w") as f:
+            f.write("v1\n")
+            f.write(
+                json.dumps(
+                    {"path": f"file://{files[b]}", "timestamp": b, "batchId": b}
+                )
+                + "\n"
+            )
+    # offsets retained only for batches 2-3 (the real log keeps ~100);
+    # values follow Spark's rule: wm(b) = max-event-ms through b-1 - delay
+    def block_max_ms(b):
+        dt = base + timedelta(minutes=10 * b + 9, seconds=30)
+        return int(dt.timestamp() * 1000)
+
+    for b, wm in ((2, block_max_ms(1) - 300_000), (3, block_max_ms(2) - 300_000)):
+        with open(os.path.join(chk, "offsets", str(b)), "w") as f:
+            f.write("v1\n")
+            f.write(json.dumps({"batchWatermarkMs": wm}) + "\n")
+            f.write(json.dumps({"logOffset": b}) + "\n")
+
+    events = spark.read.parquet(ev_dir)
+    audit = W.late_drop_audit(events, chk, "5 minutes", "10 minutes").collect()
+    assert len(audit) == 1
+    a = audit[0]
+    assert a["n_files"] == 4 and a["n_batches"] == 4
+    assert a["rows_total"] == 43
+    assert a["rows_admitted"] == 40
+    assert a["rows_dropped_late"] == 3
+    assert a["final_watermark_ms"] == block_max_ms(2) - 300_000
+
+    adm = W.admitted_events(events, chk, "5 minutes", "10 minutes")
+    assert adm.count() == 40
+    # the 3 late copies are exactly what's missing
+    assert (
+        events.count() - adm.where(F.col("ts") == base + timedelta(minutes=1))
+        .count()
+        == 43 - 0
+    )
+
+    # corrupted offsets entry -> the self-check raises, never fabricates
+    with open(os.path.join(chk, "offsets", "3"), "w") as f:
+        f.write("v1\n")
+        f.write(json.dumps({"batchWatermarkMs": 123}) + "\n")
+    with pytest.raises(ValueError, match="disagrees"):
+        W.late_drop_audit(events, chk, "5 minutes", "10 minutes").collect()
+
+
+def test_late_drop_audit_parity_on_real_stream(spark, tmp_path):
+    """End-to-end contract on a REAL checkpoint: run windowed_rollup in
+    append mode over mtime-ordered one-minute files with genuinely late
+    rows, then (1) the audit must find drops the metric famously
+    undercounts, and (2) the append output restricted to finalized
+    windows must bit-equal the batch rollup over admitted_events — the
+    same parity statement stream_late_drop.csv records at 2M events."""
+    import os
+    from datetime import datetime, timedelta
+
+    base = datetime(2026, 1, 1, 0, 0, 0)
+    ev_dir = str(tmp_path / "events")
+    os.makedirs(ev_dir)
+    for b in range(6):
+        rows = [
+            (
+                base + timedelta(minutes=10 * b, seconds=30 * i),
+                f"type{i % 2}",
+                float(i),
+            )
+            for i in range(19)
+        ]
+        if b >= 3:
+            rows += [
+                (base + timedelta(minutes=1, seconds=b), "type0", 5.0)
+                for _ in range(5)
+            ]
+        _write_block(spark, ev_dir, f"{b:04d}", rows, 1_700_000_000 + b)
+
+    chk = str(tmp_path / "chk")
+    stream = W.read_event_stream(spark, ev_dir, max_files_per_trigger=1)
+    q = (
+        W.windowed_rollup(stream, watermark="5 minutes")
+        .writeStream.format("memory")
+        .queryName("ld_parity")
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    events = spark.read.parquet(ev_dir)
+    a = W.late_drop_audit(events, chk, "5 minutes", "10 minutes").collect()[0]
+    assert a["rows_dropped_late"] >= 15  # the planted late rows
+    assert a["rows_admitted"] + a["rows_dropped_late"] == a["rows_total"]
+
+    adm = W.admitted_events(events, chk, "5 minutes", "10 minutes")
+    want = sorted(
+        tuple(r)
+        for r in W.windowed_rollup(adm)
+        .where(
+            F.col("window_start") + F.expr("INTERVAL 10 MINUTES")
+            <= F.timestamp_millis(F.lit(a["final_watermark_ms"]))
+        )
+        .collect()
+    )
+    got = sorted(tuple(r) for r in spark.table("ld_parity").collect())
+    assert got == want and len(got) > 0
+
+
+def test_admission_sim_hand_checked(spark):
+    """admission_sim on a 3-trigger hand-computed frame: trigger
+    watermarks are prior-trigger maxima minus delay; a row is dropped
+    iff its window END falls at or below the watermark in force."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2026, 1, 1, 0, 0, 0)
+
+    def ev(i, minutes, typ):
+        return (i, base + timedelta(minutes=minutes), typ)
+
+    rows = [
+        # trigger 0 (event_id 0-1): wm = 0 -> everything admitted
+        ev(0, 0, "a"),
+        ev(1, 9, "a"),  # running max 00:09
+        # trigger 1 (2-3): wm = 00:09 - 5 = 00:04; window ends are
+        # 00:20 and 00:10, both > wm -> admitted
+        ev(2, 12, "a"),
+        ev(3, 1, "b"),  # late but window [0,10) end 00:10 > 00:04
+        # trigger 2 (4-5): wm = 00:12 - 5 = 00:07; the minute-1 row's
+        # window end 00:10 > 00:07 admitted, the minute-(-15) row's
+        # window [-20,-10) end 23:50 prev day <= wm -> DROPPED
+        ev(4, 1, "b"),
+        ev(5, -15, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r["event_type"]: (r["n"], r["n_admitted"], r["n_dropped_late"])
+        for r in W.admission_sim(df, batch_rows=2).collect()
+    }
+    assert got == {"a": (3, 3, 0), "b": (3, 2, 1)}

@@ -53,6 +53,27 @@ def main() -> int:
     ap.add_argument("--cpus", type=int, default=24)
     ap.add_argument("--data-root", default="/tmp/ann_scale")
     ap.add_argument("--out", default="ann_scale.csv")
+    ap.add_argument(
+        "--ncells",
+        type=int,
+        default=0,
+        help="override IVF centroid count (0 = shipped 24-cell "
+        "default). The centroid list is literal-inlined into the cell "
+        "projection, so this is the constant that must be re-examined "
+        "as n grows (r08 verdict item 4)",
+    )
+    ap.add_argument(
+        "--nprobe",
+        type=int,
+        default=0,
+        help="override serve nprobe (0 = shipped default 12)",
+    )
+    ap.add_argument(
+        "--skip-brute",
+        action="store_true",
+        help="skip the standalone brute/ivf timing passes (the recall "
+        "referee still runs its own brute pass)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(
@@ -62,6 +83,10 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    ncells = args.ncells or len(simsearch.IVF_CENTROID_IDS)
+    centroid_ids = tuple(100 + 16 * i for i in range(ncells))
+    nprobe = args.nprobe or simsearch.IVF_NPROBE
+
     rows = []
     for n in (int(s) for s in args.sizes.split(",")):
         path = os.path.join(args.data_root, f"n{n}", "embeddings.parquet")
@@ -69,37 +94,66 @@ def main() -> int:
             synthesize(spark, n).write.mode("overwrite").parquet(path)
         emb = spark.read.parquet(path)
 
-        t0 = time.time()
-        n_brute = simsearch.cosine_topk(emb).count()
-        t_brute = time.time() - t0
-        spark.catalog.clearCache()
+        t_brute = t_ivf = None
+        n_brute = n_ivf = None
+        if not args.skip_brute:
+            t0 = time.time()
+            n_brute = simsearch.cosine_topk(emb).count()
+            t_brute = time.time() - t0
+            spark.catalog.clearCache()
 
-        t0 = time.time()
-        n_ivf = simsearch.ivf_ann_topk(emb).count()
-        t_ivf = time.time() - t0
-        spark.catalog.clearCache()
+            t0 = time.time()
+            n_ivf = simsearch.ivf_ann_topk(emb).count()
+            t_ivf = time.time() - t0
+            spark.catalog.clearCache()
 
-        layout = os.path.join(args.data_root, f"n{n}", "ivfpq_layout")
+        layout = os.path.join(
+            args.data_root, f"n{n}", f"ivfpq_layout_c{ncells}"
+        )
         shutil.rmtree(layout, ignore_errors=True)
+        shutil.rmtree(f"{layout}__centroids", ignore_errors=True)
+        shutil.rmtree(f"{layout}__codewords", ignore_errors=True)
         t0 = time.time()
-        simsearch.write_ivfpq_layout(emb, layout)
+        simsearch.write_ivfpq_layout(emb, layout, centroid_ids=centroid_ids)
         t_build = time.time() - t0
         spark.catalog.clearCache()
 
         queries = emb.where(F.col("vec_id") < simsearch.N_QUERIES)
         t0 = time.time()
         n_serve = simsearch.ivfpq_topk_from_layout(
-            spark, layout, queries
+            spark, layout, queries, nprobe=nprobe
         ).count()
         t_serve = time.time() - t0
         spark.catalog.clearCache()
 
+        # recall referee (r08 verdict item 4): brute-force exact top-k
+        # over the SAME sampled query set, intersected with the served
+        # ranks — integer-exact recall@k, no floats
+        t0 = time.time()
+        truth = {
+            (int(r["q_id"]), int(r["vec_id"]))
+            for r in simsearch.cosine_topk(emb).collect()
+        }
+        t_referee = time.time() - t0
+        served = {
+            (int(r["q_id"]), int(r["vec_id"]))
+            for r in simsearch.ivfpq_topk_from_layout(
+                spark, layout, queries, nprobe=nprobe
+            ).collect()
+        }
+        recall = len(truth & served) / len(truth) if truth else None
+        spark.catalog.clearCache()
+
         row = {
             "n_vectors": n,
-            "brute_s": round(t_brute, 1),
-            "ivf_s": round(t_ivf, 1),
+            "ncells": ncells,
+            "nprobe": nprobe,
+            "brute_s": t_brute if t_brute is None else round(t_brute, 1),
+            "ivf_s": t_ivf if t_ivf is None else round(t_ivf, 1),
             "ivfpq_build_s": round(t_build, 1),
             "ivfpq_serve_s": round(t_serve, 1),
+            "recall_at_k": None if recall is None else round(recall, 4),
+            "referee_s": round(t_referee, 1),
             "rows": (n_brute, n_ivf, n_serve),
         }
         rows.append(row)
