@@ -128,7 +128,9 @@ def main() -> int:
 
         # recall referee (r08 verdict item 4): brute-force exact top-k
         # over the SAME sampled query set, intersected with the served
-        # ranks — integer-exact recall@k, no floats
+        # ranks — integer-exact recall@k, no floats. Measured for BOTH
+        # serving tiers: raw ADC (quantization-noise-bound) and
+        # IVFADC-R (rerank recovers to the probed-cells bound)
         t0 = time.time()
         truth = {
             (int(r["q_id"]), int(r["vec_id"]))
@@ -144,6 +146,17 @@ def main() -> int:
         recall = len(truth & served) / len(truth) if truth else None
         spark.catalog.clearCache()
 
+        t0 = time.time()
+        reranked = {
+            (int(r["q_id"]), int(r["vec_id"]))
+            for r in simsearch.ivfpq_rerank_from_layout(
+                spark, layout, emb, nprobe=max(nprobe, 16)
+            ).collect()
+        }
+        t_rerank = time.time() - t0
+        recall_rr = len(truth & reranked) / len(truth) if truth else None
+        spark.catalog.clearCache()
+
         row = {
             "n_vectors": n,
             "ncells": ncells,
@@ -153,6 +166,8 @@ def main() -> int:
             "ivfpq_build_s": round(t_build, 1),
             "ivfpq_serve_s": round(t_serve, 1),
             "recall_at_k": None if recall is None else round(recall, 4),
+            "rerank_serve_s": round(t_rerank, 1),
+            "recall_rerank": None if recall_rr is None else round(recall_rr, 4),
             "referee_s": round(t_referee, 1),
             "rows": (n_brute, n_ivf, n_serve),
         }

@@ -368,6 +368,56 @@ NOTES = {
         "map-combinable aggregates, the log2 bucket via the "
         "binary-string-length projection."
     ),
+    "pipe_dedup_posting_advisor": (
+        "The one-pass cap advisor in front of the O(Σ postings²) "
+        "family: shingles → ONE map-combinable per-shingle count agg, "
+        "count-of-counts histogram for the median (window over the "
+        "bounded histogram frame, never the corpus), decimal(38) ppm "
+        "shares. No self-join anywhere in the plan — that is the "
+        "point."
+    ),
+    "pipe_dedup_jaccard_advised": (
+        "The family's headline adaptive shape: the advisor's bounded "
+        "1-row collect has already fired when this plan is captured, "
+        "so the tree is the CHOSEN branch — the posting-capped "
+        "window-filtered inverted-index self-join, shingle frame "
+        "reused from the advisor's cache (InMemoryTableScan)."
+    ),
+    "pipe_dedup_containment_advised": (
+        "Same advisor dispatch and cached shingle scan as the "
+        "jaccard-advised plan; the join differs only in the "
+        "denominator (min size, containment ppm)."
+    ),
+    "pipe_dedup_winnow_advised": (
+        "The advisor re-keyed to winnow fingerprints: posexplode + "
+        "per-doc window selects fingerprints once (cached), the "
+        "capped self-join consumes the same cache."
+    ),
+    "pipe_ann_ivf_multiassign": (
+        "a=2 assignment is an array-valued cell projection + explode "
+        "that stays MAP-SIDE (no exchange before the cell equi-join); "
+        "candidate dedup folds into the ranking window."
+    ),
+    "pipe_ann_ivfpq_rerank_serve": (
+        "IVFADC-R's production serving shape: the codes scan carries "
+        "PartitionFilters on the probed cells (partition pruning, not "
+        "a filter operator), the ADC shortlist joins broadcast "
+        "distance tables, and the exact rerank is one "
+        "shortlist-sized equi-join against the raw vectors — the "
+        "corpus is scanned once, pruned."
+    ),
+    "stream_admission_sim": (
+        "The only window sort runs over the bounded trigger frame "
+        "(n/batch_rows rows); the corpus side is a map-side admission "
+        "flag + one map-combinable groupBy(event_type). The trigger "
+        "watermark frame joins back via broadcast."
+    ),
+    "graph_resource_alloc": (
+        "Wedge self-join with the CENTER degree broadcast-joined "
+        "before the (a,b) rollup — the per-wedge 1/deg weight is "
+        "map-side; one map-combinable groupBy, left-anti against the "
+        "edge set, TakeOrderedAndProject for the top-k."
+    ),
 }
 
 HEADER = """# PLANS — captured physical plans for representative workloads

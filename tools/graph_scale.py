@@ -166,6 +166,30 @@ def main() -> int:
             record(tag, n_edges, n_nodes, "hits", "shipped",
                    time.time() - t0, f"{chk[0]}/{chk[1]}/{chk[2]}")
 
+        if "hits_fallback" not in skip:
+            # the shuffle-join branch past PR_BROADCAST_MAX_NODES,
+            # forced so the fallback curve has same-session points at
+            # node counts where the default still broadcasts (r08
+            # verdict item 7)
+            t0 = time.time()
+            chk = (
+                graph.hits(edges, broadcast_scores=False)
+                .agg(F.sum("authority"), F.sum("hub"), F.count(F.lit(1)))
+                .collect()[0]
+            )
+            record(tag, n_edges, n_nodes, "hits", "shuffle_fallback",
+                   time.time() - t0, f"{chk[0]}/{chk[1]}/{chk[2]}")
+
+        if "lpa_fallback" not in skip:
+            t0 = time.time()
+            chk = (
+                graph.label_propagation(edges, broadcast_labels=False)
+                .agg(F.sum("label"), F.count(F.lit(1)))
+                .collect()[0]
+            )
+            record(tag, n_edges, n_nodes, "lpa", "shuffle_fallback",
+                   time.time() - t0, f"{chk[0]}/{chk[1]}")
+
         if "components" not in skip:
             pairs = edges.select(
                 F.least("src", "dst").alias("doc_a"),
