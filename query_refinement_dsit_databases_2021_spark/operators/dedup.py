@@ -1727,3 +1727,141 @@ def bag_dedup(docs: DataFrame) -> DataFrame:
         .select("keep_id", "n_copies", "n_distinct_texts")
         .orderBy("keep_id")
     )
+
+
+# --- content-defined chunking (CDC) payload dedup --------------------
+
+CDC_WINDOW = 8  # sliding codepoint window the boundary rule reads
+CDC_DIVISOR = 32  # boundary when window-sum % divisor == 0 (~32-char chunks)
+
+
+def cdc_chunks(
+    docs: DataFrame, window: int = CDC_WINDOW, divisor: int = CDC_DIVISOR
+) -> DataFrame:
+    """Content-defined chunking: split each document at positions where
+    a sliding window-sum of codepoints hits ``0 mod divisor`` — the
+    storage-dedup primitive (rsync/LBFS/FastCDC family). Unlike
+    fixed-size blocks, boundaries are functions of LOCAL content, so an
+    insertion early in a document shifts at most one chunk: every
+    later boundary re-aligns and the shared tail still dedups. The
+    boundary rule here is the simplest member of that family (window
+    sum instead of a Gear/Rabin hash) so the DuckDB oracle can replay
+    it declaratively (window-frame sum over exploded codepoints); the
+    chunk-shift resistance argument is identical.
+
+    Boundary: 1-based position ``i >= window`` where the sum of
+    codepoints ``i-window+1 .. i`` is divisible by ``divisor``; the
+    boundary char ENDS its chunk. A boundary on the final char yields
+    no empty tail chunk. Documents shorter than ``window`` are one
+    chunk.
+
+    Plan: ONE map-only Arrow pass (``mapInPandas``) — no explode, no
+    shuffle; each batch chunks its documents with O(len) numpy sliding
+    sums. At 100 TB this is embarrassingly parallel and the downstream
+    dedup aggregations are map-combinable; the oracle's per-character
+    explode is the tiny-SF verification form only.
+
+    Returns ``(doc_id, source, chunk_id, chunk)`` — chunk_id is the
+    0-based count of boundaries before the chunk's first char.
+    """
+    w, d = int(window), int(divisor)
+    if w < 1 or d < 1:
+        raise ValueError("window and divisor must be >= 1")
+
+    def chunker(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_doc: list[int] = []
+            out_src: list[str] = []
+            out_cid: list[int] = []
+            out_chunk: list[str] = []
+            for doc_id, src, text in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"]
+            ):
+                if text is None or len(text) == 0:
+                    continue  # oracle explodes zero char rows -> no chunks
+                codes = np.fromiter(
+                    (ord(c) for c in text), dtype=np.int64, count=len(text)
+                )
+                cs = np.cumsum(codes)
+                wsum = cs.copy()
+                if len(codes) > w:
+                    wsum[w:] = cs[w:] - cs[:-w]
+                bnd = wsum % d == 0
+                bnd[: w - 1] = False  # positions < window never bound
+                ends = np.flatnonzero(bnd) + 1  # 1-based inclusive ends
+                starts = np.concatenate(([0], ends))
+                stops = np.concatenate((ends, [len(text)]))
+                for cid, (s, e) in enumerate(zip(starts, stops)):
+                    if e <= s:
+                        continue  # boundary on final char: no empty tail
+                    out_doc.append(doc_id)
+                    out_src.append(src)
+                    out_cid.append(cid)
+                    out_chunk.append(text[s:e])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "source": pd.Series(out_src, dtype="object"),
+                    "chunk_id": pd.Series(out_cid, dtype="int64"),
+                    "chunk": pd.Series(out_chunk, dtype="object"),
+                }
+            )
+
+    return docs.select("doc_id", "source", "text").mapInPandas(
+        chunker, "doc_id long, source string, chunk_id long, chunk string"
+    )
+
+
+def cdc_chunk_dedup(
+    docs: DataFrame, window: int = CDC_WINDOW, divisor: int = CDC_DIVISOR
+) -> DataFrame:
+    """Per-source storage-dedup ledger over :func:`cdc_chunks`: how
+    many chunks each source produces, how many are distinct by md5,
+    and the character savings a chunk-store would realize — the
+    advisor that says WHICH crawl/source carries template mass worth
+    chunk-level dedup (vs the doc-level :func:`exact_dedup`, which
+    misses near-identical documents entirely).
+
+    Two map-combinable aggregations over the chunk stream (total and
+    per-(source, md5) distinct); all integers, ``dedup_ppm`` by int64
+    floor division — bit-identical across engines and partitionings.
+
+    Returns ``(source, total_chunks, distinct_chunks, total_chars,
+    saved_chars, dedup_ppm)`` ordered by source.
+    """
+    ch = cdc_chunks(docs, window, divisor).select(
+        "source", F.md5("chunk").alias("h"), F.length("chunk").alias("len")
+    )
+    tot = ch.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_chunks"),
+        F.sum("len").alias("total_chars"),
+    )
+    dis = (
+        ch.groupBy("source", "h")
+        .agg(F.max("len").alias("len"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("distinct_chunks"),
+            F.sum("len").alias("distinct_chars"),
+        )
+    )
+    return (
+        tot.join(dis, "source")
+        .select(
+            "source",
+            F.col("total_chunks").cast("long").alias("total_chunks"),
+            F.col("distinct_chunks").cast("long").alias("distinct_chunks"),
+            F.col("total_chars").cast("long").alias("total_chars"),
+            (F.col("total_chars") - F.col("distinct_chars"))
+            .cast("long")
+            .alias("saved_chars"),
+            F.expr(
+                "CAST((1000000 * (total_chars - distinct_chars))"
+                " DIV total_chars AS BIGINT)"
+            ).alias("dedup_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -1928,6 +1928,137 @@ SELECT CAST(length(bin(deg)) - 1 AS INTEGER) AS bucket,
 FROM deg GROUP BY 1 ORDER BY bucket"""
 
 
+KTRUSS_K = 4  # every surviving edge must sit in >= K-2 triangles
+
+
+def ktruss(
+    edges: DataFrame, k: int = KTRUSS_K, max_iters: int = 30
+) -> DataFrame:
+    """K-truss decomposition by iterative EDGE peeling (Cohen 2008):
+    repeatedly drop edges supported by fewer than ``k - 2`` triangles
+    among the survivors until a fixpoint — the edge-level sibling of
+    :func:`kcore` (every k-truss edge lies in the (k-1)-core, but the
+    truss is strictly denser: it demands *closed* wedges, not just
+    degree). The standard cohesive-subgraph extractor where k-core is
+    too permissive — spam-ring and community-kernel mining.
+
+    Per round: one oriented triangle enumeration over the surviving
+    edge set (the same two-equi-join plan as :func:`triangle_count`,
+    cost bounded by arboricity after low-to-high orientation), an
+    explode of each triangle into its three member edges, ONE
+    map-combinable groupBy(a, b) for support, and an integer filter
+    ``support >= k - 2``; ``localCheckpoint`` truncates loop lineage.
+    Convergence is the edge COUNT stabilizing — valid because the
+    surviving set only shrinks, and the fixpoint is unique regardless
+    of removal order (standard truss property), so partitioning
+    cannot change the result. Rounds needed = peel depth (2-3 on the
+    bulk co-purchase graph at every SF). At 100 TB the per-round
+    refinement is the same as triangles: orient from low- to
+    high-degree endpoints and cap hubs with a documented stop-list.
+
+    Returns ``(node_a, node_b, support)`` for the k-truss edges —
+    support measured inside the truss — ordered by (node_a, node_b).
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    alive = und
+    prev = alive.count()
+    for _ in range(max_iters):
+        e1 = alive.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        e2 = alive.select(F.col("a").alias("y"), F.col("b").alias("z"))
+        e3 = alive.select(F.col("a").alias("x"), F.col("b").alias("z"))
+        tri = e1.join(e2, "y").join(e3, ["x", "z"])
+        sup = (
+            tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+            .unionByName(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+            .unionByName(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("s"))
+            .where(F.col("s") >= int(k) - 2)
+            .localCheckpoint()
+        )
+        alive = sup.select("a", "b")
+        cur = alive.count()
+        if cur == prev:
+            return sup.select(
+                F.col("a").alias("node_a"),
+                F.col("b").alias("node_b"),
+                F.col("s").cast("long").alias("support"),
+            ).orderBy("node_a", "node_b")
+        prev = cur
+    raise RuntimeError(f"ktruss did not converge in {max_iters} peel rounds")
+
+
+def _wl_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohesive cross-sell kernel: the 4-truss of the bulk co-purchase
+    graph — every surviving part pair is co-bulk-ordered with >= 2
+    common partners that are themselves bulk-linked."""
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    li = spark.table("lineitem").where(
+        F.col("l_quantity") >= LINK_PRED_MIN_QTY
+    ).select("l_orderkey", "l_partkey")
+    r = li.select(F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2"))
+    edges = li.join(r, (li.l_orderkey == r.o2) & (li.l_partkey < r.p2)).select(
+        F.col("l_partkey").alias("src"), F.col("p2").alias("dst")
+    )
+    return ktruss(edges)
+
+
+def _ktruss_oracle(k: int = KTRUSS_K, rounds: int = 6) -> str:
+    """Unrolled bounded-round peel, kcore-oracle style: each round
+    re-enumerates triangles over the previous survivor set and keeps
+    edges with support >= k-2; a convergence guard errors if the last
+    two rounds still differ (so an unconverged unroll can never pass
+    the gate silently)."""
+    parts = [
+        f"""e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_quantity >= {LINK_PRED_MIN_QTY}
+    AND b.l_quantity >= {LINK_PRED_MIN_QTY})"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""t{i + 1} AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e{i} e1 JOIN e{i} e2 ON e2.a = e1.b
+  JOIN e{i} e3 ON e3.a = e1.a AND e3.b = e2.b)"""
+        )
+        parts.append(
+            f"""s{i + 1} AS MATERIALIZED (
+  SELECT a, b, count(*) AS s FROM (
+    SELECT x AS a, y AS b FROM t{i + 1}
+    UNION ALL SELECT y, z FROM t{i + 1}
+    UNION ALL SELECT x, z FROM t{i + 1})
+  GROUP BY a, b HAVING count(*) >= {k - 2})"""
+        )
+        parts.append(f"e{i + 1} AS MATERIALIZED (SELECT a, b FROM s{i + 1})")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+chg AS (SELECT (SELECT count(*) FROM e{rounds - 1}) -
+               (SELECT count(*) FROM e{rounds}) AS c)
+SELECT a AS node_a, b AS node_b,
+       CASE WHEN (SELECT c FROM chg) > 0
+            THEN error('ktruss oracle unconverged at {rounds} rounds')
+            ELSE CAST(s AS BIGINT) END AS support
+FROM s{rounds} ORDER BY node_a, node_b"""
+    )
+
+
+ORACLE_KTRUSS = _ktruss_oracle()
+
+
 def graph_workloads():
     from query_refinement_dsit_databases_2021_spark.workloads import Workload
 
@@ -1951,6 +2082,7 @@ def graph_workloads():
         ),
         Workload("graph_personalized_pagerank", _wl_ppr, ORACLE_PPR),
         Workload("graph_kcore", _wl_kcore, ORACLE_KCORE),
+        Workload("graph_ktruss", _wl_ktruss, ORACLE_KTRUSS),
         Workload(
             "graph_assortativity", _wl_assortativity, ORACLE_ASSORTATIVITY
         ),

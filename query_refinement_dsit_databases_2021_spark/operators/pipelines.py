@@ -922,6 +922,58 @@ def _wl_dup_spans(spark, sf_dir):
     return dedup.dup_ngram_spans(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def _wl_cdc_chunks(spark, sf_dir):
+    """Content-defined-chunking storage-dedup ledger per source: which
+    crawls carry template mass that a chunk store would collapse. The
+    Spark side is one map-only Arrow chunking pass (no explode); the
+    oracle replays the boundary rule declaratively over exploded
+    codepoints — per-char explode is the tiny-SF verification form."""
+    return dedup.cdc_chunk_dedup(_docs(spark, sf_dir))
+
+
+ORACLE_CDC_CHUNKS = f"""
+WITH chars AS (
+  SELECT doc_id, source, j AS pos, unicode(substr(text, j, 1)) AS code
+  FROM documents, unnest(range(1, length(text) + 1)) AS u(j)),
+ws AS (
+  SELECT doc_id, source, pos, code,
+         sum(code) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN {dedup.CDC_WINDOW - 1} PRECEDING
+                         AND CURRENT ROW) AS wsum
+  FROM chars),
+bnd AS (
+  SELECT doc_id, source, pos, code,
+         CASE WHEN pos >= {dedup.CDC_WINDOW}
+                   AND wsum % {dedup.CDC_DIVISOR} = 0
+              THEN 1 ELSE 0 END AS b
+  FROM ws),
+cid AS (
+  SELECT doc_id, source, pos, code,
+         coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS chunk_id
+  FROM bnd),
+chunks AS (
+  SELECT doc_id, source, chunk_id,
+         md5(string_agg(chr(code), '' ORDER BY pos)) AS h,
+         count(*) AS len
+  FROM cid GROUP BY doc_id, source, chunk_id),
+tot AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS total_chunks,
+         CAST(sum(len) AS BIGINT) AS total_chars
+  FROM chunks GROUP BY source),
+dis AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS distinct_chunks,
+         CAST(sum(len) AS BIGINT) AS distinct_chars
+  FROM (SELECT source, h, max(len) AS len FROM chunks GROUP BY source, h)
+  GROUP BY source)
+SELECT t.source, total_chunks, distinct_chunks, total_chars,
+       CAST(total_chars - distinct_chars AS BIGINT) AS saved_chars,
+       CAST((1000000 * (total_chars - distinct_chars)) // total_chars
+            AS BIGINT) AS dedup_ppm
+FROM tot t JOIN dis USING (source) ORDER BY source"""
+
+
 def _wl_curation_v4(spark, sf_dir):
     """Curation chain v4 — the session's dataset-assembly ops composed
     end to end: Gopher quality gate → containment dedup (drop any doc
@@ -2600,6 +2652,7 @@ def pipeline_workloads():
             False,
         ),
         ("pipe_dup_ngram_spans", _wl_dup_spans, ORACLE_DUP_SPANS, False),
+        ("pipe_dedup_cdc_chunks", _wl_cdc_chunks, ORACLE_CDC_CHUNKS, False),
         ("pipe_split_leakage", _wl_split_leakage, _oracle_split_leakage(), False),
         ("pipe_dedup_winnowing", _wl_winnow, ORACLE_WINNOW, False),
         (

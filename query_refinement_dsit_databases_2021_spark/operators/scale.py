@@ -1418,6 +1418,189 @@ FROM truth t JOIN est e ON e.g = t.o_orderpriority
 ORDER BY t.o_orderpriority"""
 
 
+def kmv_set_ops(
+    stream: DataFrame,
+    key: str,
+    side_expr: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """KMV sketch SET ALGEBRA — the reason bottom-k beats HLL as the
+    lake's standing cardinality sketch: two KMV sketches support
+    union, intersection, and Jaccard estimates WITHOUT rescanning
+    either input (Beyer et al. 2007). ``side_expr`` must evaluate to
+    'A'/'B'; the estimator is:
+
+    - union sketch = bottom-k of (sketch_A ∪ sketch_B) hashes, so
+      ``U_est = (k-1)·P div h_k`` (exact when the merged sketch is
+      below capacity — the same graceful degradation as
+      :func:`kmv_distinct`);
+    - ``jacc_ppm = 1e6 · |{h ∈ merged-k : h ∈ A-sketch ∧ h ∈
+      B-sketch}| div |merged-k|`` — the merged bottom-k is a uniform
+      sample of the union, so the member-of-both fraction estimates
+      Jaccard;
+    - ``inter_est = jacc_ppm · U_est div 1e6``.
+
+    All-integer end to end (the shared mod-prime hash, int64 floor
+    divisions), so the estimates are bit-identical across engines and
+    partitionings. Scale: each side's state is k int64s built with one
+    distinct-shuffle + per-side rank window; everything downstream
+    operates on ≤ 2k rows — at 100 TB the sketches are standing
+    per-shard arrays merged without touching data.
+
+    Returns ONE row ``(n_a_kept, n_b_kept, union_est, inter_est,
+    jacc_ppm)``.
+    """
+    h1 = f"(({key} * {HLL_MUL}L + {HLL_ADD}L) % {HLL_P}L)"
+    h2 = (
+        f"(({h1} * {h1}) % {HLL_P}L + ({HLL_MUL2}L * {h1}) % {HLL_P}L"
+        f" + {HLL_ADD2}L) % {HLL_P}L"
+    )
+    hashed = (
+        stream.select(F.expr(side_expr).alias("side"), F.expr(h2).alias("h"))
+        .where(F.col("side").isin("A", "B"))
+        .distinct()
+    )
+    w = Window.partitionBy("side").orderBy("h")
+    sk = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= int(k))
+        .select("side", "h")
+    )
+    merged = (
+        sk.groupBy("h")
+        .agg(
+            F.max(F.when(F.col("side") == "A", 1).otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("side") == "B", 1).otherwise(0)).alias("in_b"),
+        )
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy("h"))
+        )  # bounded: <= 2k rows
+        .where(F.col("rn") <= int(k))
+    )
+    stats = merged.agg(
+        F.count(F.lit(1)).alias("m_kept"),
+        F.max("h").alias("hk"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"),
+    )
+    sides = sk.groupBy().pivot("side", ["A", "B"]).count()
+    return (
+        stats.crossJoin(sides)
+        .select(
+            F.coalesce(F.col("A"), F.lit(0)).cast("long").alias("n_a_kept"),
+            F.coalesce(F.col("B"), F.lit(0)).cast("long").alias("n_b_kept"),
+            F.when(F.col("m_kept") < int(k), F.col("m_kept"))
+            .otherwise(F.expr(f"(({int(k)} - 1) * {HLL_P}L) div hk"))
+            .cast("long")
+            .alias("union_est"),
+            F.expr(f"(1000000 * n_both) div m_kept").alias("jp"),
+        )
+        .select(
+            "n_a_kept",
+            "n_b_kept",
+            "union_est",
+            F.expr("(jp * union_est) div 1000000").cast("long").alias(
+                "inter_est"
+            ),
+            F.col("jp").cast("long").alias("jacc_ppm"),
+        )
+    )
+
+
+def _wl_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap without rescanning: customers who place URGENT
+    orders vs customers who place LOW orders, union/intersection/
+    Jaccard estimated purely from the two 64-hash KMV sketches, with
+    the exact truths joined alongside so the gate certifies estimator
+    AND attestation together."""
+    from query_refinement_dsit_databases_2021_spark.workloads import register_views
+
+    register_views(spark, sf_dir)
+    orders = spark.table("orders")
+    side = (
+        "CASE WHEN o_orderpriority = '1-URGENT' THEN 'A' "
+        "WHEN o_orderpriority = '5-LOW' THEN 'B' ELSE 'X' END"
+    )
+    est = kmv_set_ops(orders, "o_custkey", side)
+    a = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    b = orders.where(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    truth = (
+        a.unionByName(b)
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("true_union"))
+        .crossJoin(
+            a.distinct()
+            .join(b.distinct(), "o_custkey", "leftsemi")
+            .agg(F.count(F.lit(1)).alias("true_inter"))
+        )
+    )
+    return est.crossJoin(truth).select(
+        "n_a_kept",
+        "n_b_kept",
+        "union_est",
+        "inter_est",
+        "jacc_ppm",
+        F.col("true_union").cast("long").alias("true_union"),
+        F.col("true_inter").cast("long").alias("true_inter"),
+    )
+
+
+ORACLE_KMV_SETOPS = f"""
+WITH hashed AS (
+  SELECT DISTINCT side,
+         ((h1 * h1) % {HLL_P} + ({HLL_MUL2} * h1) % {HLL_P}
+          + {HLL_ADD2}) % {HLL_P} AS h
+  FROM (SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'A'
+                    WHEN o_orderpriority = '5-LOW' THEN 'B' END AS side,
+               (o_custkey * {HLL_MUL} + {HLL_ADD}) % {HLL_P} AS h1
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW'))),
+sk AS (
+  SELECT side, h FROM (
+    SELECT side, h, row_number() OVER (PARTITION BY side ORDER BY h) AS rn
+    FROM hashed) t WHERE rn <= {KMV_K}),
+merged AS (
+  SELECT h, in_a, in_b FROM (
+    SELECT h, max(CASE WHEN side = 'A' THEN 1 ELSE 0 END) AS in_a,
+           max(CASE WHEN side = 'B' THEN 1 ELSE 0 END) AS in_b,
+           row_number() OVER (ORDER BY h) AS rn
+    FROM sk GROUP BY h) t WHERE rn <= {KMV_K}),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS m_kept, max(h) AS hk,
+         CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+  FROM merged),
+sides AS (
+  SELECT CAST(sum(CASE WHEN side = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_a_kept,
+         CAST(sum(CASE WHEN side = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_b_kept
+  FROM sk),
+est AS (
+  SELECT n_a_kept, n_b_kept,
+         CAST(CASE WHEN m_kept < {KMV_K} THEN m_kept
+              ELSE (({KMV_K} - 1)::BIGINT * {HLL_P}::BIGINT) // hk
+              END AS BIGINT) AS union_est,
+         (1000000 * n_both) // m_kept AS jp
+  FROM stats, sides),
+truth AS (
+  SELECT (SELECT count(DISTINCT o_custkey) FROM orders
+          WHERE o_orderpriority IN ('1-URGENT', '5-LOW'))::BIGINT
+           AS true_union,
+         (SELECT count(*) FROM
+            (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderpriority = '1-URGENT') a
+          WHERE EXISTS (SELECT 1 FROM orders b
+                        WHERE b.o_orderpriority = '5-LOW'
+                          AND b.o_custkey = a.o_custkey))::BIGINT
+           AS true_inter)
+SELECT n_a_kept, n_b_kept, union_est,
+       CAST((jp * union_est) // 1000000 AS BIGINT) AS inter_est,
+       CAST(jp AS BIGINT) AS jacc_ppm,
+       true_union, true_inter
+FROM est, truth"""
+
+
 EQUIDEPTH_BUCKETS = 8
 
 
@@ -2378,6 +2561,7 @@ def scale_workloads():
         Workload("ops_distribution_drift", _wl_drift, ORACLE_DRIFT),
         Workload("ops_hll_distinct", _wl_hll, ORACLE_HLL),
         Workload("ops_kmv_distinct", _wl_kmv, ORACLE_KMV),
+        Workload("ops_kmv_setops", _wl_kmv_setops, ORACLE_KMV_SETOPS),
         Workload("ops_equidepth_hist", _wl_equidepth, ORACLE_EQUIDEPTH),
         Workload(
             "ops_selfjoin_profile", _wl_selfjoin_profile, ORACLE_SELFJOIN_PROFILE

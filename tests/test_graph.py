@@ -565,3 +565,43 @@ def test_resource_allocation_hand_graph(spark):
     assert (ranked[0]["node_a"], ranked[0]["node_b"]) == (5, 6)
     assert ranked[0]["ra_ppm"] == 500000
     assert all(r["ra_ppm"] == 250000 for r in ranked[1:])
+
+
+def test_ktruss_keeps_clique_drops_pendant_triangle(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.graph import ktruss
+
+    # K4 on {1,2,3,4}: every edge sits in 2 triangles -> survives k=4.
+    # A pendant triangle {4,5,6} has support-1 edges only -> peels.
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(
+        k4 + [(4, 5), (4, 6), (5, 6)], "src long, dst long"
+    )
+    got = {
+        (r["node_a"], r["node_b"]): r["support"]
+        for r in ktruss(edges, k=4).collect()
+    }
+    assert got == {(a, b): 2 for a, b in k4}
+
+
+def test_ktruss_peeling_cascades(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.graph import ktruss
+
+    # two triangles sharing edge (1,2): the shared edge has support 2,
+    # but every outer edge has support 1 -> round 1 drops the outer
+    # edges, which starves the shared edge -> round 2 empties the graph
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)], "src long, dst long"
+    )
+    assert ktruss(edges, k=4).count() == 0
+
+
+def test_ktruss_order_invariant_under_repartition(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.graph import ktruss
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = spark.createDataFrame(
+        k4 + [(4, 5), (5, 6), (2, 5)], "src long, dst long"
+    )
+    one = [tuple(r) for r in ktruss(edges, k=4).collect()]
+    two = [tuple(r) for r in ktruss(edges.repartition(7), k=4).collect()]
+    assert one == two

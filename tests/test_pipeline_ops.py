@@ -1829,3 +1829,98 @@ def test_interpolated_lm_backoff_floor(spark):
     assert abs(got[2][1] - want2) < 1e-6, (got[2], want2)
     # doc1 scores higher (repeated fluent bigrams) than doc2
     assert got[1][1] > got[2][1]
+
+
+# --- content-defined chunking -----------------------------------------
+
+
+def _ref_cdc(text, w, d):
+    """Tiny reference chunker mirroring the documented boundary rule."""
+    chunks, start = [], 0
+    codes = [ord(c) for c in text]
+    for i in range(w - 1, len(codes)):  # 0-based index of 1-based pos i+1
+        if sum(codes[i - w + 1 : i + 1]) % d == 0:
+            chunks.append(text[start : i + 1])
+            start = i + 1
+    if start < len(text):
+        chunks.append(text[start:])
+    return chunks
+
+
+def test_cdc_chunks_match_reference_rule(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.dedup import cdc_chunks
+
+    texts = [
+        "abcab",
+        "the quick brown fox jumps over the lazy dog",
+        "aaaaaaaaaaaaaaaa",
+        "x",
+        "",
+    ]
+    docs = spark.createDataFrame(
+        [(i, "s0", t) for i, t in enumerate(texts)],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): r["chunk"]
+        for r in cdc_chunks(docs, window=2, divisor=3).collect()
+    }
+    want = {
+        (i, cid): ch
+        for i, t in enumerate(texts)
+        for cid, ch in enumerate(_ref_cdc(t, 2, 3))
+    }
+    assert got == want
+    # reassembly invariant: chunks concatenate back to the document
+    for i, t in enumerate(texts):
+        joined = "".join(
+            got[(i, c)] for c in range(sum(1 for k in got if k[0] == i))
+        )
+        assert joined == t
+
+
+def test_cdc_chunks_shift_resistant(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.dedup import (
+        CDC_DIVISOR,
+        CDC_WINDOW,
+        cdc_chunks,
+    )
+
+    # a 1-char prefix insertion must NOT shift every chunk: boundaries
+    # re-align once the window clears the edit, so the two documents
+    # share most chunks — the property fixed-size blocking lacks
+    import random
+
+    rng = random.Random(7)
+    base = "".join(rng.choice("abcdefgh ") for _ in range(2000))
+    docs = spark.createDataFrame(
+        [(1, "s0", base), (2, "s0", "Z" + base)],
+        "doc_id long, source string, text string",
+    )
+    rows = cdc_chunks(docs).collect()
+    c1 = {r["chunk"] for r in rows if r["doc_id"] == 1}
+    c2 = {r["chunk"] for r in rows if r["doc_id"] == 2}
+    shared = c1 & c2
+    assert len(shared) >= 0.9 * min(len(c1), len(c2))
+    # sanity: the reference rule agrees on the unshifted doc
+    assert sorted(c1) == sorted(set(_ref_cdc(base, CDC_WINDOW, CDC_DIVISOR)))
+
+
+def test_cdc_chunk_dedup_ledger_counts_duplicates(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.dedup import (
+        cdc_chunk_dedup,
+    )
+
+    # two identical docs in src0: every chunk of doc 2 dedups against
+    # doc 1, so saved_chars = len(text); src1's lone doc saves nothing
+    t = "the quick brown fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [(1, "src0", t), (2, "src0", t), (3, "src1", t)],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["source"]: (r["total_chars"], r["saved_chars"], r["dedup_ppm"])
+        for r in cdc_chunk_dedup(docs, window=2, divisor=3).collect()
+    }
+    assert got["src0"] == (2 * len(t), len(t), 500000)
+    assert got["src1"] == (len(t), 0, 0)

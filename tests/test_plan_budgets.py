@@ -1215,3 +1215,29 @@ def test_round6_operator_exchange_budgets(pdocs, pevents, spark):
     ah = _plan(perceptual_ahash(synthesize_media(pdocs)))
     assert "EvalPython" not in ah, ah
     assert ah.count("Exchange hashpartitioning") <= 1, ah
+
+
+def test_round9_operator_exchange_budgets(pdocs, spark):
+    from query_refinement_dsit_databases_2021_spark.operators.dedup import (
+        cdc_chunk_dedup,
+        cdc_chunks,
+    )
+    from query_refinement_dsit_databases_2021_spark.operators.scale import (
+        kmv_set_ops,
+    )
+
+    # the chunking pass itself is map-only Arrow: ZERO exchanges
+    assert _exchanges(cdc_chunks(pdocs)) == 0
+    # the ledger adds the two map-combinable rollups + the source join;
+    # budget 5 keeps the plan honest (no hidden re-shuffle of chunks)
+    assert _exchanges(cdc_chunk_dedup(pdocs)) <= 5
+    plan = _plan(cdc_chunk_dedup(pdocs))
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+    # KMV set algebra: one distinct-shuffle + per-side rank windows;
+    # everything after operates on <= 2k rows. No cartesian blowup on
+    # the data path (the only NLJs join 1-row scalar frames).
+    rows = [(i, "A") for i in range(1, 31)] + [(i, "B") for i in range(21, 51)]
+    df = spark.createDataFrame(rows, "k long, side string")
+    est = kmv_set_ops(df, "k", "side")
+    assert _exchanges(est) <= 8

@@ -843,3 +843,41 @@ def test_shuffle_advisor_hand_values(spark):
     assert row["recommended_partitions"] == (57 + 19) // 20  # ceil = 3
     assert row["skew_key_top1_ppm"] == 750000  # key 1 owns 3 of 4 rows
     assert bool(row["needs_salting"]) is True
+
+
+def test_kmv_set_ops_exact_below_capacity(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.scale import (
+        kmv_set_ops,
+    )
+
+    # |A|=30, |B|=30, overlap 10: every sketch is below k=64 capacity,
+    # so union/intersection/Jaccard degrade to EXACT values
+    rows = [(i, "A") for i in range(1, 31)] + [
+        (i, "B") for i in range(21, 51)
+    ]
+    df = spark.createDataFrame(rows, "k long, side string")
+    got = kmv_set_ops(df, "k", "side").collect()[0]
+    assert (got["n_a_kept"], got["n_b_kept"]) == (30, 30)
+    assert got["union_est"] == 50
+    assert got["jacc_ppm"] == 1000000 * 10 // 50
+    assert got["inter_est"] == 10
+
+
+def test_kmv_set_ops_estimates_above_capacity(spark):
+    from query_refinement_dsit_databases_2021_spark.operators.scale import (
+        kmv_set_ops,
+    )
+
+    # |A|=600, |B|=600, |A∩B|=200, |A∪B|=1000: sketches saturate at
+    # k=64 and the estimates should land within a loose (k=64) band
+    rows = [(i, "A") for i in range(1, 601)] + [
+        (i, "B") for i in range(401, 1001)
+    ]
+    df = spark.createDataFrame(rows, "k long, side string")
+    got = kmv_set_ops(df, "k", "side").collect()[0]
+    assert (got["n_a_kept"], got["n_b_kept"]) == (64, 64)
+    assert 600 <= got["union_est"] <= 1500
+    assert 50 <= got["inter_est"] <= 450
+    # determinism: a different partitioning yields the identical row
+    again = kmv_set_ops(df.repartition(13), "k", "side").collect()[0]
+    assert tuple(got) == tuple(again)
