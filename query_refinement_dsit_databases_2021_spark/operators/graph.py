@@ -91,23 +91,46 @@ def pagerank(
     False: dim-sized graph, shuffle already trivial; large-graph
     callers pass True for the measured 1.65×) and only genuinely
     unknown inputs pay the probe.
+    Loop-INVARIANT materialization (r09 optimization, guide §2.4):
+    ``edges``, ``nodes`` and ``deg`` are referenced by every iteration,
+    so leaving them lazy embeds the whole upstream edge derivation (for
+    the workload: a fact-table join + distinct) once per reference —
+    the captured sf0.1 plan held 44 parquet scans / 43 Exchanges across
+    5 iterations, and at 100 TB that is 5+ full passes over the fact
+    table. One eager ``localCheckpoint`` per invariant (three
+    node/edge-sized jobs, the same truncation pattern as
+    :func:`kcore`/:func:`label_propagation`) collapses the loop plan to
+    joins against materialized tables. The r07 A/B that rejected
+    checkpointing here adjudicated PER-ROUND checkpoints of the
+    loop-carried ``ranks`` (an eager job per round); invariants are
+    checkpointed ONCE, outside the loop.
     """
-    edges = edges.select("src", "dst").distinct()
-    nodes = (
+    edges = edges.select("src", "dst").distinct().localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # node state carries the loop-invariant outdeg (NULL for dangling
+    # nodes), so the per-iteration send frame is a pure PROJECTION of
+    # the state instead of a state ⋈ deg join — one join and its
+    # exchange removed per iteration.
+    ndeg = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .join(deg, F.col("node") == deg.src, "left")
+        .select("node", "outdeg")
+        .localCheckpoint()
     )
     bcast = (
         broadcast_send
         if broadcast_send is not None
-        else nodes.count() <= PR_BROADCAST_MAX_NODES
+        else ndeg.count() <= PR_BROADCAST_MAX_NODES
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ranks = nodes.select("node", F.lit(INIT_MASS).cast("long").alias("rank"))
+    ranks = ndeg.select(
+        "node", F.lit(INIT_MASS).cast("long").alias("rank"), "outdeg"
+    )
     for _ in range(iterations):
-        send = ranks.join(deg, ranks.node == deg.src).select(
-            "src", F.expr("(85 * rank DIV 100) DIV outdeg").alias("c")
+        send = ranks.where(F.col("outdeg").isNotNull()).select(
+            F.col("node").alias("src"),
+            F.expr("(85 * rank DIV 100) DIV outdeg").alias("c"),
         )
         contrib = (
             edges.join(F.broadcast(send) if bcast else send, "src")
@@ -115,13 +138,14 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = nodes.join(contrib, "node", "left").select(
+        ranks = ndeg.join(contrib, "node", "left").select(
             "node",
             (F.lit(TELEPORT) + F.coalesce(F.col("c"), F.lit(0)))
             .cast("long")
             .alias("rank"),
+            "outdeg",
         )
-    return ranks
+    return ranks.select("node", "rank")
 
 
 # HITS fixed-point scale: scores rescale to max = HITS_SCALE after

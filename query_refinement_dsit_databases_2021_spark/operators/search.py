@@ -121,19 +121,31 @@ def tfidf_topk(
     # job re-scans the corpus and roughly doubles wall time)
     n_df = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     post = query_postings(docs, all_terms)
-    # df(t) from the filtered postings: ≤ |all_terms| rows -> broadcast
-    df_t = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = df_t.crossJoin(F.broadcast(n_df)).select(
-        "term",
-        # long arithmetic: n_docs * SCALE overflows int32 from ~2k docs
-        F.expr(f"(n_docs * {SCALE}) div df").cast("long").alias("idf_scaled"),
+    # df(t) as a count window OVER the postings (r09, guide §2.4): the
+    # previous groupBy(term) + broadcast-join formulation referenced
+    # ``post`` twice, and since the postings subtree is the corpus
+    # tokenize pass, the plan tokenized the corpus TWICE (captured
+    # before-plan: 6 parquet scans / 10 Exchanges; after: 4 / 8 with
+    # one Generate). The window re-keys only the already-filtered
+    # postings (≤ |query terms| · n_docs rows), never the corpus.
+    post = post.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
     )
     qt = _query_df(spark if spark is not None else docs.sparkSession)
     scored = (
         post.join(F.broadcast(qt), "term")
-        .join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(n_df))
+        # long arithmetic: n_docs * SCALE overflows int32 from ~2k docs
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.col("tf")
+                * F.expr(f"(n_docs * {SCALE}) div df").cast("long")
+            ).alias("tfidf"),
+        )
         .groupBy("query_id", "doc_id")
-        .agg(F.sum(F.col("tf") * F.col("idf_scaled")).alias("score"))
+        .agg(F.sum("tfidf").alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("doc_id")

@@ -2343,9 +2343,12 @@ def ivfpq_topk(
         [(int(cell), [float(x) for x in cv]) for cell, cv, _ in cents],
         "cell long, cent array<double>",
     )
-    assign = _nearest_cells(base, cents, 1).select("vec_id", "cell")
+    # assignment as a pure projection (bit-identical to the
+    # _nearest_cells(…, 1) rule, parity test-pinned): carrying the cell
+    # on the corpus row avoids the base ⋈ assign self-join — one corpus
+    # Exchange removed (r09; the layout builder already used this form)
     res = (
-        base.join(assign, "vec_id")
+        base.withColumn("cell", _cell_projection(cents))
         .join(F.broadcast(cdf), "cell")
         .select(
             "vec_id",

@@ -118,8 +118,13 @@ def _plan(df):
 
 def test_plan_broadcast_and_prefilter(corpus, spark):
     plan = _plan(tfidf_topk(corpus, spark))
-    # query set and idf table must be broadcast, never shuffled
-    assert plan.count("BroadcastHashJoin") >= 2
+    # query set must be broadcast, never shuffled (the idf table is
+    # gone entirely since r09: df is a count window over the filtered
+    # postings, so the corpus is tokenized exactly once — pinned below)
+    assert plan.count("BroadcastHashJoin") >= 1
+    # exactly ONE explode operator (formatted plans list each node
+    # twice: tree + details section)
+    assert plan.count("Generate") == 2
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     # the isin term filter must run before the tf aggregation (on the
