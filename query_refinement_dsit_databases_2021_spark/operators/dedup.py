@@ -132,8 +132,11 @@ def minhash_signatures_wide(
     No parameter-table crossJoin, no per-(doc, j) row explosion: the
     only shuffle is the groupBy(doc_id)."""
     shr = shingle_hashes(shingles(docs))
+    # SQL-text form (r09): identical integer arithmetic, parsed
+    # JVM-side in one call per hash instead of ~6 py4j round trips
+    # per expression node of driver time
     aggs = [
-        F.min((F.lit(lcg_a(j)) * F.col("h") + F.lit(lcg_b(j))) % HASH_P).alias(
+        F.expr(f"min((({lcg_a(j)} * h) + {lcg_b(j)}) % {HASH_P})").alias(
             f"mh{j}"
         )
         for j in range(n_hashes)
@@ -153,11 +156,12 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
 
 def _band_sig(band: int, rows_per_band: int) -> "F.Column":
     """Fold one band's components (j order) into a 63-bit-safe bucket
-    key: acc = (acc * 31 + mh_j) % P — pure column arithmetic."""
-    acc = F.lit(0).cast("long")
+    key: acc = (acc * 31 + mh_j) % P — pure column arithmetic (built
+    as one JVM-parsed string, r09: same fold, no per-node py4j)."""
+    acc = "CAST(0 AS BIGINT)"
     for j in range(band * rows_per_band, (band + 1) * rows_per_band):
-        acc = (acc * 31 + F.col(f"mh{j}")) % HASH_P
-    return acc
+        acc = f"(({acc} * 31 + mh{j}) % {HASH_P})"
+    return F.expr(acc)
 
 
 def lsh_band_signatures(

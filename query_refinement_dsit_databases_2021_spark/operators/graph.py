@@ -203,11 +203,16 @@ def hits(
 
     Returns ``(node, authority, hub)`` for every node.
     """
-    edges = edges.select("src", "dst").distinct()
+    # loop invariants materialized ONCE (r09, same rationale as
+    # :func:`pagerank`): edges are referenced twice per iteration and
+    # nodes twice, so lazy frames re-embed the upstream edge derivation
+    # (a fact-table join for the workload) 8+ times across 4 iterations
+    edges = edges.select("src", "dst").distinct().localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     bcast = (
         broadcast_scores
@@ -285,6 +290,10 @@ def harmonic_centrality_sampled(
     graphs; benign on the dense trade graph but pinned by test now).
     """
     spark = edges.sparkSession
+    # one edge materialization shared by all per-seed BFS runs (r09:
+    # each bfs_distances call otherwise re-derives the edge list from
+    # its upstream lineage before its own undirected checkpoint)
+    edges = edges.select("src", "dst").localCheckpoint()
     outs = []
     for s in seeds:
         src = spark.createDataFrame([(int(s),)], "node long")
@@ -759,29 +768,39 @@ def personalized_pagerank(
     (tiny) seed set into the rank projection. Returns ``(node,
     rank)``.
     """
-    edges = edges.select("src", "dst").distinct()
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-    )
+    # loop invariants materialized ONCE, seed flag and outdeg folded
+    # into the node state so the per-iteration send frame is a pure
+    # projection (r09 — identical restructure, and rationale, as
+    # :func:`pagerank`)
+    edges = edges.select("src", "dst").distinct().localCheckpoint()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     seed_flag = F.broadcast(
         seeds.select(F.col("node"), F.lit(True).alias("_seed"))
     )
-    ranks = nodes.join(seed_flag, "node", "left").select(
+    ndeg = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .join(deg, F.col("node") == deg.src, "left")
+        .join(seed_flag, "node", "left")
+        .select("node", "outdeg", "_seed")
+        .localCheckpoint()
+    )
+    ranks = ndeg.select(
         "node",
         F.when(F.col("_seed"), F.lit(INIT_MASS))
         .otherwise(F.lit(0))
         .cast("long")
         .alias("rank"),
+        "outdeg",
     )
     for _ in range(iterations):
         # node-sized send frame first, ONE edge-sized join per round
         # (same shape as pagerank; no per-round checkpoint — see the
         # pagerank docstring on fixed-depth vs convergence loops)
-        send = ranks.join(deg, ranks.node == deg.src).select(
-            "src", F.expr("(85 * rank DIV 100) DIV outdeg").alias("c")
+        send = ranks.where(F.col("outdeg").isNotNull()).select(
+            F.col("node").alias("src"),
+            F.expr("(85 * rank DIV 100) DIV outdeg").alias("c"),
         )
         contrib = (
             edges.join(send, "src")
@@ -789,20 +808,17 @@ def personalized_pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .join(seed_flag, "node", "left")
-            .select(
-                "node",
-                (
-                    F.when(F.col("_seed"), F.lit(TELEPORT)).otherwise(F.lit(0))
-                    + F.coalesce(F.col("c"), F.lit(0))
-                )
-                .cast("long")
-                .alias("rank"),
+        ranks = ndeg.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.when(F.col("_seed"), F.lit(TELEPORT)).otherwise(F.lit(0))
+                + F.coalesce(F.col("c"), F.lit(0))
             )
+            .cast("long")
+            .alias("rank"),
+            "outdeg",
         )
-    return ranks
+    return ranks.select("node", "rank")
 
 
 PPR_N_SEEDS = 2
@@ -1769,11 +1785,14 @@ def katz_centrality(
     contract so the oracle unrolls it into a CTE chain. Returns the
     top 20 ``(node, katz)`` under a total order.
     """
-    edges = edges.select("src", "dst").distinct()
+    # loop invariants materialized once (r09, same rationale as
+    # :func:`pagerank`: each iteration otherwise re-derives both)
+    edges = edges.select("src", "dst").distinct().localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     x = nodes.select("node", F.lit(KATZ_INIT).cast("long").alias("katz"))
     for _ in range(iterations):

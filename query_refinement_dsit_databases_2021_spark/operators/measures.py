@@ -127,6 +127,23 @@ class WindowFrame:
         fn = {"avg": F.avg, "max": F.max, "min": F.min, "sum": F.sum}[self.agg]
         return fn("y").over(window_spec.rangeBetween(self.lo, self.hi))
 
+    def sql(self) -> str:
+        """SQL-text twin of :meth:`column` over the canonical
+        ``(wpid, time_id)`` window (r09: strategy W builds dozens of
+        frame columns per query; one ``selectExpr`` parse replaces
+        ~8 py4j round trips per frame of driver time — the resolved
+        window expression is identical)."""
+
+        def bound(v: int) -> str:
+            if v == 0:
+                return "CURRENT ROW"
+            return f"{-v} PRECEDING" if v < 0 else f"{v} FOLLOWING"
+
+        return (
+            f"{self.agg}(y) OVER (PARTITION BY wpid ORDER BY time_id "
+            f"RANGE BETWEEN {bound(self.lo)} AND {bound(self.hi)})"
+        )
+
 
 class MeasureDef:
     """Base class; subclasses implement the physical strategies.
@@ -150,6 +167,12 @@ class MeasureDef:
 
     def w_expr(self, lx: int, args: tuple) -> Column:
         raise NotImplementedError
+
+    def w_expr_sql(self, lx: int, args: tuple) -> str | None:
+        """SQL-text twin of :meth:`w_expr` (r09 fast path; see
+        WindowFrame.sql). ``None`` -> the builder falls back to the
+        Column form for this measure."""
+        return None
 
     def w_reach(self, l1: int, args: tuple) -> tuple[int, int]:
         """(forward, backward) halo row reach required at partition
@@ -198,6 +221,9 @@ class AvgAmp(MeasureDef):
     def w_expr(self, lx, args):
         return F.col(f"wavg_{lx}")
 
+    def w_expr_sql(self, lx, args):
+        return f"wavg_{lx}"
+
     def w_reach(self, l1, args):
         return (l1, 0)
 
@@ -223,6 +249,9 @@ class MaxAmpExcessRight(MeasureDef):
     def w_expr(self, lx, args):
         w = args[0]
         return F.col(f"wmax_{lx}") - F.col(f"rmax_{lx}_{w}")
+
+    def w_expr_sql(self, lx, args):
+        return f"wmax_{lx} - rmax_{lx}_{args[0]}"
 
     def w_reach(self, l1, args):
         return (l1 + args[0], 0)
@@ -258,6 +287,9 @@ class MaxAmpExcessLeft(MeasureDef):
     def w_expr(self, lx, args):
         w = args[0]
         return F.col(f"wmax_{lx}") - F.col(f"lmax_{w}")
+
+    def w_expr_sql(self, lx, args):
+        return f"wmax_{lx} - lmax_{args[0]}"
 
     def w_reach(self, l1, args):
         return (l1, args[0])
@@ -297,6 +329,9 @@ class SumAmp(MeasureDef):
     def w_expr(self, lx, args):
         return F.col(f"wsum_{lx}")
 
+    def w_expr_sql(self, lx, args):
+        return f"wsum_{lx}"
+
     def w_reach(self, l1, args):
         return (l1, 0)
 
@@ -321,6 +356,9 @@ class MinAmp(MeasureDef):
 
     def w_expr(self, lx, args):
         return F.col(f"wmin_{lx}")
+
+    def w_expr_sql(self, lx, args):
+        return f"wmin_{lx}"
 
     def w_reach(self, l1, args):
         return (l1, 0)
@@ -347,6 +385,9 @@ class RangeAmp(MeasureDef):
 
     def w_expr(self, lx, args):
         return F.col(f"wmax_{lx}") - F.col(f"wmin_{lx}")
+
+    def w_expr_sql(self, lx, args):
+        return f"wmax_{lx} - wmin_{lx}"
 
     def w_reach(self, l1, args):
         return (l1, 0)

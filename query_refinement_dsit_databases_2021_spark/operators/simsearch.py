@@ -87,12 +87,55 @@ def _dot(a: Column, b: Column) -> Column:
     return _fold_sum(F.zip_with(a, b, lambda x, y: x * y))
 
 
+def _lit_doubles(lits) -> Column:
+    """A literal array<double> built with ONE py4j call (r09): the
+    ``F.array(*[F.lit(x) ...])`` form costs ~65 driver⇄JVM round trips
+    per 64-dim vector, which measured ~1.2 s per 24-centroid block of
+    pure Python-side plan construction (63× slower than letting the
+    JVM parse one string). ``CAST('<repr>' AS DOUBLE)`` is
+    ``Double.parseDouble`` of Python's shortest round-trip repr —
+    bit-exact for every finite double (property-tested incl.
+    subnormals/extremes), and Catalyst constant-folds the cast, so the
+    executed plan is the identical array literal."""
+    body = ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in lits)
+    return F.expr(f"array({body})")
+
+
 def _dot_lits(v: Column, lits) -> Column:
     """Dot product of an array column against LITERAL components —
     kept as the fold form: a scalar ``element_at`` chain was measured
     SLOWER (Catalyst tree size dominates before any row is touched),
     see the PQ kernel note below for where the real fix lives."""
-    return _dot(v, F.array(*[F.lit(float(x)) for x in lits]))
+    return _dot(v, _lit_doubles(lits))
+
+
+def _dot_lits_sql(lits, col: str = "v") -> str:
+    """SQL-text twin of :func:`_dot_lits` (r09): the Column form costs
+    two higher-order-function constructions (~20 py4j round trips) PER
+    call, which measured ~1.1 s of pure driver time per 24-centroid
+    block. The string parses JVM-side in one call and resolves to the
+    IDENTICAL zip_with+aggregate fold — same lambda ops, same literal
+    doubles (repr round-trip), same evaluation order."""
+    arr = ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in lits)
+    return (
+        f"aggregate(zip_with({col}, array({arr}), (x, y) -> x * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _cell_entries_expr(cents, col: str = "v", nrm: str = "nrm") -> Column:
+    """The per-centroid (cos, -cell) struct array as ONE parsed
+    expression — shared by the unroll strategy and the projection
+    forms; bit-identical to the previous per-struct Column build
+    (parity pinned by the strategy/projection tests)."""
+    parts = []
+    for cell, cv, cn in cents:
+        dot = _dot_lits_sql(cv, col)
+        parts.append(
+            f"struct(round({dot} / ({nrm} * CAST('{float(cn)!r}' AS DOUBLE)), 6)"
+            f" AS cos, {-int(cell)} AS negcell)"
+        )
+    return F.expr("array(" + ",".join(parts) + ")")
 
 
 def _with_norm(emb: DataFrame) -> DataFrame:
@@ -148,13 +191,17 @@ def cosine_topk(
     return _brute_topk(_with_norm(emb), n_queries, k, "cos_sim")
 
 
-def _bucket_expr(v: Column, table: int, nbits: int) -> Column:
-    bucket = None
-    for b in range(nbits):
-        hj = F.array(*[F.lit(x) for x in hyperplane(table * nbits + b)])
-        bit = F.when(_dot(v, hj) > 0, 1 << b).otherwise(0)
-        bucket = bit if bucket is None else bucket + bit
-    return bucket.cast("long")
+def _bucket_expr_sql(table: int, nbits: int, col: str = "v") -> str:
+    """One table's nbits sign-bit bucket as SQL text (r09: the Column
+    form built 2 higher-order functions per bit — ~128 HOF
+    constructions per 16-table plan, all driver-side py4j time).
+    Identical CASE/fold arithmetic, parsed JVM-side in one call."""
+    bits = [
+        f"(CASE WHEN {_dot_lits_sql(hyperplane(table * nbits + b), col)} > 0"
+        f" THEN {1 << b} ELSE 0 END)"
+        for b in range(nbits)
+    ]
+    return "CAST((" + " + ".join(bits) + ") AS BIGINT)"
 
 
 def lsh_buckets(
@@ -164,14 +211,13 @@ def lsh_buckets(
     table's bucket is nbits hyperplane sign bits. Pure column
     arithmetic + one explode; no shuffle."""
     base = _with_norm(emb)
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                _bucket_expr(F.col("v"), t, nbits).alias("bucket"),
-            )
+    entries = F.expr(
+        "array("
+        + ",".join(
+            f"struct({t} AS tbl, {_bucket_expr_sql(t, nbits)} AS bucket)"
             for t in range(n_tables)
-        ]
+        )
+        + ")"
     )
     return base.select("vec_id", F.explode(entries).alias("e")).select(
         "vec_id", F.col("e.tbl").alias("tbl"), F.col("e.bucket").alias("bucket")
@@ -278,18 +324,7 @@ def _nearest_cells(
             .where(F.col("rnk") <= n_cells)
             .select("vec_id", "cell", F.col("rnk").cast("int").alias("rnk"))
         )
-    entries = F.array(
-        *[
-            F.struct(
-                F.round(
-                    _dot_lits(F.col("v"), cv) / (F.col("nrm") * F.lit(cn)),
-                    6,
-                ).alias("cos"),
-                F.lit(-cell).alias("negcell"),
-            )
-            for cell, cv, cn in cents
-        ]
-    )
+    entries = _cell_entries_expr(cents)
     # struct comparison is lexicographic: sort desc on (cos, -cell)
     # == cos desc, cell asc — the deterministic argmax contract
     ranked = F.slice(F.reverse(F.array_sort(entries)), 1, n_cells)
@@ -353,9 +388,17 @@ def ivf_ann_topk(
     """
     base = _with_norm(emb)
     cents = _centroid_literals(emb, centroid_ids)
-    assign = _nearest_cells(base, cents, assignments).select(
-        "vec_id", "cell"
-    )
+    # assignment as a pure projection CARRYING the vector (r09, guide
+    # §2.4): the (vec_id, cell)-only assignment forced a corpus re-join
+    # on vec_id to recover v for scoring — one corpus Exchange for
+    # nothing. Projection forms are bit-identical to _nearest_cells
+    # (parity test-pinned).
+    if assignments == 1:
+        assign = base.withColumn("cell", _cell_projection(cents))
+    else:
+        assign = base.withColumn(
+            "cell", F.explode(_cells_projection(cents, assignments))
+        )
     probes = (
         _nearest_cells(base.where(F.col("vec_id") < n_queries), cents, nprobe)
         .select(F.col("vec_id").alias("q_id"), "cell")
@@ -364,18 +407,18 @@ def ivf_ann_topk(
         F.broadcast(probes)
         .join(assign, "cell")
         .where(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "vec_id")
+        .select("q_id", "vec_id", "v", "nrm")
     )
     if assignments > 1:
-        cand = cand.distinct()
+        # same pair set as the previous (q_id, vec_id) DISTINCT — v and
+        # nrm are functionally dependent on vec_id
+        cand = cand.dropDuplicates(["q_id", "vec_id"])
     q = base.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
     )
     cos = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6)
-    scored = (
-        cand.join(F.broadcast(q), "q_id")
-        .join(base, "vec_id")
-        .select("q_id", "vec_id", cos.alias("cos_sim"))
+    scored = cand.join(F.broadcast(q), "q_id").select(
+        "q_id", "vec_id", cos.alias("cos_sim")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
@@ -706,18 +749,7 @@ ORDER BY vec_id, dim"""
 def _cell_projection(cents) -> "Column":
     """Single-nearest-cell as a pure per-row expression (no explode, no
     join): the argmax entry of the per-centroid (cos, -cell) structs."""
-    entries = F.array(
-        *[
-            F.struct(
-                F.round(
-                    _dot_lits(F.col("v"), cv) / (F.col("nrm") * F.lit(cn)),
-                    6,
-                ).alias("cos"),
-                F.lit(-cell).alias("negcell"),
-            )
-            for cell, cv, cn in cents
-        ]
-    )
+    entries = _cell_entries_expr(cents)
     best = F.element_at(F.reverse(F.array_sort(entries)), 1)
     return (-best["negcell"]).cast("long")
 
@@ -726,18 +758,7 @@ def _cells_projection(cents, assignments: int) -> "Column":
     """Top-``assignments`` nearest cells as ONE array-valued per-row
     expression (the multi-assignment build form of
     :func:`_cell_projection` — still no join, no shuffle)."""
-    entries = F.array(
-        *[
-            F.struct(
-                F.round(
-                    _dot_lits(F.col("v"), cv) / (F.col("nrm") * F.lit(cn)),
-                    6,
-                ).alias("cos"),
-                F.lit(-cell).alias("negcell"),
-            )
-            for cell, cv, cn in cents
-        ]
-    )
+    entries = _cell_entries_expr(cents)
     top = F.slice(F.reverse(F.array_sort(entries)), 1, assignments)
     return F.transform(top, lambda e: (-e["negcell"]).cast("long"))
 
@@ -2896,7 +2917,7 @@ def embedding_outliers(emb: DataFrame, threshold: float = OUTLIER_Z) -> DataFram
         .collect()
     )
     means = [r["s"] / r["n"] for r in dim_sums]  # exact ints -> IEEE div
-    m_lit = F.array(*[F.lit(m) for m in means])
+    m_lit = _lit_doubles(means)
     diff2 = F.zip_with(
         F.col("qv"), m_lit, lambda c, m: (c - m) * (c - m)
     )
@@ -3315,7 +3336,7 @@ def kcenter_select(emb: DataFrame, k: int = KCENTER_K, dim: int = DIM) -> DataFr
     for _t in range(1, k):
         dexprs = []
         for _cid, cv, _r in centers:
-            carr = F.array(*[F.lit(float(x)) for x in cv])
+            carr = _lit_doubles(cv)
             d2 = _fold_sum(
                 F.zip_with(F.col("v"), carr, lambda x, y: (x - y) * (x - y))
             )

@@ -219,7 +219,14 @@ class Engine:
         else:
             candidates = build_candidates(
                 segment, spec, t_start, t_end, strategy, self.partition_rows
-            ).persist()  # O4: reused by split, count, scoring, min/max
+            )
+            # O4: persist only when the dispatch actually re-reads the
+            # frame (refined: pass/fail split + count + scoring +
+            # min/max). The unrefined path consumes candidates exactly
+            # once, so caching it is pure write overhead (guide §5:
+            # cache only what is reused).
+            if spec.refined:
+                candidates = candidates.persist()
 
         info = ExecutionInfo(
             spec=spec,
