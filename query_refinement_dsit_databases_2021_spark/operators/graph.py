@@ -289,30 +289,27 @@ def harmonic_centrality_sampled(
     must agree on "no row" (advice r06: latent divergence on sparse
     graphs; benign on the dense trade graph but pinned by test now).
     """
-    spark = edges.sparkSession
-    # one edge materialization shared by all per-seed BFS runs (r09:
-    # each bfs_distances call otherwise re-derives the edge list from
-    # its upstream lineage before its own undirected checkpoint)
-    edges = edges.select("src", "dst").localCheckpoint()
-    outs = []
-    for s in seeds:
-        src = spark.createDataFrame([(int(s),)], "node long")
-        d = bfs_distances(edges, src)
-        outs.append(
-            d.where(
-                (F.col("dist") > 0) & (F.col("dist") <= max_dist)
-            ).agg(
-                F.lit(int(s)).alias("seed"),
-                F.count(F.lit(1)).alias("n_reached"),
-                F.sum(F.expr("1000000 DIV dist")).cast("long").alias(
-                    "harmonic_micro"
-                ),
-            ).where(F.col("n_reached") > 0)
+    # ONE multi-source BFS loop for all seeds (r09, guide §1.2): the
+    # previous per-seed loop ran |seeds| sequential BFS convergence
+    # loops — rounds × 2 eager jobs each (measured 17 s at sf0.1 for 4
+    # seeds); keying the frontier by (seed, node) runs them together
+    # for one loop of max-diameter rounds. Per-seed distances — and
+    # the no-row contract for seeds that reach nothing — are identical
+    # (GROUP BY seed over the dist > 0 frontier).
+    d = _bfs_distances_multi(edges, seeds)
+    return (
+        d.where((F.col("dist") > 0) & (F.col("dist") <= max_dist))
+        .groupBy("seed")
+        .agg(
+            F.count(F.lit(1)).alias("n_reached"),
+            F.sum(F.expr("1000000 DIV dist")).cast("long").alias(
+                "harmonic_micro"
+            ),
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out.orderBy("seed")
+        .where(F.col("n_reached") > 0)
+        .select("seed", "n_reached", "harmonic_micro")
+        .orderBy("seed")
+    )
 
 
 def triangle_count(edges: DataFrame) -> DataFrame:
@@ -688,6 +685,60 @@ def bfs_distances(
             return dist
         prev = cur
     raise RuntimeError(f"bfs_distances did not converge in {max_iters} rounds")
+
+
+def _bfs_distances_multi(
+    edges: DataFrame, seeds, max_iters: int = 50
+) -> DataFrame:
+    """Multi-source :func:`bfs_distances`: ONE min-plus loop keyed by
+    ``(seed, node)`` instead of one full BFS loop per seed (r09, guide
+    §1.2 — per-seed loops cost rounds × 2 eager jobs EACH; the
+    harmonic workload ran 4 of them sequentially). Distances are
+    identical to per-seed BFS: min-plus updates are independent per
+    seed key, and the global ``(count, sum)`` fixpoint is reached
+    exactly when every per-seed fixpoint is (updates are monotone per
+    key). Returns ``(seed, node, dist)`` for reached pairs.
+
+    ``seeds``: iterable of node ids (plan-time literals, like the
+    sampled-seed contract of :func:`harmonic_centrality_sampled`).
+    """
+    spark = edges.sparkSession
+    und = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    dist = spark.createDataFrame(
+        [(int(s), int(s), 0) for s in seeds], "seed long, node long, dist long"
+    ).localCheckpoint()
+    prev = (dist.count(), 0)
+    for _ in range(max_iters + 1):
+        stepped = (
+            und.join(dist, und.src == dist.node)
+            .select(
+                "seed",
+                F.col("dst").alias("node"),
+                (F.col("dist") + 1).alias("dist"),
+            )
+            .unionByName(dist.select("seed", "node", "dist"))
+            .groupBy("seed", "node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+        agg = stepped.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
+        ).first()
+        cur = (agg["n"], agg["s"])
+        dist = stepped
+        if cur == prev:
+            return dist
+        prev = cur
+    raise RuntimeError(
+        f"_bfs_distances_multi did not converge in {max_iters} rounds"
+    )
 
 
 def _wl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
