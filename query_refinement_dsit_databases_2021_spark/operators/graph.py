@@ -320,9 +320,40 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     dropped), then triangles ``a < b < c`` are enumerated with two
     equi-joins:  e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c).  Each triangle appears
     exactly once. Returns per-node participation ``(node,
-    n_triangles)`` — the union of the three corner roles — so both the
-    global count (sum / 3) and the per-node clustering signal fall out
-    of one plan.
+    n_triangles)`` — each triangle credits its three corner roles —
+    so both the global count (sum / 3) and the per-node clustering
+    signal fall out of one plan.
+
+    r09 optimization (guide §1.2 — fix the distributed algorithm
+    first). The original plan enumerated via the two-join wedge form
+    e1(a,b) ⋈ e2(b,c) — and referenced the canonical edge set three
+    times and the triangle frame three times (a union of projections),
+    which Spark reuses NEITHER of, so the upstream edge derivation ran
+    up to nine times and the enumeration three times: measured 66 s at
+    sf0.1, where the wedge exchange alone carries Σ_v d⁻(v)·d⁺(v) =
+    137M rows (the co-supplier graph is near-complete: 998 nodes,
+    454k edges, 124.5M triangles). Replaced with the degree-oriented
+    adjacency-intersection form (the standard O(m^1.5) algorithm):
+
+    - canonical edge set computed ONCE (localCheckpoint);
+    - edges oriented low→high by ``(degree, node)``, which bounds
+      every out-adjacency list by √(2m) — on power-law graphs at
+      100 TB this is the difference between a hub exploding the wedge
+      join and bounded per-row work (the docstring's long-promised
+      arboricity refinement);
+    - per-edge triangle closure is ``array_intersect`` of the two
+      out-lists — pure map-side codegen work after two edge-sized
+      equi-joins, replacing the 137M-row wedge Exchange;
+    - each triangle credits its three corners via one
+      ``explode(concat(zs, u·|zs|, v·|zs|))`` generate feeding a
+      node-cardinality hash aggregate (partial aggregation collapses
+      the 3·#triangles credit stream to ≤ #nodes rows per task before
+      the only remaining shuffle).
+
+    Per-node participation counts are orientation-invariant (each
+    triangle is found exactly once at its lowest-ordered edge), so the
+    result is bit-identical to the wedge form; the DuckDB oracle is
+    unchanged and the gate compares exact rows.
     """
     und = (
         edges.select(
@@ -330,17 +361,56 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         )
         .where(F.col("a") < F.col("b"))
         .distinct()
+        .localCheckpoint()
     )
-    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"])
-    corners = (
-        tri.select(F.col("x").alias("node"))
-        .union(tri.select(F.col("y").alias("node")))
-        .union(tri.select(F.col("z").alias("node")))
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionByName(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
     )
-    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(
+                F.struct(F.col("da"), F.col("a"))
+                < F.struct(F.col("db"), F.col("b")),
+                F.col("a"),
+            )
+            .otherwise(F.col("b"))
+            .alias("u"),
+            F.when(
+                F.struct(F.col("da"), F.col("a"))
+                < F.struct(F.col("db"), F.col("b")),
+                F.col("b"),
+            )
+            .otherwise(F.col("a"))
+            .alias("v"),
+        )
+        .localCheckpoint()
+    )
+    adj = oriented.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+    na = adj.select(F.col("u").alias("_ua"), F.col("nbrs").alias("na"))
+    nb = adj.select(F.col("u").alias("_ub"), F.col("nbrs").alias("nb"))
+    closed = (
+        oriented.join(na, F.col("u") == F.col("_ua"))
+        .join(nb, F.col("v") == F.col("_ub"))
+        .select("u", "v", F.array_intersect("na", "nb").alias("zs"))
+    )
+    credits = closed.select(
+        F.explode(
+            F.concat(
+                F.col("zs"),
+                F.flatten(
+                    F.array_repeat(F.array("u", "v"), F.size("zs"))
+                ),
+            )
+        ).alias("node")
+    )
+    return credits.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
 # --- workloads -------------------------------------------------------

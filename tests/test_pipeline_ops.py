@@ -315,23 +315,32 @@ def test_advised_paths_release_caches_on_gc(spark):
         "doc_id long, text string",
     )
 
-    def n_persistent() -> int:
-        return spark.sparkContext._jsc.getPersistentRDDs().size()
+    def persistent_ids() -> set:
+        it = spark.sparkContext._jsc.getPersistentRDDs().keySet().iterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
 
-    gc.collect()
-    base = n_persistent()
+    # Track the SPECIFIC rdd ids each advised call persists rather than
+    # a global count: an unrelated test's untied cached frame can be
+    # GC'd at any gc.collect() in this process, which made count-delta
+    # assertions order-dependent (flaked in the full-suite run).
     for fn in (
         dedup.minhash_lsh_pairs_advised,
         dedup.ngram_jaccard_pairs_advised,
         dedup.ngram_containment_pairs_advised,
         dedup.winnow_pairs_advised,
     ):
+        gc.collect()
+        before = persistent_ids()
         res = fn(docs)
         res.collect()
-        assert n_persistent() > base, fn.__name__  # cache hot while held
+        added = persistent_ids() - before
+        assert added, fn.__name__  # cache hot while held
         del res
         gc.collect()
-        assert n_persistent() == base, fn.__name__
+        assert not (persistent_ids() & added), fn.__name__
 
 
 def test_simhash_exact_dup_hamming_zero(docs):
