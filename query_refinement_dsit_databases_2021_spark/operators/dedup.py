@@ -676,45 +676,65 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     candidates come from 4 bucketed equi-joins, not an all-pairs scan.
 
     Returns (doc_a, doc_b, hamming), doc_a < doc_b.
+
+    r09 plan restructure (guide §2.3/§2.4, results unchanged): the
+    band table is generated in ONE ``explode`` pass instead of a
+    4-way union (four reads of the fingerprint frame), and the
+    fingerprint rides THROUGH the band self-join so the hamming
+    distance is computed directly on the collision row — the two
+    post-candidate fingerprint equi-joins (and their exchanges) are
+    gone, and the hamming filter now runs BEFORE the distinct, so the
+    dedup exchange carries only surviving pairs. The fingerprint
+    frame is persisted (doc-count rows) so its computation pipelines
+    into the band-join job (an eager localCheckpoint here measured
+    ~1 s slower — a separate blocking job for a frame the first job
+    could compute in-line), and its cache lifetime is tied to the
+    returned frame via :func:`_release_with`.
     """
+    width = SIMHASH_BITS // SIMHASH_BANDS
     fp = simhash_fingerprints(docs).persist()
-    bands = None
-    for k in range(SIMHASH_BANDS):
-        width = SIMHASH_BITS // SIMHASH_BANDS
-        part = fp.select(
-            "doc_id",
-            F.lit(k).alias("band"),
-            F.shiftright("fingerprint", k * width)
-            .bitwiseAND((1 << width) - 1)
-            .alias("v"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
-    b1 = bands.select(F.col("doc_id").alias("doc_a"), "band", "v")
-    b2 = bands.select(
-        F.col("doc_id").alias("doc_b"), "band", F.col("v").alias("v_b")
+    bands = fp.select(
+        "doc_id",
+        "fingerprint",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftright("fingerprint", k * width)
+                        .bitwiseAND((1 << width) - 1)
+                        .alias("v"),
+                    )
+                    for k in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "fingerprint", F.col("bv.band").alias("band"), F.col("bv.v").alias("v"))
+    b1 = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("fingerprint").alias("fa"), "band", "v"
     )
-    cand = (
+    b2 = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("fingerprint").alias("fb"),
+        "band",
+        F.col("v").alias("v_b"),
+    )
+    out = (
         b1.join(
             b2,
             (b1["band"] == b2["band"])
             & (b1["v"] == b2["v_b"])
             & (b1["doc_a"] < b2["doc_b"]),
         )
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    fa = fp.select(F.col("doc_id").alias("doc_a"), F.col("fingerprint").alias("fa"))
-    fb = fp.select(F.col("doc_id").alias("doc_b"), F.col("fingerprint").alias("fb"))
-    return (
-        cand.join(fa, "doc_a")
-        .join(fb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
+    return _release_with(out, fp)
 
 
 def neardup_components(
@@ -750,11 +770,25 @@ def neardup_components(
     # result, the same discipline GraphX applies. At cluster scale,
     # prefer reliable `checkpoint()` with a checkpoint dir (survives
     # executor loss); local mode has no executor-loss failure domain.
+    # symmetric closure via ONE explode pass: the previous two-branch
+    # union referenced (and recomputed) the caller's whole pair plan
+    # twice — for the simhash workload that was 11.1 s of the 16 s
+    # total at sf0.1 (r09, guide §2.4); explode generates both
+    # directions map-side from a single evaluation
     edges = (
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .unionByName(
-            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("a"), F.col("doc_a").alias("b")
+                    ),
+                )
+            ).alias("e")
         )
+        .select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
         .distinct()
         .localCheckpoint()
     )
