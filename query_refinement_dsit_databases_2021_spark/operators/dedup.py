@@ -492,7 +492,7 @@ def incremental_minhash_dedup(
         .groupBy("sid")
         .agg(F.min("pid").alias("dup_of"))
     )
-    return (
+    out = (
         shard.select("doc_id")
         .join(dups, shard["doc_id"] == dups["sid"], "left")
         .select(
@@ -504,6 +504,7 @@ def incremental_minhash_dedup(
             F.coalesce("dup_of", F.lit(-1)).cast("long").alias("dup_of"),
         )
     )
+    return _release_with(out, wide)
 
 
 # sig_bucket fan for the standing MinHash index: band dirs split into
@@ -630,7 +631,7 @@ def incremental_dedup_from_index(
         .groupBy("sid")
         .agg(F.min("pid").alias("dup_of"))
     )
-    return (
+    out = (
         shard.select("doc_id")
         .join(dups, shard["doc_id"] == dups["sid"], "left")
         .select(
@@ -642,6 +643,7 @@ def incremental_dedup_from_index(
             F.coalesce("dup_of", F.lit(-1)).cast("long").alias("dup_of"),
         )
     )
+    return _release_with(out, swide)
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
@@ -991,9 +993,14 @@ def minhash_estimate_error(
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh = _shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    shc = sh.join(cand_docs, "doc_id", "left_semi")
+    # r09 (guide §2.4): the candidate-restricted shingle frame feeds
+    # the self-join twice AND the size aggregate — persist it so the
+    # tokenize+semi-join runs once, not three times. Sizes only ever
+    # join back to candidate docs (est's doc_a/doc_b ⊆ cand_docs), so
+    # aggregating them from the restricted frame is value-identical to
+    # the previous full-corpus aggregate and saves a whole corpus pass.
+    shc = _shingles(docs).join(cand_docs, "doc_id", "left_semi").persist()
+    sizes = shc.groupBy("doc_id").agg(F.count("*").alias("n"))
     sa = shc.select(F.col("doc_id").alias("doc_a"), "s")
     sb = shc.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
     inter = (
@@ -1022,13 +1029,14 @@ def minhash_estimate_error(
             F.expr("_xn div _xd").alias("exact_ppm"),
         )
     )
-    return exact.select(
+    out = exact.select(
         "doc_a",
         "doc_b",
         "est_ppm",
         "exact_ppm",
         F.abs(F.col("est_ppm") - F.col("exact_ppm")).alias("err_ppm"),
     )
+    return _release_with(out, wide, cand, shc)
 
 
 def ngram_jaccard_pairs(

@@ -423,16 +423,20 @@ FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 
 def _trade_edges(spark: SparkSession) -> DataFrame:
     """Supplier -> customer trade edges (namespaced so the two key
-    spaces cannot collide)."""
+    spaces cannot collide).
+
+    Intentionally NOT deduplicated here (r09): every consumer
+    (pagerank, hits, harmonic BFS, ppr, katz, degree_histogram)
+    canonicalizes its edge set internally — `select(src,dst)
+    .distinct()` before its checkpoint — so a distinct here was a
+    second full shuffle of the edge list in every graph workload. The
+    oracle's edge CTE keeps its DISTINCT: the graph both engines
+    compute over is identical."""
     l = spark.table("lineitem").select("l_orderkey", "l_suppkey")
     o = spark.table("orders").select("o_orderkey", "o_custkey")
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .select(
-            F.col("l_suppkey").alias("src"),
-            (F.lit(100000) + F.col("o_custkey")).cast("long").alias("dst"),
-        )
-        .distinct()
+    return l.join(o, l.l_orderkey == o.o_orderkey).select(
+        F.col("l_suppkey").alias("src"),
+        (F.lit(100000) + F.col("o_custkey")).cast("long").alias("dst"),
     )
 
 

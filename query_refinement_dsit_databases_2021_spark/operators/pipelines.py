@@ -1195,10 +1195,20 @@ def _wl_dedup_pr(spark, sf_dir):
     int64; rates integer ppm (0 when the denominator is 0).
     """
     docs = _docs(spark, sf_dir)
-    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.5).select(
-        "doc_a", "doc_b"
+    # both detectors' pair frames are referenced twice (semi-join +
+    # denominator count), which re-embeds — and re-runs — each whole
+    # detector plan; localCheckpoint runs each detector ONCE on its
+    # pair-sized output (r09, guide §2.4)
+    exact = (
+        dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
     )
-    cand = dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    cand = (
+        dedup.minhash_lsh_pairs(docs)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
     tp = cand.join(exact, ["doc_a", "doc_b"], "leftsemi")
     counts = (
         tp.agg(F.count(F.lit(1)).alias("tp"))

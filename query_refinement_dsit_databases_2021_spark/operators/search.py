@@ -454,8 +454,25 @@ def prf_expanded_topk(
     (score desc, doc_id asc).
     """
     all_terms = sorted({t for _, ts in SEARCH_QUERIES for t in ts})
-    n_df = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    fb = tfidf_topk(docs, spark, k=r).select("query_id", "doc_id")
+    # r09 plan truncation (guide §3.3 — wide compositions of joins
+    # embed each referenced subtree VERBATIM in the plan; this
+    # function's captured sf0.1 plan held 70 parquet scans / 318
+    # Exchanges because the base-search and feedback subtrees were
+    # re-expanded at every reference). Every multiply-referenced
+    # intermediate here is BOUNDED-SMALL (1-row count, r×|queries|
+    # feedback rows, candidate-vocab counts, e×|queries| expansion
+    # terms), so one eager localCheckpoint each collapses the
+    # downstream plan to joins against materialized tables without
+    # moving meaningful data. Results unchanged — checkpointing only
+    # truncates lineage.
+    n_df = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    ).localCheckpoint()
+    fb = (
+        tfidf_topk(docs, spark, k=r)
+        .select("query_id", "doc_id")
+        .localCheckpoint()
+    )
     # candidate expansion terms: token counts over the feedback docs
     fbtok = (
         docs.join(F.broadcast(fb), "doc_id")
@@ -465,6 +482,7 @@ def prf_expanded_topk(
         fbtok.groupBy("query_id", "term")
         .agg(F.count(F.lit(1)).alias("tf_fb"))
         .join(_query_df(spark), ["query_id", "term"], "left_anti")
+        .localCheckpoint()
     )
     # corpus postings for candidate terms (semi-join replaces isin)
     cand_terms = cand.select("term").distinct()
@@ -473,6 +491,7 @@ def prf_expanded_topk(
         .join(F.broadcast(cand_terms), "term", "leftsemi")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
     )
     idf_cand = (
         post_cand.groupBy("term")
@@ -491,6 +510,7 @@ def prf_expanded_topk(
         .withColumn("trk", F.row_number().over(wt))
         .where(F.col("trk") <= e)
         .select("query_id", "term", F.lit(1).cast("long").alias("w"))
+        .localCheckpoint()
     )
     fullq = _query_df(spark).select(
         "query_id", "term", F.lit(w_orig).cast("long").alias("w")
@@ -506,6 +526,7 @@ def prf_expanded_topk(
             ).select("doc_id", "term", "tf")
         )
         .distinct()
+        .localCheckpoint()
     )
     idf_all = (
         post_all.groupBy("term")

@@ -615,11 +615,18 @@ def test_round3g_operator_exchange_budgets(pdocs, pevents, spark):
     assert "CartesianProduct" not in kp
     assert "BroadcastNestedLoopJoin" in kp or "BroadcastHashJoin" in kp
 
-    # PRF: both passes equi/broadcast joins; candidate terms prune via
-    # a broadcast semi-join (LeftSemi), never a shuffled semi
+    # PRF: since r09 the bounded-small intermediates (feedback set,
+    # candidate terms, expansion terms, final postings) are eagerly
+    # localCheckpointed to truncate the 70-scan/318-Exchange composed
+    # plan, so the RETURNED plan scores materialized postings against
+    # broadcast query/idf tables — the candidate semi-joins live in the
+    # checkpoint jobs now. Pin the truncated shape: no cartesian, the
+    # materialized inputs present, and a bounded Exchange count (the
+    # old composed plan held hundreds).
     pp = _plan(prf_expanded_topk(pdocs, spark))
     assert "CartesianProduct" not in pp
-    assert "LeftSemi" in pp
+    assert "Scan ExistingRDD" in pp
+    assert pp.count("Exchange") <= 20, pp.count("Exchange")
 
     # contrastive pairs: exactly ONE corpus NLJ feeds both the
     # positive and negative slices
