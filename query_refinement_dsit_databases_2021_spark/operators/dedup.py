@@ -124,14 +124,22 @@ def incremental_dedup(
 
 
 def minhash_signatures_wide(
-    docs: DataFrame, n_hashes: int = N_HASHES
+    docs: DataFrame, n_hashes: int = N_HASHES,
+    shingle_rows: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, mh0..mh{n-1}): the full minhash signature in ONE
     map-side-combinable aggregation — n_hashes min() expressions over
     the shingle ranks, with the LCG constants folded into the plan.
     No parameter-table crossJoin, no per-(doc, j) row explosion: the
-    only shuffle is the groupBy(doc_id)."""
-    shr = shingle_hashes(shingles(docs))
+    only shuffle is the groupBy(doc_id).
+
+    ``shingle_rows``: precomputed (persisted) shingle frame, the same
+    sharing seam as :func:`ngram_jaccard_pairs` — an ensemble caller
+    (e.g. the consensus workload) tokenizes the corpus ONCE for every
+    shingle-based detector (r09)."""
+    shr = shingle_hashes(
+        shingle_rows if shingle_rows is not None else shingles(docs)
+    )
     # SQL-text form (r09): identical integer arithmetic, parsed
     # JVM-side in one call per hash instead of ~6 py4j round trips
     # per expression node of driver time

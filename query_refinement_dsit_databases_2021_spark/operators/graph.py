@@ -631,6 +631,8 @@ def coactivity_components(events: DataFrame) -> DataFrame:
     nodes are near-dup docs or users."""
     from query_refinement_dsit_databases_2021_spark.operators import dedup
 
+    # materialized once (r09): the self-join's two sides otherwise
+    # each re-scan events and re-run the distinct
     b = (
         events.select(
             "event_type",
@@ -640,6 +642,7 @@ def coactivity_components(events: DataFrame) -> DataFrame:
             "user_id",
         )
         .distinct()
+        .localCheckpoint()
     )
     x, y = b.alias("x"), b.alias("y")
     pairs = (
@@ -729,11 +732,21 @@ def bfs_distances(
     ``sources``: ``(node)`` at distance 0. Returns ``(node, dist)``
     for every REACHED node; unreached nodes are absent by contract.
     """
+    # one explode pass for the symmetric closure — the two-branch
+    # union recomputed the caller's edge derivation twice (r09, same
+    # fix as dedup.neardup_components)
     und = (
-        edges.select("src", "dst")
-        .unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
         .distinct()
         .localCheckpoint()
     )
@@ -777,11 +790,20 @@ def _bfs_distances_multi(
     sampled-seed contract of :func:`harmonic_centrality_sampled`).
     """
     spark = edges.sparkSession
+    # explode-based symmetric closure: one evaluation of the edge
+    # derivation instead of two (r09)
     und = (
-        edges.select("src", "dst")
-        .unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
         .distinct()
         .localCheckpoint()
     )
@@ -1029,16 +1051,26 @@ def link_prediction(edges: DataFrame, k: int = 20) -> DataFrame:
     Returns ``(node_a, node_b, cn, jacc_ppm)``, top-k by
     (cn desc, node_a, node_b).
     """
+    # canonical edge set materialized ONCE (r09): it feeds the two
+    # wedge arms, the degree table and the anti-join — lazily that was
+    # 7 evaluations of the caller's edge derivation; the symmetric
+    # adjacency is a map-side explode over the materialized frame
     und = (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .where(F.col("a") < F.col("b"))
         .distinct()
+        .localCheckpoint()
     )
-    adj = und.select(F.col("a").alias("n"), F.col("b").alias("nb")).unionByName(
-        und.select(F.col("b").alias("n"), F.col("a").alias("nb"))
-    )
+    adj = und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("n"), F.col("b").alias("nb")),
+                F.struct(F.col("b").alias("n"), F.col("a").alias("nb")),
+            )
+        ).alias("e")
+    ).select(F.col("e.n").alias("n"), F.col("e.nb").alias("nb"))
     w1 = adj.select(F.col("n").alias("c"), F.col("nb").alias("a"))
     w2 = adj.select(F.col("n").alias("c"), F.col("nb").alias("b"))
     cn = (
@@ -1133,16 +1165,23 @@ def resource_allocation(edges: DataFrame, k: int = 20) -> DataFrame:
     Returns ``(node_a, node_b, cn, ra_ppm)``, top-k by
     (ra_ppm desc, node_a, node_b).
     """
+    # same materialize-once treatment as :func:`link_prediction` (r09)
     und = (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .where(F.col("a") < F.col("b"))
         .distinct()
+        .localCheckpoint()
     )
-    adj = und.select(F.col("a").alias("n"), F.col("b").alias("nb")).unionByName(
-        und.select(F.col("b").alias("n"), F.col("a").alias("nb"))
-    )
+    adj = und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("n"), F.col("b").alias("nb")),
+                F.struct(F.col("b").alias("n"), F.col("a").alias("nb")),
+            )
+        ).alias("e")
+    ).select(F.col("e.n").alias("n"), F.col("e.nb").alias("nb"))
     deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
     w1 = adj.select(F.col("n").alias("c"), F.col("nb").alias("a"))
     w2 = adj.select(F.col("n").alias("c"), F.col("nb").alias("b"))
@@ -1219,15 +1258,18 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
 
     Returns one row ``(n_wedges, n_triangles, clustering_ppm)``.
     """
+    # materialize once (r09): und feeds the wedge count AND the
+    # triangle enumeration — lazily the edge derivation ran twice
     und = (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .where(F.col("a") < F.col("b"))
         .distinct()
+        .localCheckpoint()
     )
-    adj = und.select(F.col("a").alias("n")).unionByName(
-        und.select(F.col("b").alias("n"))
+    adj = und.select(
+        F.explode(F.array(F.col("a"), F.col("b"))).alias("n")
     )
     wedges = (
         adj.groupBy("n")
@@ -1306,16 +1348,25 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     table onto the edge list + ONE map-combinable moment aggregate.
     Returns one row ``(n_ends, assortativity)``.
     """
+    # materialize once + explode-adjacency (r09): adj feeds the degree
+    # table and the moment join — lazily that re-ran the edge
+    # derivation three times
     und = (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .where(F.col("a") < F.col("b"))
         .distinct()
+        .localCheckpoint()
     )
-    adj = und.select(F.col("a").alias("n"), F.col("b").alias("nb")).unionByName(
-        und.select(F.col("b").alias("n"), F.col("a").alias("nb"))
-    )
+    adj = und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("n"), F.col("b").alias("nb")),
+                F.struct(F.col("b").alias("n"), F.col("a").alias("nb")),
+            )
+        ).alias("e")
+    ).select(F.col("e.n").alias("n"), F.col("e.nb").alias("nb"))
     deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
     dx = deg.select(F.col("n"), F.col("d").alias("x"))
     dy = deg.select(F.col("n").alias("nb"), F.col("d").alias("y"))
@@ -1416,9 +1467,20 @@ def kcore(
         .where(F.col("a") < F.col("b"))
         .distinct()
     )
-    adj = und.select(F.col("a").alias("n"), F.col("b").alias("nb")).unionByName(
-        und.select(F.col("b").alias("n"), F.col("a").alias("nb"))
-    ).localCheckpoint()
+    # explode-based symmetric adjacency: und (and the caller's whole
+    # edge derivation under it) evaluated once, not twice (r09)
+    adj = (
+        und.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("n"), F.col("b").alias("nb")),
+                    F.struct(F.col("b").alias("n"), F.col("a").alias("nb")),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.n").alias("n"), F.col("e.nb").alias("nb"))
+        .localCheckpoint()
+    )
     alive = adj.select("n").distinct().localCheckpoint()
     prev = alive.count()
     for _ in range(max_iters):
@@ -1539,8 +1601,20 @@ def label_propagation(
         .where(F.col("a") < F.col("b"))
         .distinct()
     )
-    adj = und.select(F.col("a").alias("n"), F.col("b").alias("nb")).unionByName(
-        und.select(F.col("b").alias("n"), F.col("a").alias("nb"))
+    # loop invariant materialized once (r09): adj is joined EVERY
+    # round, so lazily each round re-ran the whole edge derivation;
+    # explode replaces the two-branch union (one evaluation of und)
+    adj = (
+        und.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("n"), F.col("b").alias("nb")),
+                    F.struct(F.col("b").alias("n"), F.col("a").alias("nb")),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.n").alias("n"), F.col("e.nb").alias("nb"))
+        .localCheckpoint()
     )
     labels = adj.select(F.col("n").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
@@ -2142,10 +2216,20 @@ def ktruss(
         e2 = alive.select(F.col("a").alias("y"), F.col("b").alias("z"))
         e3 = alive.select(F.col("a").alias("x"), F.col("b").alias("z"))
         tri = e1.join(e2, "y").join(e3, ["x", "z"])
+        # one enumeration per round (r09): the 3-branch union of tri
+        # projections re-ran the two-join enumeration three times;
+        # explode emits each triangle's three member edges map-side
         sup = (
-            tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
-            .unionByName(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
-            .unionByName(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+            tri.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("x").alias("a"), F.col("y").alias("b")),
+                        F.struct(F.col("y").alias("a"), F.col("z").alias("b")),
+                        F.struct(F.col("x").alias("a"), F.col("z").alias("b")),
+                    )
+                ).alias("e")
+            )
+            .select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
             .groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("s"))
             .where(F.col("s") >= int(k) - 2)

@@ -1275,12 +1275,23 @@ def _wl_dedup_consensus(spark, sf_dir):
     docs scan.
     """
     docs = _docs(spark, sf_dir)
-    mh = dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    # the two shingle-based detectors share ONE tokenize+distinct pass
+    # (r09): the shingle frame is persisted and injected through the
+    # family's shingle_rows/sig_wide seams; SimHash hashes raw tokens,
+    # not shingles, so it keeps its own pass. Caches released with the
+    # result frame.
+    shingle_rows = textops.shingles(docs).persist()
+    wide = dedup.minhash_signatures_wide(
+        docs, shingle_rows=shingle_rows
+    ).persist()
+    mh = dedup.minhash_lsh_pairs(docs, sig_wide=wide).select(
+        "doc_a", "doc_b"
+    )
     sh = dedup.simhash_pairs(docs).select("doc_a", "doc_b")
     ct = dedup.ngram_containment_pairs(
-        docs, max_posting=JACCARD_MAX_POSTING
+        docs, max_posting=JACCARD_MAX_POSTING, shingle_rows=shingle_rows
     ).select("doc_a", "doc_b")
-    return (
+    out = (
         mh.unionByName(sh)
         .unionByName(ct)
         .groupBy("doc_a", "doc_b")
@@ -1288,6 +1299,7 @@ def _wl_dedup_consensus(spark, sf_dir):
         .where(F.col("n_methods") >= CONSENSUS_MIN_VOTES)
         .orderBy("doc_a", "doc_b")
     )
+    return dedup._release_with(out, shingle_rows, wide)
 
 
 def _wl_quality(spark, sf_dir):
