@@ -443,8 +443,13 @@ def embedding_neardup_pairs(
     synthetic corpus (true dups would sit at ~0.95+; nothing here
     exceeds ~0.45, so 0.4 keeps the workload non-degenerate).
     Returns (vec_a, vec_b, cos_sim), vec_a < vec_b."""
-    base = _with_norm(emb)
-    bk = lsh_buckets(emb, nbits, n_tables)
+    # r09 (guide §2.4): bk feeds both sides of the bucket self-join and
+    # base both sides of the verify join — lazily each ran twice, and
+    # the bucket-hash projection is a ~#tables×#bits×dim-term unrolled
+    # expression whose codegen alone is seconds; materialize each ONCE
+    # on its node-sized output.
+    base = _with_norm(emb).localCheckpoint()
+    bk = lsh_buckets(emb, nbits, n_tables).localCheckpoint()
     b2 = bk.select(F.col("vec_id").alias("vec_b"), "tbl", "bucket")
     cand = (
         bk.join(b2, ["tbl", "bucket"])
@@ -642,7 +647,14 @@ def ann_recall(
     (no float-summation order sensitivity). ``recall_ok`` attests the
     method's floor (RECALL_FLOORS); a regression in either index
     flips the flag and fails the round's correctness gate."""
-    exact = cosine_topk(emb, n_queries, k).select("q_id", "vec_id")
+    # exact brute-force reference materialized once (r09): it feeds
+    # the query list and every per-method join — lazily the corpus
+    # brute-force ran once per reference
+    exact = (
+        cosine_topk(emb, n_queries, k)
+        .select("q_id", "vec_id")
+        .localCheckpoint()
+    )
     qs = exact.select("q_id").distinct()
     outs = []
     for method, fn in (("ivf", ivf_ann_topk), ("lsh", lsh_ann_topk)):
@@ -1570,9 +1582,10 @@ def ann_ndcg(
     """
     disc = _ndcg_discounts(k)
     idcg = sum((k - i) * d for i, d in enumerate(disc))  # rel k, k-1, ...
+    # exact reference materialized once (r09) — same as ann_recall
     exact = cosine_topk(emb, n_queries, k).select(
         "q_id", "vec_id", (F.lit(k + 1) - F.col("rank")).alias("rel")
-    )
+    ).localCheckpoint()
     qs = exact.select("q_id").distinct()
     disc_arr = F.array(*[F.lit(d) for d in disc])
     outs = []
@@ -1663,7 +1676,14 @@ def ann_mrr(
     n_miss)`` — n_miss = queries with no true neighbor in the
     returned list.
     """
-    exact = cosine_topk(emb, n_queries, k).select("q_id", "vec_id")
+    # exact brute-force reference materialized once (r09): it feeds
+    # the query list and every per-method join — lazily the corpus
+    # brute-force ran once per reference
+    exact = (
+        cosine_topk(emb, n_queries, k)
+        .select("q_id", "vec_id")
+        .localCheckpoint()
+    )
     qs = exact.select("q_id").distinct()
     outs = []
     for method, fn in (("ivf", ivf_ann_topk), ("lsh", lsh_ann_topk)):
