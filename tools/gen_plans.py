@@ -162,10 +162,14 @@ NOTES = {
         "joins; TakeOrderedAndProject top-k."
     ),
     "pipe_search_prf": (
-        "Both retrieval passes keep the filter-before-shuffle "
-        "postings shape; feedback docs and candidate terms travel "
-        "as broadcasts (the data-dependent term set prunes via a "
-        "broadcast semi-join where isin literals can't)."
+        "r09 truncated shape: the bounded-small intermediates "
+        "(feedback set, candidate/expansion terms, final postings) "
+        "are eagerly localCheckpointed — the captured plan scores "
+        "materialized postings (Scan ExistingRDD) against broadcast "
+        "query/idf tables; the filter-before-shuffle postings passes "
+        "and the candidate broadcast semi-join run inside the "
+        "checkpoint jobs (the pre-r09 composed plan held 318 "
+        "Exchanges — see plans/r09/pipe_search_prf_before.txt)."
     ),
     "pipe_ann_hard_negatives": (
         "Broadcast queries × ONE corpus scan; the label inequality "
