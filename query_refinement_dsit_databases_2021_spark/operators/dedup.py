@@ -695,14 +695,17 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     post-candidate fingerprint equi-joins (and their exchanges) are
     gone, and the hamming filter now runs BEFORE the distinct, so the
     dedup exchange carries only surviving pairs. The fingerprint
-    frame is persisted (doc-count rows) so its computation pipelines
-    into the band-join job (an eager localCheckpoint here measured
-    ~1 s slower — a separate blocking job for a frame the first job
-    could compute in-line), and its cache lifetime is tied to the
-    returned frame via :func:`_release_with`.
+    frame is localCheckpointed (doc-count rows): with a held result a
+    persist+weakref-release tie is ~1 s faster (the fingerprint job
+    pipelines into the band join), but every real consumer of this
+    function DERIVES from the result and drops it (the workload casts
+    hamming, consensus projects columns, the cluster path feeds
+    components) — the weakref then fires before execution and the
+    fingerprint pass silently runs once per band-join side. The
+    checkpoint's lifetime is ContextCleaner-managed and caller-proof.
     """
     width = SIMHASH_BITS // SIMHASH_BANDS
-    fp = simhash_fingerprints(docs).persist()
+    fp = simhash_fingerprints(docs).localCheckpoint()
     bands = fp.select(
         "doc_id",
         "fingerprint",
@@ -744,7 +747,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return _release_with(out, fp)
+    return out
 
 
 def neardup_components(
