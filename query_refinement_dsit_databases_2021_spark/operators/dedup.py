@@ -51,6 +51,13 @@ SIMHASH_BITS = 32
 SIMHASH_BANDS = 4  # 8 bits per band; hamming<=3 => >=1 band equal
 SIMHASH_MOD = 1 << SIMHASH_BITS
 
+# broadcast the per-round label frame in neardup_components while the
+# node set fits a comfortable broadcast (~16 B/row → ~160 MB at the
+# bound) — the components-loop analogue of graph.PR_BROADCAST_MAX_NODES
+# (same rationale, same measured-switch convention); beyond it the
+# labels shuffle (plain equi-join)
+CC_BROADCAST_MAX_NODES = 10_000_000
+
 
 def _release_with(result: DataFrame, *cached: DataFrame) -> DataFrame:
     """Tie the lifetime of internally ``persist()``-ed frames to the
@@ -813,8 +820,25 @@ def neardup_components(
     )
     # Convergence check: labels only ever decrease (min-propagation),
     # so the label sum strictly decreases until the fixpoint — one
-    # scalar agg per round instead of a full self-join diff.
-    prev_sum = labels.agg(F.sum("label")).first()[0]
+    # scalar agg per round instead of a full self-join diff. The same
+    # bounded agg also yields the node count that drives the
+    # broadcast switch below.
+    first = labels.agg(
+        F.sum("label").alias("s"), F.count(F.lit(1)).alias("n")
+    ).first()
+    prev_sum = first["s"]
+    # r09 (guide §3.1, same measured-switch convention as
+    # graph.PR_BROADCAST_MAX_NODES): the per-round join shuffles the
+    # EDGE table against a node-sized label frame; while the labels
+    # fit a comfortable broadcast (~16 B/row), broadcasting them keeps
+    # the edges out of every round's join exchange — the groupBy(a)
+    # then ships only partial mins. Same-session A/B at sf0.1 (2.7M
+    # edges / 5k nodes): 12.3 → 7.6 s and 7.9 → 6.7 s noop. Beyond the
+    # bound the labels must shuffle (a billion-node pair graph cannot
+    # broadcast) — plain equi-join, the measured-linear fallback.
+    hint = (
+        F.broadcast if first["n"] <= CC_BROADCAST_MAX_NODES else (lambda df: df)
+    )
     converged = False
     # max_iters + 1: convergence is detected by a NO-CHANGE round, so a
     # graph that reaches its fixpoint exactly on round max_iters needs
@@ -823,8 +847,10 @@ def neardup_components(
     for _ in range(max_iters + 1):
         nb_min = (
             edges.join(
-                labels.select(
-                    F.col("node").alias("b"), F.col("label").alias("b_label")
+                hint(
+                    labels.select(
+                        F.col("node").alias("b"), F.col("label").alias("b_label")
+                    )
                 ),
                 "b",
             )

@@ -292,6 +292,28 @@ def test_posting_advisor_flags_template_recommends_safe_cap(spark):
     assert adv_wo == plain_wo and len(adv_wo) == 1
 
 
+def test_components_broadcast_switch_output_invariant(spark, monkeypatch):
+    """r09: neardup_components broadcasts the per-round label frame
+    while the node set fits (CC_BROADCAST_MAX_NODES); the shuffle
+    fallback past the bound must produce bit-identical clusters —
+    pinned by forcing the fallback via the constant and comparing."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a long, doc_b long",
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 20, 21, 22, 23, 99)],
+        "doc_id long",
+    )
+    bc = sorted(map(tuple, dedup.neardup_components(pairs, docs).collect()))
+    monkeypatch.setattr(dedup, "CC_BROADCAST_MAX_NODES", 0)
+    sh = sorted(map(tuple, dedup.neardup_components(pairs, docs).collect()))
+    assert bc == sh
+    # and the labels are the min-id canonical form
+    got = {d: c for d, c, _ in bc}
+    assert got[3] == 1 and got[11] == 10 and got[23] == 20 and got[99] == 99
+
+
 def test_advised_paths_release_caches_on_gc(spark):
     """The advised forms persist their shingle/signature/fingerprint
     frame for advisor+join reuse; the cache's lifetime is tied to the
