@@ -776,8 +776,16 @@ def bfs_distances(
     ).localCheckpoint()
     prev = (dist.count(), 0)
     for _ in range(max_iters + 1):
+        # broadcast the frontier while it fits (r09, same measured
+        # switch as PR_BROADCAST_MAX_NODES / CC_BROADCAST_MAX_NODES):
+        # the reached-set size is already tracked by the convergence
+        # tuple, so the per-round decision is free; beyond the bound
+        # the plain equi-join shuffles as before
+        hint = F.broadcast if prev[0] <= PR_BROADCAST_MAX_NODES else (
+            lambda df: df
+        )
         stepped = (
-            und.join(dist, und.src == dist.node)
+            und.join(hint(dist), und.src == dist.node)
             .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
             .unionByName(dist.select("node", "dist"))
             .groupBy("node")
@@ -833,8 +841,13 @@ def _bfs_distances_multi(
     ).localCheckpoint()
     prev = (dist.count(), 0)
     for _ in range(max_iters + 1):
+        # same frontier broadcast switch as :func:`bfs_distances` —
+        # the (seed, node) frontier count rides the convergence tuple
+        hint = F.broadcast if prev[0] <= PR_BROADCAST_MAX_NODES else (
+            lambda df: df
+        )
         stepped = (
-            und.join(dist, und.src == dist.node)
+            und.join(hint(dist), und.src == dist.node)
             .select(
                 "seed",
                 F.col("dst").alias("node"),
