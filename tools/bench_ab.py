@@ -112,9 +112,11 @@ def main() -> None:
 
     names = list(FROZEN_24)
     if args.names:
-        unknown = [n for n in args.names if n not in FROZEN_24]
-        if unknown:
-            ap.error(f"not in FROZEN_24: {unknown}")
+        # any REGISTRY name is adjudicable (r10: the contested wins are
+        # non-frozen workloads); the worker resolves names from its own
+        # checkout's registry and reports ERR for unknowns. The compact
+        # summary is still skipped for subset runs, so bench.py's echo
+        # line never mistakes an adjudication for a full-set comparison.
         names = list(args.names)
         args.summary_out = ""
 

@@ -39,6 +39,7 @@ def main() -> None:
         "--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
     ap.add_argument("--no-plans", action="store_true")
+    ap.add_argument("--plans-dir", default="r10", help="plans/<dir> for captures")
     ap.add_argument("--out", default=None, help="optional json output path")
     args = ap.parse_args()
 
@@ -55,7 +56,9 @@ def main() -> None:
     names = args.names.split(",") if args.names else list(FROZEN_24)
 
     plans_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r09"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        args.plans_dir,
     )
     os.makedirs(plans_dir, exist_ok=True)
 
