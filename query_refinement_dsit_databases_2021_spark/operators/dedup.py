@@ -31,6 +31,9 @@ import weakref
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from query_refinement_dsit_databases_2021_spark.operators.materialize import (
+    broadcast_ok,
+)
 from query_refinement_dsit_databases_2021_spark.operators.textops import (
     HASH_P,
     SHINGLE_K,
@@ -810,13 +813,16 @@ def neardup_components(
         )
         .select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
+    # lazy checkpoints (r10): the convergence probe right below
+    # materializes labels AND edges (labels derive from edges) in ONE
+    # job instead of two eager checkpoint jobs + a probe job
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # Convergence check: labels only ever decrease (min-propagation),
     # so the label sum strictly decreases until the fixpoint — one
@@ -837,7 +843,7 @@ def neardup_components(
     # bound the labels must shuffle (a billion-node pair graph cannot
     # broadcast) — plain equi-join, the measured-linear fallback.
     hint = (
-        F.broadcast if first["n"] <= CC_BROADCAST_MAX_NODES else (lambda df: df)
+        F.broadcast if broadcast_ok(first["n"], labels) else (lambda df: df)
     )
     converged = False
     # max_iters + 1: convergence is detected by a NO-CHANGE round, so a
@@ -878,7 +884,8 @@ def neardup_components(
                     F.col("label"), F.coalesce(F.col("l_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            # lazy: the label-sum probe materializes the round (r10)
+            .localCheckpoint(eager=False)
         )
         new_sum = labels.agg(F.sum("label")).first()[0]
         if new_sum == prev_sum:

@@ -33,6 +33,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from query_refinement_dsit_databases_2021_spark.operators.materialize import (
+    broadcast_ok,
+    materialize,
+)
+
 # fixed-point PageRank constants: ranks carry 1e9 units per node of
 # initial mass; damping 0.85 applied as integer `* 85 DIV 100`.
 INIT_MASS = 1_000_000_000
@@ -104,6 +109,27 @@ def pagerank(
     checkpointing here adjudicated PER-ROUND checkpoints of the
     loop-carried ``ranks`` (an eager job per round); invariants are
     checkpointed ONCE, outside the loop.
+    PARTITIONED materialization for the BEYOND-BROADCAST regime (r10,
+    guide §2.4 — remove shuffles outright). When the node state no
+    longer fits a broadcast, the old fallback was a plain equi-join
+    loop: every iteration shuffled (and sorted) BOTH the edge table
+    and the node-sized send frame into a sort-merge join — 3 Exchanges
+    per iteration where the algorithm fundamentally needs ONE (the
+    contribution groupBy(dst)). The r10 large-graph path materializes
+    ``edges`` hash(src)-partitioned and the node state
+    hash(node)-partitioned (see :func:`materialize`), and the loop
+    joins carry SHUFFLE_HASH hints: the send join and the rank join
+    are then co-partitioned, exchange-free AND sort-free (the send
+    frame inherits hash(src) through the rank projection,
+    alias-aware), leaving exactly one Exchange per iteration.
+    Measured at sf0.1 (dim-sized graph) the SAME form is 1.3-1.45x
+    SLOWER than the AQE path — the partitioned build forgoes AQE's
+    runtime broadcast of the fact join and of the per-iteration send
+    frame, which at dim scale is the whole cost — so the partitioned
+    loop is entered only where its per-iteration savings exist at all:
+    the probe path (``broadcast_send=None``) beyond the broadcast byte
+    bound. Explicit ``True``/``False`` keep their r07 contract
+    (broadcast loop / plain loop) for callers that know their scale.
     """
     edges = edges.select("src", "dst").distinct().localCheckpoint()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
@@ -122,8 +148,17 @@ def pagerank(
     bcast = (
         broadcast_send
         if broadcast_send is not None
-        else ndeg.count() <= PR_BROADCAST_MAX_NODES
+        else broadcast_ok(ndeg.count(), ndeg)
     )
+    partitioned = broadcast_send is None and not bcast
+    if partitioned:
+        # probed past the broadcast byte bound: re-materialize the two
+        # (already materialized) invariants partitioned for the
+        # exchange-free loop — one cheap extra pass each, repaid
+        # `iterations` times over by the removed per-round edge
+        # shuffle+sort
+        edges = materialize(edges, partition_by=("src",))
+        ndeg = materialize(ndeg, partition_by=("node",))
     ranks = ndeg.select(
         "node", F.lit(INIT_MASS).cast("long").alias("rank"), "outdeg"
     )
@@ -132,13 +167,21 @@ def pagerank(
             F.col("node").alias("src"),
             F.expr("(85 * rank DIV 100) DIV outdeg").alias("c"),
         )
+        if bcast:
+            send = F.broadcast(send)
+        elif partitioned:
+            # co-partitioned with the materialized hash(src) edges:
+            # SHUFFLE_HASH avoids SMJ's per-iteration sort of the edge
+            # table; neither side exchanges
+            send = send.hint("shuffle_hash")
         contrib = (
-            edges.join(F.broadcast(send) if bcast else send, "src")
+            edges.join(send, "src")
             .select(F.col("dst").alias("node"), "c")
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = ndeg.join(contrib, "node", "left").select(
+        rjoin = contrib.hint("shuffle_hash") if partitioned else contrib
+        ranks = ndeg.join(rjoin, "node", "left").select(
             "node",
             (F.lit(TELEPORT) + F.coalesce(F.col("c"), F.lit(0)))
             .cast("long")
@@ -217,37 +260,55 @@ def hits(
     bcast = (
         broadcast_scores
         if broadcast_scores is not None
-        else nodes.count() <= PR_BROADCAST_MAX_NODES
+        else broadcast_ok(nodes.count(), nodes)
     )
     hint = F.broadcast if bcast else (lambda df: df)
     hub = nodes.select("node", F.lit(HITS_SCALE).cast("long").alias("h"))
     auth = None
+    # r10 (guide §5 — no scalar collects in the loop): the per-half-step
+    # rescale max used to be a driver `.collect()` — an extra eager JOB
+    # per half-step, 8 per run on top of the 8 checkpoint jobs. The max
+    # is now a 1-row broadcast cross join over the SAME checkpointed
+    # raw frame: identical value (max is order-free), computed inside
+    # the NEXT half-step's job instead of its own. Jobs per iteration:
+    # 4 → 2. The old crossJoin-OOM hazard (docstring above) applied to
+    # the UNCHECKPOINTED form — here the cross join reads a
+    # materialized scan, so the plan stays linear (still pinned by
+    # test_plan_budgets).
     for _ in range(iterations):
         a_raw = (
             edges.join(hint(hub), edges.src == hub.node)
             .select(F.col("dst").alias("node"), "h")
             .groupBy("node")
             .agg(F.sum("h").alias("raw"))
-        ).localCheckpoint()
-        a_mx = a_raw.agg(F.max("raw")).collect()[0][0]
-        auth = nodes.join(a_raw, "node", "left").select(
-            "node",
-            F.expr(f"coalesce(raw, 0) * {HITS_SCALE} DIV {a_mx}")
-            .cast("long")
-            .alias("a"),
+        ).localCheckpoint(eager=False)
+        a_mx = F.broadcast(a_raw.agg(F.max("raw").alias("mx")))
+        auth = (
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(a_mx)
+            .select(
+                "node",
+                F.expr(f"coalesce(raw, 0) * {HITS_SCALE} DIV mx")
+                .cast("long")
+                .alias("a"),
+            )
         )
         h_raw = (
             edges.join(hint(auth), edges.dst == auth.node)
             .select(F.col("src").alias("node"), "a")
             .groupBy("node")
             .agg(F.sum("a").alias("raw"))
-        ).localCheckpoint()
-        h_mx = h_raw.agg(F.max("raw")).collect()[0][0]
-        hub = nodes.join(h_raw, "node", "left").select(
-            "node",
-            F.expr(f"coalesce(raw, 0) * {HITS_SCALE} DIV {h_mx}")
-            .cast("long")
-            .alias("h"),
+        ).localCheckpoint(eager=False)
+        h_mx = F.broadcast(h_raw.agg(F.max("raw").alias("mx")))
+        hub = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(h_mx)
+            .select(
+                "node",
+                F.expr(f"coalesce(raw, 0) * {HITS_SCALE} DIV mx")
+                .cast("long")
+                .alias("h"),
+            )
         )
     return (
         auth.join(hub, "node")
@@ -776,12 +837,15 @@ def bfs_distances(
     ).localCheckpoint()
     prev = (dist.count(), 0)
     for _ in range(max_iters + 1):
-        # broadcast the frontier while it fits (r09, same measured
-        # switch as PR_BROADCAST_MAX_NODES / CC_BROADCAST_MAX_NODES):
-        # the reached-set size is already tracked by the convergence
-        # tuple, so the per-round decision is free; beyond the bound
-        # the plain equi-join shuffles as before
-        hint = F.broadcast if prev[0] <= PR_BROADCAST_MAX_NODES else (
+        # broadcast the frontier while it fits (r09; r10: BYTE-based
+        # bound — rows x schema width vs BROADCAST_MAX_BYTES, see
+        # materialize.broadcast_ok): the reached-set size is already
+        # tracked by the convergence tuple, so the per-round decision
+        # is free; beyond the bound the plain equi-join shuffles as
+        # before. The checkpoint is LAZY (r10): the probe aggregate
+        # below materializes the round's state in the SAME job — one
+        # job per round instead of checkpoint + probe.
+        hint = F.broadcast if broadcast_ok(prev[0], dist) else (
             lambda df: df
         )
         stepped = (
@@ -790,7 +854,7 @@ def bfs_distances(
             .unionByName(dist.select("node", "dist"))
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         agg = stepped.agg(
             F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
@@ -842,8 +906,10 @@ def _bfs_distances_multi(
     prev = (dist.count(), 0)
     for _ in range(max_iters + 1):
         # same frontier broadcast switch as :func:`bfs_distances` —
-        # the (seed, node) frontier count rides the convergence tuple
-        hint = F.broadcast if prev[0] <= PR_BROADCAST_MAX_NODES else (
+        # the (seed, node) frontier count rides the convergence tuple,
+        # and the byte bound prices the WIDER (seed, node, dist) row;
+        # lazy checkpoint: the probe materializes the round (r10)
+        hint = F.broadcast if broadcast_ok(prev[0], dist) else (
             lambda df: df
         )
         stepped = (
@@ -856,7 +922,7 @@ def _bfs_distances_multi(
             .unionByName(dist.select("seed", "node", "dist"))
             .groupBy("seed", "node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         agg = stepped.agg(
             F.count(F.lit(1)).alias("n"), F.sum("dist").alias("s")
@@ -1515,7 +1581,8 @@ def kcore(
         .select(F.col("e.n").alias("n"), F.col("e.nb").alias("nb"))
         .localCheckpoint()
     )
-    alive = adj.select("n").distinct().localCheckpoint()
+    # lazy checkpoint + count probe = one job (r10)
+    alive = adj.select("n").distinct().localCheckpoint(eager=False)
     prev = alive.count()
     for _ in range(max_iters):
         deg = (
@@ -1524,7 +1591,9 @@ def kcore(
             .groupBy("n")
             .agg(F.count(F.lit(1)).alias("d"))
         )
-        alive = deg.where(F.col("d") >= k).select("n").localCheckpoint()
+        alive = deg.where(F.col("d") >= k).select("n").localCheckpoint(
+            eager=False
+        )
         cur = alive.count()
         if cur == prev:
             return (
@@ -1656,7 +1725,7 @@ def label_propagation(
     bcast = (
         broadcast_labels
         if broadcast_labels is not None
-        else labels.count() <= PR_BROADCAST_MAX_NODES
+        else broadcast_ok(labels.count(), labels)
     )
     hint = F.broadcast if bcast else (lambda df: df)
     w = Window.partitionBy("n").orderBy(F.desc("cnt"), F.asc("label"))
@@ -1667,11 +1736,15 @@ def label_propagation(
         counts = nb_labels.groupBy("n", "label").agg(
             F.count(F.lit(1)).alias("cnt")
         )
+        # lazy checkpoint (r10): the plan is truncated at creation, but
+        # the round executes inside the NEXT consumer's job — the whole
+        # fixed-round loop runs as one job cascade instead of one eager
+        # checkpoint job per round
         labels = (
             counts.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .select(F.col("n").alias("node"), "label")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return labels
 

@@ -90,6 +90,8 @@ def materialize(
     df: DataFrame,
     partition_by: tuple[str, ...] | None = None,
     eager: bool = True,
+    dedup: bool = False,
+    preserve_partitioning: bool = False,
 ) -> DataFrame:
     """Cut ``df``'s lineage and return a frame backed by materialized
     blocks — the engine-wide truncation primitive for loop invariants
@@ -117,6 +119,17 @@ def materialize(
     creation — see module docstring; execution-strategy only, results
     identical). Downstream joins/groupBys keyed on a prefix of
     ``partition_by`` then skip their Exchange.
+
+    ``dedup=True`` (only with ``partition_by``) dropDuplicates AFTER
+    the repartition: rows equal on all columns share every partition
+    key, so the dedup aggregate runs exchange-free on the repartition's
+    clustering — ONE exchange replaces the distinct-then-repartition
+    pair the edge-canonicalization call sites would otherwise pay.
+
+    ``preserve_partitioning=True`` (without ``partition_by``): ``df``'s
+    own plan already ends in the partitioning the caller wants kept
+    (e.g. a join on the key) — materialize under the AQE toggle without
+    adding any repartition.
 
     ``eager=False`` defers materialization to the first action that
     consumes the frame — a convergence loop's probe aggregate then
@@ -147,12 +160,16 @@ def materialize(
             return frame
         return frame.localCheckpoint(eager=eager)
 
-    if not partition_by:
+    if not partition_by and not preserve_partitioning:
         return _ckpt(df)
-    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if partition_by:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        df = df.repartition(n, *partition_by)
+        if dedup:
+            df = df.dropDuplicates()
     aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        return _ckpt(df.repartition(n, *partition_by))
+        return _ckpt(df)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)

@@ -605,3 +605,46 @@ def test_ktruss_order_invariant_under_repartition(spark):
     one = [tuple(r) for r in ktruss(edges, k=4).collect()]
     two = [tuple(r) for r in ktruss(edges.repartition(7), k=4).collect()]
     assert one == two
+
+
+def test_pagerank_partitioned_path_output_invariant(spark, monkeypatch):
+    """r10: past the broadcast byte bound the probe path switches to
+    co-partitioned materialized invariants with SHUFFLE_HASH loop
+    joins (zero per-iteration edge exchanges). Forced via the bound,
+    the partitioned loop must be bit-identical to both the broadcast
+    loop and the plain-join loop."""
+    from query_refinement_dsit_databases_2021_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(i % 23, (i * 7) % 31) for i in range(300)], "src long, dst long"
+    )
+    plain = sorted(map(tuple, pagerank(edges, 3, broadcast_send=False).collect()))
+    bcast = sorted(map(tuple, pagerank(edges, 3, broadcast_send=True).collect()))
+    monkeypatch.setattr(graph, "broadcast_ok", lambda n, df: False)
+    part_df = pagerank(edges, 3, broadcast_send=None)
+    part_plan = part_df._jdf.queryExecution().executedPlan().toString()
+    part = sorted(map(tuple, part_df.collect()))
+    assert plain == bcast == part
+    # the partitioned loop's joins are shuffled-hash over the
+    # materialized partitioning: no sort-merge, no per-iteration sorts
+    assert "ShuffledHashJoin" in part_plan
+    assert "SortMergeJoin" not in part_plan
+
+
+def test_bfs_broadcast_fallback_output_invariant(spark, monkeypatch):
+    """r10: the BFS frontier broadcast switch is byte-based; the
+    shuffle fallback must produce identical distances."""
+    from query_refinement_dsit_databases_2021_spark.operators import graph
+    from query_refinement_dsit_databases_2021_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)] + [(0, 20), (5, 35)],
+        "src long, dst long",
+    )
+    src = spark.createDataFrame([(0,)], "node long")
+    fast = sorted(map(tuple, bfs_distances(edges, src).collect()))
+    monkeypatch.setattr(graph, "broadcast_ok", lambda n, df: False)
+    slow = sorted(map(tuple, bfs_distances(edges, src).collect()))
+    assert fast == slow

@@ -294,9 +294,10 @@ def test_posting_advisor_flags_template_recommends_safe_cap(spark):
 
 def test_components_broadcast_switch_output_invariant(spark, monkeypatch):
     """r09: neardup_components broadcasts the per-round label frame
-    while the node set fits (CC_BROADCAST_MAX_NODES); the shuffle
-    fallback past the bound must produce bit-identical clusters —
-    pinned by forcing the fallback via the constant and comparing."""
+    while it fits; r10 made the bound BYTE-based (rows x schema width
+    vs materialize.BROADCAST_MAX_BYTES, decided via broadcast_ok). The
+    shuffle fallback past the bound must produce bit-identical
+    clusters — pinned by forcing the fallback and comparing."""
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
         "doc_a long, doc_b long",
@@ -306,7 +307,7 @@ def test_components_broadcast_switch_output_invariant(spark, monkeypatch):
         "doc_id long",
     )
     bc = sorted(map(tuple, dedup.neardup_components(pairs, docs).collect()))
-    monkeypatch.setattr(dedup, "CC_BROADCAST_MAX_NODES", 0)
+    monkeypatch.setattr(dedup, "broadcast_ok", lambda n, df: False)
     sh = sorted(map(tuple, dedup.neardup_components(pairs, docs).collect()))
     assert bc == sh
     # and the labels are the min-id canonical form
