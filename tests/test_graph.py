@@ -648,3 +648,25 @@ def test_bfs_broadcast_fallback_output_invariant(spark, monkeypatch):
     monkeypatch.setattr(graph, "broadcast_ok", lambda n, df: False)
     slow = sorted(map(tuple, bfs_distances(edges, src).collect()))
     assert fast == slow
+
+
+def test_triangle_dense_kernel_matches_distributed(spark, monkeypatch):
+    """r10: below TRI_DENSE_MAX_NODES/EDGES the triangle kernel is one
+    mapInArrow matmul task; past the gate the r09 distributed
+    intersection path runs. Both must be bit-identical on the same
+    graph — including a triangle-free and an empty result."""
+    from query_refinement_dsit_databases_2021_spark.operators import graph
+
+    cases = [
+        # dense-ish: K5 plus a pendant
+        [(a, b) for a in range(5) for b in range(5) if a < b] + [(4, 9)],
+        # triangle-free: a path
+        [(i, i + 1) for i in range(8)],
+    ]
+    for es in cases:
+        edges = spark.createDataFrame(es, "src long, dst long")
+        dense = sorted(map(tuple, triangle_count(edges).collect()))
+        monkeypatch.setattr(graph, "TRI_DENSE_MAX_NODES", 0)
+        dist = sorted(map(tuple, triangle_count(edges).collect()))
+        monkeypatch.undo()
+        assert dense == dist
