@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from query_refinement_dsit_databases_2021_spark.operators.materialize import (
     broadcast_ok,
+    materialize,
 )
 from query_refinement_dsit_databases_2021_spark.operators.textops import (
     HASH_P,
@@ -798,7 +799,7 @@ def neardup_components(
     # twice — for the simhash workload that was 11.1 s of the 16 s
     # total at sf0.1 (r09, guide §2.4); explode generates both
     # directions map-side from a single evaluation
-    edges = (
+    edges = materialize(
         pairs.select(
             F.explode(
                 F.array(
@@ -812,8 +813,8 @@ def neardup_components(
             ).alias("e")
         )
         .select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
-        .distinct()
-        .localCheckpoint(eager=False)
+        .distinct(),
+        eager=False,
     )
     # lazy checkpoints (r10): the convergence probe right below
     # materializes labels AND edges (labels derive from edges) in ONE

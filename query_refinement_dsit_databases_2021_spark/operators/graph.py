@@ -131,7 +131,7 @@ def pagerank(
     bound. Explicit ``True``/``False`` keep their r07 contract
     (broadcast loop / plain loop) for callers that know their scale.
     """
-    edges = edges.select("src", "dst").distinct().localCheckpoint()
+    edges = materialize(edges.select("src", "dst").distinct())
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # node state carries the loop-invariant outdeg (NULL for dangling
     # nodes), so the per-iteration send frame is a pure PROJECTION of
@@ -250,7 +250,7 @@ def hits(
     # :func:`pagerank`): edges are referenced twice per iteration and
     # nodes twice, so lazy frames re-embed the upstream edge derivation
     # (a fact-table join for the workload) 8+ times across 4 iterations
-    edges = edges.select("src", "dst").distinct().localCheckpoint()
+    edges = materialize(edges.select("src", "dst").distinct())
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -506,13 +506,12 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     form. Both paths are exact integer counts; bit-identity is pinned
     by a cross-strategy test and the oracle gate.
     """
-    und = (
+    und = materialize(
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .where(F.col("a") < F.col("b"))
         .distinct()
-        .localCheckpoint()
     )
     gate = und.agg(
         F.count_distinct(F.col("a")).alias("na"),
@@ -534,7 +533,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
     da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
-    oriented = (
+    oriented = materialize(
         und.join(da, "a")
         .join(db, "b")
         .select(
@@ -553,12 +552,11 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             .otherwise(F.col("a"))
             .alias("v"),
         )
-        .localCheckpoint()
     )
     adj = oriented.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
     na = adj.select(F.col("u").alias("_ua"), F.col("nbrs").alias("na"))
     nb = adj.select(F.col("u").alias("_ub"), F.col("nbrs").alias("nb"))
-    # localCheckpoint (NOT persist+weakref-release): the closure frame
+    # checkpoint (NOT persist+weakref-release): the closure frame
     # feeds three role aggregates, and callers derive from the result
     # (orderBy/limit) then drop the returned object — a weakref tie on
     # the returned frame fired BEFORE execution and the intersection
@@ -566,11 +564,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     # vs 5-11 s when a persist survives; the checkpoint is the form
     # whose lifetime the ContextCleaner manages correctly regardless
     # of what callers do with the result)
-    closed = (
+    closed = materialize(
         oriented.join(na, F.col("u") == F.col("_ua"))
         .join(nb, F.col("v") == F.col("_ub"))
         .select("u", "v", F.array_intersect("na", "nb").alias("zs"))
-        .localCheckpoint()
     )
     zc = (
         closed.select(F.explode("zs").alias("node"))
@@ -812,7 +809,7 @@ def coactivity_components(events: DataFrame) -> DataFrame:
 
     # materialized once (r09): the self-join's two sides otherwise
     # each re-scan events and re-run the distinct
-    b = (
+    b = materialize(
         events.select(
             "event_type",
             F.expr(
@@ -821,7 +818,6 @@ def coactivity_components(events: DataFrame) -> DataFrame:
             "user_id",
         )
         .distinct()
-        .localCheckpoint()
     )
     x, y = b.alias("x"), b.alias("y")
     pairs = (
@@ -914,7 +910,7 @@ def bfs_distances(
     # one explode pass for the symmetric closure — the two-branch
     # union recomputed the caller's edge derivation twice (r09, same
     # fix as dedup.neardup_components)
-    und = (
+    und = materialize(
         edges.select(
             F.explode(
                 F.array(
@@ -927,7 +923,6 @@ def bfs_distances(
         )
         .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
         .distinct()
-        .localCheckpoint()
     )
     dist = sources.select(
         F.col("node"), F.lit(0).cast("long").alias("dist")
@@ -982,7 +977,7 @@ def _bfs_distances_multi(
     spark = edges.sparkSession
     # explode-based symmetric closure: one evaluation of the edge
     # derivation instead of two (r09)
-    und = (
+    und = materialize(
         edges.select(
             F.explode(
                 F.array(
@@ -995,7 +990,6 @@ def _bfs_distances_multi(
         )
         .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
         .distinct()
-        .localCheckpoint()
     )
     dist = spark.createDataFrame(
         [(int(s), int(s), 0) for s in seeds], "seed long, node long, dist long"
@@ -1116,7 +1110,7 @@ def personalized_pagerank(
     # into the node state so the per-iteration send frame is a pure
     # projection (r09 — identical restructure, and rationale, as
     # :func:`pagerank`)
-    edges = edges.select("src", "dst").distinct().localCheckpoint()
+    edges = materialize(edges.select("src", "dst").distinct())
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     seed_flag = F.broadcast(
         seeds.select(F.col("node"), F.lit(True).alias("_seed"))
@@ -1252,13 +1246,12 @@ def link_prediction(edges: DataFrame, k: int = 20) -> DataFrame:
     # wedge arms, the degree table and the anti-join — lazily that was
     # 7 evaluations of the caller's edge derivation; the symmetric
     # adjacency is a map-side explode over the materialized frame
-    und = (
+    und = materialize(
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .where(F.col("a") < F.col("b"))
         .distinct()
-        .localCheckpoint()
     )
     adj = und.select(
         F.explode(
@@ -1363,13 +1356,12 @@ def resource_allocation(edges: DataFrame, k: int = 20) -> DataFrame:
     (ra_ppm desc, node_a, node_b).
     """
     # same materialize-once treatment as :func:`link_prediction` (r09)
-    und = (
+    und = materialize(
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .where(F.col("a") < F.col("b"))
         .distinct()
-        .localCheckpoint()
     )
     adj = und.select(
         F.explode(
@@ -1457,13 +1449,12 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
     """
     # materialize once (r09): und feeds the wedge count AND the
     # triangle enumeration — lazily the edge derivation ran twice
-    und = (
+    und = materialize(
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .where(F.col("a") < F.col("b"))
         .distinct()
-        .localCheckpoint()
     )
     adj = und.select(
         F.explode(F.array(F.col("a"), F.col("b"))).alias("n")
@@ -1548,13 +1539,12 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     # materialize once + explode-adjacency (r09): adj feeds the degree
     # table and the moment join — lazily that re-ran the edge
     # derivation three times
-    und = (
+    und = materialize(
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .where(F.col("a") < F.col("b"))
         .distinct()
-        .localCheckpoint()
     )
     adj = und.select(
         F.explode(
@@ -1666,7 +1656,7 @@ def kcore(
     )
     # explode-based symmetric adjacency: und (and the caller's whole
     # edge derivation under it) evaluated once, not twice (r09)
-    adj = (
+    adj = materialize(
         und.select(
             F.explode(
                 F.array(
@@ -1676,7 +1666,6 @@ def kcore(
             ).alias("e")
         )
         .select(F.col("e.n").alias("n"), F.col("e.nb").alias("nb"))
-        .localCheckpoint()
     )
     # lazy checkpoint + count probe = one job (r10)
     alive = adj.select("n").distinct().localCheckpoint(eager=False)
@@ -1804,7 +1793,7 @@ def label_propagation(
     # loop invariant materialized once (r09): adj is joined EVERY
     # round, so lazily each round re-ran the whole edge derivation;
     # explode replaces the two-branch union (one evaluation of und)
-    adj = (
+    adj = materialize(
         und.select(
             F.explode(
                 F.array(
@@ -1814,7 +1803,6 @@ def label_propagation(
             ).alias("e")
         )
         .select(F.col("e.n").alias("n"), F.col("e.nb").alias("nb"))
-        .localCheckpoint()
     )
     labels = adj.select(F.col("n").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
@@ -2190,7 +2178,7 @@ def katz_centrality(
     """
     # loop invariants materialized once (r09, same rationale as
     # :func:`pagerank`: each iteration otherwise re-derives both)
-    edges = edges.select("src", "dst").distinct().localCheckpoint()
+    edges = materialize(edges.select("src", "dst").distinct())
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -2405,13 +2393,12 @@ def ktruss(
     Returns ``(node_a, node_b, support)`` for the k-truss edges —
     support measured inside the truss — ordered by (node_a, node_b).
     """
-    und = (
+    und = materialize(
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .where(F.col("a") < F.col("b"))
         .distinct()
-        .localCheckpoint()
     )
     alive = und
     prev = alive.count()
@@ -2423,7 +2410,7 @@ def ktruss(
         # one enumeration per round (r09): the 3-branch union of tri
         # projections re-ran the two-join enumeration three times;
         # explode emits each triangle's three member edges map-side
-        sup = (
+        sup = materialize(
             tri.select(
                 F.explode(
                     F.array(
@@ -2437,7 +2424,6 @@ def ktruss(
             .groupBy("a", "b")
             .agg(F.count(F.lit(1)).alias("s"))
             .where(F.col("s") >= int(k) - 2)
-            .localCheckpoint()
         )
         alive = sup.select("a", "b")
         cur = alive.count()

@@ -24,6 +24,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from query_refinement_dsit_databases_2021_spark.operators import dedup, textops
+from query_refinement_dsit_databases_2021_spark.operators.materialize import (
+    materialize,
+)
 from query_refinement_dsit_databases_2021_spark.operators.dedup import (
     LSH_ROWS,
     N_HASHES,
@@ -1199,15 +1202,13 @@ def _wl_dedup_pr(spark, sf_dir):
     # denominator count), which re-embeds — and re-runs — each whole
     # detector plan; localCheckpoint runs each detector ONCE on its
     # pair-sized output (r09, guide §2.4)
-    exact = (
-        dedup.ngram_jaccard_pairs(docs, threshold=0.5)
-        .select("doc_a", "doc_b")
-        .localCheckpoint()
+    exact = materialize(
+        dedup.ngram_jaccard_pairs(docs, threshold=0.5).select(
+            "doc_a", "doc_b"
+        )
     )
-    cand = (
-        dedup.minhash_lsh_pairs(docs)
-        .select("doc_a", "doc_b")
-        .localCheckpoint()
+    cand = materialize(
+        dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
     )
     tp = cand.join(exact, ["doc_a", "doc_b"], "leftsemi")
     counts = (

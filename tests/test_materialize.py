@@ -76,6 +76,48 @@ def test_dedup_requires_partition_keys(spark, frame):
     assert _rows(M.materialize(frame, dedup=True)) == _rows(frame)
 
 
+def test_operators_route_through_materialize_modes(spark, tmp_path):
+    """r10 verdict item 2: the edge-sized truncation sites in the graph
+    and dedup operators must go through :func:`materialize`, so that a
+    cluster can switch them to reliable checkpoints / DISK_ONLY persists
+    by conf alone. Forcing each mode end-to-end proves the wiring: under
+    ``reliable`` a bare ``localCheckpoint()`` would not touch the
+    checkpoint dir, and results must be bit-identical across modes."""
+    from query_refinement_dsit_databases_2021_spark.operators import (
+        dedup,
+        graph,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3), (6, 7)],
+        "src long, dst long",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (12, 13), (11, 12)],
+        "doc_a long, doc_b long",
+    )
+
+    def run():
+        return {
+            "pagerank": _rows(graph.pagerank(edges, 3)),
+            "triangles": _rows(graph.triangle_count(edges)),
+            "components": _rows(dedup.neardup_components(pairs)),
+        }
+
+    base = run()
+    ckpt_dir = tmp_path / "ckpt"
+    spark.sparkContext.setCheckpointDir(str(ckpt_dir))
+    try:
+        for mode in ("reliable", "disk"):
+            spark.conf.set(M.MATERIALIZE_MODE_CONF, mode)
+            assert run() == base, mode
+    finally:
+        spark.conf.set(M.MATERIALIZE_MODE_CONF, "local")
+    # the reliable pass must have actually written checkpoint data
+    files = list(ckpt_dir.rglob("*"))
+    assert files, "reliable mode wrote nothing to the checkpoint dir"
+
+
 def test_broadcast_ok_prices_row_width(spark):
     narrow = spark.range(1).select(F.col("id").alias("node"))
     wide = spark.range(1).select(
