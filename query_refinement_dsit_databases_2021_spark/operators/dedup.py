@@ -665,12 +665,25 @@ def incremental_dedup_from_index(
     return _release_with(out, swide)
 
 
-def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+def simhash_fingerprints(
+    docs: DataFrame, ws_rows: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, fingerprint): 32-bit SimHash. Token hash = polynomial
     rolling hash mod 2^32 (with multiplicity); bit b of the
     fingerprint is set iff more token hashes have bit b set than not
-    (tie -> 0). One explode + one groupBy with 32 integer sums."""
-    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    (tie -> 0). One explode + one groupBy with 32 integer sums.
+
+    ``ws_rows``: optional pre-tokenized ``(doc_id, ws)`` frame — the
+    same single-tokenize seam as :func:`textops.shingles` (r10): an
+    ensemble caller splits the corpus once and every detector explodes
+    from the materialized token arrays."""
+    tok = (
+        ws_rows.select("doc_id", F.explode("ws").alias("term"))
+        if ws_rows is not None
+        else docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+        )
+    )
     th = tok.withColumn("h16", rolling_hash(F.col("term")) % SIMHASH_MOD)
     sums = th.groupBy("doc_id").agg(
         *[
@@ -690,7 +703,11 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     return sums.select("doc_id", fp.cast("long").alias("fingerprint"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    ws_rows: DataFrame | None = None,
+) -> DataFrame:
     """Near-duplicate pairs with SimHash hamming distance <=
     max_hamming, via the pigeonhole band join: with 4 bands of 8 bits,
     any pair within hamming 3 agrees exactly on >=1 band, so
@@ -716,7 +733,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     checkpoint's lifetime is ContextCleaner-managed and caller-proof.
     """
     width = SIMHASH_BITS // SIMHASH_BANDS
-    fp = simhash_fingerprints(docs).localCheckpoint()
+    fp = simhash_fingerprints(docs, ws_rows=ws_rows).localCheckpoint()
     bands = fp.select(
         "doc_id",
         "fingerprint",

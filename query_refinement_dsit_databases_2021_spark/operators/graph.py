@@ -375,6 +375,11 @@ def harmonic_centrality_sampled(
 
 TRI_DENSE_MAX_NODES = 4096
 TRI_DENSE_MAX_EDGES = 4_000_000
+# below this exact wedge mass (Σ_n d(n)·(d(n)−1)/2 over the canonical
+# graph — the tight bound on the wedge join's row count) the plain
+# lazy two-join enumeration beats the checkpointed intersection
+# machinery (see the small-sparse note in triangle_count's docstring)
+TRI_WEDGE_MAX_MASS = 10_000_000
 
 
 def _triangle_count_dense(und: DataFrame) -> DataFrame:
@@ -432,7 +437,9 @@ def _triangle_count_dense(und: DataFrame) -> DataFrame:
     )
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(
+    edges: DataFrame, und: DataFrame | None = None
+) -> DataFrame:
     """Exact triangle participation counts over an undirected graph.
 
     ``edges`` is any directed/duplicated edge list; it is first
@@ -505,32 +512,69 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     r09 distributed intersection path runs unchanged — the 100 TB
     form. Both paths are exact integer counts; bit-identity is pinned
     by a cross-strategy test and the oracle gate.
+
+    r10 SMALL-SPARSE branch (guide §1.2 — pick the algorithm by the
+    data, and don't pay materialization machinery for data that is
+    trivial to enumerate). The intersection form + checkpoints exist
+    for graphs whose wedge join would explode (co-supplier graph:
+    137M wedge rows from 454k edges); on a small SPARSE graph (the
+    clustering workload's co-purchase graph: 15k nodes, 17.5k edges —
+    past the dense NODE gate but with tiny wedge mass) that machinery
+    is ~15 fixed-cost stages where the plain two-join wedge
+    enumeration is ~5 (interleaved A/B at sf0.1: clustering 2.20 s
+    checkpointed-intersection vs 0.76 s wedge form at the r08
+    reference). The gate now aggregates the DEGREE table (needed by
+    the big path anyway), which yields the exact node count for the
+    dense gate and the exact wedge mass Σ d·(d−1)/2 — the tight bound
+    on the wedge join's row count, immune to the hub pathology a
+    count-of-edges gate would miss; ``wedge_mass ≤ TRI_WEDGE_MAX_MASS``
+    routes to the lazy wedge plan. All three strategies are
+    bit-identical (cross-strategy pin test).
+
+    ``und``: optional pre-canonicalized, pre-materialized ``(a, b)``
+    edge frame (``a < b``, distinct) — :func:`clustering_coefficient`
+    shares its own canonical frame so the edge derivation is
+    canonicalized and materialized ONCE, not twice.
     """
-    und = materialize(
-        edges.select(
-            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    if und is None:
+        und = materialize(
+            edges.select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .where(F.col("a") < F.col("b"))
+            .distinct()
         )
-        .where(F.col("a") < F.col("b"))
-        .distinct()
-    )
-    gate = und.agg(
-        F.count_distinct(F.col("a")).alias("na"),
-        F.count_distinct(F.col("b")).alias("nb"),
-        F.count(F.lit(1)).alias("m"),
-    ).first()
-    # n_nodes ≤ na + nb (exact union count would be another shuffle;
-    # the sum is a safe upper bound for a memory gate)
-    if (
-        gate["na"] + gate["nb"] <= TRI_DENSE_MAX_NODES
-        and gate["m"] <= TRI_DENSE_MAX_EDGES
-    ):
-        return _triangle_count_dense(und)
+    # the degree table serves the gate AND the big path's orientation;
+    # its bounded aggregate yields exact n_nodes (dense-kernel memory
+    # gate), exact m and the exact wedge mass in ONE job
     deg = (
-        und.select(F.col("a").alias("n"))
-        .unionByName(und.select(F.col("b").alias("n")))
+        und.select(F.explode(F.array(F.col("a"), F.col("b"))).alias("n"))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
     )
+    gate = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("d").alias("sd"),
+        F.sum(F.expr("d * (d - 1) DIV 2")).alias("wedge_mass"),
+    ).first()
+    n_nodes = gate["n_nodes"] or 0
+    m = (gate["sd"] or 0) // 2
+    if n_nodes <= TRI_DENSE_MAX_NODES and m <= TRI_DENSE_MAX_EDGES:
+        return _triangle_count_dense(und)
+    if (gate["wedge_mass"] or 0) <= TRI_WEDGE_MAX_MASS:
+        # lazy wedge enumeration (a < b < c found once at e1⋈e2⋈e3);
+        # ONE map-side explode credits all three corners
+        e1 = und
+        e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+        e3 = und.select("a", F.col("b").alias("c"))
+        tri = e1.join(e2, "b").join(e3, ["a", "c"])
+        return (
+            tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+            .where(F.col("n_triangles") > 0)
+        )
     da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
     oriented = materialize(
@@ -891,7 +935,7 @@ ORACLE_COMPONENTS = _oracle_components()
 
 
 def bfs_distances(
-    edges: DataFrame, sources: DataFrame, max_iters: int = 50
+    edges: DataFrame, sources: DataFrame | None, max_iters: int = 50
 ) -> DataFrame:
     """Unweighted shortest-path distances (BFS levels) from a source
     set over an undirected edge list — min-plus label propagation:
@@ -904,29 +948,50 @@ def bfs_distances(
     :func:`dedup.neardup_components`.
 
     ``edges``: ``(src, dst)`` (canonicalized to undirected here);
-    ``sources``: ``(node)`` at distance 0. Returns ``(node, dist)``
-    for every REACHED node; unreached nodes are absent by contract.
+    ``sources``: ``(node)`` at distance 0, or ``None`` for "the
+    graph's minimum node id" — computed from the already-materialized
+    canonical frame, so callers wanting that common source don't
+    re-evaluate their whole edge derivation for one scalar (r10: the
+    bfs workload's source probe alone cost 0.7 s of its 4.0 s).
+    Returns ``(node, dist)`` for every REACHED node; unreached nodes
+    are absent by contract.
+
+    r10 canonicalize-then-explode (guide §2.3 — shuffle fewer bytes):
+    the symmetric closure used to explode BOTH directions and then
+    ``distinct`` — an exchange and a checkpoint of 2m rows. The
+    distinct now runs on the canonical (min, max) orientation (m
+    rows — half the exchange and half the materialized bytes) and the
+    symmetric explode happens map-side AFTER the checkpoint, inside
+    the loop plan. Min-plus propagation is insensitive to the
+    duplicate (s, s) rows a self-loop contributes, so results are
+    identical (pinned by the self-loop case in the unit tests).
     """
-    # one explode pass for the symmetric closure — the two-branch
-    # union recomputed the caller's edge derivation twice (r09, same
-    # fix as dedup.neardup_components)
-    und = materialize(
+    canon = materialize(
         edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        ).distinct()
+    )
+    und = (
+        canon.select(
             F.explode(
                 F.array(
-                    F.struct(F.col("src"), F.col("dst")),
                     F.struct(
-                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                        F.col("a").alias("src"), F.col("b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("b").alias("src"), F.col("a").alias("dst")
                     ),
                 )
             ).alias("e")
         )
         .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
-        .distinct()
     )
+    if sources is None:
+        sources = canon.agg(F.min("a").alias("node"))
     dist = sources.select(
         F.col("node"), F.lit(0).cast("long").alias("dist")
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     prev = (dist.count(), 0)
     for _ in range(max_iters + 1):
         # broadcast the frontier while it fits (r09; r10: BYTE-based
@@ -975,21 +1040,29 @@ def _bfs_distances_multi(
     sampled-seed contract of :func:`harmonic_centrality_sampled`).
     """
     spark = edges.sparkSession
-    # explode-based symmetric closure: one evaluation of the edge
-    # derivation instead of two (r09)
-    und = materialize(
+    # canonicalize-then-explode (r10, same rationale and identical-
+    # result argument as :func:`bfs_distances`): distinct + checkpoint
+    # on m canonical rows, the symmetric explode map-side in the loop
+    canon = materialize(
         edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        ).distinct()
+    )
+    und = (
+        canon.select(
             F.explode(
                 F.array(
-                    F.struct(F.col("src"), F.col("dst")),
                     F.struct(
-                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                        F.col("a").alias("src"), F.col("b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("b").alias("src"), F.col("a").alias("dst")
                     ),
                 )
             ).alias("e")
         )
         .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
-        .distinct()
     )
     dist = spark.createDataFrame(
         [(int(s), int(s), 0) for s in seeds], "seed long, node long, dist long"
@@ -1039,10 +1112,11 @@ def _wl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = l.join(r, (l.l_orderkey == r.o2) & (l.l_suppkey < r.s2)).select(
         F.col("l_suppkey").alias("src"), F.col("s2").alias("dst")
     )
-    src = edges.select(F.least("src", "dst").alias("node")).agg(
-        F.min("node").alias("node")
-    )
-    dist = bfs_distances(edges, src)
+    # sources=None: BFS from the graph's min node, computed off the
+    # operator's materialized canonical frame — the explicit source
+    # probe re-ran the whole co-occurrence self-join for one scalar
+    # (r10, measured 0.7 s of the 4.0 s workload)
+    dist = bfs_distances(edges, None)
     return (
         dist.groupBy("dist")
         .agg(F.count(F.lit(1)).alias("n_nodes"))
@@ -1467,8 +1541,10 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
         )
     )
     # coalesce: a triangle-free graph yields an EMPTY corner frame, so
-    # the sum is NULL, not 0
-    tri = triangle_count(und.select(F.col("a").alias("src"), F.col("b").alias("dst"))).agg(
+    # the sum is NULL, not 0. The canonical frame is shared (r10): und
+    # is already (a<b, distinct, materialized), so triangle_count
+    # skips its own canonicalize+materialize pass.
+    tri = triangle_count(edges, und=und).agg(
         F.expr("CAST(coalesce(sum(n_triangles), 0) DIV 3 AS BIGINT)").alias(
             "n_triangles"
         )

@@ -1276,19 +1276,24 @@ def _wl_dedup_consensus(spark, sf_dir):
     docs scan.
     """
     docs = _docs(spark, sf_dir)
-    # the two shingle-based detectors share ONE tokenize+distinct pass
-    # (r09): the shingle frame is persisted and injected through the
-    # family's shingle_rows/sig_wide seams; SimHash hashes raw tokens,
-    # not shingles, so it keeps its own pass. Caches released with the
-    # result frame.
-    shingle_rows = textops.shingles(docs).persist()
+    # ONE corpus scan + ONE split for all three detectors (r09 shared
+    # the shingle pass between the two shingle-based detectors; r10
+    # extends the seam to SimHash): the token-array frame is
+    # materialized once and every detector derives from it — SimHash
+    # explodes the raw tokens, the shingle frame (still persisted, it
+    # feeds two detectors) is built from the same arrays. Before, the
+    # SimHash branch re-scanned and re-split the whole corpus.
+    base = materialize(
+        docs.select("doc_id", textops.tokens(F.col("text")).alias("ws"))
+    )
+    shingle_rows = textops.shingles(docs, ws_rows=base).persist()
     wide = dedup.minhash_signatures_wide(
         docs, shingle_rows=shingle_rows
     ).persist()
     mh = dedup.minhash_lsh_pairs(docs, sig_wide=wide).select(
         "doc_a", "doc_b"
     )
-    sh = dedup.simhash_pairs(docs).select("doc_a", "doc_b")
+    sh = dedup.simhash_pairs(docs, ws_rows=base).select("doc_a", "doc_b")
     ct = dedup.ngram_containment_pairs(
         docs, max_posting=JACCARD_MAX_POSTING, shingle_rows=shingle_rows
     ).select("doc_a", "doc_b")

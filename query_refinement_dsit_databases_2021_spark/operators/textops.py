@@ -66,13 +66,26 @@ def gram_array(ws: Column, k: int) -> Column:
     )
 
 
-def shingles(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """Distinct k-word shingles per document: (doc_id, s)."""
+def shingles(
+    docs: DataFrame, k: int = SHINGLE_K, ws_rows: DataFrame | None = None
+) -> DataFrame:
+    """Distinct k-word shingles per document: (doc_id, s).
+
+    ``ws_rows``: optional pre-tokenized ``(doc_id, ws)`` frame (``ws`` =
+    the split token array). An ensemble caller that also needs the raw
+    tokens (e.g. the consensus workload's SimHash detector) tokenizes
+    the corpus ONCE, materializes that frame, and feeds it to every
+    detector — one corpus scan + one split instead of one per detector
+    (r10, guide §2.4)."""
     # materialize the token array in its own projection: referencing the
     # split expression directly inside the transform lambda makes codegen
     # re-split the text for every element_at — O(tokens^2 * k) per doc
     # (measured 8-10x slower at sf0.1)
-    base = docs.select("doc_id", tokens(F.col("text")).alias("ws"))
+    base = (
+        ws_rows
+        if ws_rows is not None
+        else docs.select("doc_id", tokens(F.col("text")).alias("ws"))
+    )
     sh = gram_array(F.col("ws"), k)
     return base.select(
         "doc_id", F.explode(F.array_distinct(sh)).alias("s")

@@ -124,6 +124,16 @@ def test_bfs_levels_path_graph_and_unreached(spark):
     got2 = {r["node"]: r["dist"] for r in bfs_distances(edges, src2).collect()}
     assert got2 == {1: 0, 2: 1, 3: 2, 4: 1, 5: 0}
 
+    # r10 canonicalize-then-explode must be insensitive to self-loops
+    # and reversed duplicates, and sources=None means "min graph node"
+    edges3 = spark.createDataFrame(
+        [(2, 1), (1, 2), (2, 2), (2, 3)], "src long, dst long"
+    )
+    got3 = {
+        r["node"]: r["dist"] for r in bfs_distances(edges3, None).collect()
+    }
+    assert got3 == {1: 0, 2: 1, 3: 2}
+
 
 def test_link_prediction_hand_graph(spark):
     from query_refinement_dsit_databases_2021_spark.operators.graph import (
@@ -667,6 +677,12 @@ def test_triangle_dense_kernel_matches_distributed(spark, monkeypatch):
         edges = spark.createDataFrame(es, "src long, dst long")
         dense = sorted(map(tuple, triangle_count(edges).collect()))
         monkeypatch.setattr(graph, "TRI_DENSE_MAX_NODES", 0)
-        dist = sorted(map(tuple, triangle_count(edges).collect()))
+        # r10: past the dense gate there are TWO distributed strategies
+        # — the lazy wedge join (small wedge mass) and the checkpointed
+        # intersection (100 TB form); force each and require
+        # bit-identity with the dense kernel
+        wedge = sorted(map(tuple, triangle_count(edges).collect()))
+        monkeypatch.setattr(graph, "TRI_WEDGE_MAX_MASS", -1)
+        ckpt = sorted(map(tuple, triangle_count(edges).collect()))
         monkeypatch.undo()
-        assert dense == dist
+        assert dense == wedge == ckpt
